@@ -1,0 +1,50 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis building blocks for large-scale training-data pipelines:
+  * tokenization, n-grams, deterministic 60-bit token hashes, quality
+  * metrics, and fingerprints. Everything is built from codegen'd
+  * `org.apache.spark.sql.functions` (no UDFs), so the expressions stay
+  * inside whole-stage codegen and the DuckDB oracle can mirror them
+  * exactly.
+  *
+  * Determinism conventions shared with the oracle SQL:
+  *   - token = split on a single space of `lower(text)` (the synthetic
+  *     corpus is single-space separated);
+  *   - hash60(s) = first 15 hex chars of md5(s) parsed base-16 → a
+  *     non-negative long in [0, 2^60) — DuckDB: `('0x'||substring(md5(s),1,15))::BIGINT`;
+  *   - ratios are emitted as `floor(r * 1e6)` longs, never raw doubles.
+  */
+object TextFunctions {
+
+  /** Lower-cased whitespace tokens. */
+  def tokens(text: Column): Column = split(lower(text), " ")
+
+  /** Deterministic 60-bit hash of a string, identical in Spark and DuckDB. */
+  def hash60(s: Column): Column =
+    conv(substring(md5(s), 1, 15), 16, 10).cast("long")
+
+  /** Word n-grams (space-joined) from a token array, via array HOFs. */
+  def wordNgrams(toks: Column, n: Int): Column =
+    when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array())
+
+  /** floor(x * 1e6) as a long — fp-stable ratio encoding for oracles. */
+  def fp6(x: Column): Column = floor(x * lit(1000000.0)).cast("long")
+
+  /** Number of characters matching a punctuation class. */
+  def punctCount(text: Column): Column =
+    length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
+
+  /** MinHash-style fingerprint: min hash60 over distinct word 3-grams
+    * (falls back to hash of the whole text for docs shorter than 3 tokens).
+    */
+  def fingerprint(text: Column): Column = {
+    val grams = array_distinct(wordNgrams(tokens(text), 3))
+    coalesce(array_min(transform(grams, g => hash60(g))), hash60(lower(text)))
+  }
+}

@@ -1,0 +1,35 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Embedding-vector math over `array<float>` columns using Spark's
+  * higher-order array functions (codegen'd; no UDFs, no driver loops).
+  *
+  * Float discipline for oracle parity: every elementwise product casts the
+  * float operands to double FIRST (float*float would round to float), and
+  * sums are sequential left-folds — the same order DuckDB's `list_sum` /
+  * explicit `list_transform` pipelines evaluate in, so dot products are
+  * bit-identical across engines. Ranking/thresholding always goes through
+  * `floor(cos * 1e6)` scaled longs, never raw doubles.
+  */
+object VectorFunctions {
+
+  /** Sequential-fold dot product of two float vectors, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0),
+      (acc, v) => acc + v)
+
+  /** Squared L2 norm, double accumulation. */
+  def normSq(a: Column): Column = dot(a, a)
+
+  /** Cosine similarity (double). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(normSq(a)) * sqrt(normSq(b)))
+
+  /** Cosine scaled to a deterministic long: floor(cos * 1e6). */
+  def cosineFp6(a: Column, b: Column): Column =
+    floor(cosine(a, b) * lit(1000000.0)).cast("long")
+}

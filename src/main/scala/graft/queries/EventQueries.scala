@@ -1,0 +1,126 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+import graft.{NamedQuery, Tables}
+import graft.operators.ApplyChanges
+
+/** Event-stream operators run in batch over the `events` table: CDC
+  * latest-per-key (the reference's `apply_changes`, SURVEY §2.7 O22),
+  * keyed deduplication (O21 batch semantics), the re-nest/explode
+  * round-trip (A1 + F6), window functions, and `from_json` parsing (F5).
+  *
+  * `ts_us` (epoch microseconds, see [[graft.Tables.events]]) is the
+  * sequencing column everywhere — bit-identical to DuckDB `epoch_us(ts)`.
+  */
+object EventQueries {
+
+  val q05LatestPerKey = NamedQuery(
+    "q05_latest_per_key",
+    "CDC latest-row-per-key via max_by(struct(payload), struct(seq)) — one " +
+      "partial+final hash aggregation, no window sort; shuffle carries at " +
+      "most one candidate row per key per map task (SURVEY §2.4 A3).",
+    (s, d) =>
+      ApplyChanges.latestByKey(
+          Tables.events(s, d),
+          Seq("user_id", "event_type"),
+          Seq(col("ts_us"), col("event_id")))
+        .select(
+          col("user_id"), col("event_type"),
+          col("event_id").as("last_event_id"),
+          col("value").as("last_value"),
+          col("ts_us").as("last_ts_us"))
+        .orderBy("user_id", "event_type"),
+    Some("""SELECT user_id, event_type, event_id AS last_event_id,
+           |  value AS last_value, epoch_us(ts) AS last_ts_us
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+           |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+           |WHERE rn = 1
+           |ORDER BY user_id, event_type""".stripMargin))
+
+  val q06ApplyChanges = NamedQuery(
+    "q06_apply_changes",
+    "Full DLT apply_changes semantics (03_Data_Ingestion.py:318-326): events " +
+      "as a changelog keyed by user_id, sequenced by (ts_us, event_id), " +
+      "'error' rows as delete tombstones, props column excluded. A tombstone " +
+      "deletes only when it is the key's latest change.",
+    (s, d) =>
+      ApplyChanges.applyChanges(
+          Tables.events(s, d).drop("ts"),
+          keys = Seq("user_id"),
+          sequenceBy = Seq(col("ts_us"), col("event_id")),
+          deleteExpr = col("event_type") === "error",
+          exceptColumns = Seq("props"))
+        .select("user_id", "event_id", "event_type", "value", "ts_us")
+        .orderBy("user_id"),
+    Some("""SELECT user_id, event_id, event_type, value, epoch_us(ts) AS ts_us
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+           |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+           |WHERE rn = 1 AND event_type <> 'error'
+           |ORDER BY user_id""".stripMargin))
+
+  val q07RenestExplode = NamedQuery(
+    "q07_renest_explode",
+    "The reference's transaction re-nesting then item explode, round-tripped " +
+      "(02_Data_Generation.py:64-70 A1 + 03_Data_Ingestion.py:213 F6): " +
+      "groupBy→collect_list(struct)→sort_array→explode reproduces the input.",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(struct(
+          col("event_id"), col("event_type"), col("value")))).as("evs"))
+        .select(col("user_id"), explode(col("evs")).as("ev"))
+        .select(col("user_id"), col("ev.event_id").as("event_id"),
+          col("ev.event_type").as("event_type"), col("ev.value").as("value"))
+        .orderBy("event_id"),
+    Some("""SELECT user_id, event_id, event_type, value
+           |FROM events ORDER BY event_id""".stripMargin))
+
+  val q08WindowRunning = NamedQuery(
+    "q08_window_running",
+    "Window functions per user ordered by event time: row_number, exact " +
+      "decimal running sum, and LAG-based inter-event gap (SURVEY §2.5 W1).",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      Tables.events(s, d)
+        .select(
+          col("user_id"), col("event_id"),
+          row_number().over(w).as("rn"),
+          sum(col("value").cast("decimal(18,2)"))
+            .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+            .cast("double").as("running_value"),
+          (col("ts_us") - lag("ts_us", 1).over(w)).as("gap_us"))
+        .orderBy("user_id", "rn")
+    },
+    Some("""SELECT user_id, event_id,
+           |  row_number() OVER w AS rn,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id
+           |    ORDER BY epoch_us(ts), event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+           |  epoch_us(ts) - LAG(epoch_us(ts), 1) OVER w AS gap_us
+           |FROM events
+           |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)
+           |ORDER BY user_id, rn""".stripMargin))
+
+  val q11JsonExtract = NamedQuery(
+    "q11_json_extract",
+    "from_json over the JSON props column (03_Data_Ingestion.py:206 F5) with " +
+      "a filter on the extracted field; oracle uses DuckDB json_extract.",
+    (s, d) =>
+      Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"), new StructType().add("k", IntegerType)).getField("k"))
+        .filter(col("k") >= 90)
+        .select("event_id", "user_id", "event_type", "k")
+        .orderBy("event_id"),
+    Some("""SELECT event_id, user_id, event_type,
+           |  CAST(json_extract(props, '$.k') AS INT) AS k
+           |FROM events
+           |WHERE CAST(json_extract(props, '$.k') AS INT) >= 90
+           |ORDER BY event_id""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
+    q11JsonExtract)
+}

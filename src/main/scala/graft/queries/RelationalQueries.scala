@@ -1,0 +1,164 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+
+/** Reference-parity relational operators over the TPC-H-ish harness tables.
+  *
+  * Covers SURVEY.md §2 items: S1-S3 (explicit-schema scans), O1-O7
+  * (project/filter), J1-J3 (broadcast dim joins + mixed equi/range left
+  * outer), A1/A2 (re-nesting agg, gold aggregate with COALESCE/GREATEST),
+  * T1/T2 (multi-key sort), U1 (union), and the gold query shape of
+  * notebooks/04_Current_Inventory.sql:5-38 re-expressed over orders×lineitem.
+  */
+object RelationalQueries {
+
+  /** Exact decimal sum of a 2-dp double column, emitted as double. */
+  private def decSum(c: String) =
+    sum(col(c).cast("decimal(18,2)")).cast("double")
+
+  val q01PricingSummary = NamedQuery(
+    "q01_pricing_summary",
+    "TPC-H Q1-style scan+filter+hash-aggregate with decimal-exact sums " +
+      "(SURVEY §2.4 A2 analog; pushdown: shipdate filter reaches the scan).",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          decSum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("double").as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    Some("""SELECT l_returnflag, l_linestatus,
+           |  SUM(l_quantity) AS sum_qty,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           |  COUNT(*) AS count_order
+           |FROM lineitem
+           |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+           |GROUP BY l_returnflag, l_linestatus
+           |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  val q02FilterProject = NamedQuery(
+    "q02_filter_project",
+    "Predicate + projection pushdown: returnflag/shipdate filter and 5-col " +
+      "projection reach the parquet scan (SURVEY §2.2 O1-O5).",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" &&
+          col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+        .select(
+          col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+          col("l_extendedprice"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"))
+        .orderBy("l_orderkey", "l_linenumber"),
+    Some("""SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+           |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date
+           |FROM lineitem
+           |WHERE l_returnflag = 'R'
+           |  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+           |  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+           |ORDER BY l_orderkey, l_linenumber""".stripMargin))
+
+  val q03BroadcastDims = NamedQuery(
+    "q03_broadcast_dims",
+    "Fact×dim×dim star join — nation/region explicitly broadcast like the " +
+      "reference's store/change_type dims (SURVEY §2.3 J1/J2, " +
+      "04_Current_Inventory.sql:26-27).",
+    (s, d) =>
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(
+          count(lit(1)).as("n_customers"),
+          decSum("c_acctbal").as("sum_acctbal"))
+        .orderBy("r_name", "n_name"),
+    Some("""SELECT r_name, n_name,
+           |  COUNT(*) AS n_customers,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY r_name, n_name
+           |ORDER BY r_name, n_name""".stripMargin))
+
+  val q04GoldCurrentInventory = NamedQuery(
+    "q04_gold_current_inventory",
+    "The reference gold query shape (04_Current_Inventory.sql:11-38): " +
+      "snapshot LEFT OUTER JOIN changes on equi keys + `<=` range residual, " +
+      "then GROUP BY key with COALESCE(SUM)/GREATEST and a negated-conjunction " +
+      "filter (O6). orders=snapshot, lineitem=changes.",
+    (s, d) => {
+      val o  = Tables.orders(s, d)
+      val li = Tables.lineitem(s, d)
+      o.filter(!(col("o_orderstatus") === "F" && col("o_orderpriority").startsWith("1")))
+        .join(li,
+          col("o_orderkey") === col("l_orderkey") &&
+            col("o_orderdate") <= col("l_shipdate"),
+          "left_outer")
+        .groupBy("o_orderkey")
+        .agg(
+          min("o_totalprice").as("snapshot_total"),
+          coalesce(sum("l_quantity"), lit(0.0)).as("change_qty"),
+          (min("o_totalprice") + coalesce(sum("l_quantity"), lit(0.0))).as("current_val"),
+          date_format(
+            greatest(min("o_orderdate"),
+              coalesce(max("l_shipdate"), min("o_orderdate"))),
+            "yyyy-MM-dd HH:mm:ss").as("last_ts"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT a.o_orderkey AS o_orderkey,
+           |  MIN(a.o_totalprice) AS snapshot_total,
+           |  COALESCE(SUM(b.l_quantity), 0) AS change_qty,
+           |  MIN(a.o_totalprice) + COALESCE(SUM(b.l_quantity), 0) AS current_val,
+           |  strftime(GREATEST(MIN(a.o_orderdate),
+           |    COALESCE(MAX(b.l_shipdate), MIN(a.o_orderdate))), '%Y-%m-%d %H:%M:%S') AS last_ts
+           |FROM orders a
+           |LEFT OUTER JOIN lineitem b
+           |  ON a.o_orderkey = b.l_orderkey AND a.o_orderdate <= b.l_shipdate
+           |WHERE NOT (a.o_orderstatus = 'F' AND a.o_orderpriority LIKE '1%')
+           |GROUP BY a.o_orderkey
+           |ORDER BY a.o_orderkey""".stripMargin))
+
+  val q09TopK = NamedQuery(
+    "q09_topk_orders",
+    "Global top-k: ORDER BY value DESC (key tiebreak) LIMIT 100 — Spark " +
+      "plans TakeOrderedAndProject (per-partition top-k, no full sort/shuffle " +
+      "of the data; SURVEY §2.5 T2).",
+    (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+        .limit(100)
+        .select("o_orderkey", "o_totalprice"),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+           |ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 100""".stripMargin))
+
+  val q10SetOps = NamedQuery(
+    "q10_set_ops",
+    "DISTINCT / EXCEPT / INTERSECT / UNION ALL cohort analysis over the " +
+      "events stream table (SURVEY §2.5 U1, §2.2 O7).",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val signup   = ev.filter(col("event_type") === "signup").select("user_id").distinct()
+      val purchase = ev.filter(col("event_type") === "purchase").select("user_id").distinct()
+      signup.except(purchase).withColumn("cohort", lit("signup_no_purchase"))
+        .unionByName(signup.intersect(purchase).withColumn("cohort", lit("both")))
+        .orderBy("cohort", "user_id")
+    },
+    Some("""WITH signup AS (SELECT DISTINCT user_id FROM events WHERE event_type='signup'),
+           |purchase AS (SELECT DISTINCT user_id FROM events WHERE event_type='purchase')
+           |SELECT user_id, 'signup_no_purchase' AS cohort FROM (SELECT * FROM signup EXCEPT SELECT * FROM purchase)
+           |UNION ALL
+           |SELECT user_id, 'both' AS cohort FROM (SELECT * FROM signup INTERSECT SELECT * FROM purchase)
+           |ORDER BY cohort, user_id""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    q01PricingSummary, q02FilterProject, q03BroadcastDims,
+    q04GoldCurrentInventory, q09TopK, q10SetOps)
+}
