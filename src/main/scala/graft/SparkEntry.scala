@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, RelationalQueries}
+import graft.queries.{EventQueries, MultimodalQueries, RelationalQueries,
+  StreamingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -13,7 +14,11 @@ object SparkEntry {
 
   private def allQueries: Seq[NamedQuery] =
     RelationalQueries.all ++
-      EventQueries.all
+      EventQueries.all ++
+      TextQueries.all ++
+      VectorQueries.all ++
+      StreamingQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

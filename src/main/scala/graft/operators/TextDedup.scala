@@ -1,0 +1,190 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Large-scale text deduplication operators: exact (hash groupBy), n-gram
+  * Jaccard, MinHash+LSH, and SimHash. All pure DataFrame/HOF expressions —
+  * no UDFs — so every step stays inside whole-stage codegen AND can be
+  * mirrored exactly by the DuckDB oracle (hashes are md5-derived, see
+  * [[graft.functions.TextFunctions.hash60]]).
+  *
+  * Scale notes (100 TB design):
+  *   - [[exactDupGroups]]: one hash-aggregate shuffle keyed by text digest;
+  *     map-side partial aggregation collapses per-partition dups first.
+  *   - [[jaccardPairs]]: joins on shared n-grams — only pairs sharing ≥1
+  *     gram are ever materialized, but frequent grams explode the join at
+  *     corpus scale. It is the CORRECTNESS reference; [[minhashNearDups]]
+  *     is the scale path (candidate count is bounded by LSH collisions,
+  *     tunable via bands×rows).
+  *   - [[simhash]]: computed per-row with array HOFs — zero shuffle; the
+  *     banded hamming join ([[simhashNearDups]]) shuffles only
+  *     (chunk, chunkValue) keys (pigeonhole: hamming ≤ k ⟹ equal in ≥1 of
+  *     k+1 chunks).
+  */
+object TextDedup {
+
+  /** Normalized text digest used for exact dedup. */
+  def textDigest(text: Column): Column = md5(lower(text))
+
+  /** One row per distinct text digest: group size + canonical (min) id. */
+  def exactDupGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(textDigest(col(textCol)).as("text_hash"))
+      .agg(count(lit(1)).as("n_dups"), min(col(idCol)).as("canonical_id"))
+
+  /** Survivors of exact dedup: the canonical (min-id) row per digest. */
+  def dropExactDups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    ApplyChanges.latestByKey(
+      df.withColumn("__digest", textDigest(col(textCol))),
+      keys = Seq("__digest"),
+      // max_by on negated id == min id; keeps the operator single-shuffle.
+      sequenceBy = Seq(-col(idCol))
+    ).drop("__digest")
+
+  /** Distinct (id, gram) pairs of word n-grams. */
+  def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    df.select(col(idCol).as("gs_id"),
+        explode(array_distinct(wordNgrams(tokens(col(textCol)), n))).as("gram"))
+
+  /** Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ minJaccard).
+    * Output: (id_a, id_b, jaccard_fp) with jaccard_fp = floor(j*1e6).
+    */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minJaccard: Double): DataFrame = {
+    val grams = gramSets(df, idCol, textCol, n).cache()
+    val sizes = grams.groupBy("gs_id").agg(count(lit(1)).as("n_grams"))
+    val inter = grams.as("a")
+      .join(grams.as("b"),
+        col("a.gram") === col("b.gram") && col("a.gs_id") < col("b.gs_id"))
+      .groupBy(col("a.gs_id").as("id_a"), col("b.gs_id").as("id_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("gs_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("gs_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard_fp",
+        fp6(col("n_inter") / (col("na") + col("nb") - col("n_inter"))))
+      .filter(col("jaccard_fp") >= math.floor(minJaccard * 1e6).toLong)
+      .select("id_a", "id_b", "jaccard_fp")
+  }
+
+  /** Per-gram hash for MinHash function i: hash60(i || ':' || gram). */
+  private def gramHash(i: Int, gram: Column): Column =
+    hash60(concat(lit(s"$i:"), gram))
+
+  /** MinHash signatures: (id, h0..h{k-1}) — one hash-aggregate over the
+    * exploded gram set; partial min() collapses map-side, so the shuffle
+    * carries ≤ one k-long row per (doc, partition).
+    */
+  def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame =
+    gramSets(df, idCol, textCol, n)
+      .groupBy(col("gs_id").as("mh_id"))
+      .agg(
+        min(gramHash(0, col("gram"))).as("h0"),
+        (1 until numHashes).map(i => min(gramHash(i, col("gram"))).as(s"h$i")): _*)
+
+  /** LSH band keys: (id, band, md5 of that band's signature slice). */
+  def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val banded = (0 until bands).map { b =>
+      sigs.select(col("mh_id"), lit(b).as("band"),
+        md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
+          .as("band_key"))
+    }
+    banded.reduce(_.unionByName(_))
+  }
+
+  /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 LSH band. */
+  def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val bk = lshBands(sigs, numHashes, bands)
+    bk.as("a").join(bk.as("b"),
+        col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
+          col("a.mh_id") < col("b.mh_id"))
+      .select(col("a.mh_id").as("id_a"), col("b.mh_id").as("id_b"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dups, verified with exact n-gram Jaccard: candidates
+    * from band collisions, then the true Jaccard only for those pairs.
+    */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String, n: Int,
+      numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
+    val sigs  = minhashSignatures(df, idCol, textCol, n, numHashes)
+    val cands = lshCandidates(sigs, numHashes, bands)
+    val grams = gramSets(df, idCol, textCol, n).cache()
+    val sizes = grams.groupBy("gs_id").agg(count(lit(1)).as("n_grams"))
+    val inter = cands
+      .join(grams.as("ga"), col("id_a") === col("ga.gs_id"))
+      .join(grams.as("gb"),
+        col("id_b") === col("gb.gs_id") && col("ga.gram") === col("gb.gram"))
+      .groupBy("id_a", "id_b")
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("gs_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
+      .join(sizes.withColumnRenamed("gs_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+      .withColumn("jaccard_fp",
+        fp6(col("n_inter") / (col("na") + col("nb") - col("n_inter"))))
+      .filter(col("jaccard_fp") >= math.floor(minJaccard * 1e6).toLong)
+      .select("id_a", "id_b", "jaccard_fp")
+  }
+
+  /** Powers of two 2^0..2^59 as a literal array (bit tricks without
+    * column-valued shift, which `functions.shiftleft` doesn't take).
+    */
+  private val pow2: Column = array((0 until 60).map(b => lit(1L << b)): _*)
+
+  /** 60-bit SimHash over lower-cased token OCCURRENCES (term-frequency
+    * weighted), computed entirely with array HOFs — one pass per row, no
+    * explode, no shuffle. Occurrence weighting matters: set-based simhash
+    * saturates on small vocabularies (every long doc hashes alike), while
+    * tf-weighted bits discriminate by token counts.
+    */
+  def simhash(text: Column): Column = {
+    // Hash each token ONCE up front — referencing hash60(t) inside the
+    // per-bit lambda would inline (and re-evaluate) the md5 60× per token.
+    val hashes = transform(tokens(text), t => hash60(t))
+    // counts[b] = #tokens with bit b set − #tokens with bit b clear
+    val counts = aggregate(
+      hashes,
+      array_repeat(lit(0), 60),
+      (acc, h) =>
+        zip_with(acc,
+          transform(sequence(lit(0), lit(59)),
+            // bit test via AND with 2^b — Column./ would be double division
+            // and lose the low bits of a 60-bit hash
+            b => when(h.bitwiseAND(element_at(pow2, b + 1)) =!= 0, 1)
+              .otherwise(-1)),
+          (x, y) => x + y))
+    aggregate(
+      transform(sequence(lit(0), lit(59)),
+        b => when(element_at(counts, b + 1) > 0, element_at(pow2, b + 1))
+          .otherwise(lit(0L))),
+      lit(0L),
+      (acc, v) => acc + v)
+  }
+
+  /** SimHash near-dup pairs with hamming ≤ maxHamming, found by banding the
+    * 60-bit hash into (maxHamming+1) chunks and joining on equal chunks
+    * (pigeonhole), then verifying with bit_count(xor).
+    * Output: (id_a, id_b, hamming).
+    */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame = {
+    val chunks = maxHamming + 1
+    val bitsPer = 60 / chunks // requires chunks | 60 for full coverage of low bits
+    val sh = df.select(col(idCol).as("sh_id"), simhash(col(textCol)).as("sh"))
+    val banded = (0 until chunks).map { c =>
+      sh.select(col("sh_id"), col("sh"), lit(c).as("chunk"),
+        shiftright(col("sh"), c * bitsPer)
+          .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))
+    }.reduce(_.unionByName(_))
+    banded.as("a").join(banded.as("b"),
+        col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
+          col("a.sh_id") < col("b.sh_id"))
+      .select(col("a.sh_id").as("id_a"), col("b.sh_id").as("id_b"),
+        bit_count(col("a.sh").bitwiseXOR(col("b.sh"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,91 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.NamedQuery
+import graft.streaming.StreamingOps
+import graft.streaming.StreamingOps.EventRow
+
+/** Real Structured Streaming plans driven to completion on bounded input
+  * (file source + Trigger.AvailableNow + memory sink), so the driver's
+  * batch harness exercises the streaming operators end-to-end and the
+  * DuckDB oracle can still check the result.
+  *
+  * Unique memory-sink names per invocation keep Verify/Bench reruns safe.
+  */
+object StreamingQueries {
+
+  private val runId = new java.util.concurrent.atomic.AtomicLong()
+  private def qname(base: String) = s"${base}_${runId.incrementAndGet()}"
+
+  val q22StreamDedup = NamedQuery(
+    "q22_stream_dedup",
+    "The reference's watermarked streaming dedup (O20/O21, " +
+      "03_Data_Ingestion.py:218-219): withWatermark(1h) + dropDuplicates " +
+      "on the key, projected to the key set (which physical duplicate " +
+      "survives is arrival-order-dependent, as in the reference — the key " +
+      "set is the deterministic contract).",
+    (s, d) => {
+      val deduped = StreamingOps.watermarkDedup(
+        StreamingOps.eventsStream(s, d), "ts", "1 hour",
+        Seq("user_id", "event_type"))
+      StreamingOps.runToMemory(s, deduped.select("user_id", "event_type"),
+          qname("stream_dedup"), OutputMode.Append)
+        .distinct() // late dupes past the watermark may re-emit, like O26
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT DISTINCT user_id, event_type FROM events
+           |ORDER BY user_id, event_type""".stripMargin))
+
+  val q23StreamApplyChanges = NamedQuery(
+    "q23_stream_apply_changes",
+    "Streaming CDC apply-changes (O22) via mapGroupsWithState: per-key " +
+      "state keeps the max (ts_us, event_id) row, so the final table " +
+      "equals the batch latestByKey regardless of arrival order; matches " +
+      "q05's oracle.",
+    (s, d) => {
+      import s.implicits._
+      val events = StreamingOps.eventsStream(s, d)
+        .selectExpr("event_id", "user_id", "event_type", "value", "props", "ts_us")
+        .as[EventRow]
+      val latest = StreamingOps.latestPerKeyStream(events)
+      // Update mode + AvailableNow(single batch) ⇒ one current row per key.
+      StreamingOps.runToMemory(s, latest.toDF(), qname("stream_apply"),
+          OutputMode.Update)
+        .orderBy("user_id", "event_type")
+    },
+    Some("""SELECT user_id, event_type, event_id AS last_event_id,
+           |  value AS last_value, epoch_us(ts) AS last_ts_us
+           |FROM (SELECT *, row_number() OVER (PARTITION BY user_id, event_type
+           |        ORDER BY epoch_us(ts) DESC, event_id DESC) AS rn FROM events)
+           |WHERE rn = 1
+           |ORDER BY user_id, event_type""".stripMargin))
+
+  val q24StreamWindowAgg = NamedQuery(
+    "q24_stream_window_agg",
+    "Event-time tumbling-window aggregation with watermark (the streaming " +
+      "agg shape the reference's gold cadence implies): 1h windows × " +
+      "event_type, count + exact decimal sum, Complete mode.",
+    (s, d) => {
+      val agg = StreamingOps.eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+      StreamingOps.runToMemory(s,
+          agg.select(
+            date_format(col("w.start"), "yyyy-MM-dd HH:mm:ss").as("window_start"),
+            col("event_type"), col("n_events"), col("sum_value")),
+          qname("stream_window"), OutputMode.Complete)
+        .orderBy("window_start", "event_type")
+    },
+    Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+           |  event_type, COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events
+           |GROUP BY date_trunc('hour', ts), event_type
+           |ORDER BY window_start, event_type""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    q22StreamDedup, q23StreamApplyChanges, q24StreamWindowAgg)
+}

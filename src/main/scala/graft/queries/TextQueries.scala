@@ -1,0 +1,235 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.functions.TextFunctions._
+import graft.operators.TextDedup
+
+/** Training-data text pipeline over the `documents` table: exact dedup,
+  * n-gram Jaccard near-dup, MinHash+LSH, SimHash+hamming banding, quality
+  * scoring, language ID, and fingerprinting. Every query has a full DuckDB
+  * oracle — the md5-derived [[graft.functions.TextFunctions.hash60]] makes
+  * the hashes reproducible across engines, so even the MinHash/SimHash
+  * pipelines are checked end-to-end, not just row counts.
+  */
+object TextQueries {
+
+  /** DuckDB rendering of hash60(expr). */
+  private def h60(e: String): String =
+    s"('0x'||substring(md5($e),1,15))::BIGINT"
+
+  /** Shared CTEs: lower-cased tokens and distinct word 3-gram sets. */
+  private val gramsCte =
+    """toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+      |grams AS (SELECT DISTINCT doc_id, g FROM toks,
+      |  unnest(list_transform(range(1, len(ts)-1),
+      |    i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+      |  WHERE len(ts) >= 3)""".stripMargin
+
+  val q12ExactDupGroups = NamedQuery(
+    "q12_exact_dup_groups",
+    "Exact text dedup: one hash-aggregate keyed by md5(lower(text)) with " +
+      "map-side partial aggregation; emits group size + canonical min id.",
+    (s, d) =>
+      TextDedup.exactDupGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("text_hash"),
+    Some("""SELECT md5(lower(text)) AS text_hash, COUNT(*) AS n_dups,
+           |  MIN(doc_id) AS canonical_id
+           |FROM documents GROUP BY md5(lower(text))
+           |ORDER BY text_hash""".stripMargin))
+
+  val q13JaccardPairs = NamedQuery(
+    "q13_ngram_jaccard_pairs",
+    "Exact word-3-gram Jaccard near-dup pairs (j ≥ 0.5) via shared-gram " +
+      "join — the correctness reference for q14's MinHash+LSH scale path.",
+    (s, d) =>
+      TextDedup.jaccardPairs(Tables.documents(s, d), "doc_id", "text",
+          n = 3, minJaccard = 0.5)
+        .orderBy("id_a", "id_b"),
+    Some(s"""WITH $gramsCte,
+            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+            |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            |  GROUP BY a.doc_id, b.doc_id)
+            |SELECT id_a, id_b,
+            |  CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) AS jaccard_fp
+            |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+            |WHERE CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) >= 500000
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  private val NumHashes = 16
+  private val Bands     = 4
+
+  val q14MinhashLsh = NamedQuery(
+    "q14_minhash_lsh",
+    "MinHash(16)+LSH(4 bands×4 rows) near-dup detection, candidates " +
+      "verified with exact Jaccard — the 100 TB dedup path: signature " +
+      "aggregation is one partial-min shuffle, candidates are bounded by " +
+      "band collisions instead of shared-gram joins.",
+    (s, d) =>
+      TextDedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
+        .orderBy("id_a", "id_b"),
+    Some {
+      val rows = NumHashes / Bands
+      val sigCols = (0 until NumHashes)
+        .map(i => s"min(${h60(s"'$i:'||g")}) AS h$i").mkString(", ")
+      val bandSel = (0 until Bands).map { b =>
+        val hs = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $hs)) AS band_key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH $gramsCte,
+         |sig AS (SELECT doc_id, $sigCols FROM grams GROUP BY doc_id),
+         |bands AS ($bandSel),
+         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter FROM cands
+         |  JOIN grams ga ON ga.doc_id = id_a
+         |  JOIN grams gb ON gb.doc_id = id_b AND gb.g = ga.g
+         |  GROUP BY id_a, id_b)
+         |SELECT id_a, id_b,
+         |  CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) AS jaccard_fp
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) >= 500000
+         |ORDER BY id_a, id_b""".stripMargin
+    })
+
+  val q15SimhashHamming = NamedQuery(
+    "q15_simhash_hamming",
+    "60-bit tf-weighted SimHash per doc (array HOFs, zero shuffle) + " +
+      "banded hamming join: 6 chunks × 10 bits find all pairs with " +
+      "hamming ≤ 5 by pigeonhole, verified with bit_count(xor).",
+    (s, d) =>
+      TextDedup.simhashNearDups(Tables.documents(s, d), "doc_id", "text",
+          maxHamming = 5)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b"),
+    Some(s"""WITH toksd AS (SELECT doc_id, u AS tok FROM
+            |    (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+            |    unnest(ts) AS t(u)),
+            |bits AS (SELECT doc_id, b,
+            |    sum(CASE WHEN (${h60("tok")} >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+            |  FROM toksd, unnest(range(0,60)) AS t(b) GROUP BY doc_id, b),
+            |sim AS (SELECT doc_id,
+            |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS sh
+            |  FROM bits GROUP BY doc_id),
+            |chunks AS (SELECT doc_id, sh, c, (sh >> (c*10)) & 1023 AS cv
+            |  FROM sim, unnest(range(0,6)) AS t(c)),
+            |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            |  FROM chunks a JOIN chunks b
+            |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+            |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 5
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  private val Stopwords = Seq("the", "a", "of", "and", "to", "in")
+
+  val q16TextQuality = NamedQuery(
+    "q16_text_quality",
+    "Per-document quality metrics computed row-local (no shuffle): " +
+      "whitespace + BPE-ish regex token counts, distinct-token ratio, mean " +
+      "token length, stopword ratio, punctuation ratio.",
+    (s, d) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks)
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        nTok.cast("long").as("n_tokens"),
+        size(regexp_extract_all(lower(col("text")),
+          lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"),
+        fp6(size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio_fp"),
+        fp6(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .cast("double") / nTok).as("mean_token_len_fp"),
+        fp6(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok)
+          .as("stopword_ratio_fp"),
+        fp6(punctCount(col("text")).cast("double") / length(col("text")))
+          .as("punct_ratio_fp"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+            |  CAST(len(ts) AS BIGINT) AS n_tokens,
+            |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+            |  CAST(floor(CAST(len(list_distinct(ts)) AS DOUBLE)/len(ts)*1000000.0) AS BIGINT) AS distinct_ratio_fp,
+            |  CAST(floor(CAST(list_sum(list_transform(ts, x -> len(x))) AS DOUBLE)/len(ts)*1000000.0) AS BIGINT) AS mean_token_len_fp,
+            |  CAST(floor(CAST(len(list_filter(ts, x -> list_contains(['the','a','of','and','to','in'], x))) AS DOUBLE)/len(ts)*1000000.0) AS BIGINT) AS stopword_ratio_fp,
+            |  CAST(floor(CAST(len(text) - len(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE)/len(text)*1000000.0) AS BIGINT) AS punct_ratio_fp
+            |FROM (SELECT *, string_split(lower(text),' ') AS ts FROM documents)
+            |ORDER BY doc_id""".stripMargin))
+
+  private val LangMarkers: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "of", "en" -> "and", "en" -> "is",
+    "de" -> "der", "de" -> "die", "de" -> "das", "de" -> "und", "de" -> "ist",
+    "es" -> "el", "es" -> "la", "es" -> "de", "es" -> "y", "es" -> "es",
+    "fr" -> "le", "fr" -> "la", "fr" -> "de", "fr" -> "et", "fr" -> "est",
+    "zh" -> "的", "zh" -> "是", "zh" -> "了")
+
+  val q17LangId = NamedQuery(
+    "q17_lang_id",
+    "Heuristic language ID: token-occurrence scoring against a broadcast " +
+      "marker-word table, argmax per doc (score desc, lang asc tiebreak), " +
+      "compared to the labeled lang.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val markers = s.createDataFrame(LangMarkers).toDF("m_lang", "m_word")
+      val toks = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("tok"))
+      val scores = toks
+        .join(broadcast(markers), col("tok") === col("m_word"))
+        .groupBy("doc_id", "m_lang")
+        .agg(count(lit(1)).as("score"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("m_lang").asc)
+      val best = scores.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("doc_id"), col("m_lang"))
+      docs.join(best, Seq("doc_id"), "left_outer")
+        .select(
+          col("doc_id"),
+          coalesce(col("m_lang"), lit("und")).as("predicted_lang"),
+          col("lang").as("actual_lang"),
+          when(coalesce(col("m_lang"), lit("und")) === col("lang"), 1L)
+            .otherwise(0L).as("is_match"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val vals = LangMarkers.map { case (l, w) => s"('$l','$w')" }.mkString(", ")
+      s"""WITH m(m_lang, m_word) AS (SELECT * FROM (VALUES $vals)),
+         |toks AS (SELECT doc_id, u AS tok FROM
+         |  (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+         |  unnest(ts) AS t(u)),
+         |scores AS (SELECT doc_id, m_lang, COUNT(*) AS score
+         |  FROM toks JOIN m ON tok = m_word GROUP BY doc_id, m_lang),
+         |best AS (SELECT doc_id, m_lang, row_number() OVER
+         |    (PARTITION BY doc_id ORDER BY score DESC, m_lang ASC) AS rn
+         |  FROM scores)
+         |SELECT d.doc_id, COALESCE(b.m_lang, 'und') AS predicted_lang,
+         |  d.lang AS actual_lang,
+         |  CASE WHEN COALESCE(b.m_lang, 'und') = d.lang THEN 1 ELSE 0 END::BIGINT AS is_match
+         |FROM documents d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    })
+
+  val q18Fingerprint = NamedQuery(
+    "q18_fingerprint",
+    "Document fingerprinting: min word-3-gram hash60 (a 1-hash MinHash / " +
+      "rolling-hash sketch) + full-text digest, row-local computation.",
+    (s, d) =>
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        fingerprint(col("text")).as("fingerprint"),
+        TextDedup.textDigest(col("text")).as("text_hash"))
+        .orderBy("doc_id"),
+    Some(s"""WITH $gramsCte,
+            |mins AS (SELECT doc_id, min(${h60("g")}) AS mg FROM grams GROUP BY doc_id)
+            |SELECT d.doc_id,
+            |  COALESCE(m.mg, ${h60("lower(d.text)")}) AS fingerprint,
+            |  md5(lower(d.text)) AS text_hash
+            |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
+            |ORDER BY d.doc_id""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
+    q16TextQuality, q17LangId, q18Fingerprint)
+}

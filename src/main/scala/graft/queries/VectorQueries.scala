@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.operators.Similarity
+
+/** Similarity search over the `embeddings` table (array<float> × 64).
+  * Oracles rebuild the exact same sequential-fold float arithmetic with
+  * DuckDB list functions, so even cosine values hash-match bit-for-bit
+  * (verified: list_sum == left fold); ranking goes through floor(cos*1e6)
+  * longs with id tiebreaks everywhere.
+  */
+object VectorQueries {
+
+  /** DuckDB SQL for floor(cosine(a,b)*1e6) with the same op order as
+    * [[graft.functions.VectorFunctions.cosineFp6]].
+    */
+  private def cosFpSql(a: String, b: String): String =
+    s"""CAST(floor(
+       |  list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($b, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE)))))
+       |  * 1000000.0) AS BIGINT)""".stripMargin
+
+  /** DuckDB SQL for the random-hyperplane LSH bucket of `e`, mirroring
+    * [[graft.operators.Similarity.lshBucket]].
+    */
+  private def bucketSql(e: String, numPlanes: Int): String =
+    s"""list_sum(list_transform(range(0, $numPlanes), p ->
+       |  CASE WHEN list_sum(list_transform(range(0, len($e)), j ->
+       |    (CASE WHEN (('0x'||substring(md5(p||':'||j),1,15))::BIGINT & 1) = 1
+       |          THEN 1.0 ELSE -1.0 END) * CAST($e[j+1] AS DOUBLE))) > 0
+       |  THEN (1::BIGINT << p) ELSE 0 END))""".stripMargin
+
+  val q19KnnBruteForce = NamedQuery(
+    "q19_knn_bruteforce",
+    "Exact cosine top-5 for 10 query vectors over all embeddings: broadcast " +
+      "query set, partition-local scoring, rank by (cos_fp desc, id).",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            |pairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM q, c WHERE query_id <> neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM pairs)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
+  // 6 planes = 64 buckets: enough collisions at sf0.01-0.1 for real
+  // candidate sets (16 planes left every query in a singleton bucket).
+  // At billion-vector scale you'd raise planes and multi-probe instead.
+  private val NumPlanes = 6
+
+  val q20AnnLsh = NamedQuery(
+    "q20_ann_lsh",
+    "LSH-bucketed ANN (6 random hyperplanes → sign-bit bucket, equi-join " +
+      "on bucket, cosine top-3 within bucket) — the billions-of-vectors " +
+      "path: candidates bounded by bucket collisions, shuffle keyed by " +
+      "bucket id.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopK(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          numPlanes = NumPlanes, dim = 64, k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", NumPlanes)} AS bucket FROM embeddings),
+            |q AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+            |pairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM pairs)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  val q21EmbeddingNearDup = NamedQuery(
+    "q21_embedding_neardup",
+    "Embedding-cosine near-dup pairs (cos ≥ 0.45 on this corpus): all-pairs " +
+      "correctness reference; at scale the q20 LSH bucket join is the " +
+      "prefilter.",
+    (s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), "vec_id", "embedding",
+          minCosFp = 450000L)
+        .orderBy("id_a", "id_b"),
+    Some(s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  ${cosFpSql("a.embedding", "b.embedding")} AS cos_fp
+            |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            |WHERE ${cosFpSql("a.embedding", "b.embedding")} >= 450000
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup)
+}

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+
+/** Structured Streaming re-expressions of the reference's streaming layer
+  * (notebooks/03_Data_Ingestion.py): watermarked stateful dedup (O20/O21)
+  * and the streaming side of CDC apply-changes (O22) via
+  * `mapGroupsWithState`. The DLT dependency DAG (O25) is plain function
+  * composition; trigger cadences (O23) map to `Trigger.*`; rate limiting
+  * (O24) maps to `maxFilesPerTrigger` / `maxOffsetsPerTrigger`.
+  *
+  * State design for scale: dedup state is bounded by the watermark
+  * (built-in eviction); apply-changes state is one small struct per key —
+  * both partition by key across executors via the state-store shuffle.
+  */
+object StreamingOps {
+
+  /** Typed event row matching `Tables.events` (ts_us = epoch micros). */
+  final case class EventRow(event_id: Long, user_id: Long, event_type: String,
+      value: Double, props: String, ts_us: Long)
+
+  /** Latest state kept per key by the streaming apply-changes. */
+  final case class LatestState(ts_us: Long, event_id: Long,
+      event_type: String, value: Double)
+
+  /** Output row: the current winner per (user_id, event_type) key. */
+  final case class LatestOut(user_id: Long, event_type: String,
+      last_event_id: Long, last_value: Double, last_ts_us: Long)
+
+  /** The reference's streaming dedup (03_Data_Ingestion.py:218-219):
+    * watermark + dropDuplicates. Which duplicate survives is
+    * arrival-order-dependent, exactly like the reference.
+    */
+  def watermarkDedup(stream: DataFrame, eventTimeCol: String,
+      watermark: String, keys: Seq[String]): DataFrame =
+    stream.withWatermark(eventTimeCol, watermark).dropDuplicates(keys)
+
+  /** Streaming CDC latest-per-key: state keeps the max (ts_us, event_id)
+    * row per (user_id, event_type); emits the current winner every batch
+    * (update semantics). Order-safe: late/out-of-order rows can never
+    * regress the state, so the final answer equals the batch
+    * [[graft.operators.ApplyChanges.latestByKey]].
+    */
+  def latestPerKeyStream(events: Dataset[EventRow]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .mapGroupsWithState[LatestState, LatestOut](GroupStateTimeout.NoTimeout) {
+        case ((uid, etype), rows, state: GroupState[LatestState]) =>
+          var cur = state.getOption
+          rows.foreach { e =>
+            val newer = cur.forall(c =>
+              e.ts_us > c.ts_us || (e.ts_us == c.ts_us && e.event_id > c.event_id))
+            if (newer)
+              cur = Some(LatestState(e.ts_us, e.event_id, e.event_type, e.value))
+          }
+          val c = cur.get
+          state.update(c)
+          LatestOut(uid, etype, c.event_id, c.value, c.ts_us)
+      }
+  }
+
+  /** Run a finite streaming query to completion (Trigger.AvailableNow) into
+    * an in-memory sink and return the result table. This is how the batch
+    * harness exercises real streaming plans: same operators, bounded input.
+    */
+  def runToMemory(spark: SparkSession, out: DataFrame, queryName: String,
+      mode: OutputMode): DataFrame = {
+    val q = out.writeStream
+      .format("memory")
+      .queryName(queryName)
+      .outputMode(mode)
+      .option("checkpointLocation",
+        s"/tmp/graft-ckpt/$queryName-${System.nanoTime()}")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(queryName)
+  }
+
+  /** Streaming read of the harness events table: same nanos→µs
+    * normalization as [[graft.Tables.events]], via an explicit schema.
+    */
+  def eventsStream(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    // the file stream source requires a directory: stream the sf dir,
+    // filtered down to the events table file
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    raw
+      .withColumn("ts_us", expr("ts div 1000"))
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+  }
+}

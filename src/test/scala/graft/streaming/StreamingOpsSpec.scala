@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.SparkSpec
+import graft.operators.ApplyChanges
+import graft.streaming.StreamingOps.{EventRow, LatestOut}
+
+/** Streaming semantics under out-of-order and duplicate input
+  * (SURVEY §5.4): MemoryStream-fed dedup and streaming apply-changes,
+  * checked against the batch operators.
+  */
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(id: Long, uid: Long, et: String, v: Double, tsUs: Long) =
+    EventRow(id, uid, et, v, "{}", tsUs)
+
+  private val H = 3600L * 1000000L // one hour in µs
+
+  test("streaming latest-per-key matches batch applyChanges on out-of-order input") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val out = StreamingOps.latestPerKeyStream(mem.toDS())
+    val q = out.toDF().writeStream.format("memory").queryName("s_latest")
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"/tmp/graft-ckpt/spec-latest-${System.nanoTime()}")
+      .start()
+    // batch 1: initial values; batch 2: one late (stale) + one newer row
+    mem.addData(ev(1, 1, "click", 1.0, 10 * H), ev(2, 1, "click", 2.0, 12 * H))
+    q.processAllAvailable()
+    mem.addData(ev(3, 1, "click", 9.9, 5 * H),  // late: must NOT win
+      ev(4, 1, "click", 4.0, 13 * H),           // newer: must win
+      ev(5, 2, "view", 7.0, 1 * H))
+    q.processAllAvailable()
+    q.stop()
+    // Update-mode memory sink keeps every emitted update; latest per key
+    // is the last row emitted — recover it with the batch operator itself.
+    val finalState = ApplyChanges.latestByKey(
+      spark.table("s_latest"), Seq("user_id", "event_type"),
+      Seq(col("last_ts_us"), col("last_event_id")))
+      .as[LatestOut].collect().map(o => (o.user_id, o.event_type) -> o).toMap
+    assert(finalState((1L, "click")).last_event_id == 4L)
+    assert(finalState((1L, "click")).last_value == 4.0)
+    assert(finalState((2L, "view")).last_event_id == 5L)
+  }
+
+  test("watermarked dedup drops in-watermark duplicates") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val stream = mem.toDS().toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+    val dedup = StreamingOps.watermarkDedup(stream, "ts", "1 hour",
+      Seq("user_id", "event_type"))
+    val q = dedup.select("user_id", "event_type", "event_id")
+      .writeStream.format("memory").queryName("s_dedup")
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"/tmp/graft-ckpt/spec-dedup-${System.nanoTime()}")
+      .start()
+    mem.addData(ev(1, 1, "click", 1.0, 10 * H), ev(2, 1, "click", 1.0, 10 * H + 1),
+      ev(3, 2, "click", 1.0, 10 * H))
+    q.processAllAvailable()
+    mem.addData(ev(4, 1, "click", 1.0, 10 * H + 2)) // still duplicate
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("s_dedup").collect()
+    assert(rows.length == 2, s"expected 2 unique keys, got ${rows.length}")
+    assert(rows.map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((1L, "click"), (2L, "click")))
+  }
+
+  test("bounded streaming run equals batch over the same file input") {
+    val batch = ApplyChanges.latestByKey(
+      graft.Tables.events(spark, sf("sf0.001")),
+      Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val events = StreamingOps.eventsStream(spark, sf("sf0.001"))
+      .selectExpr("event_id", "user_id", "event_type", "value", "props", "ts_us")
+      .as[EventRow]
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.latestPerKeyStream(events).toDF(),
+      s"spec_bounded_${System.nanoTime()}", OutputMode.Update())
+      .select(col("user_id"), col("event_type"), col("last_event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+}
