@@ -15,8 +15,17 @@ import org.apache.spark.sql.functions._
   */
 object VectorFunctions {
 
-  /** Sequential-fold dot product of two float vectors, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product of two float vectors, accumulated in
+    * double. Evaluated by the native
+    * [[graft.functions.NativeExpressions.FloatVecDot]] Catalyst expression;
+    * [[dotHof]] is the bit-identical HOF reference.
+    */
+  def dot(a: Column, b: Column): Column = NativeExpressions.floatVecDot(a, b)
+
+  /** HOF reference implementation of [[dot]] (interpreted; kept for
+    * cross-checking the native expression).
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0),

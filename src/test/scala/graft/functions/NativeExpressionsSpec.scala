@@ -1,0 +1,52 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.TextFunctions.tokens
+import graft.operators.TextDedup
+
+/** The native Catalyst expressions must be BIT-IDENTICAL to their HOF
+  * reference implementations on real data — that is what keeps the DuckDB
+  * oracles valid after the performance swap.
+  */
+class NativeExpressionsSpec extends SparkSpec {
+
+  test("SimHash60 == HOF simhash on the whole corpus") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val mismatches = docs.select(
+        NativeExpressions.simhash60(tokens(col("text"))).as("native"),
+        TextDedup.simhashHof(col("text")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mismatches == 0)
+  }
+
+  test("FloatVecDot == HOF dot, bit-exact, including cross products") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val a = emb.select(col("vec_id").as("ia"), col("embedding").as("va"))
+    val b = emb.select(col("vec_id").as("ib"), col("embedding").as("vb"))
+    val pairs = a.join(b, col("ia") % 13 === col("ib") % 13) // sample pairs
+    val mism = pairs.select(
+        NativeExpressions.floatVecDot(col("va"), col("vb")).as("native"),
+        VectorFunctions.dotHof(col("va"), col("vb")).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mism == 0)
+  }
+
+  test("MinHashSig == aggregate minhash signatures on the whole corpus") {
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val native = TextDedup.minhashSignatures(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    val agg = TextDedup.minhashSignaturesAgg(docs, "doc_id", "text", 3, 16)
+      .collect().map(r => r.getLong(0) -> r.toSeq.drop(1)).toMap
+    assert(native == agg)
+  }
+
+  test("SimHash60 handles empty and single-token inputs") {
+    import spark.implicits._
+    val df = Seq("", "one", "a b").toDF("text")
+    val out = df.select(
+      NativeExpressions.simhash60(tokens(col("text"))).as("n"),
+      TextDedup.simhashHof(col("text")).as("h")).collect()
+    out.foreach(r => assert(r.getLong(0) == r.getLong(1)))
+  }
+}
