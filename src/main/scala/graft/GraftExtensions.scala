@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graftshim.ColumnBridge
+import org.apache.spark.sql.types.IntegerType
+import graft.functions.NativeExpressions._
+
+/** SQL surface for the engine's custom Catalyst expressions.
+  *
+  * Two registration routes:
+  *   - `spark.sql.extensions=graft.GraftExtensions` (or
+  *     `builder.withExtensions(new GraftExtensions)`) at session build;
+  *   - [[GraftExtensions.register]] on an already-running session.
+  *
+  * After either, SQL users can call e.g.
+  * `SELECT graft_simhash60(split(lower(text), ' ')) FROM docs`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, info, builder) =>
+      e.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft.functions.NativeExpressions", null, name, usage, "")
+
+  private def intArg(e: Expression, fn: String): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn expects a literal INT, got $other")
+  }
+
+  val functions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    ("graft_simhash60",
+      info("graft_simhash60", "_FUNC_(tokens) - tf-weighted 60-bit simhash of a string array"),
+      (es: Seq[Expression]) => SimHash60(es.head)),
+    ("graft_fvec_dot",
+      info("graft_fvec_dot", "_FUNC_(a, b) - double dot product of two float arrays"),
+      (es: Seq[Expression]) => FloatVecDot(es(0), es(1))),
+    ("graft_jaccard_fp6",
+      info("graft_jaccard_fp6", "_FUNC_(a, b) - floor(jaccard(a,b)*1e6) of two string arrays"),
+      (es: Seq[Expression]) => ArrayJaccardFp6(es(0), es(1))),
+    ("graft_minhash_sig",
+      info("graft_minhash_sig", "_FUNC_(grams, k) - k-hash MinHash signature of a string array"),
+      (es: Seq[Expression]) => MinHashSig(es(0), intArg(es(1), "graft_minhash_sig"))))
+
+  /** Register all graft functions on an existing session. Idempotent. */
+  def register(spark: SparkSession): Unit =
+    functions.foreach { case (name, i, b) =>
+      ColumnBridge.registerFunction(spark, name, i, b)
+    }
+}

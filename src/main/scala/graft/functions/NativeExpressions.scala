@@ -109,6 +109,33 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** floor(jaccard(a, b) * 1e6) over two string arrays (callers pass
+    * distinct gram arrays): |∩| / (|a|+|b|-|∩|) with the same
+    * double-division → ×1e6 → floor order as the relational
+    * count-based formulation, so values match the DuckDB oracle exactly.
+    */
+  case class ArrayJaccardFp6(left: Expression, right: Expression)
+      extends BinaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val na = x.numElements()
+      val nb = y.numElements()
+      if (na == 0 && nb == 0) return null
+      val set = new java.util.HashSet[Any](na * 2)
+      var i = 0
+      while (i < na) { set.add(x.getUTF8String(i)); i += 1 }
+      var inter = 0
+      var j = 0
+      while (j < nb) { if (set.contains(y.getUTF8String(j))) inter += 1; j += 1 }
+      val jac = inter.toDouble / (na + nb - inter).toDouble
+      java.lang.Long.valueOf(math.floor(jac * 1000000.0).toLong)
+    }
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): ArrayJaccardFp6 = copy(newLeft, newRight)
+  }
+
   /** Sequential-fold dot product of two float arrays, accumulated in
     * double in index order — bit-identical to the zip_with/aggregate HOF
     * chain in [[graft.functions.VectorFunctions.dot]] and to DuckDB
@@ -140,4 +167,6 @@ object NativeExpressions {
     column(FloatVecDot(expression(a), expression(b)))
   def minhashSig(grams: Column, numHashes: Int): Column =
     column(MinHashSig(expression(grams), numHashes))
+  def arrayJaccardFp6(a: Column, b: Column): Column =
+    column(ArrayJaccardFp6(expression(a), expression(b)))
 }

@@ -97,6 +97,50 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_fp", "rank")
   }
 
+  /** IVF cell assignment: each vector goes to its best centroid by
+    * (cos_fp desc, centroid_id asc) — a broadcast join against the (small)
+    * centroid set plus one partial-aggregating argmax per vector; at scale
+    * this is the standard IVF build shuffle (O(N) rows).
+    *
+    * Input: df(id, v), centroids(cid, cv). Output: (id, v, cid).
+    */
+  def ivfAssign(df: DataFrame, centroids: DataFrame): DataFrame =
+    df.join(broadcast(centroids))
+      .withColumn("cos_fp", cosineFp6(col("v"), col("cv")))
+      .groupBy("id")
+      .agg(
+        first(col("v")).as("v"), // id → v is functional
+        max_by(col("cid"), struct(col("cos_fp"), -col("cid"))).as("cid"))
+
+  /** IVF top-k search: queries probe their `nprobe` best centroids and
+    * score only vectors assigned to those cells — the candidate set (and
+    * the shuffle) shrinks by ~|cells|/nprobe vs brute force. Centroids
+    * here are a deterministic data subset; production would k-means
+    * iterate, the probe/partition plumbing is identical.
+    */
+  def ivfTopK(queries: DataFrame, candidates: DataFrame,
+      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+    val assigned = ivfAssign(
+      candidates.select(col("neighbor_id").as("id"), col("cv").as("v")),
+      centroids)
+      .select(col("id").as("neighbor_id"), col("v").as("cv"), col("cid"))
+    val wProbe = Window.partitionBy("query_id")
+      .orderBy(col("cos_fp").desc, col("cid").asc)
+    val probes = queries.join(broadcast(centroids))
+      .withColumn("cos_fp", cosineFp6(col("qv"), col("cv")))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select(col("query_id"), col("qv"), col("cid"))
+    val wRank = Window.partitionBy("query_id")
+      .orderBy(col("cos_fp").desc, col("neighbor_id").asc)
+    assigned.join(probes, Seq("cid"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_fp", cosineFp6(col("qv"), col("cv")))
+      .withColumn("rank", row_number().over(wRank).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_fp", "rank")
+  }
+
   /** All-pairs embedding near-dups: (id_a < id_b, cos_fp ≥ threshold). */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
       minCosFp: Long): DataFrame = {

@@ -123,25 +123,25 @@ object TextDedup {
   }
 
   /** MinHash+LSH near-dups, verified with exact n-gram Jaccard: candidates
-    * from band collisions, then the true Jaccard only for those pairs.
+    * from band collisions, then the true Jaccard only for those pairs —
+    * computed by the native
+    * [[graft.functions.NativeExpressions.ArrayJaccardFp6]] over the two
+    * docs' gram ARRAYS (two small keyed joins), instead of re-exploding
+    * the full gram set through a shuffle. Values are identical to the
+    * count-based formulation the DuckDB oracle uses.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
     val sigs  = minhashSignatures(df, idCol, textCol, n, numHashes)
     val cands = lshCandidates(sigs, numHashes, bands)
-    val grams = gramSets(df, idCol, textCol, n).cache()
-    val sizes = grams.groupBy("gs_id").agg(count(lit(1)).as("n_grams"))
-    val inter = cands
-      .join(grams.as("ga"), col("id_a") === col("ga.gs_id"))
-      .join(grams.as("gb"),
-        col("id_b") === col("gb.gs_id") && col("ga.gram") === col("gb.gram"))
-      .groupBy("id_a", "id_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("gs_id", "id_a").withColumnRenamed("n_grams", "na"), "id_a")
-      .join(sizes.withColumnRenamed("gs_id", "id_b").withColumnRenamed("n_grams", "nb"), "id_b")
+    val docGrams = df.select(col(idCol).as("dg_id"),
+        array_distinct(wordNgrams(tokens(col(textCol)), n)).as("grams"))
+      .filter(size(col("grams")) > 0)
+    cands
+      .join(docGrams.select(col("dg_id").as("id_a"), col("grams").as("ga")), "id_a")
+      .join(docGrams.select(col("dg_id").as("id_b"), col("grams").as("gb")), "id_b")
       .withColumn("jaccard_fp",
-        fp6(col("n_inter") / (col("na") + col("nb") - col("n_inter"))))
+        graft.functions.NativeExpressions.arrayJaccardFp6(col("ga"), col("gb")))
       .filter(col("jaccard_fp") >= math.floor(minJaccard * 1e6).toLong)
       .select("id_a", "id_b", "jaccard_fp")
   }

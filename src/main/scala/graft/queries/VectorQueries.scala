@@ -99,5 +99,46 @@ object VectorQueries {
             |WHERE ${cosFpSql("a.embedding", "b.embedding")} >= 450000
             |ORDER BY id_a, id_b""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup)
+  private val NCentroids = 16
+  private val NProbe     = 2
+
+  val q26AnnIvf = NamedQuery(
+    "q26_ann_ivf",
+    "IVF ANN: 16 deterministic centroid cells, vectors argmax-assigned, " +
+      "queries probe their 2 best cells, cosine top-3 within probed " +
+      "cells — candidate set shrinks ~|cells|/nprobe vs brute force.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          emb.filter(col("vec_id") < NCentroids)
+            .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+          nprobe = NProbe, k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),
+            |assigned AS (SELECT vec_id AS neighbor_id, embedding AS ncv, cid FROM (
+            |  SELECT e.vec_id, e.embedding, c.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpSql("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+            |  FROM embeddings e, cent c) WHERE rn = 1),
+            |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            |probes AS (SELECT query_id, qv, cid FROM (
+            |  SELECT q.query_id, q.qv, c.cid,
+            |    row_number() OVER (PARTITION BY q.query_id
+            |      ORDER BY ${cosFpSql("q.qv", "c.cv")} DESC, c.cid ASC) AS prn
+            |  FROM q, cent c) WHERE prn <= $NProbe),
+            |scored AS (SELECT p.query_id, a.neighbor_id,
+            |    ${cosFpSql("p.qv", "a.ncv")} AS cos_fp
+            |  FROM probes p JOIN assigned a ON p.cid = a.cid
+            |  WHERE p.query_id <> a.neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf)
 }

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+
+/** The custom expressions are callable from SQL after registration. */
+class GraftExtensionsSpec extends SparkSpec {
+
+  test("register() exposes the functions to spark.sql") {
+    GraftExtensions.register(spark)
+    val sh = spark.sql(
+      "SELECT graft_simhash60(split('a b a', ' ')) AS sh").head.getLong(0)
+    assert(sh >= 0 && sh < (1L << 60))
+    val dot = spark.sql(
+      """SELECT graft_fvec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)),
+        |                      array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d"""
+        .stripMargin).head.getDouble(0)
+    assert(dot == 11.0)
+    val jac = spark.sql(
+      "SELECT graft_jaccard_fp6(array('a','b'), array('b','c')) AS j")
+      .head.getLong(0)
+    assert(jac == math.floor(1.0 / 3.0 * 1e6).toLong)
+    val sig = spark.sql(
+      "SELECT graft_minhash_sig(array('x','y'), 4) AS s").head.getSeq[Long](0)
+    assert(sig.length == 4)
+  }
+
+  test("the extensions class wires the same builders without throwing") {
+    new GraftExtensions().apply(new SparkSessionExtensions)
+  }
+
+  test("SQL simhash matches the Column API on real docs") {
+    GraftExtensions.register(spark)
+    Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("docs_ext")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash60(split(lower(text), ' ')) AS sh
+        |FROM docs_ext""".stripMargin)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaCol = Tables.documents(spark, sf("sf0.001"))
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        graft.operators.TextDedup.simhash(
+          org.apache.spark.sql.functions.col("text")).as("sh"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaSql == viaCol)
+  }
+}
