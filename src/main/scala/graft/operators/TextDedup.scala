@@ -112,9 +112,13 @@ object TextDedup {
         .as(Seq("band", "band_key")))
   }
 
-  /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 LSH band. */
+  /** Distinct candidate pairs (id_a < id_b) colliding in ≥1 LSH band.
+    * The band table is cached: a self-join would otherwise re-evaluate
+    * the whole signature pipeline (n-gram HOFs + k md5s per gram) once
+    * per side.
+    */
   def lshCandidates(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
-    val bk = lshBands(sigs, numHashes, bands)
+    val bk = lshBands(sigs, numHashes, bands).cache()
     bk.as("a").join(bk.as("b"),
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.mh_id") < col("b.mh_id"))

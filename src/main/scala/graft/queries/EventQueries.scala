@@ -23,7 +23,10 @@ object EventQueries {
       "most one candidate row per key per map task (SURVEY §2.4 A3).",
     (s, d) =>
       ApplyChanges.latestByKey(
-          Tables.events(s, d),
+          // prune the payload BEFORE the aggregation: the shuffle carries
+          // struct(payload) per key, so unused columns cost shuffle bytes
+          Tables.events(s, d)
+            .select("user_id", "event_type", "event_id", "value", "ts_us"),
           Seq("user_id", "event_type"),
           Seq(col("ts_us"), col("event_id")))
         .select(
