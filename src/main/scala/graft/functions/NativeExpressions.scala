@@ -109,6 +109,67 @@ object NativeExpressions {
       copy(child = newChild)
   }
 
+  /** Space-joined word n-grams of a token array — the native form of
+    * `transform(sequence(0, size-n), i -> concat_ws(' ', slice(toks,i+1,n)))`
+    * with an empty array for inputs shorter than n. Null tokens render as
+    * empty (concat_ws semantics).
+    */
+  case class WordNgrams(child: Expression, n: Int)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val s = arr.numElements()
+      if (s < n)
+        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
+      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
+      val out = new Array[Any](s - n + 1)
+      var i = 0
+      while (i <= s - n) {
+        val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
+        var j = 0
+        while (j < n) {
+          window(j) =
+            if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+    override protected def withNewChildInternal(newChild: Expression): WordNgrams =
+      copy(child = newChild)
+  }
+
+  /** min over a string array of hash60(element) — the 1-hash MinHash /
+    * fingerprint kernel (`array_min(transform(grams, hash60))` HOF
+    * equivalent). NULL for an empty array, matching array_min.
+    */
+  case class MinHash60(child: Expression)
+      extends UnaryExpression with CodegenFallback {
+    override def dataType: DataType = LongType
+    override protected def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val n = arr.numElements()
+      if (n == 0) return null
+      val md = java.security.MessageDigest.getInstance("MD5")
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        if (!arr.isNullAt(i)) {
+          val h = md5Hash60(md, arr.getUTF8String(i).getBytes)
+          if (h < best) best = h
+        }
+        i += 1
+      }
+      if (best == Long.MaxValue) null else java.lang.Long.valueOf(best)
+    }
+    override protected def withNewChildInternal(newChild: Expression): MinHash60 =
+      copy(newChild)
+  }
+
   /** floor(jaccard(a, b) * 1e6) over two string arrays (callers pass
     * distinct gram arrays): |∩| / (|a|+|b|-|∩|) with the same
     * double-division → ×1e6 → floor order as the relational
@@ -169,4 +230,7 @@ object NativeExpressions {
     column(MinHashSig(expression(grams), numHashes))
   def arrayJaccardFp6(a: Column, b: Column): Column =
     column(ArrayJaccardFp6(expression(a), expression(b)))
+  def minHash60(arr: Column): Column = column(MinHash60(expression(arr)))
+  def wordNgrams(toks: Column, n: Int): Column =
+    column(WordNgrams(expression(toks), n))
 }

@@ -26,8 +26,15 @@ object TextFunctions {
   def hash60(s: Column): Column =
     conv(substring(md5(s), 1, 15), 16, 10).cast("long")
 
-  /** Word n-grams (space-joined) from a token array, via array HOFs. */
+  /** Word n-grams (space-joined) from a token array. Runs as the native
+    * [[NativeExpressions.WordNgrams]] expression; [[wordNgramsHof]] is the
+    * bit-identical HOF reference.
+    */
   def wordNgrams(toks: Column, n: Int): Column =
+    NativeExpressions.wordNgrams(toks, n)
+
+  /** HOF reference implementation of [[wordNgrams]]. */
+  def wordNgramsHof(toks: Column, n: Int): Column =
     when(size(toks) >= n,
       transform(sequence(lit(0), size(toks) - n),
         i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
@@ -41,10 +48,13 @@ object TextFunctions {
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
 
   /** MinHash-style fingerprint: min hash60 over distinct word 3-grams
-    * (falls back to hash of the whole text for docs shorter than 3 tokens).
+    * (falls back to hash of the whole text for docs shorter than 3
+    * tokens). The min-hash kernel runs as the native
+    * [[NativeExpressions.MinHash60]] expression — identical to the
+    * `array_min(transform(grams, hash60))` HOF form.
     */
   def fingerprint(text: Column): Column = {
     val grams = array_distinct(wordNgrams(tokens(text), 3))
-    coalesce(array_min(transform(grams, g => hash60(g))), hash60(lower(text)))
+    coalesce(NativeExpressions.minHash60(grams), hash60(lower(text)))
   }
 }

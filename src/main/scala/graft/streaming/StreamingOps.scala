@@ -1,8 +1,9 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode,
+  StatefulProcessor, TTLConfig, TimeMode, TimerValues, Trigger, ValueState}
 
 /** Structured Streaming re-expressions of the reference's streaming layer
   * (notebooks/03_Data_Ingestion.py): watermarked stateful dedup (O20/O21)
@@ -60,6 +61,50 @@ object StreamingOps {
           state.update(c)
           LatestOut(uid, etype, c.event_id, c.value, c.ts_us)
       }
+  }
+
+  /** [[latestPerKeyStream]] on the modern `transformWithState` API
+    * (Spark 4 StatefulProcessor): explicit named ValueState, TTL-capable,
+    * same monotone last-writer-wins semantics. Both variants are kept —
+    * mapGroupsWithState is the reference's era; StatefulProcessor is
+    * where new state features (TTL, timers, state schema evolution) land.
+    */
+  class LatestPerKeyProcessor
+      extends StatefulProcessor[(Long, String), EventRow, LatestOut] {
+    @transient private var state: ValueState[LatestState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[LatestState]("latest",
+        Encoders.product[LatestState], TTLConfig.NONE)
+
+    override def handleInputRows(key: (Long, String), rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[LatestOut] = {
+      var cur = Option(state.get())
+      rows.foreach { e =>
+        val newer = cur.forall(c =>
+          e.ts_us > c.ts_us || (e.ts_us == c.ts_us && e.event_id > c.event_id))
+        if (newer)
+          cur = Some(LatestState(e.ts_us, e.event_id, e.event_type, e.value))
+      }
+      val c = cur.get
+      state.update(c)
+      Iterator.single(LatestOut(key._1, key._2, c.event_id, c.value, c.ts_us))
+    }
+  }
+
+  /** Streaming CDC latest-per-key via transformWithState. Requires the
+    * RocksDB state store (multiple column families) — set here; the
+    * HDFS-backed default cannot host StatefulProcessor state.
+    */
+  def latestPerKeyTws(events: Dataset[EventRow]): Dataset[LatestOut] = {
+    import events.sparkSession.implicits._
+    events.sparkSession.conf.set(
+      "spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    events
+      .groupByKey(e => (e.user_id, e.event_type))
+      .transformWithState(new LatestPerKeyProcessor,
+        TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[LatestOut]])
   }
 
   /** Run a finite streaming query to completion (Trigger.AvailableNow) into

@@ -41,6 +41,29 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(native == agg)
   }
 
+  test("WordNgrams == HOF n-grams on the corpus and edge cases") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(col("text")).union(Seq("", "one", "a b", "a b c").toDF("text"))
+    val mism = docs.select(
+        TextFunctions.wordNgrams(tokens(col("text")), 3).as("native"),
+        TextFunctions.wordNgramsHof(tokens(col("text")), 3).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mism == 0)
+  }
+
+  test("MinHash60 == array_min(transform(grams, hash60)) HOF") {
+    import org.apache.spark.sql.functions.{array_distinct, array_min, transform}
+    val docs = Tables.documents(spark, sf("sf0.001"))
+    val grams = array_distinct(
+      TextFunctions.wordNgrams(tokens(col("text")), 3))
+    val mism = docs.select(
+        NativeExpressions.minHash60(grams).as("native"),
+        array_min(transform(grams, g => TextFunctions.hash60(g))).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mism == 0)
+  }
+
   test("SimHash60 handles empty and single-token inputs") {
     import spark.implicits._
     val df = Seq("", "one", "a b").toDF("text")

@@ -70,6 +70,23 @@ class StreamingOpsSpec extends SparkSpec {
       Set((1L, "click"), (2L, "click")))
   }
 
+  test("transformWithState latest-per-key equals batch over file input") {
+    val batch = ApplyChanges.latestByKey(
+      graft.Tables.events(spark, sf("sf0.001")),
+      Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val events = StreamingOps.eventsStream(spark, sf("sf0.001"))
+      .selectExpr("event_id", "user_id", "event_type", "value", "props", "ts_us")
+      .as[EventRow]
+    val streamed = StreamingOps.runToMemory(spark,
+      StreamingOps.latestPerKeyTws(events).toDF(),
+      s"spec_tws_${System.nanoTime()}", OutputMode.Update())
+      .select(col("user_id"), col("event_type"), col("last_event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("bounded streaming run equals batch over the same file input") {
     val batch = ApplyChanges.latestByKey(
       graft.Tables.events(spark, sf("sf0.001")),
