@@ -67,12 +67,14 @@ object Similarity {
     * (cos_fp desc, neighbor_id asc).
     */
   def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
-    val q = queries.select(col("query_id"), col("qv"))
-    val c = candidates.select(col("neighbor_id"), col("cv"))
+    // norms once per row, not once per pair — same arithmetic, 3× fewer flops
+    val q = queries.select(col("query_id"), col("qv"), norm(col("qv")).as("qn"))
+    val c = candidates.select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_fp").desc, col("neighbor_id").asc)
     c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_fp", cosineFp6(col("qv"), col("cv")))
+      .withColumn("cos_fp",
+        cosineFp6PreNorm(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_fp", "rank")
@@ -83,15 +85,16 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, candidates: DataFrame, numPlanes: Int,
       dim: Int, k: Int): DataFrame = {
-    val q = queries.select(col("query_id"), col("qv"),
+    val q = queries.select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
       lshBucket(col("qv"), numPlanes, dim).as("bucket"))
-    val c = candidates.select(col("neighbor_id"), col("cv"),
+    val c = candidates.select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"),
       lshBucket(col("cv"), numPlanes, dim).as("bucket"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_fp").desc, col("neighbor_id").asc)
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cos_fp", cosineFp6(col("qv"), col("cv")))
+      .withColumn("cos_fp",
+        cosineFp6PreNorm(dot(col("qv"), col("cv")), col("qn"), col("cn")))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_fp", "rank")
@@ -144,10 +147,13 @@ object Similarity {
   /** All-pairs embedding near-dups: (id_a < id_b, cos_fp ≥ threshold). */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
       minCosFp: Long): DataFrame = {
-    val a = df.select(col(idCol).as("id_a"), col(embCol).as("va"))
-    val b = df.select(col(idCol).as("id_b"), col(embCol).as("vb"))
+    val a = df.select(col(idCol).as("id_a"), col(embCol).as("va"),
+      norm(col(embCol)).as("na"))
+    val b = df.select(col(idCol).as("id_b"), col(embCol).as("vb"),
+      norm(col(embCol)).as("nb"))
     a.join(b, col("id_a") < col("id_b"))
-      .withColumn("cos_fp", cosineFp6(col("va"), col("vb")))
+      .withColumn("cos_fp",
+        cosineFp6PreNorm(dot(col("va"), col("vb")), col("na"), col("nb")))
       .filter(col("cos_fp") >= minCosFp)
       .select("id_a", "id_b", "cos_fp")
   }

@@ -200,6 +200,21 @@ object PosPipeline {
         |ORDER BY date_time DESC""".stripMargin)
   }
 
+  /** Streaming scan of the change feeds (S4 stand-in for the Kafka
+    * source, preserving the rate-limit knob O24 via maxFilesPerTrigger —
+    * the file-source analog of maxOffsetsPerTrigger='100',
+    * 03_Data_Ingestion.py:158).
+    */
+  def changesStream(spark: SparkSession, dir: String = DataDir,
+      maxFilesPerTrigger: Int = 1): org.apache.spark.sql.DataFrame =
+    spark.readStream
+      .option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("pathGlobFilter", "inventory_change_*_1000.txt")
+      .schema(changeSchema)
+      .csv(dir)
+
   /** §7.2 minimum slice: the whole pipeline on the reference's own data. */
   def runEndToEnd(spark: SparkSession, dir: String = DataDir): DataFrame = {
     val changes  = dedupChanges(readChanges(spark, dir))
