@@ -123,7 +123,36 @@ object EventQueries {
            |WHERE CAST(json_extract(props, '$.k') AS INT) >= 90
            |ORDER BY event_id""".stripMargin))
 
+  val q28Sessionize = NamedQuery(
+    "q28_sessionize",
+    "Sessionization: session_window(ts, 30 min) per user — Spark's native " +
+      "session windows (merge-on-overlap, end = last event + gap); the " +
+      "oracle rebuilds the same sessions with gaps-and-islands SQL " +
+      "(new session iff gap ≥ 30 min).",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+        .orderBy("user_id", "session_start_us"),
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+           |marked AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+           |      OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+           |sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+           |    ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+           |SELECT user_id, MIN(us) AS session_start_us,
+           |  MAX(us) + 1800000000 AS session_end_us,
+           |  COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM sess GROUP BY user_id, sid
+           |ORDER BY user_id, session_start_us""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
-    q11JsonExtract)
+    q11JsonExtract, q28Sessionize)
 }
