@@ -1,8 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{EventQueries, MultimodalQueries, PosQueries,
-  RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, EventQueries, MultimodalQueries,
+  PosQueries, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -19,7 +19,8 @@ object SparkEntry {
       VectorQueries.all ++
       StreamingQueries.all ++
       MultimodalQueries.all ++
-      PosQueries.all
+      PosQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

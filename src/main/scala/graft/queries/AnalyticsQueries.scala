@@ -1,0 +1,106 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+
+/** Analytics-surface completeness beyond the reference's own operators:
+  * distinct aggregates, ROLLUP grouping sets, semi/anti joins, and exact
+  * interpolated percentiles — each with a full DuckDB oracle.
+  */
+object AnalyticsQueries {
+
+  val q29DistinctAggs = NamedQuery(
+    "q29_distinct_aggs",
+    "COUNT(DISTINCT) alongside plain aggregates (Expand-based distinct " +
+      "aggregation; partial aggregation still applies to the plain ones).",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          countDistinct(col("user_id")).as("n_users"),
+          count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("sum_value"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS n_users,
+           |  COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val q30Rollup = NamedQuery(
+    "q30_rollup",
+    "ROLLUP grouping sets over the region→nation hierarchy with " +
+      "GROUPING() flags disambiguating subtotal rows from real NULLs.",
+    (s, d) => {
+      // the SQL entry path (SURVEY §3 E3): GROUPING() through the
+      // DataFrame rollup API hits ambiguous-attribute resolution (the
+      // Expand duplicates grouping columns); the SQL analyzer resolves it
+      Tables.customer(s, d).createOrReplaceTempView("q30_customer")
+      Tables.nation(s, d).createOrReplaceTempView("q30_nation")
+      Tables.region(s, d).createOrReplaceTempView("q30_region")
+      s.sql("""SELECT r_name AS region_name, n_name AS nation_name,
+              |  COUNT(*) AS n_customers,
+              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+              |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS grouping_flags
+              |FROM q30_customer
+              |JOIN q30_nation ON c_nationkey = n_nationkey
+              |JOIN q30_region ON n_regionkey = r_regionkey
+              |GROUP BY ROLLUP(r_name, n_name)
+              |ORDER BY grouping_flags, region_name ASC NULLS FIRST,
+              |  nation_name ASC NULLS FIRST""".stripMargin)
+    },
+    Some("""SELECT r_name AS region_name, n_name AS nation_name,
+           |  COUNT(*) AS n_customers,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+           |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS grouping_flags
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY ROLLUP(r_name, n_name)
+           |ORDER BY grouping_flags, region_name ASC NULLS FIRST, nation_name ASC NULLS FIRST"""
+      .stripMargin))
+
+  val q31SemiAnti = NamedQuery(
+    "q31_semi_anti_join",
+    "left_semi / left_anti joins (EXISTS / NOT EXISTS): customers with " +
+      "and without orders, unioned with a cohort tag.",
+    (s, d) => {
+      val c = Tables.customer(s, d).select("c_custkey")
+      val o = Tables.orders(s, d).select("o_custkey")
+      c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+        .withColumn("cohort", lit("with_orders"))
+        .unionByName(
+          c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+            .withColumn("cohort", lit("no_orders")))
+        .orderBy("cohort", "c_custkey")
+    },
+    Some("""SELECT c_custkey, 'with_orders' AS cohort FROM customer
+           |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |UNION ALL
+           |SELECT c_custkey, 'no_orders' AS cohort FROM customer
+           |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+           |ORDER BY cohort, c_custkey""".stripMargin))
+
+  val q32Percentiles = NamedQuery(
+    "q32_percentiles",
+    "Exact interpolated percentiles (p50/p90) per event_type, " +
+      "floor-scaled for cross-engine fp stability (Spark percentile() and " +
+      "DuckDB quantile_cont share the linear-interpolation definition).",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          floor(expr("percentile(value, 0.5)") * lit(1000000.0)).cast("long")
+            .as("p50_fp"),
+          floor(expr("percentile(value, 0.9)") * lit(1000000.0)).cast("long")
+            .as("p90_fp"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type"),
+    Some("""SELECT event_type,
+           |  CAST(floor(quantile_cont(value, 0.5) * 1000000.0) AS BIGINT) AS p50_fp,
+           |  CAST(floor(quantile_cont(value, 0.9) * 1000000.0) AS BIGINT) AS p90_fp,
+           |  COUNT(*) AS n
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles)
+}
