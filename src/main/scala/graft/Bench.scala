@@ -19,9 +19,16 @@ object Bench {
       // noop sink forces FULL evaluation of every output column —
       // count() would let Spark skip projected expressions (e.g. cosine
       // values) and under-report query cost
-      try fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}"); false
+        }
+      // operators may cache intermediates (e.g. LSH band tables); clear
+      // between queries so earlier caches don't distort later timings
+      spark.catalog.clearCache()
+      // -1 marks a failed query: a throw must never look like a fast pass
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

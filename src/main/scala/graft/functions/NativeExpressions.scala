@@ -79,6 +79,7 @@ object NativeExpressions {
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType =
       org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true // NULL for an empty gram set
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -150,6 +151,7 @@ object NativeExpressions {
   case class MinHash60(child: Expression)
       extends UnaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true // NULL for an empty array
     override protected def nullSafeEval(input: Any): Any = {
       val arr = input.asInstanceOf[ArrayData]
       val n = arr.numElements()
@@ -178,6 +180,7 @@ object NativeExpressions {
   case class ArrayJaccardFp6(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = LongType
+    override def nullable: Boolean = true // NULL when both arrays are empty
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
@@ -200,15 +203,20 @@ object NativeExpressions {
   /** Sequential-fold dot product of two float arrays, accumulated in
     * double in index order — bit-identical to the zip_with/aggregate HOF
     * chain in [[graft.functions.VectorFunctions.dot]] and to DuckDB
-    * `list_sum(list_transform(list_zip(a,b), ...))`.
+    * `list_sum(list_transform(list_zip(a,b), ...))`. Mismatched lengths
+    * yield NULL, matching the HOF (zip_with pads with null, and
+    * `acc + null` is NULL) — surfacing malformed embeddings instead of
+    * silently scoring a truncated prefix.
     */
   case class FloatVecDot(left: Expression, right: Expression)
       extends BinaryExpression with CodegenFallback {
     override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // NULL on length mismatch
     override protected def nullSafeEval(a: Any, b: Any): Any = {
       val x = a.asInstanceOf[ArrayData]
       val y = b.asInstanceOf[ArrayData]
-      val n = math.min(x.numElements(), y.numElements())
+      val n = x.numElements()
+      if (n != y.numElements()) return null
       var acc = 0.0
       var i = 0
       while (i < n) {

@@ -22,6 +22,14 @@ import graft.functions.TextFunctions._
   *     banded hamming join ([[simhashNearDups]]) shuffles only
   *     (chunk, chunkValue) keys (pigeonhole: hamming ≤ k ⟹ equal in ≥1 of
   *     k+1 chunks).
+  *
+  * Caching contract: [[jaccardPairs]], [[lshCandidates]] and
+  * [[simhashNearDups]] `.cache()` (MEMORY_AND_DISK) a small intermediate
+  * that a self-join would otherwise re-derive per side. The cache lives
+  * until the session drops it — callers running many operators in one
+  * session (Verify/Bench do) should `spark.catalog.clearCache()` between
+  * queries. At 100 TB the cached sets are the gram/band/chunk keys, not
+  * the corpus: bounded by docs × grams-per-doc, spilling to disk.
   */
 object TextDedup {
 

@@ -50,8 +50,11 @@ object Debezium {
         col("key_json.store_id").as("store_id"),
         col("value_json.ts_ms").as("ts_ms"),
         col("value_json.op").as("op"),
+        // NOTE: after.employee_id is parsed but NOT selected — the
+        // reference's kafka_data_extracted_cdc (03:304-316) projects only
+        // these fields, so the materialized snapshot schema matches its
+        // inventory_snapshot target table exactly
         col("value_json.after.date_time").as("date_time"),
-        col("value_json.after.employee_id").as("employee_id"),
         col("value_json.after.quantity").as("quantity"))
       .withColumn("date_time_ts",
         (col("date_time") / lit(1000000.0)).cast("timestamp"))

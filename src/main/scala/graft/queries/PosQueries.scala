@@ -27,13 +27,18 @@ object PosQueries {
       "snapshot apply, J1-J3 joins, A2 aggregate. sfDir is ignored — this " +
       "query pins the reference fixture.",
     (s, _) => {
+      // quantity + change_type_id tiebreakers make the ordering TOTAL:
+      // without them two reports sharing (trans_id, item_id, date_time,
+      // store_id) would get engine-dependent row_number winners
       val wDedup = Window.partitionBy("trans_id", "item_id")
-        .orderBy(col("date_time").asc, col("store_id").asc)
+        .orderBy(col("date_time").asc, col("store_id").asc,
+          col("quantity").asc, col("change_type_id").asc)
       val changes = PosPipeline.readChanges(s, D)
         .withColumn("__rn", row_number().over(wDedup))
         .filter(col("__rn") === 1).drop("__rn")
       val wSnap = Window.partitionBy("item_id", "store_id")
-        .orderBy(col("date_time").desc)
+        .orderBy(col("date_time").desc, col("quantity").asc,
+          col("employee_id").asc)
       val snapshot = PosPipeline.readSnapshots(s, D)
         .withColumn("__rn", row_number().over(wSnap))
         .filter(col("__rn") === 1).drop("__rn")
@@ -80,11 +85,13 @@ object PosQueries {
          |    ['$D/inventory_snapshot_online_1000.txt','$D/inventory_snapshot_store001_1000.txt'],
          |    header=true, $snapCols)),
          |changes AS (SELECT * FROM (SELECT *, row_number() OVER
-         |    (PARTITION BY trans_id, item_id ORDER BY date_time, store_id) AS rn
+         |    (PARTITION BY trans_id, item_id
+         |     ORDER BY date_time, store_id, quantity, change_type_id) AS rn
          |  FROM changes_raw) WHERE rn = 1),
          |snapshot AS (SELECT item_id, store_id, quantity, date_time AS date_time_ts FROM
          |  (SELECT *, row_number() OVER (PARTITION BY item_id, store_id
-         |      ORDER BY date_time DESC) AS rn FROM snaps) WHERE rn = 1)
+         |      ORDER BY date_time DESC, quantity, employee_id) AS rn
+         |   FROM snaps) WHERE rn = 1)
          |SELECT a.store_id, a.item_id,
          |  CAST(MIN(a.quantity) AS BIGINT) AS snapshot_quantity,
          |  CAST(COALESCE(SUM(b.quantity), 0) AS BIGINT) AS change_quantity,

@@ -92,15 +92,22 @@ object StreamingOps {
     }
   }
 
-  /** Streaming CDC latest-per-key via transformWithState. Requires the
-    * RocksDB state store (multiple column families) — set here; the
-    * HDFS-backed default cannot host StatefulProcessor state.
+  /** The state-store provider transformWithState requires: RocksDB (the
+    * HDFS-backed default cannot host StatefulProcessor state). The QUERY
+    * BUILDER must set `spark.sql.streaming.stateStore.providerClass` to
+    * this before starting a [[latestPerKeyTws]] stream — deliberately not
+    * set inside the operator, because a session-wide conf mutation at
+    * plan-build time would silently affect concurrently running
+    * HDFS-backed streams.
+    */
+  val RocksDbProvider: String =
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider"
+
+  /** Streaming CDC latest-per-key via transformWithState. Caller must
+    * configure the RocksDB state store — see [[RocksDbProvider]].
     */
   def latestPerKeyTws(events: Dataset[EventRow]): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
-    events.sparkSession.conf.set(
-      "spark.sql.streaming.stateStore.providerClass",
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     events
       .groupByKey(e => (e.user_id, e.event_type))
       .transformWithState(new LatestPerKeyProcessor,

@@ -71,6 +71,10 @@ class StreamingOpsSpec extends SparkSpec {
   }
 
   test("transformWithState latest-per-key equals batch over file input") {
+    // transformWithState needs RocksDB state; set by the query builder
+    // (here), not inside the operator — see StreamingOps.RocksDbProvider
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      StreamingOps.RocksDbProvider)
     val batch = ApplyChanges.latestByKey(
       graft.Tables.events(spark, sf("sf0.001")),
       Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
