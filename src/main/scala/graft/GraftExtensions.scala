@@ -46,7 +46,11 @@ object GraftExtensions {
       (es: Seq[Expression]) => ArrayJaccardFp6(es(0), es(1))),
     ("graft_minhash_sig",
       info("graft_minhash_sig", "_FUNC_(grams, k) - k-hash MinHash signature of a string array"),
-      (es: Seq[Expression]) => MinHashSig(es(0), intArg(es(1), "graft_minhash_sig"))))
+      (es: Seq[Expression]) => MinHashSig(es(0), intArg(es(1), "graft_minhash_sig"))),
+    ("graft_lsh_bucket",
+      info("graft_lsh_bucket", "_FUNC_(vec, numPlanes, dim) - random-hyperplane LSH bucket of a float vector"),
+      (es: Seq[Expression]) => LshBucket(es(0), intArg(es(1), "graft_lsh_bucket"),
+        intArg(es(2), "graft_lsh_bucket"))))
 
   /** Register all graft functions on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -2,18 +2,23 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
-import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
 
-/** Custom Catalyst expressions for the two hot inner loops the built-in
-  * HOFs make interpretation-bound: tf-weighted SimHash and float-vector
-  * dot products. Both are drop-in replacements for HOF formulations with
-  * BIT-IDENTICAL results (same md5-derived hashes, same sequential double
-  * accumulation order), so the DuckDB oracles are unchanged — only the
-  * evaluation strategy differs (one tight JVM loop per row instead of an
-  * interpreted expression tree per element; measured ~100× on the simhash
-  * query at sf0.1: 578s → ~6s).
+/** Custom Catalyst expressions for the hot inner loops the built-in HOFs
+  * make interpretation-bound: tf-weighted SimHash, MinHash signatures,
+  * vector dot products and LSH bucketing. All are drop-in replacements
+  * for HOF formulations with BIT-IDENTICAL results (same md5-derived
+  * hashes, same sequential double accumulation order), so the DuckDB
+  * oracles are unchanged — only the evaluation strategy differs (one
+  * tight JVM loop per row instead of an interpreted expression tree per
+  * element; measured ~100× on the simhash query at sf0.1: 578s → ~6s).
+  *
+  * Every expression implements `doGenCode`, emitting a call to the shared
+  * kernel in [[NativeKernels]] — the SAME code the interpreted
+  * `nullSafeEval` path runs — so these are full codegen citizens, not
+  * `CodegenFallback` boundaries: the surrounding stages keep one
+  * WholeStageCodegen span and rows are never boxed around the call.
   *
   * Preference order per the build guidelines: compose built-ins first
   * (kept as the reference implementations in TextDedup/VectorFunctions
@@ -22,48 +27,18 @@ import org.apache.spark.sql.types.{DataType, DoubleType, LongType}
   */
 object NativeExpressions {
 
-  /** First 60 bits of md5(bytes) — identical to
-    * `conv(substring(md5(s),1,15),16,10)`: 15 hex chars = top 7.5 bytes.
-    */
-  private[functions] def md5Hash60(md: java.security.MessageDigest,
-      bytes: Array[Byte]): Long = {
-    md.reset()
-    val dig = md.digest(bytes)
-    var v = 0L
-    var k = 0
-    while (k < 8) { v = (v << 8) | (dig(k) & 0xffL); k += 1 }
-    v >>> 4
-  }
+  private val K = "graft.functions.NativeKernels"
 
   /** tf-weighted 60-bit SimHash over a string array (see
     * [[graft.operators.TextDedup.simhash]] for the semantics and the HOF
     * reference implementation).
     */
-  case class SimHash60(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class SimHash60(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      val counts = new Array[Int](60)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = md5Hash60(md, arr.getUTF8String(i).getBytes)
-          var b = 0
-          while (b < 60) {
-            counts(b) += (if (((h >> b) & 1L) == 1L) 1 else -1)
-            b += 1
-          }
-        }
-        i += 1
-      }
-      var sh = 0L
-      var b = 0
-      while (b < 60) { if (counts(b) > 0) sh |= (1L << b); b += 1 }
-      java.lang.Long.valueOf(sh)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(NativeKernels.simhash60(input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]))
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.simhash60($c)")
     override protected def withNewChildInternal(newChild: Expression): SimHash60 =
       copy(newChild)
   }
@@ -76,36 +51,17 @@ object NativeExpressions {
     * where a doc without grams simply has no rows to aggregate.
     */
   case class MinHashSig(child: Expression, numHashes: Int)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType =
-      org.apache.spark.sql.types.ArrayType(LongType, containsNull = false)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true // NULL for an empty gram set
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      if (n == 0) return null
-      val mins = Array.fill(numHashes)(Long.MaxValue)
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val prefixes = Array.tabulate(numHashes)(i => s"$i:".getBytes("UTF-8"))
-      var g = 0
-      while (g < n) {
-        if (!arr.isNullAt(g)) {
-          val gramBytes = arr.getUTF8String(g).getBytes
-          var i = 0
-          while (i < numHashes) {
-            val p = prefixes(i)
-            val buf = new Array[Byte](p.length + gramBytes.length)
-            System.arraycopy(p, 0, buf, 0, p.length)
-            System.arraycopy(gramBytes, 0, buf, p.length, gramBytes.length)
-            val h = md5Hash60(md, buf)
-            if (h < mins(i)) mins(i) = h
-            i += 1
-          }
-        }
-        g += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.minhashSig(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        org.apache.spark.sql.catalyst.util.ArrayData r = $K.minhashSig($c, $numHashes);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
+      """)
     override protected def withNewChildInternal(newChild: Expression): MinHashSig =
       copy(child = newChild)
   }
@@ -115,31 +71,13 @@ object NativeExpressions {
     * with an empty array for inputs shorter than n. Null tokens render as
     * empty (concat_ws semantics).
     */
-  case class WordNgrams(child: Expression, n: Int)
-      extends UnaryExpression with CodegenFallback {
-    override def dataType: DataType = org.apache.spark.sql.types.ArrayType(
-      org.apache.spark.sql.types.StringType, containsNull = false)
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val s = arr.numElements()
-      if (s < n)
-        return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.empty[Any])
-      val sep = org.apache.spark.unsafe.types.UTF8String.fromString(" ")
-      val out = new Array[Any](s - n + 1)
-      var i = 0
-      while (i <= s - n) {
-        val window = new Array[org.apache.spark.unsafe.types.UTF8String](n)
-        var j = 0
-        while (j < n) {
-          window(j) =
-            if (arr.isNullAt(i + j)) null else arr.getUTF8String(i + j)
-          j += 1
-        }
-        out(i) = org.apache.spark.unsafe.types.UTF8String.concatWs(sep, window: _*)
-        i += 1
-      }
-      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
-    }
+  case class WordNgrams(child: Expression, n: Int) extends UnaryExpression {
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.wordNgrams(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      defineCodeGen(ctx, ev, c => s"$K.wordNgrams($c, $n)")
     override protected def withNewChildInternal(newChild: Expression): WordNgrams =
       copy(child = newChild)
   }
@@ -148,26 +86,17 @@ object NativeExpressions {
     * fingerprint kernel (`array_min(transform(grams, hash60))` HOF
     * equivalent). NULL for an empty array, matching array_min.
     */
-  case class MinHash60(child: Expression)
-      extends UnaryExpression with CodegenFallback {
+  case class MinHash60(child: Expression) extends UnaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true // NULL for an empty array
-    override protected def nullSafeEval(input: Any): Any = {
-      val arr = input.asInstanceOf[ArrayData]
-      val n = arr.numElements()
-      if (n == 0) return null
-      val md = java.security.MessageDigest.getInstance("MD5")
-      var best = Long.MaxValue
-      var i = 0
-      while (i < n) {
-        if (!arr.isNullAt(i)) {
-          val h = md5Hash60(md, arr.getUTF8String(i).getBytes)
-          if (h < best) best = h
-        }
-        i += 1
-      }
-      if (best == Long.MaxValue) null else java.lang.Long.valueOf(best)
-    }
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.minHash60(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => s"""
+        java.lang.Long r = $K.minHash60($c);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+      """)
     override protected def withNewChildInternal(newChild: Expression): MinHash60 =
       copy(newChild)
   }
@@ -178,24 +107,18 @@ object NativeExpressions {
     * count-based formulation, so values match the DuckDB oracle exactly.
     */
   case class ArrayJaccardFp6(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = LongType
     override def nullable: Boolean = true // NULL when both arrays are empty
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val na = x.numElements()
-      val nb = y.numElements()
-      if (na == 0 && nb == 0) return null
-      val set = new java.util.HashSet[Any](na * 2)
-      var i = 0
-      while (i < na) { set.add(x.getUTF8String(i)); i += 1 }
-      var inter = 0
-      var j = 0
-      while (j < nb) { if (set.contains(y.getUTF8String(j))) inter += 1; j += 1 }
-      val jac = inter.toDouble / (na + nb - inter).toDouble
-      java.lang.Long.valueOf(math.floor(jac * 1000000.0).toLong)
-    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.arrayJaccardFp6(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Long r = $K.arrayJaccardFp6($a, $b);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
+      """)
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): ArrayJaccardFp6 = copy(newLeft, newRight)
   }
@@ -209,24 +132,97 @@ object NativeExpressions {
     * silently scoring a truncated prefix.
     */
   case class FloatVecDot(left: Expression, right: Expression)
-      extends BinaryExpression with CodegenFallback {
+      extends BinaryExpression {
     override def dataType: DataType = DoubleType
     override def nullable: Boolean = true // NULL on length mismatch
-    override protected def nullSafeEval(a: Any, b: Any): Any = {
-      val x = a.asInstanceOf[ArrayData]
-      val y = b.asInstanceOf[ArrayData]
-      val n = x.numElements()
-      if (n != y.numElements()) return null
-      var acc = 0.0
-      var i = 0
-      while (i < n) {
-        acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
-        i += 1
-      }
-      java.lang.Double.valueOf(acc)
-    }
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.floatVecDot(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double r = $K.floatVecDot($a, $b);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      """)
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): FloatVecDot = copy(newLeft, newRight)
+  }
+
+  /** [[FloatVecDot]] for `array<double>` inputs (e.g. k-means centroids):
+    * same sequential fold, same NULL-on-mismatch semantics.
+    */
+  case class DoubleVecDot(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = true // NULL on length mismatch
+    override protected def nullSafeEval(a: Any, b: Any): Any =
+      NativeKernels.doubleVecDot(
+        a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => s"""
+        java.lang.Double r = $K.doubleVecDot($a, $b);
+        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
+      """)
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): DoubleVecDot = copy(newLeft, newRight)
+  }
+
+  /** Random-hyperplane LSH bucket id of a float vector: one long whose
+    * bit p is the sign of the projection onto deterministic plane p. The
+    * ±1 plane weights derive from hash60("p:j") — computed once at
+    * expression construction on the driver and shipped as a referenced
+    * flat matrix (the broadcast-plane-matrix production shape), exactly
+    * the weights the DuckDB oracle re-derives in SQL. Bit-identical to
+    * the HOF tower in [[graft.operators.Similarity.lshBucketHof]], which
+    * hashed every vector through an interpreted
+    * aggregate(transform(sequence)) — the shape that made q20 the
+    * slowest non-streaming query before this expression.
+    */
+  case class LshBucket(child: Expression, numPlanes: Int, dim: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = LongType
+
+    /** Flat row-major numPlanes×dim ±1 matrix; deterministic, so equal
+      * (numPlanes, dim) ⇒ equal planes and case-class equality stays
+      * semantically correct without comparing the array.
+      */
+    @transient private lazy val planes: Array[Double] = {
+      val m = new Array[Double](numPlanes * dim)
+      var p = 0
+      while (p < numPlanes) {
+        var j = 0
+        while (j < dim) {
+          m(p * dim + j) = LshBucket.planeWeight(p, j)
+          j += 1
+        }
+        p += 1
+      }
+      m
+    }
+
+    override protected def nullSafeEval(input: Any): Any =
+      java.lang.Long.valueOf(NativeKernels.lshBucket(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+        planes, numPlanes, dim))
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("lshPlanes", planes, "double[]")
+      defineCodeGen(ctx, ev, c => s"$K.lshBucket($c, $planesRef, $numPlanes, $dim)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): LshBucket =
+      copy(child = newChild)
+  }
+
+  object LshBucket {
+    /** ±1 weight of hyperplane `p` at dimension `j`: bit 0 of
+      * hash60("p:j") — the same value the oracle derives in SQL via
+      * `('0x'||substring(md5(p||':'||j),1,15))::BIGINT & 1`.
+      */
+    def planeWeight(p: Int, j: Int): Double =
+      if ((NativeKernels.md5Hash60(s"$p:$j".getBytes("UTF-8")) & 1L) == 1L) 1.0
+      else -1.0
   }
 
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
@@ -234,6 +230,8 @@ object NativeExpressions {
   def simhash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
   def floatVecDot(a: Column, b: Column): Column =
     column(FloatVecDot(expression(a), expression(b)))
+  def doubleVecDot(a: Column, b: Column): Column =
+    column(DoubleVecDot(expression(a), expression(b)))
   def minhashSig(grams: Column, numHashes: Int): Column =
     column(MinHashSig(expression(grams), numHashes))
   def arrayJaccardFp6(a: Column, b: Column): Column =
@@ -241,4 +239,16 @@ object NativeExpressions {
   def minHash60(arr: Column): Column = column(MinHash60(expression(arr)))
   def wordNgrams(toks: Column, n: Int): Column =
     column(WordNgrams(expression(toks), n))
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column =
+    column(LshBucket(expression(vec), numPlanes, dim))
+
+  /** Dot product dispatching on element type — [[FloatVecDot]] for
+    * `array<float>`, [[DoubleVecDot]] for `array<double>` — so callers
+    * like cosine work unchanged over either representation.
+    */
+  def vecDot(a: Column, b: Column, elem: DataType): Column = elem match {
+    case FloatType  => floatVecDot(a, b)
+    case DoubleType => doubleVecDot(a, b)
+    case t => throw new IllegalArgumentException(s"vecDot: unsupported element type $t")
+  }
 }

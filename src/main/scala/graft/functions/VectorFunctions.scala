@@ -52,4 +52,20 @@ object VectorFunctions {
 
   /** sqrt of the squared norm — the factor cosine divides by. */
   def norm(a: Column): Column = sqrt(normSq(a))
+
+  /** [[dot]] over `array<double>` columns (e.g. k-means centroids) — the
+    * native [[graft.functions.NativeExpressions.DoubleVecDot]], same
+    * sequential fold.
+    */
+  def dotD(a: Column, b: Column): Column = NativeExpressions.doubleVecDot(a, b)
+
+  /** [[cosineFp6]] where BOTH inputs are `array<double>`: identical
+    * arithmetic order (dot / (sqrt·sqrt) × 1e6, floored). Callers with a
+    * float vector cast it to `array<double>` first — the per-element
+    * double values are the same ones [[dot]] multiplies, so a float
+    * vector scored via this path is bit-identical to the float path.
+    */
+  def cosineFp6D(a: Column, b: Column): Column =
+    floor(dotD(a, b) / (sqrt(dotD(a, a)) * sqrt(dotD(b, b))) * lit(1000000.0))
+      .cast("long")
 }

@@ -32,21 +32,26 @@ object Similarity {
 
   /** ±1 weight of hyperplane `p` at dimension `j`: bit 0 of hash60("p:j"),
     * precomputed on the driver (same value the oracle derives in SQL) and
-    * shipped as a literal — the "broadcast plane matrix" production shape;
-    * no per-row hashing.
+    * shipped with the plan — the "broadcast plane matrix" production
+    * shape; no per-row hashing.
     */
-  private[operators] def planeWeight(p: Int, j: Int): Double = {
-    val dig = java.security.MessageDigest.getInstance("MD5")
-      .digest(s"$p:$j".getBytes("UTF-8"))
-    val hex = dig.map(b => f"$b%02x").mkString.substring(0, 15)
-    if ((java.lang.Long.parseLong(hex, 16) & 1L) == 1L) 1.0 else -1.0
-  }
+  private[operators] def planeWeight(p: Int, j: Int): Double =
+    graft.functions.NativeExpressions.LshBucket.planeWeight(p, j)
 
   /** Random-hyperplane LSH bucket id (one long from numPlanes sign bits),
-    * computed with sequential-fold HOFs over a literal plane matrix —
-    * bit-reproducible in DuckDB.
+    * evaluated by the native codegen'd
+    * [[graft.functions.NativeExpressions.LshBucket]] Catalyst expression;
+    * [[lshBucketHof]] is the bit-identical HOF reference it is tested
+    * against (interpreted, measured 4× slower end-to-end on q20).
     */
-  def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column = {
+  def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column =
+    graft.functions.NativeExpressions.lshBucket(emb, numPlanes, dim)
+
+  /** HOF reference implementation of [[lshBucket]]: sequential-fold HOFs
+    * over a literal plane matrix — bit-reproducible in DuckDB, kept for
+    * cross-checking the native expression.
+    */
+  def lshBucketHof(emb: Column, numPlanes: Int, dim: Int): Column = {
     val planes: Column = array((0 until numPlanes).map(p =>
       array((0 until dim).map(j => lit(planeWeight(p, j))): _*)): _*)
     aggregate(
@@ -106,10 +111,14 @@ object Similarity {
     * this is the standard IVF build shuffle (O(N) rows).
     *
     * Input: df(id, v), centroids(cid, cv). Output: (id, v, cid).
+    * `centScore` scores a vector against a centroid — the default is the
+    * float-vector cosine; pass a double-path scorer when centroids are
+    * `array<double>` (k-means means).
     */
-  def ivfAssign(df: DataFrame, centroids: DataFrame): DataFrame =
+  def ivfAssign(df: DataFrame, centroids: DataFrame,
+      centScore: (Column, Column) => Column = cosineFp6): DataFrame =
     df.join(broadcast(centroids))
-      .withColumn("cos_fp", cosineFp6(col("v"), col("cv")))
+      .withColumn("cos_fp", centScore(col("v"), col("cv")))
       .groupBy("id")
       .agg(
         first(col("v")).as("v"), // id → v is functional
@@ -118,19 +127,22 @@ object Similarity {
   /** IVF top-k search: queries probe their `nprobe` best centroids and
     * score only vectors assigned to those cells — the candidate set (and
     * the shuffle) shrinks by ~|cells|/nprobe vs brute force. Centroids
-    * here are a deterministic data subset; production would k-means
-    * iterate, the probe/partition plumbing is identical.
+    * can be a deterministic data subset (cheap build) or
+    * [[kmeansCentroids]] means (better-balanced cells); `centScore` must
+    * match the centroid representation. Final candidate ranking is always
+    * the exact float-vector cosine.
     */
   def ivfTopK(queries: DataFrame, candidates: DataFrame,
-      centroids: DataFrame, nprobe: Int, k: Int): DataFrame = {
+      centroids: DataFrame, nprobe: Int, k: Int,
+      centScore: (Column, Column) => Column = cosineFp6): DataFrame = {
     val assigned = ivfAssign(
       candidates.select(col("neighbor_id").as("id"), col("cv").as("v")),
-      centroids)
+      centroids, centScore)
       .select(col("id").as("neighbor_id"), col("v").as("cv"), col("cid"))
     val wProbe = Window.partitionBy("query_id")
       .orderBy(col("cos_fp").desc, col("cid").asc)
     val probes = queries.join(broadcast(centroids))
-      .withColumn("cos_fp", cosineFp6(col("qv"), col("cv")))
+      .withColumn("cos_fp", centScore(col("qv"), col("cv")))
       .withColumn("prn", row_number().over(wProbe))
       .filter(col("prn") <= nprobe)
       .select(col("query_id"), col("qv"), col("cid"))
@@ -142,6 +154,52 @@ object Similarity {
       .withColumn("rank", row_number().over(wRank).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_fp", "rank")
+  }
+
+  /** Scores a FLOAT vector against an `array<double>` k-means centroid:
+    * cast the floats to double (exact) and run the double-path cosine —
+    * bit-identical to scoring the same values through the float path.
+    */
+  val centScoreD: (Column, Column) => Column =
+    (v, cv) => cosineFp6D(v.cast("array<double>"), cv)
+
+  /** Lloyd's-iterated k-means centroids as pure DataFrame ops — the IVF
+    * build step production systems run before [[ivfTopK]]. Deterministic
+    * and DuckDB-replayable by construction:
+    *   - init: the first k vectors (cid = id), cast to `array<double>`;
+    *   - assign: argmax cosine by (cos_fp desc, cid asc) — the same
+    *     broadcast + partial-agg `max_by` shuffle as [[ivfAssign]];
+    *   - update: QUANTIZED means — each component is
+    *     `floor(sum(floor(x*1e6)) / n) / 1e6`. Integer sums are exact and
+    *     order-independent, so the result is identical regardless of
+    *     partition order or engine (a raw double mean would depend on
+    *     fp addition order and could never hash-match the oracle).
+    *
+    * Each iteration's centroid table is k rows — cached so the lazily
+    * composed plan doesn't re-derive iteration i-1 once per downstream
+    * reference (callers clear the session cache between queries).
+    *
+    * Input: vecs(id, v: array<float>). Output: (cid, cv: array<double>).
+    */
+  def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
+    var cent = vecs.filter(col("id") < k)
+      .select(col("id").as("cid"), col("v").cast("array<double>").as("cv"))
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(vecs, cent, centScoreD)
+      val comps = assigned
+        .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
+        .withColumn("fpx",
+          floor(col("x").cast("double") * lit(1000000.0)).cast("long"))
+        .groupBy("cid", "j")
+        .agg((floor(sum(col("fpx")) / count(lit(1))).cast("long") /
+          lit(1000000.0)).as("comp"))
+      cent = comps.groupBy("cid")
+        .agg(transform(
+          array_sort(collect_list(struct(col("j"), col("comp")))),
+          s => s.getField("comp")).as("cv"))
+        .cache()
+    }
+    cent
   }
 
   /** All-pairs embedding near-dups: (id_a < id_b, cos_fp ≥ threshold). */

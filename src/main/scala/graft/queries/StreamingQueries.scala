@@ -86,6 +86,43 @@ object StreamingQueries {
            |GROUP BY date_trunc('hour', ts), event_type
            |ORDER BY window_start, event_type""".stripMargin))
 
+  val q35StreamStreamJoin = NamedQuery(
+    "q35_stream_stream_join",
+    "Watermarked stream-stream inner join (purchase attributed to a click " +
+      "by the same user within the preceding 2 hours): both sides " +
+      "watermarked 1h, time-range join condition bounds the state store — " +
+      "the 100 TB requirement for any stream-stream join. Single " +
+      "AvailableNow batch ⇒ result set equals the batch time-bound join.",
+    (s, d) => {
+      val clicks = StreamingOps.eventsStream(s, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+        .withWatermark("c_ts", "1 hour")
+      val buys = StreamingOps.eventsStream(s, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("b_ts"))
+        .withWatermark("b_ts", "1 hour")
+      val joined = clicks.join(buys,
+          col("c_user") === col("b_user") &&
+            col("b_ts") >= col("c_ts") &&
+            col("b_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"))
+        .select(col("c_user").as("user_id"), col("click_id"), col("buy_id"))
+      StreamingOps.runToMemory(s, joined, qname("stream_ss_join"),
+          OutputMode.Append)
+        .orderBy("user_id", "click_id", "buy_id")
+    },
+    // µs-exact batch equivalent: b within [c, c + 2h] (7_200_000_000 µs)
+    Some("""SELECT c.user_id, c.event_id AS click_id, b.event_id AS buy_id
+           |FROM events c JOIN events b
+           |ON c.user_id = b.user_id
+           |AND c.event_type = 'click' AND b.event_type = 'purchase'
+           |AND epoch_us(b.ts) >= epoch_us(c.ts)
+           |AND epoch_us(b.ts) <= epoch_us(c.ts) + 7200000000
+           |ORDER BY c.user_id, click_id, buy_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    q22StreamDedup, q23StreamApplyChanges, q24StreamWindowAgg)
+    q22StreamDedup, q23StreamApplyChanges, q24StreamWindowAgg,
+    q35StreamStreamJoin)
 }

@@ -139,6 +139,167 @@ object VectorQueries {
             |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  /** DuckDB SQL for the mixed-representation cosine: a FLOAT list scored
+    * against a DOUBLE list (k-means centroid) — floats cast to double
+    * before multiplying, mirroring
+    * [[graft.operators.Similarity.centScoreD]].
+    */
+  private def cosFpDSql(a: String, c: String): String =
+    s"""CAST(floor(
+       |  list_sum(list_transform(list_zip($a, $c), p -> CAST(p[1] AS DOUBLE)*p[2]))
+       |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
+       |     * sqrt(list_sum(list_transform($c, x -> x*x))))
+       |  * 1000000.0) AS BIGINT)""".stripMargin
+
+  private val Dim = 64
+  private val KmIters = 3
+
+  /** The q33 ANN quality harness: recall@3 of the LSH (q20) and IVF (q26)
+    * candidate top-k against the brute-force ground truth (q19's method at
+    * k=3). This is THE number an LLM-dedup/retrieval user tunes
+    * bands/planes/nprobe by — here it is an oracle-checked query, so a
+    * tuning change that silently craters recall fails CI.
+    */
+  val q33AnnRecall = NamedQuery(
+    "q33_ann_recall",
+    "recall@3 of LSH and IVF ANN vs exact brute-force top-3 per query: " +
+      "hits = |approx ∩ truth|, recall_fp = floor(hits/3*1e6).",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qdf = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cdf = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val cent = emb.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val truth = Similarity.bruteForceTopK(qdf, cdf, 3)
+        .select("query_id", "neighbor_id")
+      val lsh = Similarity.lshTopK(qdf, cdf, NumPlanes, Dim, 3)
+        .select("query_id", "neighbor_id")
+      val ivf = Similarity.ivfTopK(qdf, cdf, cent, NProbe, 3)
+        .select("query_id", "neighbor_id")
+      val base = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
+      val lh = truth.join(lsh, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
+      val ih = truth.join(ivf, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
+      base.join(lh, Seq("query_id"), "left_outer")
+        .join(ih, Seq("query_id"), "left_outer")
+        .select(col("query_id"), col("n_truth"),
+          coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+          coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
+          floor(coalesce(col("lsh_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
+            .cast("long").as("lsh_recall_fp"),
+          floor(coalesce(col("ivf_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
+            .cast("long").as("ivf_recall_fp"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            |tpairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM q, c WHERE query_id <> neighbor_id),
+            |truth AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank FROM tpairs) WHERE rank <= 3),
+            |b AS (SELECT vec_id, embedding, ${bucketSql("embedding", NumPlanes)} AS bucket FROM embeddings),
+            |lq AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+            |lc AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+            |lpairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM lq JOIN lc USING (bucket) WHERE query_id <> neighbor_id),
+            |lsh AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank FROM lpairs) WHERE rank <= 3),
+            |cent AS (SELECT vec_id AS cid, embedding AS ccv FROM embeddings WHERE vec_id < $NCentroids),
+            |assigned AS (SELECT vec_id AS neighbor_id, embedding AS ncv, cid FROM (
+            |  SELECT e.vec_id, e.embedding, c2.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpSql("e.embedding", "c2.ccv")} DESC, c2.cid ASC) AS rn
+            |  FROM embeddings e, cent c2) WHERE rn = 1),
+            |probes AS (SELECT query_id, qv, cid FROM (
+            |  SELECT q.query_id, q.qv, c2.cid,
+            |    row_number() OVER (PARTITION BY q.query_id
+            |      ORDER BY ${cosFpSql("q.qv", "c2.ccv")} DESC, c2.cid ASC) AS prn
+            |  FROM q, cent c2) WHERE prn <= $NProbe),
+            |scored AS (SELECT p.query_id, a.neighbor_id,
+            |    ${cosFpSql("p.qv", "a.ncv")} AS cos_fp
+            |  FROM probes p JOIN assigned a ON p.cid = a.cid
+            |  WHERE p.query_id <> a.neighbor_id),
+            |ivf AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank FROM scored) WHERE rank <= 3),
+            |base AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth GROUP BY query_id),
+            |lh AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS lsh_hits FROM truth t
+            |  JOIN lsh l ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
+            |  GROUP BY t.query_id),
+            |ih AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS ivf_hits FROM truth t
+            |  JOIN ivf i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
+            |  GROUP BY t.query_id)
+            |SELECT base.query_id, n_truth,
+            |  COALESCE(lsh_hits, 0) AS lsh_hits, COALESCE(ivf_hits, 0) AS ivf_hits,
+            |  CAST(floor(COALESCE(lsh_hits, 0)*1000000.0/n_truth) AS BIGINT) AS lsh_recall_fp,
+            |  CAST(floor(COALESCE(ivf_hits, 0)*1000000.0/n_truth) AS BIGINT) AS ivf_recall_fp
+            |FROM base LEFT JOIN lh ON base.query_id = lh.query_id
+            |LEFT JOIN ih ON base.query_id = ih.query_id
+            |ORDER BY base.query_id""".stripMargin))
+
+  /** One k-means iteration's worth of DuckDB CTEs (assignment vs cent{i-1},
+    * quantized component means, centroid rebuild) — mirrors one loop body
+    * of [[graft.operators.Similarity.kmeansCentroids]].
+    */
+  private def kmIterSql(i: Int): String =
+    s"""asg$i AS (SELECT vec_id, embedding, cid FROM (
+       |  SELECT e.vec_id, e.embedding, c.cid,
+       |    row_number() OVER (PARTITION BY e.vec_id
+       |      ORDER BY ${cosFpDSql("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+       |  FROM embeddings e, cent${i - 1} c) WHERE rn = 1),
+       |comp$i AS (SELECT cid, j,
+       |    CAST(floor(CAST(SUM(fpx) AS DOUBLE)/COUNT(*)) AS BIGINT)/1000000.0 AS comp
+       |  FROM (SELECT a.cid, js.j,
+       |      CAST(floor(CAST(a.embedding[js.j + 1] AS DOUBLE)*1000000.0) AS BIGINT) AS fpx
+       |    FROM asg$i a, (SELECT unnest(range(0, $Dim)) AS j) js)
+       |  GROUP BY cid, j),
+       |cent$i AS (SELECT cid, list(comp ORDER BY j) AS cv FROM comp$i GROUP BY cid)""".stripMargin
+
+  val q34AnnIvfKmeans = NamedQuery(
+    "q34_ann_ivf_kmeans",
+    s"IVF ANN with $KmIters Lloyd's-iterated k-means centroids (quantized " +
+      "deterministic means), then the q26 probe/search: better-balanced " +
+      "cells than the raw data-subset seeds, same shuffle shape.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val cent = Similarity.kmeansCentroids(vecs, NCentroids, KmIters)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          cent, nprobe = NProbe, k = 3, Similarity.centScoreD)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH cent0 AS (SELECT vec_id AS cid,
+            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            |  FROM embeddings WHERE vec_id < $NCentroids),
+            |${(1 to KmIters).map(kmIterSql).mkString(",\n")},
+            |assigned AS (SELECT vec_id AS neighbor_id, embedding AS ncv, cid FROM (
+            |  SELECT e.vec_id, e.embedding, c.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpDSql("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+            |  FROM embeddings e, cent$KmIters c) WHERE rn = 1),
+            |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            |probes AS (SELECT query_id, qv, cid FROM (
+            |  SELECT q.query_id, q.qv, c.cid,
+            |    row_number() OVER (PARTITION BY q.query_id
+            |      ORDER BY ${cosFpDSql("q.qv", "c.cv")} DESC, c.cid ASC) AS prn
+            |  FROM q, cent$KmIters c) WHERE prn <= $NProbe),
+            |scored AS (SELECT p.query_id, a.neighbor_id,
+            |    ${cosFpSql("p.qv", "a.ncv")} AS cos_fp
+            |  FROM probes p JOIN assigned a ON p.cid = a.cid
+            |  WHERE p.query_id <> a.neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf)
+    q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
+    q33AnnRecall, q34AnnIvfKmeans)
 }

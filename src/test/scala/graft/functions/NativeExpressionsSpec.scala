@@ -64,6 +64,35 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("LshBucket == HOF bucket tower on the whole embeddings table") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val mism = emb.select(
+        NativeExpressions.lshBucket(col("embedding"), 6, 64).as("native"),
+        graft.operators.Similarity.lshBucketHof(col("embedding"), 6, 64).as("hof"))
+      .filter(col("native") =!= col("hof")).count()
+    assert(mism == 0)
+  }
+
+  test("FloatVecDot yields NULL on length mismatch, like the zip_with HOF") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val out = df.select(
+      NativeExpressions.floatVecDot(col("a"), col("b")).as("n"),
+      VectorFunctions.dotHof(col("a"), col("b")).as("h")).collect().head
+    assert(out.isNullAt(0) && out.isNullAt(1))
+  }
+
+  test("DoubleVecDot on cast arrays == FloatVecDot on float arrays") {
+    val emb = Tables.embeddings(spark, sf("sf0.001"))
+    val mism = emb.select(
+        NativeExpressions.floatVecDot(col("embedding"), col("embedding")).as("f"),
+        NativeExpressions.doubleVecDot(
+          col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("d"))
+      .filter(col("f") =!= col("d")).count()
+    assert(mism == 0)
+  }
+
   test("SimHash60 handles empty and single-token inputs") {
     import spark.implicits._
     val df = Seq("", "one", "a b").toDF("text")

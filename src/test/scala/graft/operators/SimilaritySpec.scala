@@ -53,4 +53,42 @@ class SimilaritySpec extends SparkSpec {
       .agg(min("b"), max("b")).head
     assert(b.getLong(0) >= 0 && b.getLong(1) < 64)
   }
+
+  test("kmeans centroids: k cells, dim-length double vectors, 1e-6 grid") {
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cent = Similarity.kmeansCentroids(vecs, k = 8, iters = 2).cache()
+    val rows = cent.collect()
+    assert(rows.length == 8, "no cell should empty out on this corpus")
+    rows.foreach { r =>
+      val cv = r.getSeq[Double](1)
+      assert(cv.length == 64)
+      // quantized means land on the 1e-6 grid (each is exactly some
+      // long/1e6, so x*1e6 rounds back within double error) — the
+      // property that makes the update order-independent and replayable
+      cv.foreach(x =>
+        assert(math.abs(x * 1e6 - math.round(x * 1e6)) < 1e-3,
+          s"$x is not a quantized mean"))
+    }
+  }
+
+  test("kmeans iterations strictly reassign: iter-2 centroids differ from seeds") {
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val seeds = vecs.filter(col("id") < 8)
+      .select(col("id"), col("v").cast("array<double>").as("cv"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val cent = Similarity.kmeansCentroids(vecs, k = 8, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(cent.keySet == seeds.keySet)
+    assert(cent.exists { case (cid, cv) => cv != seeds(cid) },
+      "means should move off the raw data-subset seeds")
+  }
+
+  test("ivfTopK with kmeans centroids returns k ranked rows per query") {
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cent = Similarity.kmeansCentroids(vecs, k = 8, iters = 2)
+    val top = Similarity.ivfTopK(queries, cands, cent, nprobe = 2, k = 3,
+      Similarity.centScoreD)
+    val perQuery = top.groupBy("query_id").count().collect()
+    assert(perQuery.length == 5 && perQuery.forall(_.getLong(1) == 3L))
+  }
 }
