@@ -105,6 +105,38 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_fp", "rank")
   }
 
+  /** Multi-probe variant of [[lshTopK]]: each query probes its own bucket
+    * PLUS every bucket at Hamming distance 1 (one flipped plane sign) —
+    * numPlanes+1 probes. Rationale: a near neighbor that lands on the
+    * wrong side of ONE hyperplane is the dominant LSH miss mode; probing
+    * the adjacent buckets recovers those at (numPlanes+1)/2^numPlanes of
+    * the corpus scanned instead of growing tables. Candidates still come
+    * from ONE bucket table (no extra hashing); only the tiny query side
+    * expands, so the join stays equi-key on bucket — the scale shape is
+    * unchanged.
+    */
+  def lshTopKMultiProbe(queries: DataFrame, candidates: DataFrame,
+      numPlanes: Int, dim: Int, k: Int): DataFrame = {
+    val qb = queries.select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
+      lshBucket(col("qv"), numPlanes, dim).as("bucket0"))
+    // bucket0 plus its numPlanes Hamming-1 neighbors; all distinct, so a
+    // (query, candidate) pair can match at most one probe — no dedup
+    val probes = array(col("bucket0") +:
+      (0 until numPlanes).map(p => col("bucket0").bitwiseXOR(lit(1L << p))): _*)
+    val q = qb.withColumn("bucket", explode(probes)).drop("bucket0")
+    val c = candidates.select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"),
+      lshBucket(col("cv"), numPlanes, dim).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_fp").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_fp",
+        cosineFp6PreNorm(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_fp", "rank")
+  }
+
   /** IVF cell assignment: each vector goes to its best centroid by
     * (cos_fp desc, centroid_id asc) — a broadcast join against the (small)
     * centroid set plus one partial-aggregating argmax per vector; at scale

@@ -50,10 +50,20 @@ object TextDedup {
       sequenceBy = Seq(-col(idCol))
     ).drop("__digest")
 
+  /** One row per doc with its DISTINCT word n-gram array — the shared
+    * upstream stage every gram-based operator derives from (signatures,
+    * gram joins, exploded gram sets), so a pipeline computes the
+    * tokenize+n-gram work once instead of once per consumer.
+    */
+  def docGramArrays(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol).as("dg_id"),
+      array_distinct(wordNgrams(tokens(col(textCol)), n)).as("grams"))
+
   /** Distinct (id, gram) pairs of word n-grams. */
   def gramSets(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
-    df.select(col(idCol).as("gs_id"),
-        explode(array_distinct(wordNgrams(tokens(col(textCol)), n))).as("gram"))
+    docGramArrays(df, idCol, textCol, n)
+      .select(col("dg_id").as("gs_id"), explode(col("grams")).as("gram"))
 
   /** Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard ≥ minJaccard).
     * Output: (id_a, id_b, jaccard_fp) with jaccard_fp = floor(j*1e6).
@@ -88,14 +98,19 @@ object TextDedup {
     * the aggregate semantics.
     */
   def minhashSignatures(df: DataFrame, idCol: String, textCol: String,
-      n: Int, numHashes: Int): DataFrame = {
-    val grams = array_distinct(wordNgrams(tokens(col(textCol)), n))
-    df.select(col(idCol).as("mh_id"),
-        graft.functions.NativeExpressions.minhashSig(grams, numHashes).as("sig"))
+      n: Int, numHashes: Int): DataFrame =
+    signaturesFromGrams(docGramArrays(df, idCol, textCol, n), numHashes)
+
+  /** [[minhashSignatures]] over a pre-computed (dg_id, grams) table —
+    * lets a pipeline that also needs the gram arrays (e.g.
+    * [[minhashNearDups]]' verification joins) reuse one shared stage.
+    */
+  def signaturesFromGrams(grams: DataFrame, numHashes: Int): DataFrame =
+    grams.select(col("dg_id").as("mh_id"),
+        graft.functions.NativeExpressions.minhashSig(col("grams"), numHashes).as("sig"))
       .filter(col("sig").isNotNull)
       .select(col("mh_id") +:
         (0 until numHashes).map(i => element_at(col("sig"), i + 1).as(s"h$i")): _*)
-  }
 
   /** Aggregate reference implementation of [[minhashSignatures]]: min()
     * per hash over the exploded gram set (partial aggregation map-side).
@@ -144,11 +159,13 @@ object TextDedup {
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String, n: Int,
       numHashes: Int, bands: Int, minJaccard: Double): DataFrame = {
-    val sigs  = minhashSignatures(df, idCol, textCol, n, numHashes)
+    // ONE shared gram-array stage feeds the signature pipeline AND both
+    // verification joins (previously tokenized+grammed 3×); cached
+    // because three consumers would otherwise re-derive it per branch
+    val grams = docGramArrays(df, idCol, textCol, n).cache()
+    val sigs  = signaturesFromGrams(grams, numHashes)
     val cands = lshCandidates(sigs, numHashes, bands)
-    val docGrams = df.select(col(idCol).as("dg_id"),
-        array_distinct(wordNgrams(tokens(col(textCol)), n)).as("grams"))
-      .filter(size(col("grams")) > 0)
+    val docGrams = grams.filter(size(col("grams")) > 0)
     cands
       .join(docGrams.select(col("dg_id").as("id_a"), col("grams").as("ga")), "id_a")
       .join(docGrams.select(col("dg_id").as("id_b"), col("grams").as("gb")), "id_b")

@@ -31,22 +31,27 @@ object AnalyticsQueries {
     "ROLLUP grouping sets over the region→nation hierarchy with " +
       "GROUPING() flags disambiguating subtotal rows from real NULLs.",
     (s, d) => {
-      // the SQL entry path (SURVEY §3 E3): GROUPING() through the
-      // DataFrame rollup API hits ambiguous-attribute resolution (the
-      // Expand duplicates grouping columns); the SQL analyzer resolves it
-      Tables.customer(s, d).createOrReplaceTempView("q30_customer")
-      Tables.nation(s, d).createOrReplaceTempView("q30_nation")
-      Tables.region(s, d).createOrReplaceTempView("q30_region")
-      s.sql("""SELECT r_name AS region_name, n_name AS nation_name,
-              |  COUNT(*) AS n_customers,
-              |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
-              |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS grouping_flags
-              |FROM q30_customer
-              |JOIN q30_nation ON c_nationkey = n_nationkey
-              |JOIN q30_region ON n_regionkey = r_regionkey
-              |GROUP BY ROLLUP(r_name, n_name)
-              |ORDER BY grouping_flags, region_name ASC NULLS FIRST,
-              |  nation_name ASC NULLS FIRST""".stripMargin)
+      // DataFrame rollup path. The STRING varargs overload
+      // `rollup("a", "b")` trips DetectAmbiguousSelfJoin in Spark 4.1.2
+      // when the child is a join (the Expand duplicates dataset-id-tagged
+      // grouping attrs; QueriesSmokeSpec pins the repro) — the COLUMN
+      // overload `rollup(col("a"), col("b"))` resolves fine, including
+      // per-column GROUPING() flags and the NULLS FIRST ordering.
+      val base = Tables.customer(s, d)
+        .join(Tables.nation(s, d), col("c_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region_name"),
+          col("n_name").as("nation_name"), col("c_acctbal"))
+      base.rollup(col("region_name"), col("nation_name"))
+        .agg(
+          count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_acctbal"),
+          (grouping(col("region_name")) * 2 + grouping(col("nation_name")))
+            .cast("long").as("grouping_flags"))
+        .orderBy(col("grouping_flags"),
+          col("region_name").asc_nulls_first,
+          col("nation_name").asc_nulls_first)
     },
     Some("""SELECT r_name AS region_name, n_name AS nation_name,
            |  COUNT(*) AS n_customers,

@@ -175,20 +175,28 @@ object VectorQueries {
         .select("query_id", "neighbor_id")
       val lsh = Similarity.lshTopK(qdf, cdf, NumPlanes, Dim, 3)
         .select("query_id", "neighbor_id")
+      val mp = Similarity.lshTopKMultiProbe(qdf, cdf, NumPlanes, Dim, 3)
+        .select("query_id", "neighbor_id")
       val ivf = Similarity.ivfTopK(qdf, cdf, cent, NProbe, 3)
         .select("query_id", "neighbor_id")
       val base = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
       val lh = truth.join(lsh, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
+      val mh = truth.join(mp, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("mp_hits"))
       val ih = truth.join(ivf, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
       base.join(lh, Seq("query_id"), "left_outer")
+        .join(mh, Seq("query_id"), "left_outer")
         .join(ih, Seq("query_id"), "left_outer")
         .select(col("query_id"), col("n_truth"),
           coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
+          coalesce(col("mp_hits"), lit(0L)).as("mp_hits"),
           coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
           floor(coalesce(col("lsh_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
             .cast("long").as("lsh_recall_fp"),
+          floor(coalesce(col("mp_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
+            .cast("long").as("mp_recall_fp"),
           floor(coalesce(col("ivf_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
             .cast("long").as("ivf_recall_fp"))
         .orderBy("query_id")
@@ -208,6 +216,12 @@ object VectorQueries {
             |lsh AS (SELECT query_id, neighbor_id FROM (
             |  SELECT *, row_number() OVER (PARTITION BY query_id
             |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank FROM lpairs) WHERE rank <= 3),
+            |mq AS (SELECT query_id, qv, unnest(${probeListSql("bucket")}) AS bucket FROM lq),
+            |mpairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM mq JOIN lc USING (bucket) WHERE query_id <> neighbor_id),
+            |mp AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank FROM mpairs) WHERE rank <= 3),
             |cent AS (SELECT vec_id AS cid, embedding AS ccv FROM embeddings WHERE vec_id < $NCentroids),
             |assigned AS (SELECT vec_id AS neighbor_id, embedding AS ncv, cid FROM (
             |  SELECT e.vec_id, e.embedding, c2.cid,
@@ -230,16 +244,57 @@ object VectorQueries {
             |lh AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS lsh_hits FROM truth t
             |  JOIN lsh l ON t.query_id = l.query_id AND t.neighbor_id = l.neighbor_id
             |  GROUP BY t.query_id),
+            |mh AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS mp_hits FROM truth t
+            |  JOIN mp m ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+            |  GROUP BY t.query_id),
             |ih AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS ivf_hits FROM truth t
             |  JOIN ivf i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
             |  GROUP BY t.query_id)
             |SELECT base.query_id, n_truth,
-            |  COALESCE(lsh_hits, 0) AS lsh_hits, COALESCE(ivf_hits, 0) AS ivf_hits,
+            |  COALESCE(lsh_hits, 0) AS lsh_hits, COALESCE(mp_hits, 0) AS mp_hits,
+            |  COALESCE(ivf_hits, 0) AS ivf_hits,
             |  CAST(floor(COALESCE(lsh_hits, 0)*1000000.0/n_truth) AS BIGINT) AS lsh_recall_fp,
+            |  CAST(floor(COALESCE(mp_hits, 0)*1000000.0/n_truth) AS BIGINT) AS mp_recall_fp,
             |  CAST(floor(COALESCE(ivf_hits, 0)*1000000.0/n_truth) AS BIGINT) AS ivf_recall_fp
             |FROM base LEFT JOIN lh ON base.query_id = lh.query_id
+            |LEFT JOIN mh ON base.query_id = mh.query_id
             |LEFT JOIN ih ON base.query_id = ih.query_id
             |ORDER BY base.query_id""".stripMargin))
+
+  /** DuckDB list of a query bucket's multi-probe set: itself plus each
+    * single-plane flip (Hamming-1 neighbors) — mirrors
+    * [[graft.operators.Similarity.lshTopKMultiProbe]].
+    */
+  private def probeListSql(bucket: String): String =
+    s"""list_concat([$bucket],
+       |  list_transform(range(0, $NumPlanes), p -> xor($bucket, 1::BIGINT << p)))""".stripMargin
+
+  val q36AnnLshMultiProbe = NamedQuery(
+    "q36_ann_lsh_multiprobe",
+    "Multi-probe LSH ANN: queries probe their own bucket plus all " +
+      "Hamming-1 buckets (one flipped hyperplane) — recovers the " +
+      "dominant single-plane miss mode; q33 quantifies the recall gain " +
+      "over single-probe q20.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          numPlanes = NumPlanes, dim = Dim, k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", NumPlanes)} AS bucket FROM embeddings),
+            |q0 AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+            |q AS (SELECT query_id, qv,
+            |    unnest(${probeListSql("bucket")}) AS bucket FROM q0),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+            |pairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM pairs)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
   /** One k-means iteration's worth of DuckDB CTEs (assignment vs cent{i-1},
     * quantized component means, centroid rebuild) — mirrors one loop body
@@ -301,5 +356,5 @@ object VectorQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
-    q33AnnRecall, q34AnnIvfKmeans)
+    q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe)
 }

@@ -23,4 +23,44 @@ class QueriesSmokeSpec extends SparkSpec {
     val missing = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
+
+  test("String-overload rollup after a join is ambiguous (pinned Spark 4.1 limitation)") {
+    // rollup("a", "b") trips DetectAmbiguousSelfJoin when the child is a
+    // join with aliased columns; rollup(col("a"), col("b")) — which q30
+    // uses — does not. If this starts PASSING on a Spark upgrade, the
+    // String overload is usable again.
+    import org.apache.spark.sql.functions._
+    val d = sf("sf0.001")
+    val base = Tables.customer(spark, d)
+      .join(Tables.nation(spark, d), col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_name").as("nation_name"), col("c_acctbal"))
+    val ex = intercept[org.apache.spark.sql.AnalysisException] {
+      base.rollup("nation_name")
+        .agg(count(lit(1)).as("n"))
+        .collect()
+    }
+    assert(ex.getMessage.toLowerCase.contains("ambiguous"))
+  }
+
+  test("q30 DataFrame rollup equals the SQL ROLLUP path") {
+    // pins that the Column-overload rollup + GROUPING() flags stay
+    // value-identical to the SQL analyzer's formulation
+    val d = sf("sf0.001")
+    val df = queries.AnalyticsQueries.q30Rollup.fn(spark, d).collect().toSeq
+    Tables.customer(spark, d).createOrReplaceTempView("q30s_customer")
+    Tables.nation(spark, d).createOrReplaceTempView("q30s_nation")
+    Tables.region(spark, d).createOrReplaceTempView("q30s_region")
+    val sql = spark.sql(
+      """SELECT r_name AS region_name, n_name AS nation_name,
+        |  COUNT(*) AS n_customers,
+        |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_acctbal,
+        |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS grouping_flags
+        |FROM q30s_customer
+        |JOIN q30s_nation ON c_nationkey = n_nationkey
+        |JOIN q30s_region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)
+        |ORDER BY grouping_flags, region_name ASC NULLS FIRST,
+        |  nation_name ASC NULLS FIRST""".stripMargin).collect().toSeq
+    assert(df == sql)
+  }
 }

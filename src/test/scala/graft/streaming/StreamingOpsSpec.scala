@@ -91,6 +91,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("gold windowed agg advances across ≥2 ProcessingTime micro-batches") {
+    // the reference's 5-min gold recompute cadence
+    // (04_Current_Inventory.sql:3) maps to Trigger.ProcessingTime; this
+    // drives the windowed-agg shape through multiple real micro-batches
+    // with input arriving BETWEEN triggers, not a single AvailableNow pass
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val agg = mem.toDS().toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("sv"))
+      .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sv"))
+    val q = agg.writeStream.format("memory").queryName("pt_gold")
+      .outputMode(OutputMode.Complete())
+      .option("checkpointLocation", s"/tmp/graft-ckpt/pt-gold-${System.nanoTime()}")
+      .trigger(Trigger.ProcessingTime("100 milliseconds"))
+      .start()
+    mem.addData(ev(1, 1, "click", 2.0, 10 * H), ev(2, 1, "click", 3.0, 10 * H + 1))
+    q.processAllAvailable()
+    val afterB1 = spark.table("pt_gold").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(afterB1 == Map("click" -> (2L, 5.0)))
+    mem.addData(ev(3, 2, "view", 1.5, 11 * H)) // arrives between triggers
+    q.processAllAvailable()
+    q.stop()
+    val afterB2 = spark.table("pt_gold").collect()
+      .map(r => r.getString(1) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(afterB2 == Map("click" -> (2L, 5.0), "view" -> (1L, 1.5)))
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 2,
+      "the new rows must have been picked up by a second micro-batch")
+  }
+
   test("bounded streaming run equals batch over the same file input") {
     val batch = ApplyChanges.latestByKey(
       graft.Tables.events(spark, sf("sf0.001")),
