@@ -2,7 +2,8 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{AnalyticsQueries, EventQueries, MultimodalQueries,
-  PosQueries, RelationalQueries, StreamingQueries, TextQueries, VectorQueries}
+  PosQueries, RelationalQueries, StreamingQueries, TextQueries,
+  TrainingDataQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,7 +21,8 @@ object SparkEntry {
       StreamingQueries.all ++
       MultimodalQueries.all ++
       PosQueries.all ++
-      AnalyticsQueries.all
+      AnalyticsQueries.all ++
+      TrainingDataQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

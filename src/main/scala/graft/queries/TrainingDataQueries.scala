@@ -1,0 +1,213 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Tables}
+import graft.functions.TextFunctions.{hash60, tokens}
+
+/** Training-data pipeline operators beyond dedup/similarity: cardinality
+  * sketching, context-window sequence packing, deterministic dataset
+  * splits, and embedding quantization. All deterministic by construction
+  * (integer/decimal math, md5-derived hashes, floor-scaled ratios) so
+  * every query is hash-checked against DuckDB.
+  */
+object TrainingDataQueries {
+
+  private val HllBuckets = 64 // 6-bit stochastic averaging
+  private val PackCapacity = 512L // tokens per packed context window
+  private val Q = 127.0 // int8 symmetric quantization range
+
+  /** q37: distributed cardinality sketch — an HLL-shaped estimator built
+    * from two hash aggregations, both with map-side partial aggregation:
+    *   register(b) = max over keys in bucket b of (#leading zeros of the
+    *   54-bit hash remainder + 1); estimate = α·m²/Σ2^(−reg).
+    * Unlike approx_count_distinct (whose HLL++ internals an external
+    * oracle cannot replay), every step here is md5-derived and
+    * bit-reproducible in SQL — the 2^(−reg) sum is integer-scaled by
+    * 2^55 so it is EXACT and order-independent across partitions.
+    * At 100 TB: shuffle carries ≤ |groups|×64 register rows.
+    *
+    * This is the RAW estimator: accurate once registers are populated
+    * (sf0.01: 151 est vs 150 exact, 0.7% — pinned in QueriesSmokeSpec)
+    * but biased high when n ≪ buckets. Production HLL adds linear
+    * counting (m·ln(m/V)) below 2.5m — deliberately omitted here
+    * because cross-engine `ln` is not guaranteed bit-identical, which
+    * would break the hash oracle; the sketch's target regime is large n.
+    */
+  val q37ApproxDistinct = NamedQuery(
+    "q37_approx_distinct",
+    "Deterministic HLL-lite distinct-user sketch per event_type (64 " +
+      "buckets, exact integer-scaled register sum) next to the exact " +
+      "COUNT(DISTINCT) it approximates.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          col("user_id"),
+          hash60(col("user_id").cast("string")).as("h"))
+      val regs = ev
+        .select(col("event_type"), (col("h") % HllBuckets).as("bucket"),
+          shiftright(col("h"), 6).as("rem"))
+        .withColumn("reg",
+          when(col("rem") === 0, lit(55))
+            .otherwise(lit(55) - length(bin(col("rem")))))
+        .groupBy("event_type", "bucket").agg(max("reg").as("reg"))
+      // every (event_type, bucket) slot: empty registers count as 0
+      val slots = ev.select("event_type").distinct()
+        .select(col("event_type"),
+          explode(sequence(lit(0), lit(HllBuckets - 1))).as("bucket"))
+      val est = slots.join(regs, Seq("event_type", "bucket"), "left_outer")
+        .withColumn("reg", coalesce(col("reg"), lit(0)))
+        // 2^55 / 2^reg is an exact long; the sum is exact integer math
+        .withColumn("w", expr("CAST(pow(2.0, 55 - reg) AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(floor(lit(0.709) * lit(HllBuckets) * lit(HllBuckets) *
+            pow(lit(2.0), lit(55)) / sum(col("w")).cast("double"))
+          .cast("long").as("hll_est"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_exact"))
+      exact.join(est, Seq("event_type")).orderBy("event_type")
+    },
+    Some(s"""WITH ev AS (SELECT event_type, user_id,
+            |    ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+            |  FROM events),
+            |regs AS (SELECT event_type, h % $HllBuckets AS bucket,
+            |    MAX(CASE WHEN (h >> 6) = 0 THEN 55
+            |        ELSE 55 - length(bin(h >> 6)) END) AS reg
+            |  FROM ev GROUP BY event_type, h % $HllBuckets),
+            |slots AS (SELECT event_type, js.bucket
+            |  FROM (SELECT DISTINCT event_type FROM ev),
+            |    (SELECT unnest(range(0, $HllBuckets)) AS bucket) js),
+            |est AS (SELECT event_type,
+            |    CAST(floor(0.709::DOUBLE * $HllBuckets * $HllBuckets * pow(2.0, 55)
+            |      / CAST(SUM(CAST(pow(2.0, 55 - reg) AS BIGINT)) AS DOUBLE)) AS BIGINT) AS hll_est
+            |  FROM (SELECT s.event_type, COALESCE(r.reg, 0) AS reg
+            |    FROM slots s LEFT JOIN regs r
+            |    ON s.event_type = r.event_type AND s.bucket = r.bucket)
+            |  GROUP BY event_type),
+            |exact AS (SELECT event_type, COUNT(DISTINCT user_id) AS n_exact
+            |  FROM ev GROUP BY event_type)
+            |SELECT exact.event_type, n_exact, hll_est
+            |FROM exact JOIN est ON exact.event_type = est.event_type
+            |ORDER BY exact.event_type""".stripMargin))
+
+  /** q38: sequence packing — greedy fixed-capacity packing of documents
+    * into context windows by cumulative token count, computed with ONE
+    * window function per language partition: pack_id =
+    * floor((cumsum(tokens) − tokens) / capacity) (start-offset binning —
+    * a doc opens a new pack when its predecessor crossed the boundary).
+    * At scale the sort is range-partitioned per language; no driver
+    * loop, no per-doc state.
+    */
+  val q38SequencePacking = NamedQuery(
+    "q38_sequence_packing",
+    s"Pack documents into $PackCapacity-token context windows per " +
+      "language (deterministic doc_id order): window cumulative sum → " +
+      "pack id → per-pack doc count and token total.",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("lang"), col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val w = Window.partitionBy("lang").orderBy("doc_id")
+      toks
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("pack_id",
+          floor((col("cum") - col("n_tokens")) / lit(PackCapacity.toDouble))
+            .cast("long"))
+        .groupBy("lang", "pack_id")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("pack_tokens"))
+        .orderBy("lang", "pack_id")
+    },
+    Some(s"""WITH toks AS (SELECT lang, doc_id,
+            |    CAST(len(string_split(lower(text), ' ')) AS BIGINT) AS n_tokens
+            |  FROM documents),
+            |packed AS (SELECT lang, doc_id, n_tokens,
+            |    CAST(SUM(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS cum
+            |  FROM toks)
+            |SELECT lang, CAST(floor((cum - n_tokens) / ${PackCapacity}.0) AS BIGINT) AS pack_id,
+            |  COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS pack_tokens
+            |FROM packed GROUP BY lang, pack_id
+            |ORDER BY lang, pack_id""".stripMargin))
+
+  /** q39: deterministic stratified train/val/test split — the standard
+    * hash-mod split (no RNG, stable under reprocessing and joinable from
+    * any engine), with per-split corpus accounting. Row-local hash →
+    * one aggregation; embarrassingly parallel.
+    */
+  val q39DatasetSplit = NamedQuery(
+    "q39_dataset_split",
+    "80/10/10 hash-mod split of the documents corpus with per-split " +
+      "doc/token/char accounting.",
+    (s, d) => {
+      val h = hash60(col("doc_id").cast("string")) % 100
+      Tables.documents(s, d)
+        .select(
+          when(h < 80, "train").when(h < 90, "val").otherwise("test")
+            .as("split"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          col("n_chars"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("total_tokens"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("split")
+    },
+    Some("""SELECT CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val'
+           |    ELSE 'test' END AS split,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(CAST(len(string_split(lower(text), ' ')) AS BIGINT)) AS BIGINT) AS total_tokens,
+           |  CAST(SUM(n_chars) AS BIGINT) AS total_chars
+           |FROM (SELECT *,
+           |    ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS hm
+           |  FROM documents)
+           |GROUP BY 1 ORDER BY split""".stripMargin))
+
+  /** q40: int8 symmetric embedding quantization — per-vector scale =
+    * max|x|, q = clamp(floor(x·127/scale)) — entirely row-local (zero
+    * shuffle), with the reconstruction L1 error as a floor-scaled long.
+    * The storage shape production vector stores use (4× smaller than
+    * float32); dequantization is q·scale/127.
+    */
+  val q40QuantizeEmbeddings = NamedQuery(
+    "q40_quantize_embeddings",
+    "Int8 symmetric quantization of the embedding column: per-vector " +
+      "scale, quantized int array, checksum, and L1 reconstruction error.",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .withColumn("maxabs",
+          array_max(transform(col("embedding"), x => abs(x.cast("double")))))
+        .withColumn("qvec",
+          transform(col("embedding"), x =>
+            greatest(lit(-127), least(lit(127),
+              floor(x.cast("double") * lit(Q) / col("maxabs")))).cast("int")))
+        .select(
+          col("vec_id"),
+          floor(col("maxabs") * lit(1000000.0)).cast("long").as("scale_fp"),
+          col("qvec"),
+          aggregate(col("qvec"), lit(0L), (a, v) => a + v.cast("long"))
+            .as("q_sum"),
+          floor(aggregate(
+              zip_with(col("embedding"), col("qvec"), (x, q) =>
+                abs(x.cast("double") - q.cast("double") * col("maxabs") / lit(Q))),
+              lit(0.0), (a, v) => a + v) * lit(1000000.0))
+            .cast("long").as("recon_err_fp"))
+        .orderBy("vec_id"),
+    Some(s"""WITH base AS (SELECT vec_id, embedding,
+            |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+            |  FROM embeddings),
+            |qq AS (SELECT vec_id, embedding, maxabs,
+            |    list_transform(embedding, x -> CAST(GREATEST(-127, LEAST(127,
+            |      floor(CAST(x AS DOUBLE) * $Q / maxabs))) AS INTEGER)) AS qvec
+            |  FROM base)
+            |SELECT vec_id,
+            |  CAST(floor(maxabs * 1000000.0) AS BIGINT) AS scale_fp,
+            |  qvec,
+            |  CAST(list_sum(qvec) AS BIGINT) AS q_sum,
+            |  CAST(floor(list_sum(list_transform(list_zip(embedding, qvec),
+            |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * maxabs / $Q)))
+            |    * 1000000.0) AS BIGINT) AS recon_err_fp
+            |FROM qq ORDER BY vec_id""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(
+    q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
+    q40QuantizeEmbeddings)
+}

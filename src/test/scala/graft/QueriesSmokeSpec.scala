@@ -42,6 +42,20 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(ex.getMessage.toLowerCase.contains("ambiguous"))
   }
 
+  test("q37 HLL sketch is within 10% of exact once registers are populated") {
+    // sf0.01 has ~150 distinct users per event_type over 64 buckets —
+    // the populated-register regime the raw estimator targets
+    val rows = queries.TrainingDataQueries.q37ApproxDistinct
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("n_exact").toDouble
+      val est = r.getAs[Long]("hll_est").toDouble
+      assert(math.abs(est - exact) / exact < 0.10,
+        s"${r.getString(0)}: est $est vs exact $exact")
+    }
+  }
+
   test("q30 DataFrame rollup equals the SQL ROLLUP path") {
     // pins that the Column-overload rollup + GROUPING() flags stay
     // value-identical to the SQL analyzer's formulation
