@@ -69,13 +69,13 @@ object StreamingOps {
     * mapGroupsWithState is the reference's era; StatefulProcessor is
     * where new state features (TTL, timers, state schema evolution) land.
     */
-  class LatestPerKeyProcessor
+  class LatestPerKeyProcessor(ttl: TTLConfig = TTLConfig.NONE)
       extends StatefulProcessor[(Long, String), EventRow, LatestOut] {
     @transient private var state: ValueState[LatestState] = _
 
     override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
       state = getHandle.getValueState[LatestState]("latest",
-        Encoders.product[LatestState], TTLConfig.NONE)
+        Encoders.product[LatestState], ttl)
 
     override def handleInputRows(key: (Long, String), rows: Iterator[EventRow],
         timerValues: TimerValues): Iterator[LatestOut] = {
@@ -105,14 +105,116 @@ object StreamingOps {
 
   /** Streaming CDC latest-per-key via transformWithState. Caller must
     * configure the RocksDB state store — see [[RocksDbProvider]].
+    *
+    * `ttl`: optional state time-to-live (requires the processing-time
+    * TimeMode per the TTL contract) — the knob that bounds state for
+    * keys that stop arriving, e.g. retired (item, store) pairs in a
+    * year-long CDC stream. TTLConfig.NONE keeps state forever (the
+    * reference's semantics).
     */
-  def latestPerKeyTws(events: Dataset[EventRow]): Dataset[LatestOut] = {
+  def latestPerKeyTws(events: Dataset[EventRow],
+      ttl: TTLConfig = TTLConfig.NONE): Dataset[LatestOut] = {
     import events.sparkSession.implicits._
+    val timeMode =
+      if (ttl == TTLConfig.NONE) TimeMode.None() else TimeMode.ProcessingTime()
     events
       .groupByKey(e => (e.user_id, e.event_type))
-      .transformWithState(new LatestPerKeyProcessor,
-        TimeMode.None(), OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[LatestOut]])
+      .transformWithState(new LatestPerKeyProcessor(ttl),
+        timeMode, OutputMode.Update(), implicitly[org.apache.spark.sql.Encoder[LatestOut]])
   }
+
+  /** A closed session per key. */
+  final case class SessionOut(user_id: Long, n_events: Long, last_ts_us: Long)
+
+  private final case class SessAgg(startUs: Long, lastUs: Long, n: Long)
+
+  /** Timer-driven sessionization on `transformWithState` — the stateful
+    * pattern `session_window` cannot express: EMIT ON CLOSE. Each key's
+    * state tracks (start, last, count); every batch re-registers one
+    * event-time timer at last + gap; when the WATERMARK passes the timer,
+    * [[StatefulProcessor.handleExpiredTimer]] emits the closed session
+    * and clears state. Events arriving before the timer (even
+    * out-of-order) extend/merge the open session.
+    *
+    * State per key = one small struct + one timer; both partitioned by
+    * key across executors; watermark progress bounds everything.
+    */
+  class SessionTimerProcessor(gapUs: Long)
+      extends StatefulProcessor[Long, EventRow, SessionOut] {
+    @transient private var state: ValueState[SessAgg] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      state = getHandle.getValueState[SessAgg]("session",
+        Encoders.product[SessAgg], TTLConfig.NONE)
+
+    override def handleInputRows(key: Long, rows: Iterator[EventRow],
+        timerValues: TimerValues): Iterator[SessionOut] = {
+      var cur = Option(state.get())
+      rows.foreach { e =>
+        cur = cur match {
+          case None => Some(SessAgg(e.ts_us, e.ts_us, 1L))
+          case Some(s) => Some(SessAgg(math.min(s.startUs, e.ts_us),
+            math.max(s.lastUs, e.ts_us), s.n + 1L))
+        }
+      }
+      val c = cur.get
+      state.update(c)
+      // one live timer per key: re-arm at the (possibly extended) close
+      getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
+      getHandle.registerTimer((c.lastUs + gapUs) / 1000L) // timers are epoch-ms
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val s = state.get()
+      if (s == null) Iterator.empty
+      else {
+        state.clear()
+        Iterator.single(SessionOut(key, s.n, s.lastUs))
+      }
+    }
+  }
+
+  /** Session close events per user via event-time timers: requires a
+    * watermark on the input and the RocksDB state store (see
+    * [[RocksDbProvider]]).
+    */
+  def sessionCloses(events: Dataset[EventRow], gapUs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .transformWithState(new SessionTimerProcessor(gapUs),
+        TimeMode.EventTime(), OutputMode.Append(),
+        implicitly[org.apache.spark.sql.Encoder[SessionOut]])
+  }
+
+  /** foreachBatch upsert sink — the production pattern for merging a
+    * CDC stream into a queryable table when the sink has no native
+    * MERGE: each micro-batch folds into the target via the SAME batch
+    * [[graft.operators.ApplyChanges.latestByKey]] the engine uses
+    * everywhere (exactly-once by idempotence: re-applying a replayed
+    * batch is a no-op because latest-per-key is monotone). The target
+    * is materialized before overwrite; a transactional table format
+    * replaces the write-temp-then-swap in deployment.
+    */
+  def foreachBatchUpsert(stream: DataFrame, targetDir: String,
+      keys: Seq[String], sequenceBy: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val current =
+        if (new java.io.File(targetDir).exists) spark.read.parquet(targetDir)
+        else batch.limit(0)
+      val merged = graft.operators.ApplyChanges.latestByKey(
+        current.unionByName(batch), keys,
+        sequenceBy.map(org.apache.spark.sql.functions.col))
+      // materialize before overwriting the table being read
+      val rows = merged.cache()
+      rows.count()
+      rows.write.mode("overwrite").parquet(targetDir)
+      rows.unpersist()
+      ()
+    }
 
   /** Run a finite streaming query to completion (Trigger.AvailableNow) into
     * an in-memory sink and return the result table. This is how the batch

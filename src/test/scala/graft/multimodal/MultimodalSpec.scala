@@ -46,4 +46,20 @@ class MultimodalSpec extends SparkSpec {
     }
     assert(frames.filter(col("frame_off") =!= col("frame_idx") * 25).count() == 0)
   }
+
+  test("metadata-only queries never read the blob column from parquet") {
+    // THE scale property of opaque binary columns: a stats/metadata query
+    // over a 100 TB media table must scan kilobytes of metadata, not the
+    // blobs — column pruning has to reach the parquet scan
+    val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
+    media.write.mode("overwrite").parquet(dir)
+    val q = spark.read.parquet(dir)
+      .groupBy("format")
+      .agg(count(lit(1)).as("n"), sum(col("width")).as("w"))
+    val plan = q.queryExecution.explainString(
+      org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(plan.contains("ReadSchema"), plan)
+    assert(!plan.contains("blob"),
+      s"blob column must be pruned from the scan:\n$plan")
+  }
 }

@@ -125,6 +125,112 @@ class StreamingOpsSpec extends SparkSpec {
       "the new rows must have been picked up by a second micro-batch")
   }
 
+  test("TTL-configured state (ProcessingTime mode) matches batch within the TTL window") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      StreamingOps.RocksDbProvider)
+    val batch = ApplyChanges.latestByKey(
+      graft.Tables.events(spark, sf("sf0.001")),
+      Seq("user_id", "event_type"), Seq(col("ts_us"), col("event_id")))
+      .select(col("user_id"), col("event_type"), col("event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val events = StreamingOps.eventsStream(spark, sf("sf0.001"))
+      .selectExpr("event_id", "user_id", "event_type", "value", "props", "ts_us")
+      .as[EventRow]
+    // 1h TTL: state cannot expire within this bounded run, so results
+    // must equal the un-TTL'd (and batch) answer — what's exercised is
+    // the TTL + ProcessingTime TimeMode code path itself. NOTE: under
+    // the ProcessingTime TimeMode the runtime keeps scheduling batches
+    // for processing-time progress, so neither Trigger.AvailableNow nor
+    // processAllAvailable ever reaches "idle" — the sink is POLLED until
+    // it converges to the batch answer, then the query is stopped.
+    val name = s"spec_ttl_${System.nanoTime()}"
+    val out = StreamingOps.latestPerKeyTws(events,
+      org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
+    val q = out.toDF().writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Update())
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      .start()
+    def current(): Set[(Long, String, Long)] = ApplyChanges.latestByKey(
+      spark.table(name), Seq("user_id", "event_type"),
+      Seq(col("last_ts_us"), col("last_event_id")))
+      .select(col("user_id"), col("event_type"), col("last_event_id"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val deadline = System.currentTimeMillis() + 120000
+    var got = current()
+    while (got != batch && System.currentTimeMillis() < deadline) {
+      Thread.sleep(250)
+      got = current()
+    }
+    q.stop()
+    assert(got == batch)
+  }
+
+  test("event-time timers close sessions once the watermark passes the gap") {
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      StreamingOps.RocksDbProvider)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[EventRow]
+    val Gap = 30L * 60L * 1000000L // 30 min in µs
+    val T = 100 * H
+    val withWm = mem.toDS().toDF()
+      .withColumn("ts", timestamp_micros(col("ts_us")))
+      .withWatermark("ts", "0 seconds")
+      .selectExpr("event_id", "user_id", "event_type", "value", "props", "ts_us")
+      .as[EventRow]
+    val name = s"sess_close_${System.nanoTime()}"
+    val q = StreamingOps.sessionCloses(withWm, Gap).toDF()
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append())
+      .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      .start()
+    // batch 1: user 1 has a 2-event session; user 2 a single event
+    mem.addData(ev(1, 1, "click", 1.0, T),
+      ev(2, 1, "click", 1.0, T + 10 * 60 * 1000000L),
+      ev(3, 2, "view", 1.0, T))
+    q.processAllAvailable()
+    // batch 2 (watermark still at batch-1 max): user 1's event arrives
+    // BEFORE its timer fires, so it EXTENDS the open session; user 3 opens
+    mem.addData(ev(4, 1, "click", 1.0, T + 2 * H), ev(5, 3, "view", 1.0, T + 2 * H))
+    q.processAllAvailable()
+    // batch 3 pushes the watermark far past every pending timer
+    mem.addData(ev(6, 9, "view", 1.0, T + 10 * H))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table(name).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // user 2 closed at gap after T; users 1 and 3 closed after batch 3's
+    // watermark passed their re-armed timers; user 9's session stays open
+    assert(got == Set(
+      (1L, 3L, T + 2 * H), // merged 3-event session, last event at T+2h
+      (2L, 1L, T),
+      (3L, 1L, T + 2 * H)))
+  }
+
+  test("foreachBatch upsert folds every micro-batch into the parquet target") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = java.nio.file.Files
+      .createTempDirectory("graft-upsert").toString + "/latest"
+    val mem = MemoryStream[EventRow]
+    val q = StreamingOps.foreachBatchUpsert(mem.toDS().toDF(), target,
+        Seq("user_id", "event_type"), Seq("ts_us", "event_id"))
+      .option("checkpointLocation", s"/tmp/graft-ckpt/upsert-${System.nanoTime()}")
+      .start()
+    mem.addData(ev(1, 1, "click", 1.0, 10 * H), ev(2, 2, "view", 7.0, 10 * H))
+    q.processAllAvailable()
+    mem.addData(ev(3, 1, "click", 9.9, 5 * H),  // stale: must NOT win
+      ev(4, 1, "click", 4.0, 12 * H),           // newer: must win
+      ev(5, 3, "buy", 2.0, 10 * H))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.read.parquet(target)
+      .collect().map(r => (r.getAs[Long]("user_id"), r.getAs[String]("event_type")) ->
+        (r.getAs[Long]("event_id"), r.getAs[Double]("value"))).toMap
+    assert(got == Map(
+      (1L, "click") -> (4L, 4.0),
+      (2L, "view") -> (2L, 7.0),
+      (3L, "buy") -> (5L, 2.0)))
+  }
+
   test("bounded streaming run equals batch over the same file input") {
     val batch = ApplyChanges.latestByKey(
       graft.Tables.events(spark, sf("sf0.001")),
