@@ -229,7 +229,77 @@ object TextQueries {
             |FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id
             |ORDER BY d.doc_id""".stripMargin))
 
+  private val MinCleanTokens = 20
+
+  /** q41: the whole cleaning pipeline COMPOSED — what a training-data
+    * user actually runs: exact dedup survivors → MinHash+LSH near-dup
+    * removal (drop the larger id of every confirmed pair) → minimum-
+    * length quality gate → per-language corpus accounting. Exercises
+    * that the operators chain as DataFrames (each stage consumes the
+    * previous stage's frame, Catalyst plans the whole thing as one DAG)
+    * and that the composed result — not just each stage — hash-matches
+    * the oracle.
+    */
+  val q41CleanCorpus = NamedQuery(
+    "q41_clean_corpus",
+    "Composed cleaning pipeline: exact-dup survivors, LSH near-dup " +
+      s"removal (j ≥ 0.5), ≥ $MinCleanTokens-token gate, per-lang " +
+      "doc/token accounting.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val survivors = TextDedup.dropExactDups(docs, "doc_id", "text")
+      val nearDups = TextDedup.minhashNearDups(survivors, "doc_id", "text",
+        n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
+      val clean = survivors
+        .join(nearDups.select(col("id_b").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_anti")
+        .filter(size(tokens(col("text"))) >= MinCleanTokens)
+      clean.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(tokens(col("text"))).cast("long")).as("total_tokens"))
+        .orderBy("lang")
+    },
+    Some {
+      val rows = NumHashes / Bands
+      val sigCols = (0 until NumHashes)
+        .map(i => s"min(${h60(s"'$i:'||g")}) AS h$i").mkString(", ")
+      val bandSel = (0 until Bands).map { b =>
+        val hs = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
+        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $hs)) AS band_key FROM sig"
+      }.mkString(" UNION ALL ")
+      s"""WITH surv_ids AS (SELECT MIN(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(lower(text))),
+         |surv AS (SELECT d.* FROM documents d
+         |  JOIN surv_ids si ON d.doc_id = si.doc_id),
+         |toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts FROM surv),
+         |grams AS (SELECT DISTINCT doc_id, g FROM toks,
+         |  unnest(list_transform(range(1, len(ts)-1),
+         |    i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+         |  WHERE len(ts) >= 3),
+         |sig AS (SELECT doc_id, $sigCols FROM grams GROUP BY doc_id),
+         |bands AS ($bandSel),
+         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter FROM cands
+         |  JOIN grams ga ON ga.doc_id = id_a
+         |  JOIN grams gb ON gb.doc_id = id_b AND gb.g = ga.g
+         |  GROUP BY id_a, id_b),
+         |nd AS (SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) >= 500000),
+         |dropped AS (SELECT DISTINCT id_b AS doc_id FROM nd),
+         |clean AS (SELECT s.* FROM surv s
+         |  LEFT JOIN dropped dr ON s.doc_id = dr.doc_id
+         |  WHERE dr.doc_id IS NULL
+         |    AND len(string_split(lower(s.text),' ')) >= $MinCleanTokens)
+         |SELECT lang, COUNT(*) AS n_docs,
+         |  CAST(SUM(CAST(len(string_split(lower(text),' ')) AS BIGINT)) AS BIGINT) AS total_tokens
+         |FROM clean GROUP BY lang ORDER BY lang""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
-    q16TextQuality, q17LangId, q18Fingerprint)
+    q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus)
 }
