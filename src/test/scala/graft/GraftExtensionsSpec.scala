@@ -22,6 +22,10 @@ class GraftExtensionsSpec extends SparkSpec {
     val sig = spark.sql(
       "SELECT graft_minhash_sig(array('x','y'), 4) AS s").head.getSeq[Long](0)
     assert(sig.length == 4)
+    val bucket = spark.sql(
+      """SELECT graft_lsh_bucket(array(CAST(0.5 AS FLOAT), CAST(-0.5 AS FLOAT)),
+        |                        4, 2) AS b""".stripMargin).head.getLong(0)
+    assert(bucket >= 0 && bucket < 16) // 4 planes → 16 buckets
   }
 
   test("the extensions class wires the same builders without throwing") {
