@@ -179,13 +179,16 @@ object NativeExpressions {
     * aggregate(transform(sequence)) — the shape that made q20 the
     * slowest non-streaming query before this expression.
     */
-  case class LshBucket(child: Expression, numPlanes: Int, dim: Int)
+  case class LshBucket(child: Expression, numPlanes: Int, dim: Int,
+      planeOffset: Int = 0)
       extends UnaryExpression {
     override def dataType: DataType = LongType
 
     /** Flat row-major numPlanes×dim ±1 matrix; deterministic, so equal
-      * (numPlanes, dim) ⇒ equal planes and case-class equality stays
-      * semantically correct without comparing the array.
+      * (numPlanes, dim, planeOffset) ⇒ equal planes and case-class
+      * equality stays semantically correct without comparing the array.
+      * `planeOffset` selects an independent plane family — table t of a
+      * multi-table LSH index uses offset t·numPlanes.
       */
     @transient private lazy val planes: Array[Double] = {
       val m = new Array[Double](numPlanes * dim)
@@ -193,7 +196,7 @@ object NativeExpressions {
       while (p < numPlanes) {
         var j = 0
         while (j < dim) {
-          m(p * dim + j) = LshBucket.planeWeight(p, j)
+          m(p * dim + j) = LshBucket.planeWeight(planeOffset + p, j)
           j += 1
         }
         p += 1
@@ -239,8 +242,9 @@ object NativeExpressions {
   def minHash60(arr: Column): Column = column(MinHash60(expression(arr)))
   def wordNgrams(toks: Column, n: Int): Column =
     column(WordNgrams(expression(toks), n))
-  def lshBucket(vec: Column, numPlanes: Int, dim: Int): Column =
-    column(LshBucket(expression(vec), numPlanes, dim))
+  def lshBucket(vec: Column, numPlanes: Int, dim: Int,
+      planeOffset: Int = 0): Column =
+    column(LshBucket(expression(vec), numPlanes, dim, planeOffset))
 
   /** Dot product dispatching on element type — [[FloatVecDot]] for
     * `array<float>`, [[DoubleVecDot]] for `array<double>` — so callers

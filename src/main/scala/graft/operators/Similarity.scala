@@ -44,8 +44,9 @@ object Similarity {
     * [[lshBucketHof]] is the bit-identical HOF reference it is tested
     * against (interpreted, measured 4× slower end-to-end on q20).
     */
-  def lshBucket(emb: Column, numPlanes: Int, dim: Int): Column =
-    graft.functions.NativeExpressions.lshBucket(emb, numPlanes, dim)
+  def lshBucket(emb: Column, numPlanes: Int, dim: Int,
+      planeOffset: Int = 0): Column =
+    graft.functions.NativeExpressions.lshBucket(emb, numPlanes, dim, planeOffset)
 
   /** HOF reference implementation of [[lshBucket]]: sequential-fold HOFs
     * over a literal plane matrix — bit-reproducible in DuckDB, kept for
@@ -132,6 +133,51 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos_fp",
         cosineFp6PreNorm(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_fp", "rank")
+  }
+
+  /** Full OR-amplified LSH: `numTables` independent plane families
+    * (plane offsets t·numPlanes), each probed multi-probe style (own
+    * bucket + all Hamming-1 flips). A pair is a candidate if it
+    * collides in ANY (table, bucket) — the textbook recall amplifier:
+    * P(miss) = Π_t P(miss_t). Candidates hash L times row-locally (the
+    * native expression, no shuffle) and the bucket table grows ×L; the
+    * join stays a single equi-join on (table, bucket). Collisions in
+    * several tables are deduplicated by the per-query rank, which
+    * scores each distinct neighbor once via max — candidates carry no
+    * duplicate scoring work into the ranking.
+    */
+  def lshTopKMultiTable(queries: DataFrame, candidates: DataFrame,
+      numPlanes: Int, dim: Int, numTables: Int, k: Int): DataFrame = {
+    def withBuckets(df: DataFrame, vec: String, probe: Boolean): DataFrame = {
+      val tb = (0 until numTables).flatMap { t =>
+        val b = lshBucket(col(vec), numPlanes, dim, t * numPlanes)
+        val probes =
+          if (probe) b +: (0 until numPlanes).map(p => b.bitwiseXOR(lit(1L << p)))
+          else Seq(b)
+        probes.map(pb => struct(lit(t).as("t"), pb.as("b")))
+      }
+      df.withColumn("tb", explode(array(tb: _*)))
+        .withColumn("tbl", col("tb.t")).withColumn("bucket", col("tb.b"))
+        .drop("tb")
+    }
+    val q = withBuckets(
+      queries.select(col("query_id"), col("qv"), norm(col("qv")).as("qn")),
+      "qv", probe = true)
+    val c = withBuckets(
+      candidates.select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn")),
+      "cv", probe = false)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_fp").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("tbl", "bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      // a pair colliding in several tables scores once: group to distinct
+      // pairs first (cos is pair-functional, max = the single value)
+      .groupBy("query_id", "neighbor_id")
+      .agg(max(cosineFp6PreNorm(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+        .as("cos_fp"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)
       .select("query_id", "neighbor_id", "cos_fp", "rank")

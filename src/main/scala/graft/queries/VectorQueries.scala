@@ -153,6 +153,7 @@ object VectorQueries {
 
   private val Dim = 64
   private val KmIters = 3
+  private val NumTables = 2
 
   /** The q33 ANN quality harness: recall@3 of the LSH (q20) and IVF (q26)
     * candidate top-k against the brute-force ground truth (q19's method at
@@ -177,6 +178,8 @@ object VectorQueries {
         .select("query_id", "neighbor_id")
       val mp = Similarity.lshTopKMultiProbe(qdf, cdf, NumPlanes, Dim, 3)
         .select("query_id", "neighbor_id")
+      val mt = Similarity.lshTopKMultiTable(qdf, cdf, NumPlanes, Dim, NumTables, 3)
+        .select("query_id", "neighbor_id")
       val ivf = Similarity.ivfTopK(qdf, cdf, cent, NProbe, 3)
         .select("query_id", "neighbor_id")
       val base = truth.groupBy("query_id").agg(count(lit(1)).as("n_truth"))
@@ -184,19 +187,25 @@ object VectorQueries {
         .groupBy("query_id").agg(count(lit(1)).as("lsh_hits"))
       val mh = truth.join(mp, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("mp_hits"))
+      val th = truth.join(mt, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("mt_hits"))
       val ih = truth.join(ivf, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("ivf_hits"))
       base.join(lh, Seq("query_id"), "left_outer")
         .join(mh, Seq("query_id"), "left_outer")
+        .join(th, Seq("query_id"), "left_outer")
         .join(ih, Seq("query_id"), "left_outer")
         .select(col("query_id"), col("n_truth"),
           coalesce(col("lsh_hits"), lit(0L)).as("lsh_hits"),
           coalesce(col("mp_hits"), lit(0L)).as("mp_hits"),
+          coalesce(col("mt_hits"), lit(0L)).as("mt_hits"),
           coalesce(col("ivf_hits"), lit(0L)).as("ivf_hits"),
           floor(coalesce(col("lsh_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
             .cast("long").as("lsh_recall_fp"),
           floor(coalesce(col("mp_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
             .cast("long").as("mp_recall_fp"),
+          floor(coalesce(col("mt_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
+            .cast("long").as("mt_recall_fp"),
           floor(coalesce(col("ivf_hits"), lit(0L)) * lit(1000000.0) / col("n_truth"))
             .cast("long").as("ivf_recall_fp"))
         .orderBy("query_id")
@@ -222,6 +231,19 @@ object VectorQueries {
             |mp AS (SELECT query_id, neighbor_id FROM (
             |  SELECT *, row_number() OVER (PARTITION BY query_id
             |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank FROM mpairs) WHERE rank <= 3),
+            |mtb AS (SELECT vec_id, embedding, tbl,
+            |    ${bucketTblSql("embedding", NumPlanes, "tbl")} AS bucket
+            |  FROM embeddings, (SELECT unnest(range(0, $NumTables)) AS tbl)),
+            |mtq AS (SELECT query_id, qv, tbl, unnest(${probeListSql("bucket")}) AS bucket
+            |  FROM (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket
+            |        FROM mtb WHERE vec_id < 10)),
+            |mtc AS (SELECT vec_id AS neighbor_id, embedding AS cv, tbl, bucket FROM mtb),
+            |mtpairs AS (SELECT query_id, neighbor_id, MAX(${cosFpSql("qv", "cv")}) AS cos_fp
+            |  FROM mtq JOIN mtc USING (tbl, bucket) WHERE query_id <> neighbor_id
+            |  GROUP BY query_id, neighbor_id),
+            |mt AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank FROM mtpairs) WHERE rank <= 3),
             |cent AS (SELECT vec_id AS cid, embedding AS ccv FROM embeddings WHERE vec_id < $NCentroids),
             |assigned AS (SELECT vec_id AS neighbor_id, embedding AS ncv, cid FROM (
             |  SELECT e.vec_id, e.embedding, c2.cid,
@@ -247,17 +269,22 @@ object VectorQueries {
             |mh AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS mp_hits FROM truth t
             |  JOIN mp m ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
             |  GROUP BY t.query_id),
+            |th AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS mt_hits FROM truth t
+            |  JOIN mt m ON t.query_id = m.query_id AND t.neighbor_id = m.neighbor_id
+            |  GROUP BY t.query_id),
             |ih AS (SELECT t.query_id, CAST(COUNT(*) AS BIGINT) AS ivf_hits FROM truth t
             |  JOIN ivf i ON t.query_id = i.query_id AND t.neighbor_id = i.neighbor_id
             |  GROUP BY t.query_id)
             |SELECT base.query_id, n_truth,
             |  COALESCE(lsh_hits, 0) AS lsh_hits, COALESCE(mp_hits, 0) AS mp_hits,
-            |  COALESCE(ivf_hits, 0) AS ivf_hits,
+            |  COALESCE(mt_hits, 0) AS mt_hits, COALESCE(ivf_hits, 0) AS ivf_hits,
             |  CAST(floor(COALESCE(lsh_hits, 0)*1000000.0/n_truth) AS BIGINT) AS lsh_recall_fp,
             |  CAST(floor(COALESCE(mp_hits, 0)*1000000.0/n_truth) AS BIGINT) AS mp_recall_fp,
+            |  CAST(floor(COALESCE(mt_hits, 0)*1000000.0/n_truth) AS BIGINT) AS mt_recall_fp,
             |  CAST(floor(COALESCE(ivf_hits, 0)*1000000.0/n_truth) AS BIGINT) AS ivf_recall_fp
             |FROM base LEFT JOIN lh ON base.query_id = lh.query_id
             |LEFT JOIN mh ON base.query_id = mh.query_id
+            |LEFT JOIN th ON base.query_id = th.query_id
             |LEFT JOIN ih ON base.query_id = ih.query_id
             |ORDER BY base.query_id""".stripMargin))
 
@@ -291,6 +318,48 @@ object VectorQueries {
             |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
             |pairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
             |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM pairs)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  /** DuckDB bucket of table `tbl` (a column): plane family offset
+    * tbl·numPlanes — mirrors the `planeOffset` of
+    * [[graft.functions.NativeExpressions.LshBucket]].
+    */
+  private def bucketTblSql(e: String, numPlanes: Int, tbl: String): String =
+    s"""list_sum(list_transform(range(0, $numPlanes), p ->
+       |  CASE WHEN list_sum(list_transform(range(0, len($e)), j ->
+       |    (CASE WHEN (('0x'||substring(md5(($tbl*$numPlanes + p)||':'||j),1,15))::BIGINT & 1) = 1
+       |          THEN 1.0 ELSE -1.0 END) * CAST($e[j+1] AS DOUBLE))) > 0
+       |  THEN (1::BIGINT << p) ELSE 0 END))""".stripMargin
+
+  val q42AnnLshMultiTable = NamedQuery(
+    "q42_ann_lsh_multitable",
+    s"OR-amplified LSH ANN: $NumTables independent plane families, each " +
+      "multi-probed (own bucket + Hamming-1 flips); candidate if " +
+      "colliding in ANY table — P(miss) multiplies across tables. The " +
+      "top recall rung of the q33 ladder.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiTable(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          numPlanes = NumPlanes, dim = Dim, numTables = NumTables, k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH bt AS (SELECT vec_id, embedding, tbl
+            |  FROM embeddings, (SELECT unnest(range(0, $NumTables)) AS tbl)),
+            |b AS (SELECT vec_id, embedding, tbl,
+            |    ${bucketTblSql("embedding", NumPlanes, "tbl")} AS bucket FROM bt),
+            |q AS (SELECT query_id, qv, tbl, unnest(${probeListSql("bucket")}) AS bucket
+            |  FROM (SELECT vec_id AS query_id, embedding AS qv, tbl, bucket
+            |        FROM b WHERE vec_id < 10)),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, tbl, bucket FROM b),
+            |pairs AS (SELECT query_id, neighbor_id, MAX(${cosFpSql("qv", "cv")}) AS cos_fp
+            |  FROM q JOIN c USING (tbl, bucket) WHERE query_id <> neighbor_id
+            |  GROUP BY query_id, neighbor_id),
             |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
             |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM pairs)
             |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
@@ -356,5 +425,6 @@ object VectorQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
-    q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe)
+    q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
+    q42AnnLshMultiTable)
 }

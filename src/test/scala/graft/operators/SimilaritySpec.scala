@@ -54,6 +54,19 @@ class SimilaritySpec extends SparkSpec {
     assert(b.getLong(0) >= 0 && b.getLong(1) < 64)
   }
 
+  test("multi-table LSH top-k is a subset of brute-force with identical scores") {
+    val mt = Similarity.lshTopKMultiTable(queries, cands,
+      numPlanes = 6, dim = 64, numTables = 2, k = 3)
+    val brute = Similarity.bruteForceTopK(queries, cands, k = cands.count().toInt - 1)
+    val mtPairs = mt.select("query_id", "neighbor_id", "cos_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val brutePairs = brute.select("query_id", "neighbor_id", "cos_fp")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(mtPairs.nonEmpty)
+    assert(mtPairs.forall { case (k2, c) => brutePairs.get(k2).contains(c) },
+      "multi-table cos scores must agree with brute-force for the same pair")
+  }
+
   test("kmeans centroids: k cells, dim-length double vectors, 1e-6 grid") {
     val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
     val cent = Similarity.kmeansCentroids(vecs, k = 8, iters = 2).cache()
