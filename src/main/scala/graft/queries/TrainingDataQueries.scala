@@ -207,7 +207,64 @@ object TrainingDataQueries {
             |    * 1000000.0) AS BIGINT) AS recon_err_fp
             |FROM qq ORDER BY vec_id""".stripMargin))
 
+  /** q43: train/test contamination detection — the eval-integrity check
+    * every training-data pipeline needs: after the deterministic q39
+    * split, count documents in each non-train split whose near-dup
+    * FINGERPRINT (min word-3-gram hash, q18's kernel) collides with any
+    * training document. One fingerprint per doc (row-local native
+    * MinHash60), one equi-join on the fingerprint — no all-pairs text
+    * comparison, so the check costs two scans + a hash join at any
+    * corpus size.
+    */
+  val q43Contamination = NamedQuery(
+    "q43_split_contamination",
+    "Fingerprint-collision contamination of val/test against train " +
+      "after the q39 hash-mod split: contaminated doc counts per split.",
+    (s, d) => {
+      val h = hash60(col("doc_id").cast("string")) % 100
+      val fp = Tables.documents(s, d).select(
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"),
+        col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val trainFps = fp.filter(col("split") === "train")
+        .select(col("fp")).distinct()
+      val holdout = fp.filter(col("split") =!= "train")
+      holdout
+        .join(trainFps, Seq("fp"), "left_semi")
+        .groupBy("split").agg(count(lit(1)).as("n_contaminated"))
+        .join(holdout.groupBy("split").agg(count(lit(1)).as("n_docs")),
+          Seq("split"), "right_outer")
+        .select(col("split"),
+          coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+          col("n_docs"))
+        .orderBy("split")
+    },
+    Some("""WITH fp AS (SELECT
+           |    CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val'
+           |      ELSE 'test' END AS split,
+           |    doc_id,
+           |    COALESCE(mg, ('0x'||substring(md5(lower(text)),1,15))::BIGINT) AS fp
+           |  FROM (SELECT d.*, m.mg,
+           |      ('0x'||substring(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS hm
+           |    FROM documents d LEFT JOIN (
+           |      SELECT doc_id, min(('0x'||substring(md5(g),1,15))::BIGINT) AS mg
+           |      FROM (SELECT DISTINCT doc_id, g FROM
+           |        (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+           |        unnest(list_transform(range(1, len(ts)-1),
+           |          i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+           |        WHERE len(ts) >= 3)
+           |      GROUP BY doc_id) m ON d.doc_id = m.doc_id)),
+           |train_fp AS (SELECT DISTINCT fp FROM fp WHERE split = 'train'),
+           |holdout AS (SELECT * FROM fp WHERE split <> 'train'),
+           |cont AS (SELECT split, COUNT(*) AS n_contaminated FROM holdout
+           |  WHERE fp IN (SELECT fp FROM train_fp) GROUP BY split),
+           |tot AS (SELECT split, COUNT(*) AS n_docs FROM holdout GROUP BY split)
+           |SELECT tot.split, COALESCE(n_contaminated, 0) AS n_contaminated, n_docs
+           |FROM tot LEFT JOIN cont ON tot.split = cont.split
+           |ORDER BY tot.split""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
-    q40QuantizeEmbeddings)
+    q40QuantizeEmbeddings, q43Contamination)
 }
