@@ -106,6 +106,59 @@ object AnalyticsQueries {
            |  COUNT(*) AS n
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q44: approximate quantiles from a MERGEABLE bucket histogram — the
+    * 100 TB alternative to q32's exact `percentile()` (which must gather
+    * and sort every group's values): one hash-aggregate over
+    * (group, bucket) with map-side partial counts, a cumulative window
+    * over ≤ |buckets| rows per group, then "smallest bucket whose
+    * cumulative count reaches ceil(q·n)". Error is bounded by the bucket
+    * width (0.01 here); everything is integer math, so the sketch is
+    * deterministic and engine-independent — unlike approx_percentile's
+    * internal digest.
+    */
+  val q44HistogramQuantiles = NamedQuery(
+    "q44_histogram_quantiles",
+    "Approximate p50/p90 per event_type from a 0.01-wide bucket " +
+      "histogram (mergeable counts + cumulative window), next to the " +
+      "group sizes; bucket lower edge emitted as an fp6 long.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), floor(col("value") * 100).cast("long").as("bucket"))
+      val counts = ev.groupBy("event_type", "bucket").agg(count(lit(1)).as("c"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bucket")
+      val cum = counts.withColumn("cum", sum(col("c")).over(w))
+        .join(counts.groupBy("event_type").agg(sum(col("c")).as("n")), "event_type")
+      def q(p: Double, name: String) = cum
+        .filter(col("cum") >= ceil(lit(p) * col("n")))
+        .groupBy("event_type")
+        // bucket/100 scaled by 1e6 = bucket*10000: pure integer, exact
+        .agg((min(col("bucket")) * 10000).as(name))
+      q(0.5, "p50_approx_fp")
+        .join(q(0.9, "p90_approx_fp"), "event_type")
+        .join(cum.groupBy("event_type").agg(max(col("n")).as("n")), "event_type")
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (SELECT event_type,
+           |    CAST(floor(value * 100) AS BIGINT) AS bucket FROM events),
+           |counts AS (SELECT event_type, bucket, COUNT(*) AS c
+           |  FROM b GROUP BY event_type, bucket),
+           |cum AS (SELECT event_type, bucket, c,
+           |    CAST(SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS BIGINT) AS cum
+           |  FROM counts),
+           |tot AS (SELECT event_type, CAST(SUM(c) AS BIGINT) AS n
+           |  FROM counts GROUP BY event_type),
+           |j AS (SELECT cum.*, tot.n FROM cum JOIN tot ON cum.event_type = tot.event_type),
+           |p50 AS (SELECT event_type, MIN(bucket) * 10000 AS p50_approx_fp
+           |  FROM j WHERE cum >= ceil(0.5 * n) GROUP BY event_type),
+           |p90 AS (SELECT event_type, MIN(bucket) * 10000 AS p90_approx_fp
+           |  FROM j WHERE cum >= ceil(0.9 * n) GROUP BY event_type)
+           |SELECT p50.event_type, p50_approx_fp, p90_approx_fp, tot.n
+           |FROM p50 JOIN p90 ON p50.event_type = p90.event_type
+           |JOIN tot ON p50.event_type = tot.event_type
+           |ORDER BY p50.event_type""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles)
+    q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
+    q44HistogramQuantiles)
 }
