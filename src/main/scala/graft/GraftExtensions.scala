@@ -26,7 +26,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
   private def info(name: String, usage: String) =
-    new ExpressionInfo("graft.functions.NativeExpressions", null, name, usage, "")
+    new ExpressionInfo("graft.functions.NativeExpressions", null, name, usage,
+      /* arguments */ "", /* examples */ "", /* note */ "", /* group */ "",
+      /* since */ "", /* deprecated */ "", /* source */ "built-in")
 
   private def intArg(e: Expression, fn: String): Int = e match {
     case Literal(v: Int, IntegerType) => v
