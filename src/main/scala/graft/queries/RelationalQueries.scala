@@ -17,6 +17,38 @@ object RelationalQueries {
   private def decSum(c: String) =
     sum(col(c).cast("decimal(18,2)")).cast("double")
 
+  val q45SupplierPartProfit = NamedQuery(
+    "q45_supplier_part_profit",
+    "TPC-H Q9-style profit rollup: lineitem ⋈ part ⋈ supplier ⋈ nation, " +
+      "revenue per (nation, brand) with decimal-exact sums. supplier and " +
+      "nation are explicit broadcasts; the part join is left to " +
+      "Catalyst/AQE — at 100 TB part outgrows the broadcast threshold " +
+      "and becomes a shuffle join on l_partkey, which AQE decides at " +
+      "runtime.",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name", "p_brand")
+        .agg(
+          sum(col("l_extendedprice").cast("decimal(18,2)") *
+              (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+            .cast("double").as("revenue"),
+          sum("l_quantity").as("sum_qty"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("n_name", "p_brand"),
+    Some("""SELECT n_name, p_brand,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           |  SUM(l_quantity) AS sum_qty,
+           |  COUNT(*) AS n_lines
+           |FROM lineitem
+           |JOIN part ON l_partkey = p_partkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN nation ON s_nationkey = n_nationkey
+           |GROUP BY n_name, p_brand
+           |ORDER BY n_name, p_brand""".stripMargin))
+
   val q01PricingSummary = NamedQuery(
     "q01_pricing_summary",
     "TPC-H Q1-style scan+filter+hash-aggregate with decimal-exact sums " +
@@ -160,5 +192,5 @@ object RelationalQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03BroadcastDims,
-    q04GoldCurrentInventory, q09TopK, q10SetOps)
+    q04GoldCurrentInventory, q09TopK, q10SetOps, q45SupplierPartProfit)
 }
