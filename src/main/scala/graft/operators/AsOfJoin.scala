@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** AS-OF join — for each left row, the LATEST right row with
+  * `right.ts <= left.ts` on the same key. Spark has no built-in for
+  * this; the naive formulation is a range join
+  * (`l.key = r.key AND r.ts <= l.ts` + a per-pair max) whose
+  * intermediate explodes with history length.
+  *
+  * This implementation is the scale-right single-shuffle shape:
+  * UNION both sides tagged (right sorts before left at equal ts, so
+  * the match is inclusive), ONE window sort per key, forward-fill the
+  * right payload with `last(..., ignoreNulls)` over the running frame,
+  * keep the left rows. Cost is sort-shuffle of |L|+|R| rows — linear,
+  * no pairwise blowup, and the window frame is running (streaming
+  * evaluation, no per-partition materialization of history).
+  *
+  * Contract: `right` must be unique per (keys, rightTs) — pre-aggregate
+  * if it is not (ties would make "the" latest row ambiguous). Left rows
+  * with no prior right row get NULL right columns (LEFT as-of).
+  */
+object AsOfJoin {
+
+  /** left(keys…, leftTs, …) ⟕asof right(keys…, rightTs, payload…) →
+    * left.* + right payload columns.
+    */
+  def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayload = right.columns.toSeq
+      .filterNot(c => keys.contains(c) || c == rightTs)
+    val lpType = StructType(left.schema.fields.toSeq)
+    val rpType = StructType(
+      right.schema.fields.filter(f => rPayload.contains(f.name)).toSeq)
+
+    def side(df: DataFrame, ts: String, tag: Int, lp: Column, rp: Column) =
+      df.select((keys.map(col) :+
+        col(ts).cast("long").as("__ts") :+
+        lit(tag).as("__side") :+
+        lp.as("__lp") :+ rp.as("__rp")): _*)
+
+    val lU = side(left, leftTs, 1,
+      struct(lCols.map(col): _*), lit(null).cast(rpType))
+    // tag 0 < 1: a right row at exactly left.ts sorts FIRST and is
+    // therefore visible to the fill — the inclusive (<=) semantics
+    val rU = side(right, rightTs, 0,
+      lit(null).cast(lpType), struct(rPayload.map(col): _*))
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .withColumn("__filled", last(col("__rp"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select((lCols.map(c => col(s"__lp.$c").as(c)) ++
+        rPayload.map(c => col(s"__filled.$c").as(c))): _*)
+  }
+}

@@ -152,7 +152,36 @@ object EventQueries {
            |FROM sess GROUP BY user_id, sid
            |ORDER BY user_id, session_start_us""".stripMargin))
 
+  val q46AsOfJoin = NamedQuery(
+    "q46_asof_join",
+    "AS-OF join (an operator Spark lacks): each purchase attributed to " +
+      "the user's LATEST click at-or-before it, via the union + " +
+      "window-forward-fill plan — one sort-shuffle of |L|+|R| rows, no " +
+      "range-join blowup. Oracle is DuckDB's native ASOF LEFT JOIN.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      // clicks deduped to one per (user, ts) — max event_id — so "the"
+      // latest prior click is total-ordered on both engines
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("c_ts"))
+        .agg(max("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"), col("ts_us"))
+      graft.operators.AsOfJoin.asOf(buys, clicks, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "c_ts")
+        .orderBy("buy_id")
+    },
+    Some("""WITH clicks AS (SELECT user_id, epoch_us(ts) AS c_ts,
+           |    MAX(event_id) AS click_id
+           |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+           |buys AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS ts_us
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT b.user_id, b.buy_id, b.ts_us, c.click_id
+           |FROM buys b ASOF LEFT JOIN clicks c
+           |  ON b.user_id = c.user_id AND b.ts_us >= c.c_ts
+           |ORDER BY buy_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
-    q11JsonExtract, q28Sessionize)
+    q11JsonExtract, q28Sessionize, q46AsOfJoin)
 }

@@ -1,0 +1,41 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** AS-OF join semantics on a hand-checked fixture: latest-at-or-before
+  * match, inclusive equal-timestamp match, NULL when no prior right row,
+  * keys never cross.
+  */
+class AsOfJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asOf picks the latest right row at-or-before each left row per key") {
+    val quotes = Seq( // (key, ts, px)
+      (1L, 10L, 100), (1L, 20L, 200), (2L, 5L, 500))
+      .toDF("k", "q_ts", "px")
+    val trades = Seq( // (key, ts, id)
+      (1L, 15L, 7), // between quotes → px 100
+      (1L, 25L, 8), // after both → px 200
+      (1L, 20L, 9), // EXACTLY at a quote → inclusive → px 200
+      (1L, 5L, 10), // before any quote → null
+      (3L, 50L, 11) // key with no quotes at all → null
+    ).toDF("k", "t_ts", "id")
+    val got = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "q_ts")
+      .collect()
+      .map(r => r.getAs[Int]("id") ->
+        (if (r.isNullAt(r.fieldIndex("px"))) None else Some(r.getAs[Int]("px"))))
+      .toMap
+    assert(got == Map(
+      7 -> Some(100), 8 -> Some(200), 9 -> Some(200),
+      10 -> None, 11 -> None))
+  }
+
+  test("output keeps every left row and all left columns") {
+    val quotes = Seq((1L, 10L, 1.5)).toDF("k", "q_ts", "px")
+    val trades = Seq((1L, 15L, 7, "x"), (1L, 16L, 8, "y"))
+      .toDF("k", "t_ts", "id", "note")
+    val out = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "q_ts")
+    assert(out.columns.toSeq == Seq("k", "t_ts", "id", "note", "px"))
+    assert(out.count() == 2)
+  }
+}
