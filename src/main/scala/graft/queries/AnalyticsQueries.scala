@@ -158,7 +158,34 @@ object AnalyticsQueries {
            |JOIN tot ON p50.event_type = tot.event_type
            |ORDER BY p50.event_type""".stripMargin))
 
+  /** q47: skew-salted two-phase aggregation under the oracle gate — the
+    * explicit hot-key mitigation: phase 1 aggregates on
+    * (key, deterministic salt), spreading a hot key over 8 reducers;
+    * phase 2 merges per key. Decimal sums make both phases exact, so
+    * the result is value-identical to the direct single-phase GROUP BY
+    * the oracle runs — which is precisely the property that makes
+    * salting safe to apply.
+    */
+  val q47SaltedAgg = NamedQuery(
+    "q47_salted_agg",
+    "Two-phase salted aggregation over events (8 salt buckets) equals " +
+      "the plain per-event_type aggregate: count + decimal-exact sum.",
+    (s, d) =>
+      graft.operators.Salting.saltedAggregate(
+          Tables.events(s, d),
+          keys = Seq("event_type"),
+          idCols = Seq(col("event_id")),
+          saltBuckets = 8,
+          phase1 = Seq(count(lit(1)).as("c"),
+            sum(col("value").cast("decimal(18,2)")).as("sv")),
+          phase2 = Seq(sum(col("c")).as("n_events"),
+            sum(col("sv")).cast("double").as("sum_value")))
+        .orderBy("event_type"),
+    Some("""SELECT event_type, COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
-    q44HistogramQuantiles)
+    q44HistogramQuantiles, q47SaltedAgg)
 }
