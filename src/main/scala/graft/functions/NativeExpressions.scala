@@ -58,10 +58,15 @@ object NativeExpressions {
       NativeKernels.minhashSig(
         input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], numHashes)
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => s"""
-        org.apache.spark.sql.catalyst.util.ArrayData r = $K.minhashSig($c, $numHashes);
-        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r; }
-      """)
+      nullSafeCodeGen(ctx, ev, c => {
+        // freshName: with a NON-nullable child the block is inlined bare
+        // (no enclosing if-scope), so a fixed local name would collide
+        // when the same expression appears twice in one codegen scope
+        val r = ctx.freshName("mhSig")
+        s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $r = $K.minhashSig($c, $numHashes);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """})
     override protected def withNewChildInternal(newChild: Expression): MinHashSig =
       copy(child = newChild)
   }
@@ -93,10 +98,12 @@ object NativeExpressions {
       NativeKernels.minHash60(
         input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, c => s"""
-        java.lang.Long r = $K.minHash60($c);
-        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
-      """)
+      nullSafeCodeGen(ctx, ev, c => {
+        val r = ctx.freshName("minHash")
+        s"""
+        java.lang.Long $r = $K.minHash60($c);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+      """})
     override protected def withNewChildInternal(newChild: Expression): MinHash60 =
       copy(newChild)
   }
@@ -115,10 +122,12 @@ object NativeExpressions {
         a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
         b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        java.lang.Long r = $K.arrayJaccardFp6($a, $b);
-        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.longValue(); }
-      """)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("jac")
+        s"""
+        java.lang.Long $r = $K.arrayJaccardFp6($a, $b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.longValue(); }
+      """})
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): ArrayJaccardFp6 = copy(newLeft, newRight)
   }
@@ -140,10 +149,12 @@ object NativeExpressions {
         a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
         b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        java.lang.Double r = $K.floatVecDot($a, $b);
-        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-      """)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("fdot")
+        s"""
+        java.lang.Double $r = $K.floatVecDot($a, $b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+      """})
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): FloatVecDot = copy(newLeft, newRight)
   }
@@ -160,10 +171,12 @@ object NativeExpressions {
         a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
         b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        java.lang.Double r = $K.doubleVecDot($a, $b);
-        if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = r.doubleValue(); }
-      """)
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val r = ctx.freshName("ddot")
+        s"""
+        java.lang.Double $r = $K.doubleVecDot($a, $b);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r.doubleValue(); }
+      """})
     override protected def withNewChildrenInternal(newLeft: Expression,
         newRight: Expression): DoubleVecDot = copy(newLeft, newRight)
   }

@@ -179,7 +179,10 @@ object NativeKernels {
     */
   def lshBucket(v: ArrayData, planes: Array[Double], numPlanes: Int,
       dim: Int): Long = {
-    if (v.numElements() != dim) return 0L // defensive: malformed vector
+    // mirror the HOF for LONGER vectors (it folds the first dim
+    // elements); too-short vectors cannot produce a projection — the
+    // HOF's out-of-range element_at nulls every plane term → bucket 0
+    if (v.numElements() < dim) return 0L
     var i = 0
     while (i < dim) { if (v.isNullAt(i)) return 0L; i += 1 }
     var bucket = 0L

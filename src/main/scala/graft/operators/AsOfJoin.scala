@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.types.{StructType, TimestampType}
 
 /** AS-OF join — for each left row, the LATEST right row with
   * `right.ts <= left.ts` on the same key. Spark has no built-in for
@@ -37,9 +37,17 @@ object AsOfJoin {
     val rpType = StructType(
       right.schema.fields.filter(f => rPayload.contains(f.name)).toSeq)
 
+    // µs-exact ordering key: a bare cast("long") would truncate
+    // TimestampType to whole SECONDS, letting a right row up to 999ms
+    // AFTER the left row pass as "at-or-before"
+    def tsKey(df: DataFrame, ts: String): Column = df.schema(ts).dataType match {
+      case TimestampType => unix_micros(col(ts))
+      case _ => col(ts).cast("long")
+    }
+
     def side(df: DataFrame, ts: String, tag: Int, lp: Column, rp: Column) =
       df.select((keys.map(col) :+
-        col(ts).cast("long").as("__ts") :+
+        tsKey(df, ts).as("__ts") :+
         lit(tag).as("__side") :+
         lp.as("__lp") :+ rp.as("__rp")): _*)
 

@@ -260,7 +260,10 @@ object Similarity {
     * Input: vecs(id, v: array<float>). Output: (cid, cv: array<double>).
     */
   def kmeansCentroids(vecs: DataFrame, k: Int, iters: Int): DataFrame = {
-    var cent = vecs.filter(col("id") < k)
+    // seed = the k SMALLEST ids (TakeOrderedAndProject, deterministic for
+    // any id space — a `filter(id < k)` would silently under-seed sparse
+    // or non-zero-based ids)
+    var cent = vecs.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("v").cast("array<double>").as("cv"))
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(vecs, cent, centScoreD)

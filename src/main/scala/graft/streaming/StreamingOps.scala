@@ -133,8 +133,16 @@ object StreamingOps {
     * state tracks (start, last, count); every batch re-registers one
     * event-time timer at last + gap; when the WATERMARK passes the timer,
     * [[StatefulProcessor.handleExpiredTimer]] emits the closed session
-    * and clears state. Events arriving before the timer (even
-    * out-of-order) extend/merge the open session.
+    * and clears state.
+    *
+    * Gap splits are decided by EVENT TIME, not batch arrival: an input
+    * more than `gap` after the open session's last event closes that
+    * session immediately (emitted from handleInputRows) and opens a new
+    * one — so the output does not depend on how micro-batches slice the
+    * stream. Batch rows are folded in (ts, id) order for the same
+    * reason. The one remaining arrival-dependence is an extreme late
+    * event older than the open session's start, which merges backward —
+    * inherent to one-struct-per-key state; the watermark bounds it.
     *
     * State per key = one small struct + one timer; both partitioned by
     * key across executors; watermark progress bounds everything.
@@ -149,20 +157,27 @@ object StreamingOps {
 
     override def handleInputRows(key: Long, rows: Iterator[EventRow],
         timerValues: TimerValues): Iterator[SessionOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var closed = List.empty[SessionOut]
       var cur = Option(state.get())
-      rows.foreach { e =>
+      sorted.foreach { e =>
         cur = cur match {
-          case None => Some(SessAgg(e.ts_us, e.ts_us, 1L))
+          case Some(s) if e.ts_us > s.lastUs + gapUs =>
+            // event-time gap: close the stale session NOW, open a new one
+            closed ::= SessionOut(key, s.n, s.lastUs)
+            Some(SessAgg(e.ts_us, e.ts_us, 1L))
           case Some(s) => Some(SessAgg(math.min(s.startUs, e.ts_us),
             math.max(s.lastUs, e.ts_us), s.n + 1L))
+          case None => Some(SessAgg(e.ts_us, e.ts_us, 1L))
         }
       }
       val c = cur.get
       state.update(c)
-      // one live timer per key: re-arm at the (possibly extended) close
+      // one live timer per key: re-arm at the (possibly extended) close.
+      // Ceil µs→ms: floor would fire up to 999µs before the true close
       getHandle.listTimers().foreach(t => getHandle.deleteTimer(t.asInstanceOf[Long]))
-      getHandle.registerTimer((c.lastUs + gapUs) / 1000L) // timers are epoch-ms
-      Iterator.empty
+      getHandle.registerTimer((c.lastUs + gapUs + 999L) / 1000L)
+      closed.reverse.iterator
     }
 
     override def handleExpiredTimer(key: Long, timerValues: TimerValues,
@@ -202,8 +217,13 @@ object StreamingOps {
       keys: Seq[String], sequenceBy: Seq[String]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
+      // Hadoop FS, not java.io.File: the target may be hdfs://, s3a://,
+      // etc. — a local-only existence check would silently drop all
+      // previously merged keys on every batch there
+      val path = new org.apache.hadoop.fs.Path(targetDir)
+      val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
       val current =
-        if (new java.io.File(targetDir).exists) spark.read.parquet(targetDir)
+        if (fs.exists(path)) spark.read.parquet(targetDir)
         else batch.limit(0)
       val merged = graft.operators.ApplyChanges.latestByKey(
         current.unionByName(batch), keys,

@@ -30,6 +30,25 @@ class AsOfJoinSpec extends SparkSpec {
       10 -> None, 11 -> None))
   }
 
+  test("TimestampType inputs keep sub-second precision") {
+    // a quote 500ms AFTER the trade but within the same second must NOT
+    // match (a seconds-truncating cast would wrongly fill it)
+    val ts = (s: String) => java.sql.Timestamp.valueOf(s)
+    val quotes = Seq((1L, ts("2024-01-01 10:00:00.7"), 100))
+      .toDF("k", "q_ts", "px")
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:00.2"), 7), // before the quote → null
+      (1L, ts("2024-01-01 10:00:00.7"), 8), // exactly at it → 100
+      (1L, ts("2024-01-01 10:00:01.0"), 9)) // after it → 100
+      .toDF("k", "t_ts", "id")
+    val got = AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "q_ts")
+      .collect()
+      .map(r => r.getAs[Int]("id") ->
+        (if (r.isNullAt(r.fieldIndex("px"))) None else Some(r.getAs[Int]("px"))))
+      .toMap
+    assert(got == Map(7 -> None, 8 -> Some(100), 9 -> Some(100)))
+  }
+
   test("output keeps every left row and all left columns") {
     val quotes = Seq((1L, 10L, 1.5)).toDF("k", "q_ts", "px")
     val trades = Seq((1L, 15L, 7, "x"), (1L, 16L, 8, "y"))

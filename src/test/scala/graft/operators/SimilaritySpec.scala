@@ -84,6 +84,13 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("kmeans seeds the k smallest ids even for sparse, non-zero-based id spaces") {
+    val vecs = emb.select((col("vec_id") * 7 + 1000).as("id"),
+      col("embedding").as("v"))
+    val cent = Similarity.kmeansCentroids(vecs, k = 8, iters = 1)
+    assert(cent.count() == 8, "a filter(id < k) seed would return 0 centroids here")
+  }
+
   test("kmeans iterations strictly reassign: iter-2 centroids differ from seeds") {
     val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
     val seeds = vecs.filter(col("id") < 8)

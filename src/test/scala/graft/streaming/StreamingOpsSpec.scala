@@ -188,8 +188,10 @@ class StreamingOpsSpec extends SparkSpec {
       ev(2, 1, "click", 1.0, T + 10 * 60 * 1000000L),
       ev(3, 2, "view", 1.0, T))
     q.processAllAvailable()
-    // batch 2 (watermark still at batch-1 max): user 1's event arrives
-    // BEFORE its timer fires, so it EXTENDS the open session; user 3 opens
+    // batch 2: user 1's event is 2h after the open session's last event —
+    // an EVENT-TIME gap, so the stale session closes immediately (even
+    // though its timer has not fired yet) and a new one opens; the split
+    // must not depend on which batch the event lands in. User 3 opens.
     mem.addData(ev(4, 1, "click", 1.0, T + 2 * H), ev(5, 3, "view", 1.0, T + 2 * H))
     q.processAllAvailable()
     // batch 3 pushes the watermark far past every pending timer
@@ -198,10 +200,12 @@ class StreamingOpsSpec extends SparkSpec {
     q.stop()
     val got = spark.table(name).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
-    // user 2 closed at gap after T; users 1 and 3 closed after batch 3's
-    // watermark passed their re-armed timers; user 9's session stays open
+    // user 1: FIRST session (2 events, last at T+10min) closed by the
+    // event-time gap; its second session (1 event at T+2h) closed by the
+    // batch-3 watermark, like users 2 and 3; user 9's session stays open
     assert(got == Set(
-      (1L, 3L, T + 2 * H), // merged 3-event session, last event at T+2h
+      (1L, 2L, T + 10 * 60 * 1000000L),
+      (1L, 1L, T + 2 * H),
       (2L, 1L, T),
       (3L, 1L, T + 2 * H)))
   }
