@@ -185,7 +185,93 @@ object AnalyticsQueries {
            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
            |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q48: PIVOT — `groupBy().pivot(col, values)` with explicit pivot
+    * values (never value-discovery at scale: that is a full extra scan
+    * plus a driver collect). Compiles to one hash aggregation with a
+    * conditional-aggregate column per pivot value — exactly the CASE
+    * formulation the oracle writes out, so the shapes are provably the
+    * same plan.
+    */
+  val q48Pivot = NamedQuery(
+    "q48_pivot",
+    "Event counts per user pivoted into one column per event_type " +
+      "(explicit pivot values; single hash aggregation).",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("user_id"),
+    Some("""SELECT user_id,
+           |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS BIGINT) AS click,
+           |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS BIGINT) AS error,
+           |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS BIGINT) AS purchase,
+           |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS BIGINT) AS signup,
+           |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS BIGINT) AS view
+           |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin))
+
+  /** q49: INTERSECT / EXCEPT set algebra (distinct semantics) over two
+    * customer cohorts — the remaining set operators after q10's UNION:
+    * both plan as aggregations/joins on the full row, no sort needed.
+    */
+  val q49SetAlgebra = NamedQuery(
+    "q49_set_algebra",
+    "INTERSECT and EXCEPT of two order-derived customer cohorts " +
+      "(high-value vs recent), unioned with a tag column.",
+    (s, d) => {
+      val o = Tables.orders(s, d)
+      val highValue = o.filter(col("o_totalprice") > 150000.0)
+        .select("o_custkey").distinct()
+      val recent = o.filter(col("o_orderdate") >=
+          lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+        .select("o_custkey").distinct()
+      highValue.intersect(recent).withColumn("cohort", lit("both"))
+        .unionByName(
+          highValue.except(recent).withColumn("cohort", lit("high_only")))
+        .orderBy("cohort", "o_custkey")
+    },
+    Some("""WITH hv AS (SELECT DISTINCT o_custkey FROM orders WHERE o_totalprice > 150000.0),
+           |rc AS (SELECT DISTINCT o_custkey FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+           |SELECT o_custkey, 'both' AS cohort FROM (SELECT * FROM hv INTERSECT SELECT * FROM rc)
+           |UNION ALL
+           |SELECT o_custkey, 'high_only' AS cohort FROM (SELECT * FROM hv EXCEPT SELECT * FROM rc)
+           |ORDER BY cohort, o_custkey""".stripMargin))
+
+  /** q50: correlated scalar subquery — customers above their own
+    * nation's average balance. Catalyst decorrelates this into an
+    * aggregate + join (visible in the plan), which is why it scales:
+    * the subquery runs once per nation, not once per customer row.
+    */
+  val q50ScalarSubquery = NamedQuery(
+    "q50_scalar_subquery",
+    "Correlated scalar subquery (decorrelated to agg+join by Catalyst): " +
+      "customers with above-nation-average account balance.",
+    (s, d) => {
+      Tables.customer(s, d).createOrReplaceTempView("q50_customer")
+      // avg as exact-decimal-sum / count: AVG(DECIMAL) has different
+      // result types across engines (Spark: wider decimal; DuckDB:
+      // double), which could flip boundary rows — this formulation is
+      // bit-identical on both
+      s.sql("""SELECT c_custkey, c_nationkey,
+              |  CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_fp2
+              |FROM q50_customer c
+              |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+              |                   FROM q50_customer c2
+              |                   WHERE c2.c_nationkey = c.c_nationkey)
+              |ORDER BY c_custkey""".stripMargin)
+    },
+    Some("""SELECT c_custkey, c_nationkey,
+           |  CAST(floor(c_acctbal * 100) AS BIGINT) AS acctbal_fp2
+           |FROM customer c
+           |WHERE c_acctbal > (SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+           |                   FROM customer c2
+           |                   WHERE c2.c_nationkey = c.c_nationkey)
+           |ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
-    q44HistogramQuantiles, q47SaltedAgg)
+    q44HistogramQuantiles, q47SaltedAgg, q48Pivot, q49SetAlgebra,
+    q50ScalarSubquery)
 }
