@@ -181,7 +181,43 @@ object EventQueries {
            |  ON b.user_id = c.user_id AND b.ts_us >= c.c_ts
            |ORDER BY buy_id""".stripMargin))
 
+  val q51IntervalJoin = NamedQuery(
+    "q51_interval_join",
+    "Interval-overlap join via time bucketing (1h buckets): per-user-day " +
+      "activity intervals × daily error-incident windows that overlap " +
+      "them — candidates from a bucket equi-join (shared bucket ⟸ " +
+      "overlap), exact predicate on candidates; no nested-loop range " +
+      "join. Oracle is the direct inequality join.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val activity = ev.groupBy("user_id", "day")
+        .agg(min("ts_us").as("a_start"), max("ts_us").as("a_end"))
+        .select(concat_ws("#", col("user_id"), col("day")).as("a_id"),
+          col("a_start"), col("a_end"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .groupBy("day")
+        .agg(min("ts_us").as("b_start"), max("ts_us").as("b_end"))
+        .select(col("day").as("b_id"), col("b_start"), col("b_end"))
+      graft.operators.IntervalJoin
+        .overlapJoin(activity, incidents, bucketUs = 3600L * 1000000L)
+        .orderBy("a_id", "b_id")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+           |    strftime(ts, '%Y-%m-%d') AS day FROM events),
+           |activity AS (SELECT CAST(user_id AS VARCHAR) || '#' || day AS a_id,
+           |    MIN(ts_us) AS a_start, MAX(ts_us) AS a_end
+           |  FROM ev GROUP BY user_id, day),
+           |incidents AS (SELECT day AS b_id,
+           |    MIN(ts_us) AS b_start, MAX(ts_us) AS b_end
+           |  FROM ev WHERE event_type = 'error' GROUP BY day)
+           |SELECT a_id, b_id, a_start, a_end, b_start, b_end
+           |FROM activity a JOIN incidents b
+           |  ON a.a_start <= b.b_end AND b.b_start <= a.a_end
+           |ORDER BY a_id, b_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
-    q11JsonExtract, q28Sessionize, q46AsOfJoin)
+    q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin)
 }
