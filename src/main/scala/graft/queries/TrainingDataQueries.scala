@@ -264,7 +264,37 @@ object TrainingDataQueries {
            |FROM tot LEFT JOIN cont ON tot.split = cont.split
            |ORDER BY tot.split""".stripMargin))
 
+  /** q52: per-language vocabulary head — the corpus-analysis staple
+    * (stopword candidates, tokenizer QA): token frequencies then top-10
+    * per language. Two hash aggregations (map-side combined) plus a
+    * per-group top-k that Spark plans as WindowGroupLimit (rank pushed
+    * below the full window sort), so no group ever sorts its whole
+    * vocabulary.
+    */
+  val q52VocabTopK = NamedQuery(
+    "q52_vocab_topk",
+    "Top-10 tokens per language by frequency (ties broken by token), " +
+      "with counts — WindowGroupLimit per-group top-k.",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n").desc, col("tok").asc)
+      Tables.documents(s, d)
+        .select(col("lang"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .orderBy("lang", "rank")
+    },
+    Some("""SELECT lang, tok, n, rank FROM (
+           |  SELECT lang, tok, n, CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY n DESC, tok ASC) AS BIGINT) AS rank
+           |  FROM (SELECT lang, u AS tok, COUNT(*) AS n
+           |    FROM (SELECT lang, string_split(lower(text), ' ') AS ts FROM documents),
+           |      unnest(ts) AS t(u)
+           |    GROUP BY lang, u))
+           |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
-    q40QuantizeEmbeddings, q43Contamination)
+    q40QuantizeEmbeddings, q43Contamination, q52VocabTopK)
 }
