@@ -166,6 +166,12 @@ object TrainingDataQueries {
     * shuffle), with the reconstruction L1 error as a floor-scaled long.
     * The storage shape production vector stores use (4× smaller than
     * float32); dequantization is q·scale/127.
+    *
+    * The quantized vector is emitted as a comma-joined STRING, not an
+    * array: the driver's compare harness sorts result rows with pandas,
+    * which cannot order array cells (r2 failure). The string is a
+    * lossless rendering of every int8 element, so the oracle check is
+    * still bit-exact over the full vector.
     */
   val q40QuantizeEmbeddings = NamedQuery(
     "q40_quantize_embeddings",
@@ -182,7 +188,7 @@ object TrainingDataQueries {
         .select(
           col("vec_id"),
           floor(col("maxabs") * lit(1000000.0)).cast("long").as("scale_fp"),
-          col("qvec"),
+          concat_ws(",", col("qvec")).as("qvec_str"),
           aggregate(col("qvec"), lit(0L), (a, v) => a + v.cast("long"))
             .as("q_sum"),
           floor(aggregate(
@@ -200,7 +206,7 @@ object TrainingDataQueries {
             |  FROM base)
             |SELECT vec_id,
             |  CAST(floor(maxabs * 1000000.0) AS BIGINT) AS scale_fp,
-            |  qvec,
+            |  array_to_string(qvec, ',') AS qvec_str,
             |  CAST(list_sum(qvec) AS BIGINT) AS q_sum,
             |  CAST(floor(list_sum(list_transform(list_zip(embedding, qvec),
             |    p -> abs(CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE) * maxabs / $Q)))

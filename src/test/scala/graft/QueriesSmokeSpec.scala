@@ -24,6 +24,23 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(missing.isEmpty, s"queries without oracle: $missing")
   }
 
+  test("no query output has complex-typed columns (driver compare sorts with pandas)") {
+    // The driver's correctness harness sorts result rows via pandas
+    // sort_values, which cannot order array/map/struct cells (q40 failed
+    // r2 this way: `unhashable type: numpy.ndarray`). Render vectors as
+    // strings (concat_ws / array_to_string) instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+      case (name, fn) =>
+        fn(spark, sf("sf0.001")).schema.fields.collect {
+          case f if f.dataType.isInstanceOf[ArrayType]
+            || f.dataType.isInstanceOf[MapType]
+            || f.dataType.isInstanceOf[StructType] => s"$name.${f.name}"
+        }
+    }
+    assert(offenders.isEmpty, s"complex-typed output columns: $offenders")
+  }
+
   test("String-overload rollup after a join is ambiguous (pinned Spark 4.1 limitation)") {
     // rollup("a", "b") trips DetectAmbiguousSelfJoin when the child is a
     // join with aliased columns; rollup(col("a"), col("b")) — which q30
