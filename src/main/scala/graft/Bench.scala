@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // stale checkpoints from earlier harness runs sit on the same disk and
+    // measurably inflate stateful-query times; start from a clean slate
+    streaming.StreamingOps.deleteCheckpoint(spark, "/tmp/graft-ckpt")
     // JIT/codegen warmup on the smallest SF so the first measured query
     // doesn't absorb JVM startup cost; not reported
     try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()

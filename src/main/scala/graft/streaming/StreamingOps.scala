@@ -242,17 +242,30 @@ object StreamingOps {
     */
   def runToMemory(spark: SparkSession, out: DataFrame, queryName: String,
       mode: OutputMode): DataFrame = {
+    val ckpt = s"/tmp/graft-ckpt/$queryName-${System.nanoTime()}"
     val q = out.writeStream
       .format("memory")
       .queryName(queryName)
       .outputMode(mode)
-      .option("checkpointLocation",
-        s"/tmp/graft-ckpt/$queryName-${System.nanoTime()}")
+      .option("checkpointLocation", ckpt)
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    // A finished AvailableNow run has no recovery value; repeated harness
+    // runs otherwise accumulate hundreds of MB of dead state under /tmp
+    // (measured to inflate later stateful-query times on the shared disk).
+    deleteCheckpoint(spark, ckpt)
     spark.table(queryName)
   }
+
+  /** Best-effort recursive delete of a finished query's checkpoint dir. */
+  def deleteCheckpoint(spark: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+      fs.delete(p, true)
+      ()
+    } catch { case _: Throwable => () }
 
   /** Streaming read of the harness events table: same nanos→µs
     * normalization as [[graft.Tables.events]], via an explicit schema.
