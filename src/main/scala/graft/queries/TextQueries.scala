@@ -61,6 +61,35 @@ object TextQueries {
   private val NumHashes = 16
   private val Bands     = 4
 
+  /** All CTEs up through `pairs` = the verified MinHash+LSH near-dup pair
+    * set (id_a, id_b, jaccard_fp ≥ 0.5) — shared by q14 (the pairs
+    * themselves) and q53 (connected-component clusters over them).
+    */
+  private def minhashPairsCtes: String = {
+    val rows = NumHashes / Bands
+    val sigCols = (0 until NumHashes)
+      .map(i => s"min(${h60(s"'$i:'||g")}) AS h$i").mkString(", ")
+    val bandSel = (0 until Bands).map { b =>
+      val hs = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
+      s"SELECT doc_id, $b AS band, md5(concat_ws(',', $hs)) AS band_key FROM sig"
+    }.mkString(" UNION ALL ")
+    s"""$gramsCte,
+       |sig AS (SELECT doc_id, $sigCols FROM grams GROUP BY doc_id),
+       |bands AS ($bandSel),
+       |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter FROM cands
+       |  JOIN grams ga ON ga.doc_id = id_a
+       |  JOIN grams gb ON gb.doc_id = id_b AND gb.g = ga.g
+       |  GROUP BY id_a, id_b),
+       |pairs AS (SELECT id_a, id_b,
+       |    CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) AS jaccard_fp
+       |  FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) >= 500000)""".stripMargin
+  }
+
   val q14MinhashLsh = NamedQuery(
     "q14_minhash_lsh",
     "MinHash(16)+LSH(4 bands×4 rows) near-dup detection, candidates " +
@@ -71,31 +100,46 @@ object TextQueries {
       TextDedup.minhashNearDups(Tables.documents(s, d), "doc_id", "text",
           n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
         .orderBy("id_a", "id_b"),
-    Some {
-      val rows = NumHashes / Bands
-      val sigCols = (0 until NumHashes)
-        .map(i => s"min(${h60(s"'$i:'||g")}) AS h$i").mkString(", ")
-      val bandSel = (0 until Bands).map { b =>
-        val hs = (0 until rows).map(r => s"h${b * rows + r}").mkString(", ")
-        s"SELECT doc_id, $b AS band, md5(concat_ws(',', $hs)) AS band_key FROM sig"
-      }.mkString(" UNION ALL ")
-      s"""WITH $gramsCte,
-         |sig AS (SELECT doc_id, $sigCols FROM grams GROUP BY doc_id),
-         |bands AS ($bandSel),
-         |cands AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id),
-         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
-         |inter AS (SELECT id_a, id_b, COUNT(*) AS n_inter FROM cands
-         |  JOIN grams ga ON ga.doc_id = id_a
-         |  JOIN grams gb ON gb.doc_id = id_b AND gb.g = ga.g
-         |  GROUP BY id_a, id_b)
-         |SELECT id_a, id_b,
-         |  CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) AS jaccard_fp
-         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
-         |WHERE CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) >= 500000
-         |ORDER BY id_a, id_b""".stripMargin
-    })
+    Some(s"""WITH $minhashPairsCtes
+            |SELECT id_a, id_b, jaccard_fp FROM pairs
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  /** q53: near-dup pairs → dedup CLUSTERS. The oracle replays the label
+    * propagation as a DuckDB recursive CTE (UNION-deduplicated walk =
+    * fixed-point reachability), so the cluster assignment — not just the
+    * pair set — is hash-checked cross-engine.
+    */
+  val q53DedupClusters = NamedQuery(
+    "q53_dedup_clusters",
+    "Dedup clusters from the q14 MinHash+LSH pair set via distributed " +
+      "min-label connected components: cluster id = min member doc_id, " +
+      "member count + sorted member list — the step that turns near-dup " +
+      "pairs into per-cluster canonical survivors.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
+      val comp = graft.operators.GraphOps.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      comp.groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          concat_ws(",", array_sort(collect_list(col("id")))).as("member_ids"))
+        .filter(col("n_members") >= 2)
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairsCtes,
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, label) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+            |comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id)
+            |SELECT cluster_id, COUNT(*) AS n_members,
+            |  array_to_string(list_sort(list(id)), ',') AS member_ids
+            |FROM comp GROUP BY cluster_id HAVING COUNT(*) >= 2
+            |ORDER BY cluster_id""".stripMargin))
 
   val q15SimhashHamming = NamedQuery(
     "q15_simhash_hamming",
@@ -299,7 +343,117 @@ object TextQueries {
          |FROM clean GROUP BY lang ORDER BY lang""".stripMargin
     })
 
+  /** q54: Gopher-style within-document repetition signals. Two keyed
+    * count aggregations (token and 2-gram occurrence counts per doc) —
+    * no all-pairs work, shuffles keyed by (doc_id, term); at corpus
+    * scale this is linear in total tokens, the same shape a quality
+    * filter stage runs before training.
+    */
+  val q54RepetitionMetrics = NamedQuery(
+    "q54_repetition_metrics",
+    "Within-document repetition: duplicate-token fraction, duplicate " +
+      "2-gram fraction, and top-2-gram mass per doc — the Gopher " +
+      "repetition quality signals, as keyed count aggregations.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val tstats = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_distinct_tokens"))
+      val gstats = docs
+        .select(col("doc_id"),
+          explode(wordNgrams(tokens(col("text")), 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("n_2grams"), count(lit(1)).as("n_distinct_2grams"),
+          max("c").as("top_2gram_count"))
+      tstats.join(gstats, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("n_distinct_tokens"),
+          fp6((col("n_tokens") - col("n_distinct_tokens")).cast("double")
+            / col("n_tokens")).as("dup_token_frac_fp"),
+          col("n_2grams"), col("top_2gram_count"),
+          fp6((col("n_2grams") - col("n_distinct_2grams")).cast("double")
+            / col("n_2grams")).as("dup_2gram_frac_fp"),
+          fp6(col("top_2gram_count").cast("double") / col("n_2grams"))
+            .as("top_2gram_frac_fp"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toksd AS (SELECT doc_id, u AS tok FROM
+           |    (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+           |    unnest(ts) AS t(u)),
+           |tc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toksd GROUP BY doc_id, tok),
+           |tstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |    COUNT(*) AS n_distinct_tokens FROM tc GROUP BY doc_id),
+           |g2 AS (SELECT doc_id, g FROM
+           |    (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+           |    unnest(list_transform(range(1, len(ts)), i -> ts[i]||' '||ts[i+1])) AS t(g)
+           |  WHERE len(ts) >= 2),
+           |gc AS (SELECT doc_id, g, COUNT(*) AS c FROM g2 GROUP BY doc_id, g),
+           |gstats AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_2grams,
+           |    COUNT(*) AS n_distinct_2grams, CAST(MAX(c) AS BIGINT) AS top_2gram_count
+           |  FROM gc GROUP BY doc_id)
+           |SELECT t.doc_id, n_tokens, n_distinct_tokens,
+           |  CAST(floor(CAST(n_tokens - n_distinct_tokens AS DOUBLE)/n_tokens*1000000.0) AS BIGINT) AS dup_token_frac_fp,
+           |  n_2grams, top_2gram_count,
+           |  CAST(floor(CAST(n_2grams - n_distinct_2grams AS DOUBLE)/n_2grams*1000000.0) AS BIGINT) AS dup_2gram_frac_fp,
+           |  CAST(floor(CAST(top_2gram_count AS DOUBLE)/n_2grams*1000000.0) AS BIGINT) AS top_2gram_frac_fp
+           |FROM tstats t JOIN gstats g ON t.doc_id = g.doc_id
+           |ORDER BY t.doc_id""".stripMargin))
+
+  /** q56: fixed-point TF-IDF. idf is the exact integer floor(1e6·N/df)
+    * instead of a logarithm — cross-engine `ln` is not guaranteed
+    * bit-identical (same reason q37 omits linear counting), and rank
+    * order within a doc is preserved for any monotone transform of
+    * N/df. df is one distinct + one count aggregation over the corpus;
+    * the per-doc ranking only materializes for the queried docs.
+    */
+  val q56TfidfTopK = NamedQuery(
+    "q56_tfidf_topk",
+    "Top-3 TF-IDF terms per document (docs 0-19): corpus document " +
+      "frequency, integer fixed-point idf = floor(1e6·N/df), rank by " +
+      "(score desc, term asc).",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val toks = docs.select(col("doc_id"),
+        explode(tokens(col("text"))).as("term"))
+      val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+      val idf = toks.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(nDocs))
+        .select(col("term"),
+          floor(lit(1000000.0) * col("n_docs") / col("df")).cast("long")
+            .as("idf_fp"))
+      val tf = toks.filter(col("doc_id") < 20)
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score_fp").desc, col("term").asc)
+      tf.join(idf, "term")
+        .withColumn("score_fp", col("tf") * col("idf_fp"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("doc_id", "term", "tf", "score_fp", "rank")
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH toks AS (SELECT doc_id, u AS term FROM
+           |    (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+           |    unnest(ts) AS t(u)),
+           |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+           |dfreq AS (SELECT term, COUNT(*) AS df FROM
+           |    (SELECT DISTINCT doc_id, term FROM toks) GROUP BY term),
+           |idf AS (SELECT term, CAST(floor(1000000.0*n_docs/df) AS BIGINT) AS idf_fp
+           |  FROM dfreq, nd),
+           |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks
+           |  WHERE doc_id < 20 GROUP BY doc_id, term),
+           |scored AS (SELECT t.doc_id, t.term, t.tf, t.tf * i.idf_fp AS score_fp
+           |  FROM tf t JOIN idf i ON t.term = i.term),
+           |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY score_fp DESC, term ASC) AS BIGINT) AS rank FROM scored)
+           |SELECT doc_id, term, tf, score_fp, rank FROM ranked
+           |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
-    q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus)
+    q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
+    q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK)
 }

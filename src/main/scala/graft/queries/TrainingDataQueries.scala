@@ -300,7 +300,55 @@ object TrainingDataQueries {
            |    GROUP BY lang, u))
            |WHERE rank <= 10 ORDER BY lang, rank""".stripMargin))
 
+  /** q55: deterministic balanced per-language sampling — downsample every
+    * stratum to the size of the smallest one with a hash-mod threshold
+    * (no RNG: reprocessing-stable, joinable from any engine, same as the
+    * q39 split discipline). rate_fp = floor(1e6·min_count/count): a doc
+    * is kept iff hash60(doc_id) mod 1e6 < rate_fp. One aggregation for
+    * the stratum sizes (broadcast back — the rate table is |strata|
+    * rows), one row-local filter: no extra shuffle of the corpus.
+    */
+  val q55StratifiedSample = NamedQuery(
+    "q55_stratified_sample",
+    "Balanced per-language sample via hash-mod thresholding at " +
+      "rate = min(stratum)/stratum: totals, fixed-point rates, and " +
+      "sampled counts per language.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("lang"),
+          (hash60(col("doc_id").cast("string")) % 1000000L).as("hm"))
+      val tot = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+      val mn = tot.agg(min(col("n_total")).as("min_total"))
+      val rates = tot.crossJoin(broadcast(mn))
+        .select(col("lang"), col("n_total"),
+          floor(col("min_total") * lit(1000000.0) / col("n_total"))
+            .cast("long").as("rate_fp"))
+      val sampled = docs
+        .join(broadcast(rates.select("lang", "rate_fp")), "lang")
+        .filter(col("hm") < col("rate_fp"))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      rates.join(sampled, Seq("lang"), "left_outer")
+        .select(col("lang"), col("n_total"), col("rate_fp"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+        .orderBy("lang")
+    },
+    Some("""WITH d AS (SELECT lang,
+           |    ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT % 1000000 AS hm
+           |  FROM documents),
+           |tot AS (SELECT lang, COUNT(*) AS n_total FROM d GROUP BY lang),
+           |mn AS (SELECT MIN(n_total) AS min_total FROM tot),
+           |rates AS (SELECT lang, n_total,
+           |    CAST(floor(min_total*1000000.0/n_total) AS BIGINT) AS rate_fp
+           |  FROM tot, mn),
+           |sampled AS (SELECT d.lang, COUNT(*) AS n_sampled
+           |  FROM d JOIN rates r ON d.lang = r.lang
+           |  WHERE d.hm < r.rate_fp GROUP BY d.lang)
+           |SELECT r.lang, n_total, rate_fp, COALESCE(n_sampled, 0) AS n_sampled
+           |FROM rates r LEFT JOIN sampled s ON r.lang = s.lang
+           |ORDER BY r.lang""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
-    q40QuantizeEmbeddings, q43Contamination, q52VocabTopK)
+    q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
+    q55StratifiedSample)
 }

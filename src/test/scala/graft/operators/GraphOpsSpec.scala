@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(vs: Seq[Long], es: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(
+        vs.toDF("id"), es.toDF("src", "dst"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("isolated vertices are their own singleton components") {
+    assert(components(Seq(1L, 2L, 3L), Seq.empty) ===
+      Map(1L -> 1L, 2L -> 2L, 3L -> 3L))
+  }
+
+  test("a chain collapses to the min id (propagation crosses the diameter)") {
+    // 9-hop chain: the min label must walk the full diameter, which
+    // exercises the convergence loop well past one round
+    val vs = (0L to 9L)
+    val es = vs.sliding(2).map(p => (p(0), p(1))).toSeq
+    val got = components(vs, es)
+    assert(got.values.toSet === Set(0L))
+  }
+
+  test("disjoint clusters + direction-agnostic edges + an isolated vertex") {
+    val got = components(
+      Seq(1L, 2L, 3L, 10L, 11L, 99L),
+      // edges deliberately in mixed orientation: (high, low) too
+      Seq((2L, 1L), (2L, 3L), (11L, 10L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  }
+
+  test("a cycle converges (no infinite propagation)") {
+    val got = components(Seq(5L, 6L, 7L), Seq((5L, 6L), (6L, 7L), (7L, 5L)))
+    assert(got.values.toSet === Set(5L))
+  }
+}
