@@ -47,6 +47,34 @@ object TextFunctions {
   def punctCount(text: Column): Column =
     length(text) - length(regexp_replace(text, "[.,!?;:]", ""))
 
+  /** PII patterns — a conservative, RE2-compatible subset (no lookarounds,
+    * no backreferences) so the same patterns run under Spark's java.util
+    * .regex AND RE2-based engines (DuckDB, Go scrubbers) identically.
+    */
+  val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+"
+  val Ipv4Re: String  = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  val PhoneRe: String = "\\+[0-9][0-9() -]{6,}[0-9]"
+
+  /** Per-row PII hit counts (emails, IPv4s, international-format phones) —
+    * the audit signal a corpus scrub reports; row-local, zero shuffle.
+    */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"))
+
+  /** Redact PII in place (emails → `<EMAIL>`, IPv4 → `<IP>`, phones →
+    * `<PHONE>`). Order matters: emails first so their host part is not
+    * half-eaten by the IP pattern, phones last so digit runs inside the
+    * other matches are gone before the greedy phone regex runs.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      PhoneRe, "<PHONE>")
+
   /** MinHash-style fingerprint: min hash60 over distinct word 3-grams
     * (falls back to hash of the whole text for docs shorter than 3
     * tokens). The min-hash kernel runs as the native

@@ -138,6 +138,41 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_fp", "rank")
   }
 
+  /** Hamming-≤2 multi-probe: own bucket, every 1-flip bucket, and every
+    * 2-flip bucket — 1 + P + P(P−1)/2 probes for P planes. The next rung
+    * after [[lshTopKMultiProbe]] on the probes-vs-recall curve: two
+    * misjudged hyperplanes is the second-largest miss mode, and probing
+    * pairs of flips recovers it while still scanning only the query-side
+    * expansion (candidates hash once; the join stays equi-key on bucket).
+    * All probe buckets are distinct (distinct XOR masks), so a
+    * (query, candidate) pair matches at most one probe — no dedup needed.
+    */
+  def lshTopKMultiProbe2(queries: DataFrame, candidates: DataFrame,
+      numPlanes: Int, dim: Int, k: Int): DataFrame = {
+    val qb = queries.select(col("query_id"), col("qv"), norm(col("qv")).as("qn"),
+      lshBucket(col("qv"), numPlanes, dim).as("bucket0"))
+    val flips1 = (0 until numPlanes)
+      .map(p => col("bucket0").bitwiseXOR(lit(1L << p)))
+    val flips2 = for {
+      p <- 0 until numPlanes
+      r <- (p + 1) until numPlanes
+    } yield col("bucket0").bitwiseXOR(lit((1L << p) | (1L << r)))
+    val q = qb.withColumn("bucket",
+        explode(array((col("bucket0") +: flips1) ++ flips2: _*)))
+      .drop("bucket0")
+    val c = candidates.select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"),
+      lshBucket(col("cv"), numPlanes, dim).as("bucket"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_fp").desc, col("neighbor_id").asc)
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_fp",
+        cosineFp6PreNorm(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cos_fp", "rank")
+  }
+
   /** Full OR-amplified LSH: `numTables` independent plane families
     * (plane offsets t·numPlanes), each probed multi-probe style (own
     * bucket + all Hamming-1 flips). A pair is a candidate if it

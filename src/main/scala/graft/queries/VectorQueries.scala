@@ -323,6 +323,44 @@ object VectorQueries {
             |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  /** DuckDB list of a query bucket's Hamming-≤2 probe set: itself, each
+    * 1-flip, and each 2-flip pair — mirrors
+    * [[graft.operators.Similarity.lshTopKMultiProbe2]].
+    */
+  private def probe2ListSql(bucket: String): String =
+    s"""list_concat(list_concat([$bucket],
+       |  list_transform(range(0, $NumPlanes), p -> xor($bucket, 1::BIGINT << p))),
+       |  flatten(list_transform(range(0, $NumPlanes), p ->
+       |    list_transform(range(p + 1, $NumPlanes), r ->
+       |      xor($bucket, (1::BIGINT << p) | (1::BIGINT << r))))))""".stripMargin
+
+  val q57AnnLshMultiProbe2 = NamedQuery(
+    "q57_ann_lsh_mp2",
+    "Hamming-2 multi-probe LSH ANN: queries probe their bucket, all " +
+      "1-flip buckets, and all 2-flip buckets (22 probes of 64) — the " +
+      "next recall rung after q36 at ~1/3 of the corpus scanned, still " +
+      "one equi-join on bucket.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.lshTopKMultiProbe2(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          numPlanes = NumPlanes, dim = Dim, k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH b AS (SELECT vec_id, embedding, ${bucketSql("embedding", NumPlanes)} AS bucket FROM embeddings),
+            |q0 AS (SELECT vec_id AS query_id, embedding AS qv, bucket FROM b WHERE vec_id < 10),
+            |q AS (SELECT query_id, qv,
+            |    unnest(${probe2ListSql("bucket")}) AS bucket FROM q0),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv, bucket FROM b),
+            |pairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM q JOIN c USING (bucket) WHERE query_id <> neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM pairs)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   /** DuckDB bucket of table `tbl` (a column): plane family offset
     * tbl·numPlanes — mirrors the `planeOffset` of
     * [[graft.functions.NativeExpressions.LshBucket]].
@@ -426,5 +464,5 @@ object VectorQueries {
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
-    q42AnnLshMultiTable)
+    q42AnnLshMultiTable, q57AnnLshMultiProbe2)
 }

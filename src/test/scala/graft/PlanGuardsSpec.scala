@@ -47,4 +47,37 @@ class PlanGuardsSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"))
     assert(!p.contains("SortMergeJoin"))
   }
+
+  test("hive-partitioned write + equality filter prunes partitions at the scan") {
+    // The 100 TB layout contract: a corpus written partitionBy(date/lang/
+    // split) must serve a partition-filtered query by LISTING only the
+    // matching directories — the filter shows up as PartitionFilters on
+    // the scan (metadata-only) rather than as a row-level PushedFilter.
+    import org.apache.spark.sql.functions._
+    val dir = s"/tmp/graft-partitioned-${System.nanoTime()}"
+    try {
+      Tables.documents(spark, sf("sf0.001"))
+        .write.partitionBy("lang").mode("overwrite").parquet(dir)
+      val q = spark.read.parquet(dir).filter(col("lang") === "en")
+        .select("doc_id", "n_chars")
+      val p = q.queryExecution.explainString(ExplainMode.fromString("formatted"))
+      assert(p.contains("PartitionFilters") && p.contains("lang"),
+        s"lang filter must prune partitions, not scan rows:\n${p.take(800)}")
+      // pruning is metadata-only: the executed scan must READ fewer files
+      // than an unpruned scan of the same table (the numFiles SQL metric)
+      def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+        assert(df.collect().nonEmpty)
+        df.queryExecution.executedPlan.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            f.metrics("numFiles").value
+        }.sum
+      }
+      val pruned = filesRead(q)
+      val full = filesRead(spark.read.parquet(dir).select("doc_id", "n_chars"))
+      assert(pruned > 0 && pruned < full,
+        s"expected a pruned scan, read $pruned of $full files")
+    } finally {
+      graft.streaming.StreamingOps.deleteCheckpoint(spark, dir)
+    }
+  }
 }

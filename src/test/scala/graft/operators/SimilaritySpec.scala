@@ -48,6 +48,22 @@ class SimilaritySpec extends SparkSpec {
       "LSH cos scores must agree with brute-force for the same pair")
   }
 
+  test("multi-probe ladder: candidate coverage grows monotonically lsh ⊆ mp ⊆ mp2") {
+    // recall@3 against brute-force truth must not DECREASE as probes widen;
+    // mp2's probe set is a strict superset of mp's, which is a superset of
+    // the single bucket — so hits can only grow
+    def hits(df: org.apache.spark.sql.DataFrame, truth: Set[(Long, Long)]): Int =
+      df.select("query_id", "neighbor_id").collect()
+        .count(r => truth.contains((r.getLong(0), r.getLong(1))))
+    val truth = Similarity.bruteForceTopK(queries, cands, 3)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h1 = hits(Similarity.lshTopK(queries, cands, 6, 64, 3), truth)
+    val h2 = hits(Similarity.lshTopKMultiProbe(queries, cands, 6, 64, 3), truth)
+    val h3 = hits(Similarity.lshTopKMultiProbe2(queries, cands, 6, 64, 3), truth)
+    assert(h1 <= h2 && h2 <= h3, s"recall ladder violated: $h1, $h2, $h3")
+  }
+
   test("lsh bucket is deterministic and uses exactly numPlanes bits") {
     val b = emb.select(Similarity.lshBucket(col("embedding"), 6, 64).as("b"))
       .agg(min("b"), max("b")).head
