@@ -222,6 +222,27 @@ object TrainingDataQueries {
     * comparison, so the check costs two scans + a hash join at any
     * corpus size.
     */
+  /** CTE `fp(split, doc_id, fp)`: the q39 hash-mod split plus each doc's
+    * MinHash fingerprint ([[graft.functions.TextFunctions.fingerprint]]) —
+    * shared by q43 (exact contamination) and q58 (bloom prefilter).
+    */
+  private def fpSplitCte: String =
+    """fp AS (SELECT
+      |    CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val'
+      |      ELSE 'test' END AS split,
+      |    doc_id,
+      |    COALESCE(mg, ('0x'||substring(md5(lower(text)),1,15))::BIGINT) AS fp
+      |  FROM (SELECT d.*, m.mg,
+      |      ('0x'||substring(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS hm
+      |    FROM documents d LEFT JOIN (
+      |      SELECT doc_id, min(('0x'||substring(md5(g),1,15))::BIGINT) AS mg
+      |      FROM (SELECT DISTINCT doc_id, g FROM
+      |        (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+      |        unnest(list_transform(range(1, len(ts)-1),
+      |          i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+      |        WHERE len(ts) >= 3)
+      |      GROUP BY doc_id) m ON d.doc_id = m.doc_id))""".stripMargin
+
   val q43Contamination = NamedQuery(
     "q43_split_contamination",
     "Fingerprint-collision contamination of val/test against train " +
@@ -246,21 +267,7 @@ object TrainingDataQueries {
           col("n_docs"))
         .orderBy("split")
     },
-    Some("""WITH fp AS (SELECT
-           |    CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val'
-           |      ELSE 'test' END AS split,
-           |    doc_id,
-           |    COALESCE(mg, ('0x'||substring(md5(lower(text)),1,15))::BIGINT) AS fp
-           |  FROM (SELECT d.*, m.mg,
-           |      ('0x'||substring(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 100 AS hm
-           |    FROM documents d LEFT JOIN (
-           |      SELECT doc_id, min(('0x'||substring(md5(g),1,15))::BIGINT) AS mg
-           |      FROM (SELECT DISTINCT doc_id, g FROM
-           |        (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
-           |        unnest(list_transform(range(1, len(ts)-1),
-           |          i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
-           |        WHERE len(ts) >= 3)
-           |      GROUP BY doc_id) m ON d.doc_id = m.doc_id)),
+    Some(s"""WITH $fpSplitCte,
            |train_fp AS (SELECT DISTINCT fp FROM fp WHERE split = 'train'),
            |holdout AS (SELECT * FROM fp WHERE split <> 'train'),
            |cont AS (SELECT split, COUNT(*) AS n_contaminated FROM holdout
@@ -347,8 +354,83 @@ object TrainingDataQueries {
            |FROM rates r LEFT JOIN sampled s ON r.lang = s.lang
            |ORDER BY r.lang""".stripMargin))
 
+  private val BloomK = 4
+  private val BloomWords = 256 // 15360 bits
+
+  /** q58: the q43 contamination check behind a distributed Bloom
+    * prefilter ([[graft.operators.BloomFilter]]): build the digest over
+    * train fingerprints, probe every holdout doc, and report bloom hits
+    * next to exact hits — n_false_pos is the price of never shuffling
+    * the train set at probe time (the digest is a broadcast `words`-row
+    * table), and no-false-negatives means n_bloom_hits ≥ n_exact_hits
+    * always. Every bit is md5-derived, so the DuckDB oracle rebuilds the
+    * identical filter.
+    */
+  val q58BloomContamination = NamedQuery(
+    "q58_bloom_contamination",
+    "Bloom-prefiltered split contamination: per holdout split, doc " +
+      "count, bloom-filter hits (k=4, 15360 bits over train " +
+      "fingerprints), exact fingerprint hits, and false positives.",
+    (s, d) => {
+      val h = hash60(col("doc_id").cast("string")) % 100
+      val fp = Tables.documents(s, d).select(
+        when(h < 80, "train").when(h < 90, "val").otherwise("test")
+          .as("split"),
+        col("doc_id"),
+        graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+      val train = fp.filter(col("split") === "train").select("fp").distinct()
+      val bloom = graft.operators.BloomFilter.build(train, "fp", BloomK, BloomWords)
+      val holdout = fp.filter(col("split") =!= "train")
+      val probed = graft.operators.BloomFilter.probe(
+        holdout, "fp", Seq("split", "doc_id"), bloom, BloomK, BloomWords)
+      val exact = holdout.join(train, Seq("fp"), "left_semi")
+        .groupBy("split").agg(count(lit(1)).as("n_exact_hits"))
+      probed.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"), sum("bloom_hit").as("n_bloom_hits"))
+        .join(exact, Seq("split"), "left_outer")
+        .select(col("split"), col("n_docs"), col("n_bloom_hits"),
+          coalesce(col("n_exact_hits"), lit(0L)).as("n_exact_hits"),
+          (col("n_bloom_hits") - coalesce(col("n_exact_hits"), lit(0L)))
+            .as("n_false_pos"))
+        .orderBy("split")
+    },
+    Some {
+      val m = BloomWords * 60
+      def posList(key: String) =
+        s"""list_transform(range(0, $BloomK), j ->
+           |  ('0x'||substring(md5(j||':'||CAST($key AS VARCHAR)),1,15))::BIGINT % $m)""".stripMargin
+      s"""WITH $fpSplitCte,
+         |train AS (SELECT DISTINCT fp FROM fp WHERE split = 'train'),
+         |bloom AS (SELECT pos // 60 AS word,
+         |    bit_or(1::BIGINT << CAST(pos % 60 AS INTEGER)) AS bits
+         |  FROM (SELECT unnest(${posList("fp")}) AS pos FROM train)
+         |  GROUP BY pos // 60),
+         |holdout AS (SELECT split, doc_id, fp FROM fp WHERE split <> 'train'),
+         |hpos AS (SELECT split, doc_id, u AS pos FROM
+         |  (SELECT split, doc_id, ${posList("fp")} AS pl FROM holdout),
+         |  unnest(pl) AS t(u)),
+         |hbits AS (SELECT split, doc_id,
+         |    CASE WHEN b.bits IS NOT NULL
+         |      AND (b.bits & (1::BIGINT << CAST(h.pos % 60 AS INTEGER))) <> 0
+         |    THEN 1 ELSE 0 END AS s
+         |  FROM hpos h LEFT JOIN bloom b ON h.pos // 60 = b.word),
+         |hits AS (SELECT split, doc_id,
+         |    CASE WHEN SUM(s) = $BloomK THEN 1 ELSE 0 END AS bloom_hit
+         |  FROM hbits GROUP BY split, doc_id),
+         |exact AS (SELECT split, COUNT(*) AS n_exact_hits FROM holdout
+         |  WHERE fp IN (SELECT fp FROM train) GROUP BY split),
+         |agg AS (SELECT split, COUNT(*) AS n_docs,
+         |    CAST(SUM(bloom_hit) AS BIGINT) AS n_bloom_hits
+         |  FROM hits GROUP BY split)
+         |SELECT a.split, n_docs, n_bloom_hits,
+         |  COALESCE(n_exact_hits, 0) AS n_exact_hits,
+         |  n_bloom_hits - COALESCE(n_exact_hits, 0) AS n_false_pos
+         |FROM agg a LEFT JOIN exact e ON a.split = e.split
+         |ORDER BY a.split""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
-    q55StratifiedSample)
+    q55StratifiedSample, q58BloomContamination)
 }
