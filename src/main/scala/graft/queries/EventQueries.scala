@@ -217,7 +217,39 @@ object EventQueries {
            |  ON a.a_start <= b.b_end AND b.b_start <= a.a_end
            |ORDER BY a_id, b_id""".stripMargin))
 
+  /** q59: time-RANGE window frames — the per-entity rolling-feature shape
+    * (trailing counts/sums over a time horizon) every feature-engineering
+    * pipeline runs. `rangeBetween` on the epoch-µs long orders ONE
+    * sort-shuffle per user partition and slides the frame by value, not
+    * row position — peers with equal timestamps land in the same frame
+    * on both engines. The sum stays decimal-exact so the sliding
+    * accumulator (add/evict order differs per engine) cannot drift.
+    */
+  val q59RollingFeatures = NamedQuery(
+    "q59_rolling_features",
+    "Per-user rolling 10-minute features at every event (trailing event " +
+      "count + decimal-exact value sum) via a RANGE window frame over " +
+      "epoch-µs time.",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts_us"))
+        .rangeBetween(-600L * 1000000L, 0)
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_us"),
+          count(lit(1)).over(w).cast("long").as("n_10m"),
+          sum(col("value").cast("decimal(18,2)")).over(w)
+            .cast("double").as("sum_10m"))
+        .orderBy("event_id")
+    },
+    Some("""SELECT user_id, event_id, ts_us,
+           |  COUNT(*) OVER w AS n_10m,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS sum_10m
+           |FROM (SELECT *, epoch_us(ts) AS ts_us FROM events)
+           |WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+           |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
+           |ORDER BY event_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
-    q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin)
+    q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin,
+    q59RollingFeatures)
 }

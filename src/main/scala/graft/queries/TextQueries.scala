@@ -452,8 +452,69 @@ object TextQueries {
            |SELECT doc_id, term, tf, score_fp, rank FROM ranked
            |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
+  /** q60: incremental dedup — a new batch (a deterministic ~10% slice)
+    * checked against the HISTORICAL corpus by exact digest and by
+    * near-dup fingerprint, with per-language survivor accounting. This
+    * is the daily-increment production shape: the historical side
+    * contributes only its distinct digest/fingerprint sets (two keyed
+    * semi-join-style lookups), never a re-scan of historical pairs — at
+    * 100 TB the increment joins against digest tables (or their
+    * [[graft.operators.BloomFilter]] prefilter, q58), not the corpus.
+    */
+  val q60IncrementalDedup = NamedQuery(
+    "q60_incremental_dedup",
+    "Incremental-batch dedup vs the historical corpus: per language, " +
+      "new-doc count, exact-digest dups, fingerprint near-dups (among " +
+      "non-exact), and survivors.",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .withColumn("is_new",
+          hash60(col("doc_id").cast("string")) % 10 === 7)
+      val hist = base.filter(!col("is_new"))
+      val histDg = hist.select(TextDedup.textDigest(col("text")).as("dg"))
+        .distinct().withColumn("exact_hit", lit(1L))
+      val histFp = hist.select(fingerprint(col("text")).as("fp"))
+        .distinct().withColumn("near_hit", lit(1L))
+      base.filter(col("is_new"))
+        .select(col("lang"), TextDedup.textDigest(col("text")).as("dg"),
+          fingerprint(col("text")).as("fp"))
+        .join(histDg, Seq("dg"), "left_outer")
+        .join(histFp, Seq("fp"), "left_outer")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_new"),
+          sum(coalesce(col("exact_hit"), lit(0L))).as("n_exact_dup"),
+          sum(when(col("exact_hit").isNull && col("near_hit") === 1L, 1L)
+            .otherwise(0L)).as("n_near_dup"),
+          sum(when(col("exact_hit").isNull && col("near_hit").isNull, 1L)
+            .otherwise(0L)).as("n_surviving"))
+        .orderBy("lang")
+    },
+    Some("""WITH allfp AS (SELECT d.doc_id, d.lang, md5(lower(d.text)) AS dg,
+           |    COALESCE(m.mg, ('0x'||substring(md5(lower(d.text)),1,15))::BIGINT) AS fp,
+           |    ('0x'||substring(md5(CAST(d.doc_id AS VARCHAR)),1,15))::BIGINT % 10 = 7 AS is_new
+           |  FROM documents d LEFT JOIN (
+           |    SELECT doc_id, min(('0x'||substring(md5(g),1,15))::BIGINT) AS mg
+           |    FROM (SELECT DISTINCT doc_id, g FROM
+           |      (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+           |      unnest(list_transform(range(1, len(ts)-1),
+           |        i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+           |      WHERE len(ts) >= 3)
+           |    GROUP BY doc_id) m ON d.doc_id = m.doc_id),
+           |hist_dg AS (SELECT DISTINCT dg FROM allfp WHERE NOT is_new),
+           |hist_fp AS (SELECT DISTINCT fp FROM allfp WHERE NOT is_new),
+           |flagged AS (SELECT lang,
+           |    CASE WHEN dg IN (SELECT dg FROM hist_dg) THEN 1 ELSE 0 END AS e,
+           |    CASE WHEN fp IN (SELECT fp FROM hist_fp) THEN 1 ELSE 0 END AS nh
+           |  FROM allfp WHERE is_new)
+           |SELECT lang, COUNT(*) AS n_new,
+           |  CAST(SUM(e) AS BIGINT) AS n_exact_dup,
+           |  CAST(SUM(CASE WHEN e = 0 AND nh = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_near_dup,
+           |  CAST(SUM(CASE WHEN e = 0 AND nh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving
+           |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
-    q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK)
+    q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
+    q60IncrementalDedup)
 }

@@ -48,6 +48,46 @@ class PlanGuardsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("AQE splits a skewed sort-merge join at runtime") {
+    // The skew remedy SCALE.md leans on: one hot key must not pin a
+    // single reducer — AQE's OptimizeSkewedJoin splits the oversized
+    // partition into parallel sub-joins (the plan's SMJ carries
+    // `skew=true`). Thresholds are lowered so local-mode data sizes
+    // qualify; salting (q47) remains the static alternative.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~95% of the left side lands on key 0; pad makes the hot
+      // partition exceed the lowered skew threshold
+      val left = spark.range(0, 200000)
+        .select(when(col("id") % 20 =!= 0, lit(0L)).otherwise(col("id") % 97)
+            .as("k"),
+          concat(lit("x" * 64), col("id")).as("pad"))
+      val right = spark.range(0, 97).select(col("id").as("k"),
+        col("id").as("dim"))
+      val joined = left.join(right, "k")
+      // execute THIS dataset's plan: AQE finalizes (and skew-splits) the
+      // adaptive plan only for the query that actually ran — count()
+      // would execute a different QueryExecution
+      assert(joined.collect().length === 200000)
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"),
+        s"expected a skew-split SMJ in:\n${plan.take(1200)}")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("hive-partitioned write + equality filter prunes partitions at the scan") {
     // The 100 TB layout contract: a corpus written partitionBy(date/lang/
     // split) must serve a partition-filtered query by LISTING only the
