@@ -57,11 +57,19 @@ object TextFunctions {
 
   /** Per-row PII hit counts (emails, IPv4s, international-format phones) —
     * the audit signal a corpus scrub reports; row-local, zero shuffle.
+    * Counts are taken in [[redactPii]]'s replacement order, each pattern
+    * over the PREVIOUS pattern's redaction, so the counts reconcile
+    * exactly with the scrubbed output (a phone-shaped digit run inside
+    * an email is one email, not an email plus a phone).
     */
-  def piiCounts(text: Column): Column = struct(
-    size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
-    size(regexp_extract_all(text, lit(Ipv4Re), lit(0))).as("n_ipv4"),
-    size(regexp_extract_all(text, lit(PhoneRe), lit(0))).as("n_phones"))
+  def piiCounts(text: Column): Column = {
+    val noEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val noIp    = regexp_replace(noEmail, Ipv4Re, "<IP>")
+    struct(
+      size(regexp_extract_all(text, lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(noEmail, lit(Ipv4Re), lit(0))).as("n_ipv4"),
+      size(regexp_extract_all(noIp, lit(PhoneRe), lit(0))).as("n_phones"))
+  }
 
   /** Redact PII in place (emails → `<EMAIL>`, IPv4 → `<IP>`, phones →
     * `<PHONE>`). Order matters: emails first so their host part is not

@@ -373,11 +373,16 @@ object TrainingDataQueries {
       "fingerprints), exact fingerprint hits, and false positives.",
     (s, d) => {
       val h = hash60(col("doc_id").cast("string")) % 100
+      // cached: the tokenize+3-gram+minhash fingerprint stage feeds five
+      // consumers (bloom build, probe explode + re-join, both sides of
+      // the exact join) — TextDedup's caching contract; Verify/Bench
+      // clear the session cache between queries
       val fp = Tables.documents(s, d).select(
         when(h < 80, "train").when(h < 90, "val").otherwise("test")
           .as("split"),
         col("doc_id"),
         graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .cache()
       val train = fp.filter(col("split") === "train").select("fp").distinct()
       val bloom = graft.operators.BloomFilter.build(train, "fp", BloomK, BloomWords)
       val holdout = fp.filter(col("split") =!= "train")

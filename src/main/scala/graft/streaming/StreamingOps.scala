@@ -265,7 +265,7 @@ object StreamingOps {
       val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
       fs.delete(p, true)
       ()
-    } catch { case _: Throwable => () }
+    } catch { case scala.util.control.NonFatal(_) => () }
 
   /** Streaming read of the harness events table: same nanos→µs
     * normalization as [[graft.Tables.events]], via an explicit schema.

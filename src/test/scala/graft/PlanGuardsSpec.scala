@@ -117,7 +117,9 @@ class PlanGuardsSpec extends SparkSpec {
       assert(pruned > 0 && pruned < full,
         s"expected a pruned scan, read $pruned of $full files")
     } finally {
-      graft.streaming.StreamingOps.deleteCheckpoint(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(spark.sessionState.newHadoopConf()).delete(p, true)
+      ()
     }
   }
 }

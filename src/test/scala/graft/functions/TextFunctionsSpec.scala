@@ -43,6 +43,15 @@ class TextFunctionsSpec extends SparkSpec {
     assert(red === "<EMAIL> from <IP> dials <PHONE>")
   }
 
+  test("counts reconcile with redaction: PII embedded in an email counts once") {
+    // "+12345678" inside the email local part and the IP-shaped host must
+    // not double-count — piiCounts runs each pattern over the previous
+    // pattern's redaction, mirroring redactPii's replacement order
+    val (e, i, p, red) = one("mail alice+12345678@10.0.0.1.example.com now")
+    assert((e, i, p) === (1, 0, 0))
+    assert(red === "mail <EMAIL> now")
+  }
+
   test("clean text is untouched") {
     val s = "the 3 quick files ran fast. version 1.2 shipped"
     val (e, i, p, red) = one(s)

@@ -38,4 +38,21 @@ class GraphOpsSpec extends SparkSpec {
     val got = components(Seq(5L, 6L, 7L), Seq((5L, 6L), (6L, 7L), (7L, 5L)))
     assert(got.values.toSet === Set(5L))
   }
+
+  test("edge endpoints outside the vertex set never label components") {
+    // id 0 appears only in edges: it must not become a component id nor
+    // an output row, but it still connects 5 and 6 as a conduit
+    val got = components(Seq(5L, 6L), Seq((0L, 5L), (0L, 6L)))
+    assert(got === Map(5L -> 5L, 6L -> 5L))
+  }
+
+  test("an exhausted round budget throws instead of returning split clusters") {
+    val vs = (0L to 9L)
+    val es = vs.sliding(2).map(p => (p(0), p(1))).toSeq
+    val ex = intercept[IllegalStateException] {
+      GraphOps.connectedComponents(vs.toDF("id"), es.toDF("src", "dst"),
+        maxIter = 3).collect()
+    }
+    assert(ex.getMessage.contains("did not converge"))
+  }
 }
