@@ -127,7 +127,38 @@ object StreamingQueries {
            |AND epoch_us(b.ts) <= epoch_us(c.ts) + 7200000000
            |ORDER BY c.user_id, click_id, buy_id""".stripMargin))
 
+  /** q61: the stream-STATIC join — the enrichment shape every streaming
+    * pipeline runs (fact stream × slowly-changing dim). The static side
+    * is explicitly `broadcast()`: no state store, no watermark needed
+    * (unlike q35's stream-stream join), each micro-batch hash-joins
+    * against the broadcast dim locally — at 100 TB/day of stream this is
+    * the only join shape that never shuffles the stream.
+    */
+  val q61StreamStaticEnrich = NamedQuery(
+    "q61_stream_static_enrich",
+    "Stream-static broadcast enrichment: the events stream joined to the " +
+      "static customer dim (user_id = c_custkey), aggregated to market " +
+      "segment (count + exact decimal sum), Complete mode.",
+    (s, d) => {
+      val cust = graft.Tables.customer(s, d)
+        .select(col("c_custkey").as("user_id"), col("c_mktsegment"))
+      val agg = StreamingOps.eventsStream(s, d)
+        .join(broadcast(cust), Seq("user_id"))
+        .groupBy(col("c_mktsegment").as("segment"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+      StreamingOps.runToMemory(s, agg, qname("stream_enrich"),
+          OutputMode.Complete)
+        .orderBy("segment")
+    },
+    Some("""SELECT c_mktsegment AS segment, COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM events e JOIN customer c ON e.user_id = c.c_custkey
+           |GROUP BY c_mktsegment
+           |ORDER BY segment""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q22StreamDedup, q23StreamApplyChanges, q24StreamWindowAgg,
-    q35StreamStreamJoin)
+    q35StreamStreamJoin, q61StreamStaticEnrich)
 }

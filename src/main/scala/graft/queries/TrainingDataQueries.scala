@@ -434,8 +434,49 @@ object TrainingDataQueries {
          |ORDER BY a.split""".stripMargin
     })
 
+  private val ChunkSize = 32
+  private val Stride = 16
+
+  /** q62: overlapping token-window chunking (size 32, stride 16) — the
+    * retrieval/context-window prep step that turns documents into
+    * fixed-size overlapping pieces. Entirely row-local (one
+    * `transform(sequence)` + `posexplode` per doc, no shuffle until the
+    * output sort); chunk identity is a hash60 of the joined tokens so
+    * chunk-level dedup can run downstream with the same machinery as
+    * doc-level (q12).
+    */
+  val q62DocChunking = NamedQuery(
+    "q62_doc_chunking",
+    s"Chunk documents 0-19 into $ChunkSize-token windows at stride " +
+      s"$Stride: per chunk, token count and content hash.",
+    (s, d) => {
+      val ts = tokens(col("text"))
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 20)
+        .select(col("doc_id"), ts.as("ts"))
+        .select(col("doc_id"),
+          posexplode(transform(
+            sequence(lit(0), size(col("ts")) - 1, lit(Stride)),
+            s0 => slice(col("ts"), s0 + 1, lit(ChunkSize))))
+            .as(Seq("chunk_idx", "chunk")))
+        .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+          size(col("chunk")).cast("long").as("n_tokens"),
+          hash60(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS ts
+            |  FROM documents WHERE doc_id < 20),
+            |ch AS (SELECT doc_id, s0 // $Stride AS chunk_idx,
+            |    ts[s0+1 : s0+$ChunkSize] AS chunk
+            |  FROM (SELECT doc_id, ts, u AS s0 FROM t,
+            |    unnest(range(0, len(ts), $Stride)) AS r(u)))
+            |SELECT doc_id, chunk_idx,
+            |  CAST(len(chunk) AS BIGINT) AS n_tokens,
+            |  ('0x'||substring(md5(array_to_string(chunk, ' ')),1,15))::BIGINT AS chunk_hash
+            |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
-    q55StratifiedSample, q58BloomContamination)
+    q55StratifiedSample, q58BloomContamination, q62DocChunking)
 }
