@@ -512,9 +512,62 @@ object TextQueries {
            |  CAST(SUM(CASE WHEN e = 0 AND nh = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_surviving
            |FROM flagged GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q63: corpus-statistics outlier detection — flag documents whose
+    * token count is more than 2σ from the corpus mean, the standard
+    * length-based quality filter that runs after per-doc metrics (q16)
+    * and before sampling. Parity discipline: mean/variance come from
+    * EXACT integer moments (n, Σx, Σx² as decimal(38,0) so the products
+    * survive 100-TB row counts without long overflow), and the 2σ test
+    * is done entirely in integer arithmetic —
+    *   (n·x − S)² > 4·(n·Q − S²)  ⇔  (x − μ)² > 4σ²
+    * — so the boolean never depends on cross-engine float rounding. The
+    * reported z_fp6 = floor(1e6·(n·x−S)/√(n·Q−S²)) does one IEEE sqrt +
+    * divide, both correctly-rounded ops, identical in Spark and DuckDB.
+    * Scale shape: one global partial-agg to a SINGLE stats row,
+    * broadcast back (crossJoin of a 1-row side), then a row-local
+    * projection — the corpus is scanned once and never shuffled.
+    */
+  val q63LengthOutliers = NamedQuery(
+    "q63_length_outliers",
+    "Token-count z-score per document from exact integer moments " +
+      "(decimal(38,0) sums, broadcast 1-row stats), with an " +
+      "integer-exact |z|>2 outlier flag.",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+      val stats = base.agg(
+        count(lit(1)).cast("decimal(38,0)").as("n"),
+        sum(col("n_tokens").cast("decimal(38,0)")).cast("decimal(38,0)").as("sx"),
+        sum((col("n_tokens") * col("n_tokens")).cast("decimal(38,0)"))
+          .cast("decimal(38,0)").as("sxx"))
+      base.crossJoin(broadcast(stats))
+        .withColumn("num", (col("n") * col("n_tokens") - col("sx"))
+          .cast("decimal(38,0)"))
+        .withColumn("varnum", (col("n") * col("sxx") - col("sx") * col("sx"))
+          .cast("decimal(38,0)"))
+        .select(col("doc_id"), col("n_tokens"),
+          floor(col("num").cast("double") * lit(1000000.0) /
+            sqrt(col("varnum").cast("double"))).cast("long").as("z_fp6"),
+          (col("num") * col("num") > col("varnum") * lit(4)).as("is_outlier"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH base AS (SELECT doc_id,
+           |    CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tokens
+           |  FROM documents),
+           |st AS (SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+           |    CAST(SUM(n_tokens) AS HUGEINT) AS sx,
+           |    CAST(SUM(n_tokens*n_tokens) AS HUGEINT) AS sxx FROM base)
+           |SELECT doc_id, n_tokens,
+           |  CAST(floor(CAST(n*n_tokens - sx AS DOUBLE) * 1000000.0 /
+           |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS z_fp6,
+           |  (n*n_tokens - sx)*(n*n_tokens - sx) > 4*(n*sxx - sx*sx)
+           |    AS is_outlier
+           |FROM base, st ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
-    q60IncrementalDedup)
+    q60IncrementalDedup, q63LengthOutliers)
 }

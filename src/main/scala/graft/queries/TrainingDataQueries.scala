@@ -475,8 +475,127 @@ object TrainingDataQueries {
             |  ('0x'||substring(md5(array_to_string(chunk, ' ')),1,15))::BIGINT AS chunk_hash
             |FROM ch ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  private val KmvK = 32
+
+  /** q64: KMV (k-minimum-values) bottom-k sketch per event_type — the
+    * other classic distinct estimator next to q37's HLL-lite, and the
+    * one that doubles as a DETERMINISTIC uniform sample (the k kept
+    * hashes are a reprocessing-stable random subset of the keys).
+    * est = (k−1)·2⁶⁰ / h_k where h_k is the k-th smallest distinct
+    * hash; when a group has fewer than k distinct keys the sketch is
+    * exhaustive and exact. The (k−1)·2⁶⁰ product overflows a long, so
+    * it runs as decimal(38,0) with the exact integral `div` — no
+    * float rounding for the oracle hash to trip on.
+    * Scale shape: distinct is one hash-agg shuffle; bottom-k per group
+    * is WindowGroupLimit (rank pushdown keeps only k rows per group
+    * per partition before the sort); the sketch output is |groups|·k
+    * rows however large the input.
+    */
+  val q64KmvDistinct = NamedQuery(
+    "q64_kmv_distinct",
+    s"KMV bottom-$KmvK distinct-user sketch per event_type: k-th " +
+      "smallest hash, exact-integral estimate, vs the exact count.",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("h").asc)
+      val dh = Tables.events(s, d)
+        .select(col("event_type"),
+          hash60(col("user_id").cast("string")).as("h"))
+        .distinct()
+      val topk = dh.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= KmvK)
+        .groupBy("event_type")
+        .agg(max("h").as("h_k"), count(lit(1)).as("k"))
+      val exact = dh.groupBy("event_type").agg(count(lit(1)).as("n_exact"))
+      topk.join(exact, Seq("event_type"))
+        .withColumn("est", when(col("k") < KmvK, col("k")).otherwise(
+          expr(s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0))) div " +
+            "CAST(h_k AS DECIMAL(38,0)) AS BIGINT)")))
+        .select(col("event_type"), col("k"), col("h_k"), col("n_exact"),
+          col("est"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH dh AS (SELECT DISTINCT event_type,
+            |    ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+            |  FROM events),
+            |r AS (SELECT event_type, h,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            |  FROM dh),
+            |t AS (SELECT event_type, MAX(h) AS h_k,
+            |    CAST(COUNT(*) AS BIGINT) AS k
+            |  FROM r WHERE rn <= $KmvK GROUP BY event_type),
+            |e AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_exact
+            |  FROM dh GROUP BY event_type)
+            |SELECT t.event_type, k, h_k, n_exact,
+            |  CAST(CASE WHEN k < $KmvK THEN k
+            |    ELSE (CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // h_k
+            |    END AS BIGINT) AS est
+            |FROM t JOIN e USING (event_type) ORDER BY event_type""".stripMargin))
+
+  private val CmsDepth = 4
+  private val CmsWidth = 512L
+
+  /** q65: Count-Min-sketch heavy hitters — the fixed-memory frequency
+    * estimator every streaming/vocab pipeline uses when the exact
+    * token histogram (q52) no longer fits. The sketch is d×w counters
+    * (4×512 here) built with ONE hash-agg over (row, bucket) pairs —
+    * map-side partial agg collapses each partition to ≤ d·w rows, so
+    * the shuffle carries a fixed 2048-row table no matter the corpus
+    * size. Estimates (min over the d buckets a token hashes into) are
+    * computed for the exact top-20 tokens next to their true counts,
+    * so the one-sided error (est ≥ exact, inflated by collisions) is
+    * visible and hash-checked. Every hash is md5-derived (`hash60`),
+    * so DuckDB replays the identical sketch — no RNG, no seed drift.
+    */
+  val q65CmsHeavyHitters = NamedQuery(
+    "q65_cms_heavy_hitters",
+    s"Count-Min sketch ($CmsDepth×$CmsWidth, md5-derived buckets) " +
+      "frequency estimates for the exact top-20 tokens, est ≥ exact " +
+      "by construction.",
+    (s, d) => {
+      def buckets(tok: org.apache.spark.sql.Column) = explode(array(
+        (0 until CmsDepth).map(j => struct(
+          lit(j.toLong).as("j"),
+          (hash60(concat(lit(j.toString), lit(":"), tok)) % CmsWidth)
+            .as("b"))): _*))
+      val toks = Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+      val cms = toks.select(buckets(col("tok")).as("p"))
+        .groupBy(col("p.j").as("j"), col("p.b").as("b"))
+        .agg(count(lit(1)).as("n_bucket"))
+      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+      top.select(col("tok"), col("n_exact"), buckets(col("tok")).as("p"))
+        .select(col("tok"), col("n_exact"), col("p.j").as("j"),
+          col("p.b").as("b"))
+        .join(broadcast(cms), Seq("j", "b"))
+        .groupBy("tok", "n_exact").agg(min("n_bucket").as("n_cms"))
+        .orderBy(col("n_exact").desc, col("tok").asc)
+    },
+    Some(s"""WITH toks AS (SELECT u AS tok
+            |  FROM (SELECT string_split(lower(text),' ') AS ts FROM documents),
+            |    unnest(ts) AS t(u)),
+            |js AS (SELECT unnest(range($CmsDepth)) AS j),
+            |pairs AS (SELECT tok, j,
+            |    ('0x'||substring(md5(CAST(j AS VARCHAR)||':'||tok),1,15))::BIGINT
+            |      % $CmsWidth AS b
+            |  FROM toks, js),
+            |cms AS (SELECT j, b, COUNT(*) AS n_bucket FROM pairs GROUP BY j, b),
+            |ex AS (SELECT tok, COUNT(*) AS n_exact FROM toks GROUP BY tok
+            |  ORDER BY n_exact DESC, tok LIMIT 20),
+            |ep AS (SELECT tok, n_exact, j,
+            |    ('0x'||substring(md5(CAST(j AS VARCHAR)||':'||tok),1,15))::BIGINT
+            |      % $CmsWidth AS b
+            |  FROM ex, js)
+            |SELECT ep.tok, ep.n_exact, MIN(cms.n_bucket) AS n_cms
+            |FROM ep JOIN cms USING (j, b)
+            |GROUP BY ep.tok, ep.n_exact
+            |ORDER BY n_exact DESC, tok""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
-    q55StratifiedSample, q58BloomContamination, q62DocChunking)
+    q55StratifiedSample, q58BloomContamination, q62DocChunking,
+    q64KmvDistinct, q65CmsHeavyHitters)
 }

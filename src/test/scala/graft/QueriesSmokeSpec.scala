@@ -94,4 +94,46 @@ class QueriesSmokeSpec extends SparkSpec {
         |  nation_name ASC NULLS FIRST""".stripMargin).collect().toSeq
     assert(df == sql)
   }
+
+  test("q63 integer outlier flag agrees with the fixed-point z-score") {
+    val rows = queries.TextQueries.q63LengthOutliers
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val z = r.getAs[Long]("z_fp6")
+      val flag = r.getAs[Boolean]("is_outlier")
+      // the flag is exact integer math; the fp6 z is the same quantity
+      // through one sqrt+divide — they must agree away from the 2σ
+      // boundary (1e3 fp6 ≈ z within 0.001 of ±2)
+      if (math.abs(math.abs(z) - 2000000L) > 1000L)
+        assert(flag == (math.abs(z) > 2000000L),
+          s"doc ${r.get(0)}: z_fp6 $z vs flag $flag")
+    }
+    val nOut = rows.count(_.getAs[Boolean]("is_outlier"))
+    assert(nOut < rows.length / 10, s"$nOut outliers of ${rows.length}")
+  }
+
+  test("q64 KMV estimate: exact when exhaustive, within 50% when sketching") {
+    val rows = queries.TrainingDataQueries.q64KmvDistinct
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val k = r.getAs[Long]("k")
+      val exact = r.getAs[Long]("n_exact")
+      val est = r.getAs[Long]("est")
+      if (k < 32) assert(est == exact, s"${r.get(0)}: exhaustive but $est != $exact")
+      else assert(math.abs(est - exact).toDouble / exact < 0.5,
+        s"${r.get(0)}: est $est vs exact $exact")
+    }
+  }
+
+  test("q65 CMS estimates are one-sided: est >= exact for every token") {
+    val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_cms") >= r.getAs[Long]("n_exact"),
+        s"${r.get(0)}: CMS under-counted")
+    }
+  }
 }
