@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, EventQueries, MultimodalQueries,
-  PosQueries, RelationalQueries, StreamingQueries, TextQueries,
-  TrainingDataQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, EventQueries, LayoutQueries,
+  MultimodalQueries, PosQueries, RelationalQueries, StreamingQueries,
+  TextQueries, TrainingDataQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -22,7 +22,8 @@ object SparkEntry {
       MultimodalQueries.all ++
       PosQueries.all ++
       AnalyticsQueries.all ++
-      TrainingDataQueries.all
+      TrainingDataQueries.all ++
+      LayoutQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -248,8 +248,76 @@ object EventQueries {
            |  RANGE BETWEEN 600000000 PRECEDING AND CURRENT ROW)
            |ORDER BY event_id""".stripMargin))
 
+  private val HourUs = 3600000000L
+
+  /** q66: regular-grid resampling with forward fill — the gap-fill /
+    * last-observation-carried-forward step that turns an irregular
+    * event stream into the fixed-cadence series feature pipelines and
+    * model inputs expect. Three scale-safe stages: (1) hourly bucketing
+    * is pure integer math on `ts_us` (one hash-agg, `max_by` picks the
+    * in-hour last observation without a sort); (2) the hour spine is
+    * `sequence()`-exploded from each key's min/max bucket — row-local,
+    * |keys|·|hours| output rows, never a cross join; (3) LOCF is
+    * `last(value, ignoreNulls) OVER (PARTITION BY key ORDER BY hour)`,
+    * the same per-key window sort as sessionization — state is one row
+    * per key however long the series. Restricted to user_id < 5 to
+    * bound the dumped grid; the shape is per-key-parallel at any fan-out.
+    */
+  val q66GapfillLocf = NamedQuery(
+    "q66_gapfill_locf",
+    "Hourly resample of events for users 0-4 over each user's own " +
+      "min→max hour spine: in-hour event count + last value, gaps " +
+      "forward-filled (LOCF) and flagged.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("user_id") < 5)
+        .select(col("user_id"), col("event_id"), col("value"), col("ts_us"),
+          (col("ts_us") - col("ts_us") % HourUs).as("hr_us"))
+      val hourly = ev.groupBy("user_id", "hr_us").agg(
+        count(lit(1)).as("n_events"),
+        max_by(col("value"), struct(col("ts_us"), col("event_id")))
+          .as("hour_last"))
+      val spine = ev.groupBy("user_id")
+        .agg(min("hr_us").as("h0"), max("hr_us").as("h1"))
+        .select(col("user_id"),
+          explode(sequence(col("h0"), col("h1"), lit(HourUs))).as("hr_us"))
+      val w = Window.partitionBy("user_id").orderBy("hr_us")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("user_id", "hr_us"), "left_outer")
+        .select(col("user_id"), col("hr_us"),
+          coalesce(col("n_events"), lit(0L)).as("n_events"),
+          last(col("hour_last"), ignoreNulls = true).over(w)
+            .as("filled_value"),
+          col("n_events").isNull.as("is_gap"))
+        .orderBy("user_id", "hr_us")
+    },
+    Some(s"""WITH ev AS (SELECT user_id, event_id, value,
+            |    epoch_us(ts) AS ts_us,
+            |    epoch_us(ts) - epoch_us(ts) % $HourUs AS hr_us
+            |  FROM events WHERE user_id < 5),
+            |h AS (SELECT user_id, hr_us, n_events, value AS hour_last FROM (
+            |    SELECT user_id, hr_us, value,
+            |      COUNT(*) OVER (PARTITION BY user_id, hr_us) AS n_events,
+            |      row_number() OVER (PARTITION BY user_id, hr_us
+            |        ORDER BY ts_us DESC, event_id DESC) AS rn
+            |    FROM ev) WHERE rn = 1),
+            |spine AS (SELECT user_id, u AS hr_us
+            |  FROM (SELECT user_id, generate_series(MIN(hr_us), MAX(hr_us),
+            |      $HourUs) AS gs FROM ev GROUP BY user_id),
+            |    unnest(gs) AS g(u))
+            |SELECT s.user_id, s.hr_us,
+            |  COALESCE(h.n_events, 0) AS n_events,
+            |  last_value(h.hour_last IGNORE NULLS) OVER (
+            |    PARTITION BY s.user_id ORDER BY s.hr_us
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |    AS filled_value,
+            |  h.n_events IS NULL AS is_gap
+            |FROM spine s LEFT JOIN h ON s.user_id = h.user_id
+            |  AND s.hr_us = h.hr_us
+            |ORDER BY s.user_id, s.hr_us""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin,
-    q59RollingFeatures)
+    q59RollingFeatures, q66GapfillLocf)
 }

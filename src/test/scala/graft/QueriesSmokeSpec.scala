@@ -127,6 +127,37 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q66 gap-fill: no hour missing, no unfilled value, flags consistent") {
+    val rows = queries.EventQueries.q66GapfillLocf
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, rs) =>
+      val hrs = rs.map(_.getAs[Long]("hr_us")).sorted
+      // the spine is dense: consecutive hours differ by exactly 1h
+      hrs.sliding(2).foreach { case Array(a, b) =>
+        assert(b - a == 3600000000L, s"user $u: gap in spine $a -> $b")
+      case _ => ()
+      }
+    }
+    rows.foreach { r =>
+      assert(!r.isNullAt(r.fieldIndex("filled_value")),
+        s"unfilled hour ${r.get(1)} for user ${r.get(0)}")
+      assert(r.getAs[Boolean]("is_gap") == (r.getAs[Long]("n_events") == 0L))
+    }
+  }
+
+  test("q67 layout write produces one hive directory per language") {
+    queries.LayoutQueries.q67PartitionedLayout.fn(spark, sf("sf0.001")).count()
+    val out = new java.io.File(
+      "/tmp/graft-layout/" +
+        sf("sf0.001").replaceAll("[^A-Za-z0-9.]", "_"))
+    val langDirs = out.listFiles().filter(_.getName.startsWith("lang="))
+    val langs = Tables.documents(spark, sf("sf0.001"))
+      .select("lang").distinct().count()
+    assert(langDirs.length == langs,
+      s"${langDirs.length} lang= dirs vs $langs languages")
+  }
+
   test("q65 CMS estimates are one-sided: est >= exact for every token") {
     val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
       .fn(spark, sf("sf0.01")).collect()
