@@ -565,9 +565,102 @@ object TextQueries {
            |    AS is_outlier
            |FROM base, st ORDER BY doc_id""".stripMargin))
 
+  /** q68: the composed corpus-preparation pipeline — the end-to-end flow
+    * a training-data user actually runs, as ONE query: quality gate
+    * (token count + distinct ratio, q16's fp6 math) → exact dedup
+    * (min-doc_id survivor per md5 digest, q12) → near-dup removal
+    * (min-doc_id survivor per 3-gram fingerprint, q18/q60) → balanced
+    * per-language sampling (q55's hash-mod thresholding). Built as a
+    * SINGLE scan with survivorship flags: each stage is a boolean
+    * column, stage k's survivor rule is `flag(k−1) AND doc_id =
+    * min(doc_id) FILTER flag(k−1) OVER (PARTITION BY stage-key)` — so
+    * the corpus is read once, shuffled once per dedup key (the same
+    * shuffles the standalone operators do), and never materialized
+    * between stages. Sampling rates come from one tiny aggregate
+    * broadcast back. Per-language funnel counts make every stage's
+    * attrition visible and hash-checked.
+    */
+  val q68CorpusPipeline = NamedQuery(
+    "q68_corpus_pipeline",
+    "End-to-end corpus prep funnel per language: total → quality gate " +
+      "→ exact-dedup survivors → fingerprint near-dup survivors → " +
+      "balanced sample, plus sampled token sum.",
+    (s, d) => {
+      val ts = tokens(col("text"))
+      val wDg = Window.partitionBy("dg")
+      val wFp = Window.partitionBy("fp")
+      val flags = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(ts).cast("long").as("n_tokens"),
+          (size(ts) >= 5 &&
+            fp6(size(array_distinct(ts)).cast("double") / size(ts))
+              >= 200000L).as("qg"),
+          TextDedup.textDigest(col("text")).as("dg"),
+          fingerprint(col("text")).as("fp"))
+        .withColumn("ue", col("qg") &&
+          col("doc_id") === min(when(col("qg"), col("doc_id"))).over(wDg))
+        .withColumn("un", col("ue") &&
+          col("doc_id") === min(when(col("ue"), col("doc_id"))).over(wFp))
+      val clean = flags.filter(col("un"))
+        .groupBy("lang").agg(count(lit(1)).as("n_clean"))
+      val rates = clean
+        .crossJoin(broadcast(clean.agg(min("n_clean").as("min_clean"))))
+        .select(col("lang"),
+          floor(col("min_clean") * lit(1000000.0) / col("n_clean"))
+            .cast("long").as("rate_fp"))
+      flags.join(broadcast(rates), Seq("lang"))
+        .withColumn("smp", col("un") &&
+          hash60(col("doc_id").cast("string")) % 1000000L < col("rate_fp"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("qg"), 1L).otherwise(0L)).as("n_quality"),
+          sum(when(col("ue"), 1L).otherwise(0L)).as("n_unique"),
+          sum(when(col("un"), 1L).otherwise(0L)).as("n_clean"),
+          sum(when(col("smp"), 1L).otherwise(0L)).as("n_sampled"),
+          coalesce(sum(when(col("smp"), col("n_tokens"))), lit(0L))
+            .as("sampled_tokens"))
+        .orderBy("lang")
+    },
+    Some("""WITH base AS (SELECT doc_id, lang, lower(text) AS lt,
+           |    string_split(lower(text),' ') AS ts FROM documents),
+           |f AS (SELECT b.doc_id, b.lang,
+           |    CAST(len(ts) AS BIGINT) AS n_tokens,
+           |    len(ts) >= 5 AND floor(CAST(len(list_distinct(ts)) AS DOUBLE)
+           |      / len(ts) * 1000000.0) >= 200000 AS qg,
+           |    md5(lt) AS dg,
+           |    COALESCE(m.mg, ('0x'||substring(md5(lt),1,15))::BIGINT) AS fp
+           |  FROM base b LEFT JOIN (
+           |    SELECT doc_id, min(('0x'||substring(md5(g),1,15))::BIGINT) AS mg
+           |    FROM (SELECT DISTINCT doc_id, g FROM base,
+           |      unnest(list_transform(range(1, len(ts)-1),
+           |        i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+           |      WHERE len(ts) >= 3)
+           |    GROUP BY doc_id) m ON b.doc_id = m.doc_id),
+           |u AS (SELECT *, qg AND doc_id = min(CASE WHEN qg THEN doc_id END)
+           |    OVER (PARTITION BY dg) AS ue FROM f),
+           |n AS (SELECT *, ue AND doc_id = min(CASE WHEN ue THEN doc_id END)
+           |    OVER (PARTITION BY fp) AS un FROM u),
+           |cl AS (SELECT lang, COUNT(*) FILTER (WHERE un) AS n_clean
+           |  FROM n GROUP BY lang),
+           |rt AS (SELECT lang, CAST(floor(min_clean * 1000000.0 / n_clean)
+           |    AS BIGINT) AS rate_fp
+           |  FROM cl, (SELECT MIN(n_clean) AS min_clean FROM cl)),
+           |s AS (SELECT n.*, un AND
+           |    ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+           |      % 1000000 < rt.rate_fp AS smp
+           |  FROM n JOIN rt USING (lang))
+           |SELECT lang, COUNT(*) AS n_total,
+           |  CAST(COUNT(*) FILTER (WHERE qg) AS BIGINT) AS n_quality,
+           |  CAST(COUNT(*) FILTER (WHERE ue) AS BIGINT) AS n_unique,
+           |  CAST(COUNT(*) FILTER (WHERE un) AS BIGINT) AS n_clean,
+           |  CAST(COUNT(*) FILTER (WHERE smp) AS BIGINT) AS n_sampled,
+           |  CAST(COALESCE(SUM(n_tokens) FILTER (WHERE smp), 0) AS BIGINT)
+           |    AS sampled_tokens
+           |FROM s GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
-    q60IncrementalDedup, q63LengthOutliers)
+    q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline)
 }

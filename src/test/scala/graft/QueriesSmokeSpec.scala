@@ -158,6 +158,23 @@ class QueriesSmokeSpec extends SparkSpec {
       s"${langDirs.length} lang= dirs vs $langs languages")
   }
 
+  test("q68 pipeline funnel is monotone and the sample is balanced") {
+    val rows = queries.TextQueries.q68CorpusPipeline
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val Seq(t, q, u, c, s) = Seq("n_total", "n_quality", "n_unique",
+        "n_clean", "n_sampled").map(r.getAs[Long](_))
+      assert(t >= q && q >= u && u >= c && c >= s && s > 0,
+        s"${r.get(0)}: funnel $t >= $q >= $u >= $c >= $s violated")
+    }
+    // hash-mod thresholding at rate min/|stratum| lands every language
+    // within ~25% of the smallest stratum
+    val samples = rows.map(_.getAs[Long]("n_sampled"))
+    assert(samples.max <= samples.min * 5 / 4 + 2,
+      s"unbalanced sample: ${samples.mkString(",")}")
+  }
+
   test("q65 CMS estimates are one-sided: est >= exact for every token") {
     val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
       .fn(spark, sf("sf0.01")).collect()
