@@ -559,13 +559,18 @@ object TrainingDataQueries {
           lit(j.toLong).as("j"),
           (hash60(concat(lit(j.toString), lit(":"), tok)) % CmsWidth)
             .as("b"))): _*))
-      val toks = Tables.documents(s, d)
+      // one occurrence-level aggregation to the vocab histogram; the
+      // sketch is then built from PER-TOKEN counts (Σ counts per bucket
+      // ≡ per-occurrence bucket counts, at 4·|vocab| exploded rows
+      // instead of 4·|occurrences| — the second explode-the-corpus pass
+      // this query originally paid)
+      val vocab = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
-      val cms = toks.select(buckets(col("tok")).as("p"))
+        .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+      val cms = vocab.select(buckets(col("tok")).as("p"), col("n_exact"))
         .groupBy(col("p.j").as("j"), col("p.b").as("b"))
-        .agg(count(lit(1)).as("n_bucket"))
-      val top = toks.groupBy("tok").agg(count(lit(1)).as("n_exact"))
-        .orderBy(col("n_exact").desc, col("tok").asc).limit(20)
+        .agg(sum("n_exact").as("n_bucket"))
+      val top = vocab.orderBy(col("n_exact").desc, col("tok").asc).limit(20)
       top.select(col("tok"), col("n_exact"), buckets(col("tok")).as("p"))
         .select(col("tok"), col("n_exact"), col("p.j").as("j"),
           col("p.b").as("b"))
