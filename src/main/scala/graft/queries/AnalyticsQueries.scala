@@ -270,8 +270,45 @@ object AnalyticsQueries {
            |                   WHERE c2.c_nationkey = c.c_nationkey)
            |ORDER BY c_custkey""".stripMargin))
 
+  /** q70: NTILE bucketing — equal-count quartiles of document length
+    * WITHIN each language, the binning step behind length-balanced
+    * batch construction and per-stratum curriculum schedules. NTILE is
+    * inherently a per-partition total order, so the partition key is
+    * the language (parallel across strata, one sort per stratum — the
+    * q52 per-group shape, never a single global sort), and the order
+    * is made total with the doc_id tiebreak so both engines assign the
+    * remainder rows of uneven buckets identically.
+    */
+  val q70NtileQuartiles = NamedQuery(
+    "q70_ntile_quartiles",
+    "Per-language token-count quartiles via NTILE(4) (doc_id-total " +
+      "order): bucket row counts and min/max token bounds.",
+    (s, d) => {
+      import graft.functions.TextFunctions.tokens
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_tokens").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"))
+        .withColumn("q", ntile(4).over(w).cast("long"))
+        .groupBy("lang", "q")
+        .agg(count(lit(1)).as("n_docs"),
+          min("n_tokens").as("min_tokens"),
+          max("n_tokens").as("max_tokens"))
+        .orderBy("lang", "q")
+    },
+    Some("""SELECT lang, q, COUNT(*) AS n_docs,
+           |  MIN(n_tokens) AS min_tokens, MAX(n_tokens) AS max_tokens
+           |FROM (SELECT lang, doc_id,
+           |    CAST(len(string_split(lower(text),' ')) AS BIGINT) AS n_tokens,
+           |    CAST(ntile(4) OVER (PARTITION BY lang
+           |      ORDER BY len(string_split(lower(text),' ')), doc_id)
+           |      AS BIGINT) AS q
+           |  FROM documents)
+           |GROUP BY lang, q ORDER BY lang, q""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
     q44HistogramQuantiles, q47SaltedAgg, q48Pivot, q49SetAlgebra,
-    q50ScalarSubquery)
+    q50ScalarSubquery, q70NtileQuartiles)
 }

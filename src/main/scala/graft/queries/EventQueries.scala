@@ -316,8 +316,39 @@ object EventQueries {
             |  AND s.hr_us = h.hr_us
             |ORDER BY s.user_id, s.hr_us""".stripMargin))
 
+  private val SlideUs = 43200000000L // 12 h hop; window = 24 h = 2 hops
+
+  /** q71: hopping (sliding) time-window aggregation — `window(ts,
+    * '1 day', '12 hours')`, the overlapping-window counterpart to
+    * q24's streaming tumbling windows. Spark assigns each row to
+    * size/slide = 2 windows; the oracle reproduces the assignment as
+    * pure integer math (starts s = floor12h(ts) − k·12h, k ∈ {0,1}),
+    * which doubles as documentation of the epoch-aligned window
+    * semantics. One Expand (2× rows, row-local) + one hash-agg — the
+    * shuffle carries |windows|·|event_types| aggregated rows only.
+    */
+  val q71HoppingWindow = NamedQuery(
+    "q71_hopping_window",
+    "24h windows hopping every 12h per event_type: event count and " +
+      "exact decimal value sum, window starts as epoch-us.",
+    (s, d) =>
+      Tables.events(s, d)
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("event_type"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(unix_micros(col("window.start")).as("ws_us"),
+          col("event_type"), col("n_events"), col("sum_value"))
+        .orderBy("ws_us", "event_type"),
+    Some(s"""SELECT epoch_us(ts) - epoch_us(ts) % $SlideUs - k * $SlideUs
+            |    AS ws_us,
+            |  event_type, COUNT(*) AS n_events,
+            |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+            |FROM events, unnest([0, 1]) AS u(k)
+            |GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin,
-    q59RollingFeatures, q66GapfillLocf)
+    q59RollingFeatures, q66GapfillLocf, q71HoppingWindow)
 }

@@ -547,8 +547,11 @@ object TextQueries {
         .withColumn("varnum", (col("n") * col("sxx") - col("sx") * col("sx"))
           .cast("decimal(38,0)"))
         .select(col("doc_id"), col("n_tokens"),
-          floor(col("num").cast("double") * lit(1000000.0) /
-            sqrt(col("varnum").cast("double"))).cast("long").as("z_fp6"),
+          // varnum = 0 ⇔ every doc has the same length ⇒ z ≡ 0 (the
+          // unguarded 0/0 would NaN and throw under ANSI cast)
+          when(col("varnum") === 0, lit(0L)).otherwise(
+            floor(col("num").cast("double") * lit(1000000.0) /
+              sqrt(col("varnum").cast("double"))).cast("long")).as("z_fp6"),
           (col("num") * col("num") > col("varnum") * lit(4)).as("is_outlier"))
         .orderBy("doc_id")
     },
@@ -559,8 +562,10 @@ object TextQueries {
            |    CAST(SUM(n_tokens) AS HUGEINT) AS sx,
            |    CAST(SUM(n_tokens*n_tokens) AS HUGEINT) AS sxx FROM base)
            |SELECT doc_id, n_tokens,
-           |  CAST(floor(CAST(n*n_tokens - sx AS DOUBLE) * 1000000.0 /
-           |    sqrt(CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT) AS z_fp6,
+           |  CASE WHEN n*sxx - sx*sx = 0 THEN 0
+           |    ELSE CAST(floor(CAST(n*n_tokens - sx AS DOUBLE) * 1000000.0 /
+           |      sqrt(CAST(n*sxx - sx*sx AS DOUBLE))) AS BIGINT)
+           |  END AS z_fp6,
            |  (n*n_tokens - sx)*(n*n_tokens - sx) > 4*(n*sxx - sx*sx)
            |    AS is_outlier
            |FROM base, st ORDER BY doc_id""".stripMargin))
@@ -658,9 +663,61 @@ object TextQueries {
            |    AS sampled_tokens
            |FROM s GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q69: collocation mining — rank bigrams by the Dice coefficient
+    * 2·c(xy)/(c(x)+c(y)), the association score that separates real
+    * multi-word expressions from frequent-word coincidences (the
+    * integer-exact stand-in for PMI, whose log is not cross-engine
+    * bit-stable). Two corpus-wide histograms (unigram + bigram, both
+    * map-side partial aggs over native `wordNgrams` output), a support
+    * floor on the bigram table BEFORE the joins (so rare pairs never
+    * reach the shuffle), then two equi-joins token→count and one
+    * fp6-floored ratio. Top-k is the usual total-order
+    * TakeOrderedAndProject.
+    */
+  val q69BigramDice = NamedQuery(
+    "q69_bigram_dice",
+    "Top-20 bigram collocations by Dice coefficient (fp6-floored), " +
+      "support >= 3, with bigram and unigram counts.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val uni = docs.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c"))
+      val bi = docs
+        .select(explode(wordNgrams(tokens(col("text")), 2)).as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("c_xy"))
+        .filter(col("c_xy") >= 3)
+      bi.withColumn("x", element_at(split(col("bg"), " "), 1))
+        .withColumn("y", element_at(split(col("bg"), " "), 2))
+        .join(uni.withColumnRenamed("tok", "x").withColumnRenamed("c", "c_x"),
+          Seq("x"))
+        .join(uni.withColumnRenamed("tok", "y").withColumnRenamed("c", "c_y"),
+          Seq("y"))
+        .select(col("bg"), col("c_xy"), col("c_x"), col("c_y"),
+          floor(col("c_xy") * lit(2000000.0) / (col("c_x") + col("c_y")))
+            .cast("long").as("dice_fp"))
+        .orderBy(col("dice_fp").desc, col("bg").asc)
+        .limit(20)
+    },
+    Some("""WITH t AS (SELECT string_split(lower(text),' ') AS ts
+           |    FROM documents),
+           |uni AS (SELECT u AS tok, COUNT(*) AS c
+           |  FROM t, unnest(ts) AS x(u) GROUP BY u),
+           |bi AS (SELECT g AS bg, COUNT(*) AS c_xy
+           |  FROM t, unnest(list_transform(range(1, len(ts)),
+           |    i -> ts[i]||' '||ts[i+1])) AS b(g)
+           |  GROUP BY g HAVING COUNT(*) >= 3)
+           |SELECT bg, c_xy, ux.c AS c_x, uy.c AS c_y,
+           |  CAST(floor(c_xy * 2000000.0 / (ux.c + uy.c)) AS BIGINT)
+           |    AS dice_fp
+           |FROM bi
+           |JOIN uni ux ON string_split(bg,' ')[1] = ux.tok
+           |JOIN uni uy ON string_split(bg,' ')[2] = uy.tok
+           |ORDER BY dice_fp DESC, bg LIMIT 20""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
-    q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline)
+    q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
+    q69BigramDice)
 }

@@ -175,6 +175,43 @@ class QueriesSmokeSpec extends SparkSpec {
       s"unbalanced sample: ${samples.mkString(",")}")
   }
 
+  test("q69 Dice scores are valid ratios and support floor holds") {
+    val rows = queries.TextQueries.q69BigramDice
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c_xy") >= 3)
+      val dice = r.getAs[Long]("dice_fp")
+      // 2c_xy <= c_x + c_y always, so dice in (0, 1e6]
+      assert(dice > 0 && dice <= 1000000L, s"${r.get(0)}: dice $dice")
+    }
+  }
+
+  test("q70 NTILE quartiles are balanced within 1 row and bounds nest") {
+    val rows = queries.AnalyticsQueries.q70NtileQuartiles
+      .fn(spark, sf("sf0.01")).collect()
+    rows.groupBy(_.getString(0)).foreach { case (lang, rs) =>
+      assert(rs.length == 4, s"$lang: ${rs.length} buckets")
+      val sizes = rs.map(_.getAs[Long]("n_docs"))
+      assert(sizes.max - sizes.min <= 1, s"$lang: ${sizes.mkString(",")}")
+      // bucket q's min must not precede bucket q-1's max
+      rs.sortBy(_.getAs[Long]("q")).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("min_tokens") >= a.getAs[Long]("max_tokens") - 0,
+            s"$lang: overlapping quartile bounds")
+        case _ => ()
+      }
+    }
+  }
+
+  test("q71 hopping windows count every event exactly size/slide times") {
+    val d = sf("sf0.01")
+    val total = Tables.events(spark, d).count()
+    val winSum = queries.EventQueries.q71HoppingWindow.fn(spark, d)
+      .agg(org.apache.spark.sql.functions.sum("n_events")).collect()(0).getLong(0)
+    assert(winSum == 2 * total, s"$winSum != 2*$total")
+  }
+
   test("q65 CMS estimates are one-sided: est >= exact for every token") {
     val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
       .fn(spark, sf("sf0.01")).collect()
