@@ -307,8 +307,99 @@ object AnalyticsQueries {
            |  FROM documents)
            |GROUP BY lang, q ORDER BY lang, q""".stripMargin))
 
+  /** q73: CUBE grouping sets — all 2² margins of (region, segment) in
+    * one pass, completing the grouping-sets surface next to q30's
+    * hierarchical ROLLUP. Same Column-overload discipline as q30 (the
+    * String overload trips DetectAmbiguousSelfJoin after a join in
+    * Spark 4.1.2), same GROUPING() flags to separate subtotal rows
+    * from real NULLs. One Expand (4× rows, row-local) + one hash-agg;
+    * partial aggregation applies per grouping set, so the shuffle
+    * carries at most 4·|groups| rows.
+    */
+  val q73Cube = NamedQuery(
+    "q73_cube",
+    "CUBE over (region, market segment): counts + exact decimal " +
+      "acctbal sums for every margin, GROUPING() flags disambiguating " +
+      "subtotals.",
+    (s, d) => {
+      val base = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name").as("region_name"),
+          col("c_mktsegment").as("segment"), col("c_acctbal"))
+      base.cube(col("region_name"), col("segment"))
+        .agg(count(lit(1)).as("n_customers"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("sum_acctbal"),
+          (grouping(col("region_name")) * 2 + grouping(col("segment")))
+            .cast("long").as("grouping_flags"))
+        .orderBy(col("grouping_flags"),
+          col("region_name").asc_nulls_first, col("segment").asc_nulls_first)
+    },
+    Some("""SELECT r_name AS region_name, c_mktsegment AS segment,
+           |  COUNT(*) AS n_customers,
+           |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS sum_acctbal,
+           |  CAST(GROUPING(r_name) * 2 + GROUPING(c_mktsegment) AS BIGINT)
+           |    AS grouping_flags
+           |FROM customer
+           |JOIN nation ON c_nationkey = n_nationkey
+           |JOIN region ON n_regionkey = r_regionkey
+           |GROUP BY CUBE(r_name, c_mktsegment)
+           |ORDER BY grouping_flags, region_name ASC NULLS FIRST,
+           |  segment ASC NULLS FIRST""".stripMargin))
+
+  /** q74: the ranking-window completeness suite — rank, dense_rank,
+    * percent_rank, cume_dist, and nth_value in one pass over a single
+    * per-type window sort (all five share the one partition+order, so
+    * Spark evaluates them in a single Window operator — one shuffle,
+    * one sort). percent_rank/cume_dist are floor-scaled to fp6: both
+    * engines compute the same (rank−1)/(n−1) and rows≤current/n
+    * doubles from exact longs, and one correctly-rounded divide is
+    * bit-stable cross-engine. nth_value uses the explicit full-frame
+    * so it is frame-independent and never NULL.
+    */
+  val q74RankingSuite = NamedQuery(
+    "q74_ranking_suite",
+    "rank/dense_rank/percent_rank/cume_dist/nth_value(3) per event " +
+      "type over (value, event_id) for users 0-2, fp6-scaled ratios.",
+    (s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("value").asc, col("event_id").asc)
+      val wFull = w.rowsBetween(org.apache.spark.sql.expressions.Window
+        .unboundedPreceding, org.apache.spark.sql.expressions.Window
+        .unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("user_id") < 3)
+        .select(col("event_id"), col("event_type"), col("value"))
+        .withColumn("rnk", rank().over(w).cast("long"))
+        .withColumn("drnk", dense_rank().over(w).cast("long"))
+        .withColumn("pr_fp6",
+          floor(percent_rank().over(w) * lit(1000000.0)).cast("long"))
+        .withColumn("cd_fp6",
+          floor(cume_dist().over(w) * lit(1000000.0)).cast("long"))
+        .withColumn("third_value", nth_value(col("value"), 3).over(wFull))
+        .orderBy("event_type", "rnk", "event_id")
+    },
+    Some("""SELECT event_id, event_type, value,
+           |  CAST(rank() OVER w AS BIGINT) AS rnk,
+           |  CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           |  CAST(floor(percent_rank() OVER w * 1000000.0) AS BIGINT)
+           |    AS pr_fp6,
+           |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT)
+           |    AS cd_fp6,
+           |  nth_value(value, 3) OVER (PARTITION BY event_type
+           |    ORDER BY value, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |    AS third_value
+           |FROM events WHERE user_id < 3
+           |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+           |ORDER BY event_type, rnk, event_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
     q44HistogramQuantiles, q47SaltedAgg, q48Pivot, q49SetAlgebra,
-    q50ScalarSubquery, q70NtileQuartiles)
+    q50ScalarSubquery, q70NtileQuartiles, q73Cube, q74RankingSuite)
 }

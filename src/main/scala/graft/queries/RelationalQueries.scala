@@ -190,7 +190,55 @@ object RelationalQueries {
            |SELECT user_id, 'both' AS cohort FROM (SELECT * FROM signup INTERSECT SELECT * FROM purchase)
            |ORDER BY cohort, user_id""".stripMargin))
 
+  /** q72: FULL OUTER join — the reconciliation shape (which side is
+    * missing?) that inner/left/semi/anti (q03/q04/q31) don't cover.
+    * Both inputs are pre-aggregated to one row per nation BEFORE the
+    * join, so the full-outer exchange carries |nations| rows, not the
+    * base tables; the acctbal > 9000 filters make each side genuinely
+    * sparse so all three match cases occur. Nulls from the unmatched
+    * sides are resolved in-query (coalesce + a side tag) — the output
+    * is null-free, which keeps the driver's pandas compare trivially
+    * stable while the full-outer semantics stay observable via the
+    * `side` column.
+    */
+  val q72FullOuterReconcile = NamedQuery(
+    "q72_full_outer_reconcile",
+    "FULL OUTER reconciliation of high-balance customer vs supplier " +
+      "counts per nation: coalesced counts plus a both/customer_only/" +
+      "supplier_only side tag.",
+    (s, d) => {
+      val cust = graft.Tables.customer(s, d)
+        .filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("n_key"))
+        .agg(count(lit(1)).as("n_cust"))
+      val supp = graft.Tables.supplier(s, d)
+        .filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("n_key"))
+        .agg(count(lit(1)).as("n_supp"))
+      cust.join(supp, Seq("n_key"), "full_outer")
+        .select(col("n_key").cast("long").as("n_key"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          when(col("n_cust").isNotNull && col("n_supp").isNotNull, "both")
+            .when(col("n_cust").isNotNull, "customer_only")
+            .otherwise("supplier_only").as("side"))
+        .orderBy("n_key")
+    },
+    Some("""WITH c AS (SELECT c_nationkey AS n_key, COUNT(*) AS n_cust
+           |  FROM customer WHERE c_acctbal > 9000 GROUP BY c_nationkey),
+           |s AS (SELECT s_nationkey AS n_key, COUNT(*) AS n_supp
+           |  FROM supplier WHERE s_acctbal > 9000 GROUP BY s_nationkey)
+           |SELECT CAST(n_key AS BIGINT) AS n_key,
+           |  COALESCE(n_cust, 0) AS n_cust,
+           |  COALESCE(n_supp, 0) AS n_supp,
+           |  CASE WHEN n_cust IS NOT NULL AND n_supp IS NOT NULL THEN 'both'
+           |    WHEN n_cust IS NOT NULL THEN 'customer_only'
+           |    ELSE 'supplier_only' END AS side
+           |FROM c FULL JOIN s USING (n_key)
+           |ORDER BY n_key""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03BroadcastDims,
-    q04GoldCurrentInventory, q09TopK, q10SetOps, q45SupplierPartProfit)
+    q04GoldCurrentInventory, q09TopK, q10SetOps, q45SupplierPartProfit,
+    q72FullOuterReconcile)
 }

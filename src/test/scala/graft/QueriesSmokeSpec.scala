@@ -212,6 +212,33 @@ class QueriesSmokeSpec extends SparkSpec {
     assert(winSum == 2 * total, s"$winSum != 2*$total")
   }
 
+  test("q72 full outer keeps unmatched sides; q73 cube margins sum; q74 ranks cohere") {
+    val d = sf("sf0.01")
+    val r72 = queries.RelationalQueries.q72FullOuterReconcile
+      .fn(spark, d).collect()
+    assert(r72.map(_.getAs[String]("side")).distinct.length >= 2,
+      "full outer degenerated to inner (only 'both' rows)")
+    r72.foreach(r =>
+      assert(r.getAs[Long]("n_cust") + r.getAs[Long]("n_supp") > 0))
+
+    val r73 = queries.AnalyticsQueries.q73Cube.fn(spark, d).collect()
+    val grand = r73.filter(_.getAs[Long]("grouping_flags") == 3L)
+    assert(grand.length == 1)
+    assert(grand(0).getAs[Long]("n_customers") ==
+      Tables.customer(spark, d).count())
+
+    val r74 = queries.AnalyticsQueries.q74RankingSuite.fn(spark, d).collect()
+    r74.foreach { r =>
+      assert(r.getAs[Long]("rnk") >= r.getAs[Long]("drnk"))
+      val pr = r.getAs[Long]("pr_fp6")
+      assert(pr >= 0 && pr <= 1000000L)
+    }
+    // nth_value over the full frame is constant within each partition
+    r74.groupBy(_.getAs[String]("event_type")).values.foreach { rs =>
+      assert(rs.map(_.getAs[Double]("third_value")).distinct.length == 1)
+    }
+  }
+
   test("q65 CMS estimates are one-sided: est >= exact for every token") {
     val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
       .fn(spark, sf("sf0.01")).collect()
