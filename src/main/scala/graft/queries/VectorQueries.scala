@@ -461,8 +461,51 @@ object VectorQueries {
             |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  /** q75: distributed per-label centroids — the k-means UPDATE step
+    * (and the class-prototype computation behind nearest-centroid
+    * classifiers) as a hash-checked oracle query, over the first 8
+    * dimensions. Determinism discipline: each component is floored to
+    * fp6 BEFORE summation (float→double widening is exact, one
+    * correctly-rounded multiply, floor → long), so the per-(label,dim)
+    * sums are exact integer math — order-independent across any
+    * partitioning, which raw float sums are not. The dim fan-out is a
+    * row-local 8-way explode; one hash-agg with map-side partials
+    * carries |labels|·8 rows through the shuffle. The mean does ONE
+    * double divide of exact longs (floor semantics, not integral
+    * `div`, whose truncation-toward-zero would diverge from floor on
+    * negative sums).
+    */
+  val q75LabelCentroids = NamedQuery(
+    "q75_label_centroids",
+    "Per-label embedding centroids over dims 1-8: counts, exact " +
+      "fp6-component sums, and floored fp6 means.",
+    (s, d) => {
+      val dims = explode(array((1 to 8).map(i =>
+        struct(lit(i.toLong).as("dim"),
+          element_at(col("embedding"), i).as("v"))): _*))
+      Tables.embeddings(s, d)
+        .select(col("label"), dims.as("p"))
+        .select(col("label"), col("p.dim").as("dim"),
+          floor(col("p.v").cast("double") * lit(1000000.0)).cast("long")
+            .as("v_fp6"))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), sum("v_fp6").as("sum_fp6"))
+        .withColumn("mean_fp6",
+          floor(col("sum_fp6").cast("double") / col("n")).cast("long"))
+        .orderBy("label", "dim")
+    },
+    Some("""SELECT label, dim, CAST(COUNT(*) AS BIGINT) AS n,
+           |  CAST(SUM(v_fp6) AS BIGINT) AS sum_fp6,
+           |  CAST(floor(CAST(SUM(v_fp6) AS DOUBLE) / COUNT(*)) AS BIGINT)
+           |    AS mean_fp6
+           |FROM (SELECT label, dim,
+           |    CAST(floor(CAST(embedding[dim] AS DOUBLE) * 1000000.0)
+           |      AS BIGINT) AS v_fp6
+           |  FROM embeddings, (SELECT unnest(range(1, 9)) AS dim) d)
+           |GROUP BY label, dim ORDER BY label, dim""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
-    q42AnnLshMultiTable, q57AnnLshMultiProbe2)
+    q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids)
 }
