@@ -606,6 +606,12 @@ object TextQueries {
           col("doc_id") === min(when(col("qg"), col("doc_id"))).over(wDg))
         .withColumn("un", col("ue") &&
           col("doc_id") === min(when(col("ue"), col("doc_id"))).over(wFp))
+        // the flag table fans out to the rate aggregation AND the final
+        // funnel — without materialization each branch re-runs the whole
+        // scan+dedup lineage (PlanGuardsSpec counts the scans). cache =
+        // MEMORY_AND_DISK, the checkpoint-between-mega-stages production
+        // pattern; Verify/Bench clearCache() per query
+        .cache()
       val clean = flags.filter(col("un"))
         .groupBy("lang").agg(count(lit(1)).as("n_clean"))
       val rates = clean
@@ -714,10 +720,51 @@ object TextQueries {
            |JOIN uni uy ON string_split(bg,' ')[2] = uy.tok
            |ORDER BY dice_fp DESC, bg LIMIT 20""".stripMargin))
 
+  /** q76: edit-distance fuzzy matching — the character-level member of
+    * the dedup family (exact q12, token-Jaccard q13/q14, bit-level
+    * q15, embedding q21), catching OCR noise and typo variants the
+    * token methods miss. Levenshtein is O(len²) per pair, so the
+    * blocking discipline is non-negotiable: candidates come from an
+    * equi-join on a cheap blocking key (the first two tokens), and the
+    * quadratic comparator runs only inside blocks and only on 64-char
+    * prefixes — the LSH-candidates-then-exact-check shape (q14) with
+    * edit distance as the verifier. Distances are integers: no float
+    * parity risk at all.
+    */
+  val q76FuzzyMatch = NamedQuery(
+    "q76_fuzzy_match",
+    "Levenshtein fuzzy pairs: block on the first two tokens, edit " +
+      "distance of lowercased 64-char prefixes, keep dist <= 20.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 2)).as("bk"),
+          substring(lower(col("text")), 1, 64).as("pfx"))
+      val a = docs.select(col("doc_id").as("id_a"), col("bk"),
+        col("pfx").as("pfx_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("bk"),
+        col("pfx").as("pfx_b"))
+      a.join(b, Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          levenshtein(col("pfx_a"), col("pfx_b")).cast("long").as("dist"))
+        .filter(col("dist") <= 20)
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH d AS (SELECT doc_id,
+           |    array_to_string(string_split(lower(text),' ')[1:2], ' ') AS bk,
+           |    substring(lower(text), 1, 64) AS pfx
+           |  FROM documents)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(levenshtein(a.pfx, b.pfx) AS BIGINT) AS dist
+           |FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
+           |WHERE levenshtein(a.pfx, b.pfx) <= 20
+           |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
-    q69BigramDice)
+    q69BigramDice, q76FuzzyMatch)
 }

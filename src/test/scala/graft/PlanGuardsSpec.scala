@@ -122,4 +122,37 @@ class PlanGuardsSpec extends SparkSpec {
       ()
     }
   }
+
+  test("q63 stats join is a 1-row broadcast, not a shuffle of the corpus") {
+    val p = plan("q63_length_outliers")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      "the single stats row must be broadcast")
+    assert(!p.contains("SortMergeJoin"), "no corpus-wide join for one row")
+  }
+
+  test("q64 bottom-k uses WindowGroupLimit rank pushdown") {
+    val p = plan("q64_kmv_distinct")
+    assert(p.contains("WindowGroupLimit"),
+      "each map task must keep only k rows per group before the exchange")
+  }
+
+  test("q65 top-k is TakeOrderedAndProject and the sketch is broadcast") {
+    val p = plan("q65_cms_heavy_hitters")
+    assert(p.contains("TakeOrderedAndProject"))
+    assert(p.contains("BroadcastHashJoin"),
+      "the fixed-size CMS table must broadcast to the probe side")
+  }
+
+  test("q68 funnel materializes the flag table once and broadcasts rates") {
+    val p = plan("q68_corpus_pipeline")
+    // the flag table fans out to the rate aggregation and the final
+    // funnel; without the cache each branch re-runs the whole
+    // scan+window lineage (6 parquet scans when this guard was written).
+    // The cached plan prints once per InMemoryTableScan, so count the
+    // REUSE nodes, not the scans inside them.
+    assert(p.contains("InMemoryTableScan"),
+      "flag table must be materialized, not recomputed per branch")
+    assert(!p.contains("SortMergeJoin"),
+      "the rates join must broadcast |langs| rows")
+  }
 }
