@@ -158,7 +158,65 @@ object StreamingQueries {
            |GROUP BY c_mktsegment
            |ORDER BY segment""".stripMargin))
 
+  /** q77: watermarked stream-stream LEFT OUTER join — the attribution
+    * query that also reports clicks that never converted, which is the
+    * semantically hard streaming case: a null-extended row may only be
+    * emitted once the watermark PROVES no matching purchase can still
+    * arrive (inner results stream immediately; outer results are
+    * watermark-gated). State stays bounded exactly as in q35 (both
+    * sides watermarked + a time-range condition). The left side is
+    * restricted to clicks ≥ 3 days before stream end so every join
+    * window closes inside the run — AvailableNow's final no-data batch
+    * advances the watermark past them and flushes the null-extensions;
+    * unbounded tails would stay in state and be dropped at shutdown
+    * (the documented reason outer stream joins need a closing
+    * watermark). Unmatched rows surface as buy_id = -1 (null-free
+    * output for the driver compare).
+    */
+  val q77StreamOuterJoin = NamedQuery(
+    "q77_stream_outer_join",
+    "Stream-stream LEFT OUTER click→purchase attribution (2h window, " +
+      "1h watermarks, clicks bounded off the stream tail): unmatched " +
+      "clicks emit buy_id = -1 via the closing watermark batch.",
+    (s, d) => {
+      // watermark BEFORE the click filter: computed on the filtered
+      // stream it would stall at cutoff−1h and the last joinWindow+delay
+      // of retained clicks could never prove themselves unmatched (10
+      // rows stuck in state when this was first built). On the full
+      // stream it advances to streamEnd−1h, past every retained click.
+      val src = StreamingOps.eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+      val clicks = src
+        .filter(col("event_type") === "click" &&
+          col("ts") < lit("2024-01-28 00:00:00").cast("timestamp"))
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("c_ts"))
+      val buys = src
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("b_user"), col("event_id").as("buy_id"),
+          col("ts").as("b_ts"))
+      val joined = clicks.join(buys,
+          col("c_user") === col("b_user") &&
+            col("b_ts") >= col("c_ts") &&
+            col("b_ts") <= col("c_ts") + expr("INTERVAL 2 HOURS"),
+          "left_outer")
+        .select(col("c_user").as("user_id"), col("click_id"),
+          coalesce(col("buy_id"), lit(-1L)).as("buy_id"))
+      StreamingOps.runToMemory(s, joined, qname("stream_oj"),
+          OutputMode.Append)
+        .orderBy("user_id", "click_id", "buy_id")
+    },
+    Some("""SELECT c.user_id, c.event_id AS click_id,
+           |  COALESCE(b.event_id, -1) AS buy_id
+           |FROM (SELECT * FROM events WHERE event_type = 'click'
+           |      AND ts < TIMESTAMP '2024-01-28 00:00:00') c
+           |LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') b
+           |ON c.user_id = b.user_id
+           |AND epoch_us(b.ts) >= epoch_us(c.ts)
+           |AND epoch_us(b.ts) <= epoch_us(c.ts) + 7200000000
+           |ORDER BY c.user_id, click_id, buy_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q22StreamDedup, q23StreamApplyChanges, q24StreamWindowAgg,
-    q35StreamStreamJoin, q61StreamStaticEnrich)
+    q35StreamStreamJoin, q61StreamStaticEnrich, q77StreamOuterJoin)
 }
