@@ -358,8 +358,10 @@ object AnalyticsQueries {
     * one sort). percent_rank/cume_dist are floor-scaled to fp6: both
     * engines compute the same (rank−1)/(n−1) and rows≤current/n
     * doubles from exact longs, and one correctly-rounded divide is
-    * bit-stable cross-engine. nth_value uses the explicit full-frame
-    * so it is frame-independent and never NULL.
+    * bit-stable cross-engine. nth_value uses the explicit full frame
+    * (frame-independent), and a partition with fewer than 3 rows —
+    * where nth_value is NULL in both engines — is resolved to -1 so
+    * the output stays null-free for the driver compare.
     */
   val q74RankingSuite = NamedQuery(
     "q74_ranking_suite",
@@ -380,7 +382,8 @@ object AnalyticsQueries {
           floor(percent_rank().over(w) * lit(1000000.0)).cast("long"))
         .withColumn("cd_fp6",
           floor(cume_dist().over(w) * lit(1000000.0)).cast("long"))
-        .withColumn("third_value", nth_value(col("value"), 3).over(wFull))
+        .withColumn("third_value",
+          coalesce(nth_value(col("value"), 3).over(wFull), lit(-1.0)))
         .orderBy("event_type", "rnk", "event_id")
     },
     Some("""SELECT event_id, event_type, value,
@@ -390,10 +393,10 @@ object AnalyticsQueries {
            |    AS pr_fp6,
            |  CAST(floor(cume_dist() OVER w * 1000000.0) AS BIGINT)
            |    AS cd_fp6,
-           |  nth_value(value, 3) OVER (PARTITION BY event_type
+           |  COALESCE(nth_value(value, 3) OVER (PARTITION BY event_type
            |    ORDER BY value, event_id
-           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-           |    AS third_value
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING),
+           |    -1.0) AS third_value
            |FROM events WHERE user_id < 3
            |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
            |ORDER BY event_type, rnk, event_id""".stripMargin))

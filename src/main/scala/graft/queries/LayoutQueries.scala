@@ -39,7 +39,12 @@ object LayoutQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
           size(tokens(col("text"))).cast("long").as("n_tokens"))
-        .sortWithinPartitions("doc_id")
+        // lang FIRST: the partitionBy(lang) writer requires ordering on
+        // the partition column — with doc_id alone it injects its own
+        // lang-only sort and the doc_id order is discarded; with the
+        // required column as prefix this sort is used as-is and doc_id
+        // order survives into the row groups (the zone-map contract)
+        .sortWithinPartitions("lang", "doc_id")
         .write.mode("overwrite").partitionBy("lang").parquet(out)
       s.read.parquet(out)
         .filter(col("lang").isin("en", "de"))

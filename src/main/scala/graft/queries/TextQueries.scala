@@ -612,13 +612,20 @@ object TextQueries {
         // MEMORY_AND_DISK, the checkpoint-between-mega-stages production
         // pattern; Verify/Bench clearCache() per query
         .cache()
-      val clean = flags.filter(col("un"))
-        .groupBy("lang").agg(count(lit(1)).as("n_clean"))
+      // per-lang clean counts over ALL langs (a lang whose docs all fail
+      // the funnel must still appear with n_clean = 0, not vanish from
+      // the rates table and take its funnel rows with it through the
+      // inner join below); min is over the POSITIVE strata and a zero
+      // stratum samples nothing
+      val clean = flags.groupBy("lang")
+        .agg(sum(when(col("un"), 1L).otherwise(0L)).as("n_clean"))
       val rates = clean
-        .crossJoin(broadcast(clean.agg(min("n_clean").as("min_clean"))))
+        .crossJoin(broadcast(clean.filter(col("n_clean") > 0)
+          .agg(min("n_clean").as("min_clean"))))
         .select(col("lang"),
-          floor(col("min_clean") * lit(1000000.0) / col("n_clean"))
-            .cast("long").as("rate_fp"))
+          when(col("n_clean") === 0, 0L).otherwise(
+            floor(col("min_clean") * lit(1000000.0) / col("n_clean"))
+              .cast("long")).as("rate_fp"))
       flags.join(broadcast(rates), Seq("lang"))
         .withColumn("smp", col("un") &&
           hash60(col("doc_id").cast("string")) % 1000000L < col("rate_fp"))
@@ -653,9 +660,11 @@ object TextQueries {
            |    OVER (PARTITION BY fp) AS un FROM u),
            |cl AS (SELECT lang, COUNT(*) FILTER (WHERE un) AS n_clean
            |  FROM n GROUP BY lang),
-           |rt AS (SELECT lang, CAST(floor(min_clean * 1000000.0 / n_clean)
-           |    AS BIGINT) AS rate_fp
-           |  FROM cl, (SELECT MIN(n_clean) AS min_clean FROM cl)),
+           |rt AS (SELECT lang, CASE WHEN n_clean = 0 THEN 0
+           |    ELSE CAST(floor(min_clean * 1000000.0 / n_clean) AS BIGINT)
+           |    END AS rate_fp
+           |  FROM cl, (SELECT MIN(n_clean) AS min_clean FROM cl
+           |    WHERE n_clean > 0)),
            |s AS (SELECT n.*, un AND
            |    ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
            |      % 1000000 < rt.rate_fp AS smp

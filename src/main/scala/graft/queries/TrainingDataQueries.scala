@@ -498,10 +498,14 @@ object TrainingDataQueries {
     (s, d) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("event_type").orderBy(col("h").asc)
+      // dh fans out to the bottom-k branch AND the exact count —
+      // materialize the (small, post-distinct) hash set once instead of
+      // re-running the scan+distinct lineage per branch
       val dh = Tables.events(s, d)
         .select(col("event_type"),
           hash60(col("user_id").cast("string")).as("h"))
         .distinct()
+        .cache()
       val topk = dh.withColumn("rn", row_number().over(w))
         .filter(col("rn") <= KmvK)
         .groupBy("event_type")
@@ -564,9 +568,13 @@ object TrainingDataQueries {
       // ≡ per-occurrence bucket counts, at 4·|vocab| exploded rows
       // instead of 4·|occurrences| — the second explode-the-corpus pass
       // this query originally paid)
+      // vocab fans out to the sketch build AND the exact top-k —
+      // materialize the (vocab-sized) histogram once so the corpus
+      // tokenize+explode+agg lineage runs a single time
       val vocab = Tables.documents(s, d)
         .select(explode(tokens(col("text"))).as("tok"))
         .groupBy("tok").agg(count(lit(1)).as("n_exact"))
+        .cache()
       val cms = vocab.select(buckets(col("tok")).as("p"), col("n_exact"))
         .groupBy(col("p.j").as("j"), col("p.b").as("b"))
         .agg(sum("n_exact").as("n_bucket"))
