@@ -347,8 +347,97 @@ object EventQueries {
             |FROM events, unnest([0, 1]) AS u(k)
             |GROUP BY 1, 2 ORDER BY ws_us, event_type""".stripMargin))
 
+  /** q78: behavioral transition matrix — per-user event sequences
+    * (ordered by time, event_id tiebreak) reduced to global
+    * (from_type → to_type) Markov counts and row-normalized fp6
+    * probabilities. The sequence step is ONE per-user window sort (the
+    * sessionization shape: parallel across users, state = one previous
+    * row); after the lag the data collapses to a |types|² matrix, so
+    * the normalization window runs on a table of a few dozen rows.
+    * Both ratios go through CAST-to-double then one correctly-rounded
+    * multiply+divide, identical in DuckDB.
+    */
+  val q78TransitionMatrix = NamedQuery(
+    "q78_transition_matrix",
+    "Event-type transition counts + row-normalized fp6 probabilities " +
+      "from per-user time-ordered sequences (lag window).",
+    (s, d) => {
+      val wSeq = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wFrom = Window.partitionBy("from_type")
+      Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          col("event_id"))
+        .withColumn("from_type", lag("event_type", 1).over(wSeq))
+        .filter(col("from_type").isNotNull)
+        .groupBy(col("from_type"), col("event_type").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("p_fp6",
+          floor(col("n").cast("double") * lit(1000000.0) /
+            sum("n").over(wFrom)).cast("long"))
+        .orderBy("from_type", "to_type")
+    },
+    Some("""WITH seq AS (SELECT user_id, event_type,
+           |    lag(event_type, 1) OVER (PARTITION BY user_id
+           |      ORDER BY epoch_us(ts), event_id) AS from_type
+           |  FROM events),
+           |m AS (SELECT from_type, event_type AS to_type, COUNT(*) AS n
+           |  FROM seq WHERE from_type IS NOT NULL
+           |  GROUP BY from_type, event_type)
+           |SELECT from_type, to_type, n,
+           |  CAST(floor(CAST(n AS DOUBLE) * 1000000.0 /
+           |    SUM(n) OVER (PARTITION BY from_type)) AS BIGINT) AS p_fp6
+           |FROM m ORDER BY from_type, to_type""".stripMargin))
+
+  private val DayUs = 86400000000L
+
+  /** q79: cohort retention — users grouped by first-seen day, activity
+    * tracked as (cohort_day, age) counts with retention rates against
+    * the cohort size. Three hash aggregations, all map-side-combining:
+    * first-seen (min per user), distinct active days per user, and the
+    * (cohort, age) rollup; the cohort-size join is a broadcast of
+    * |days| rows. Day arithmetic is integer epoch-µs division — no
+    * calendar/timezone dependence to diverge on.
+    */
+  val q79CohortRetention = NamedQuery(
+    "q79_cohort_retention",
+    "Cohort retention matrix: users by first-seen day, distinct-day " +
+      "activity as (cohort_day, age) counts + fp6 retention rates.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), expr(s"ts_us div $DayUs").as("day"))
+      val first = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val act = ev.distinct()
+      val mat = act.join(first, Seq("user_id"))
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("age"))
+        .agg(count(lit(1)).as("n_active"))
+      val sizes = first.groupBy("cohort_day")
+        .agg(count(lit(1)).as("cohort_size"))
+      mat.join(broadcast(sizes), Seq("cohort_day"))
+        .select(col("cohort_day"), col("age"), col("n_active"),
+          col("cohort_size"),
+          floor(col("n_active").cast("double") * lit(1000000.0) /
+            col("cohort_size")).cast("long").as("retention_fp6"))
+        .orderBy("cohort_day", "age")
+    },
+    Some(s"""WITH ev AS (SELECT DISTINCT user_id,
+            |    epoch_us(ts) // $DayUs AS day FROM events),
+            |first AS (SELECT user_id, MIN(day) AS cohort_day
+            |  FROM ev GROUP BY user_id),
+            |mat AS (SELECT cohort_day, day - cohort_day AS age,
+            |    COUNT(*) AS n_active
+            |  FROM ev JOIN first USING (user_id)
+            |  GROUP BY cohort_day, day - cohort_day),
+            |sizes AS (SELECT cohort_day, COUNT(*) AS cohort_size
+            |  FROM first GROUP BY cohort_day)
+            |SELECT cohort_day, age, n_active, cohort_size,
+            |  CAST(floor(CAST(n_active AS DOUBLE) * 1000000.0 /
+            |    cohort_size) AS BIGINT) AS retention_fp6
+            |FROM mat JOIN sizes USING (cohort_day)
+            |ORDER BY cohort_day, age""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin,
-    q59RollingFeatures, q66GapfillLocf, q71HoppingWindow)
+    q59RollingFeatures, q66GapfillLocf, q71HoppingWindow,
+    q78TransitionMatrix, q79CohortRetention)
 }

@@ -239,6 +239,23 @@ class QueriesSmokeSpec extends SparkSpec {
     }
   }
 
+  test("q78 transition rows sum to ~1e6 per from_type; q79 age-0 retention is 100%") {
+    val d = sf("sf0.01")
+    queries.EventQueries.q78TransitionMatrix.fn(spark, d).collect()
+      .groupBy(_.getAs[String]("from_type")).foreach { case (ft, rs) =>
+        val total = rs.map(_.getAs[Long]("p_fp6")).sum
+        // floor per cell loses < 1 per cell
+        assert(total > 1000000L - rs.length && total <= 1000000L,
+          s"$ft: probabilities sum to $total")
+      }
+    queries.EventQueries.q79CohortRetention.fn(spark, d).collect()
+      .filter(_.getAs[Long]("age") == 0L).foreach { r =>
+        assert(r.getAs[Long]("retention_fp6") == 1000000L,
+          s"cohort ${r.get(0)}: age-0 retention != 100%")
+        assert(r.getAs[Long]("n_active") == r.getAs[Long]("cohort_size"))
+      }
+  }
+
   test("q65 CMS estimates are one-sided: est >= exact for every token") {
     val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
       .fn(spark, sf("sf0.01")).collect()
