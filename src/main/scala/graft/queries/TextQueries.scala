@@ -770,10 +770,64 @@ object TextQueries {
            |WHERE levenshtein(a.pfx, b.pfx) <= 20
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** q80: asymmetric CONTAINMENT scoring — |g(A)∩g(B)| / |g(A)| in both
+    * directions, the measure that catches partial copies and quotes
+    * which symmetric resemblance (Jaccard, q13/q14) dilutes away: a
+    * paragraph fully embedded in a much longer doc has low Jaccard but
+    * containment ≈ 1 in one direction. Candidates come from the
+    * fingerprint equi-join (same min-3-gram hash, the q18/q60
+    * blocking key) so the exact intersection runs only inside buckets;
+    * the gram intersection itself is row-local array math. fp6 floors
+    * on both sides keep the ratios hash-exact.
+    */
+  val q80Containment = NamedQuery(
+    "q80_containment",
+    "Directional containment of 3-gram sets for fingerprint-bucketed " +
+      "candidate pairs: |A∩B|/|A| and |A∩B|/|B| as fp6.",
+    (s, d) => {
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"),
+          array_distinct(wordNgrams(tokens(col("text")), 3)).as("gs"))
+        .filter(size(col("gs")) > 0)
+      val a = g.select(col("doc_id").as("id_a"), col("fp"),
+        col("gs").as("gs_a"))
+      val b = g.select(col("doc_id").as("id_b"), col("fp"),
+        col("gs").as("gs_b"))
+      a.join(b, Seq("fp"))
+        .filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("gs_a"), col("gs_b"))).cast("long")
+            .as("n_common"),
+          fp6(size(array_intersect(col("gs_a"), col("gs_b"))).cast("double")
+            / size(col("gs_a"))).as("cont_ab_fp6"),
+          fp6(size(array_intersect(col("gs_a"), col("gs_b"))).cast("double")
+            / size(col("gs_b"))).as("cont_ba_fp6"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH g AS (SELECT d.doc_id, m.fp, m.gs
+           |  FROM documents d JOIN (
+           |    SELECT doc_id, min(('0x'||substring(md5(g),1,15))::BIGINT) AS fp,
+           |      list_distinct(list(g)) AS gs
+           |    FROM (SELECT DISTINCT doc_id, g FROM
+           |      (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+           |      unnest(list_transform(range(1, len(ts)-1),
+           |        i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+           |      WHERE len(ts) >= 3)
+           |    GROUP BY doc_id) m ON d.doc_id = m.doc_id)
+           |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           |  CAST(len(list_filter(a.gs, x -> list_contains(b.gs, x)))
+           |    AS BIGINT) AS n_common,
+           |  CAST(floor(CAST(len(list_filter(a.gs, x -> list_contains(b.gs, x)))
+           |    AS DOUBLE) / len(a.gs) * 1000000.0) AS BIGINT) AS cont_ab_fp6,
+           |  CAST(floor(CAST(len(list_filter(a.gs, x -> list_contains(b.gs, x)))
+           |    AS DOUBLE) / len(b.gs) * 1000000.0) AS BIGINT) AS cont_ba_fp6
+           |FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
-    q69BigramDice, q76FuzzyMatch)
+    q69BigramDice, q76FuzzyMatch, q80Containment)
 }

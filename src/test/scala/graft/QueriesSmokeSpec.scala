@@ -256,6 +256,23 @@ class QueriesSmokeSpec extends SparkSpec {
       }
   }
 
+  test("q80 containment is a valid ratio and exact dups contain fully") {
+    val rows = queries.TextQueries.q80Containment
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val ab = r.getAs[Long]("cont_ab_fp6")
+      val ba = r.getAs[Long]("cont_ba_fp6")
+      assert(ab > 0 && ab <= 1000000L && ba > 0 && ba <= 1000000L)
+    }
+    // sf0.01 has no byte-identical texts but it DOES have partial
+    // copies: at least one pair where A's grams are fully inside B —
+    // the asymmetric case Jaccard dilutes and containment is for
+    assert(rows.exists(r => r.getAs[Long]("cont_ab_fp6") == 1000000L ||
+      r.getAs[Long]("cont_ba_fp6") == 1000000L),
+      "no fully-contained direction found despite subset docs in the corpus")
+  }
+
   test("q65 CMS estimates are one-sided: est >= exact for every token") {
     val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
       .fn(spark, sf("sf0.01")).collect()
