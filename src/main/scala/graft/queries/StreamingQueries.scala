@@ -216,7 +216,54 @@ object StreamingQueries {
            |AND epoch_us(b.ts) <= epoch_us(c.ts) + 7200000000
            |ORDER BY c.user_id, click_id, buy_id""".stripMargin))
 
+  /** q81: STREAMING session windows — q28's sessionization through the
+    * stateful streaming path (`session_window` + watermark, Append
+    * mode), where sessions live in the state store, merge on overlap,
+    * and only emit once the watermark proves no event can extend them.
+    * Same tail discipline as q77: the input is bounded 3 days off the
+    * stream end so the closing no-data batch flushes every session
+    * (an unbounded tail would leave the last sessions un-emitted in
+    * state at shutdown). The result is bit-matched to the batch
+    * gaps-and-islands oracle over the same bounded slice — streaming
+    * and batch sessionization provably agree.
+    */
+  val q81StreamSessions = NamedQuery(
+    "q81_stream_sessions",
+    "Streaming session_window(30 min) per user with 1h watermark, " +
+      "Append mode, input bounded off the stream tail: session " +
+      "bounds, counts, exact decimal sums — equals batch sessions.",
+    (s, d) => {
+      val agg = StreamingOps.eventsStream(s, d)
+        .withWatermark("ts", "1 hour")
+        .filter(col("ts") < lit("2024-01-28 00:00:00").cast("timestamp"))
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("value").cast("decimal(18,2)")).cast("double")
+            .as("sum_value"))
+        .select(col("user_id"),
+          unix_micros(col("w.start")).as("session_start_us"),
+          unix_micros(col("w.end")).as("session_end_us"),
+          col("n_events"), col("sum_value"))
+      StreamingOps.runToMemory(s, agg, qname("stream_sessions"),
+          OutputMode.Append)
+        .orderBy("user_id", "session_start_us")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events
+           |  WHERE ts < TIMESTAMP '2024-01-28 00:00:00'),
+           |marked AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+           |      OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+           |sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+           |    ROWS UNBOUNDED PRECEDING) AS sid FROM marked)
+           |SELECT user_id, MIN(us) AS session_start_us,
+           |  MAX(us) + 1800000000 AS session_end_us,
+           |  COUNT(*) AS n_events,
+           |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+           |FROM sess GROUP BY user_id, sid
+           |ORDER BY user_id, session_start_us""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q22StreamDedup, q23StreamApplyChanges, q24StreamWindowAgg,
-    q35StreamStreamJoin, q61StreamStaticEnrich, q77StreamOuterJoin)
+    q35StreamStreamJoin, q61StreamStaticEnrich, q77StreamOuterJoin,
+    q81StreamSessions)
 }

@@ -824,10 +824,101 @@ object TextQueries {
            |FROM g a JOIN g b ON a.fp = b.fp AND a.doc_id < b.doc_id
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** q82: EXACT set-similarity self-join via prefix filtering (the
+    * ppjoin family) — the third sub-quadratic dedup strategy next to
+    * MinHash-LSH (q14, probabilistic) and SimHash banding (q15,
+    * bit-level): unlike both, prefix filtering has NO false negatives.
+    * Pigeonhole: two gram sets with Jaccard ≥ t MUST share a token
+    * within each one's (|g| − ⌈t·|g|⌉ + 1)-prefix when grams are
+    * sorted by a global order; sorting by ascending document frequency
+    * puts the RAREST grams in the prefix, so the candidate equi-join's
+    * postings are short — precisely the frequent-gram explosion that
+    * makes the naive shared-gram join (q13) quadratic. All threshold
+    * math is integer-exact for t = 3/5: ⌈3n/5⌉ = (3n+4) div 5 (a
+    * float 0.6·n would round differently across engines at n = 5),
+    * and the verify filter is 5·|∩| ≥ 3·|∪|, no float boundary.
+    */
+  val q82PrefixFilterJoin = NamedQuery(
+    "q82_prefix_filter_join",
+    "Exact Jaccard >= 0.6 pairs via df-ordered prefix filtering: " +
+      "rare-gram prefixes -> candidate equi-join -> integer-exact " +
+      "verification; no false negatives by construction.",
+    (s, d) => {
+      val wDoc = Window.partitionBy("doc_id")
+        .orderBy(col("df").asc, col("gram").asc)
+      val g = Tables.documents(s, d)
+        .select(col("doc_id"),
+          array_distinct(wordNgrams(tokens(col("text")), 3)).as("gs"))
+        .filter(size(col("gs")) > 0)
+        .cache() // fans out to prefix build and verification
+      val exploded = g.select(col("doc_id"), col("gs"),
+        explode(col("gs")).as("gram"))
+      val df = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
+      val prefixes = exploded.join(df, Seq("gram"))
+        .withColumn("rn", row_number().over(wDoc))
+        // prefix length n − ⌈3n/5⌉ + 1, all-integer (`div`, not `/`:
+        // Spark's / on ints returns DOUBLE)
+        .filter(col("rn") <=
+          expr("size(gs) - (size(gs) * 3 + 4) div 5 + 1"))
+        .select(col("doc_id"), col("gram"))
+      val cand = prefixes.as("a")
+        .join(prefixes.as("b"), col("a.gram") === col("b.gram") &&
+          col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      cand
+        .join(g.select(col("doc_id").as("id_a"), col("gs").as("gs_a")),
+          Seq("id_a"))
+        .join(g.select(col("doc_id").as("id_b"), col("gs").as("gs_b")),
+          Seq("id_b"))
+        .withColumn("n_int",
+          size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+        .withColumn("n_uni",
+          (size(col("gs_a")) + size(col("gs_b"))).cast("long") - col("n_int"))
+        .filter(col("n_int") * 5 >= col("n_uni") * 3)
+        .select(col("id_a"), col("id_b"),
+          fp6(col("n_int").cast("double") / col("n_uni")).as("jaccard_fp6"))
+        .orderBy("id_a", "id_b")
+    },
+    Some("""WITH g AS (SELECT doc_id, gs FROM (
+           |    SELECT doc_id, list_distinct(list(gr)) AS gs FROM (
+           |      SELECT DISTINCT doc_id, gr FROM
+           |        (SELECT doc_id, string_split(lower(text),' ') AS ts
+           |         FROM documents),
+           |        unnest(list_transform(range(1, len(ts)-1),
+           |          i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(gr)
+           |      WHERE len(ts) >= 3)
+           |    GROUP BY doc_id) WHERE len(gs) > 0),
+           |ex AS (SELECT doc_id, len(gs) AS n, u AS gram
+           |  FROM g, unnest(gs) AS t(u)),
+           |df AS (SELECT gram, COUNT(*) AS df FROM ex GROUP BY gram),
+           |pfx AS (SELECT doc_id, gram FROM (
+           |    SELECT ex.doc_id, ex.gram, ex.n,
+           |      row_number() OVER (PARTITION BY ex.doc_id
+           |        ORDER BY df.df ASC, ex.gram ASC) AS rn
+           |    FROM ex JOIN df USING (gram))
+           |  WHERE rn <= n - (n * 3 + 4) // 5 + 1),
+           |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM pfx a JOIN pfx b ON a.gram = b.gram
+           |    AND a.doc_id < b.doc_id)
+           |SELECT id_a, id_b,
+           |  CAST(floor(CAST(n_int AS DOUBLE) / n_uni * 1000000.0) AS BIGINT)
+           |    AS jaccard_fp6
+           |FROM (SELECT id_a, id_b,
+           |    CAST(len(list_filter(ga.gs, x -> list_contains(gb.gs, x)))
+           |      AS BIGINT) AS n_int,
+           |    CAST(len(ga.gs) + len(gb.gs) AS BIGINT) -
+           |      CAST(len(list_filter(ga.gs, x -> list_contains(gb.gs, x)))
+           |      AS BIGINT) AS n_uni
+           |  FROM cand JOIN g ga ON cand.id_a = ga.doc_id
+           |    JOIN g gb ON cand.id_b = gb.doc_id)
+           |WHERE n_int * 5 >= n_uni * 3
+           |ORDER BY id_a, id_b""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
-    q69BigramDice, q76FuzzyMatch, q80Containment)
+    q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin)
 }

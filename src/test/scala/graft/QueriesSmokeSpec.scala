@@ -273,6 +273,28 @@ class QueriesSmokeSpec extends SparkSpec {
       "no fully-contained direction found despite subset docs in the corpus")
   }
 
+  test("q82 prefix filtering is exact: equals brute-force Jaccard >= 0.6") {
+    import org.apache.spark.sql.functions._
+    import graft.functions.TextFunctions.{tokens, wordNgrams}
+    val d = sf("sf0.001")
+    val got = queries.TextQueries.q82PrefixFilterJoin.fn(spark, d)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val g = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        array_distinct(wordNgrams(tokens(col("text")), 3)).as("gs"))
+      .filter(size(col("gs")) > 0)
+    val brute = g.as("a").crossJoin(g.as("b"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .withColumn("ni", size(array_intersect(col("a.gs"), col("b.gs"))))
+      .withColumn("nu", size(col("a.gs")) + size(col("b.gs")) - col("ni"))
+      .filter(col("ni") * 5 >= col("nu") * 3)
+      .select(col("a.doc_id"), col("b.doc_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSet == brute.toSet,
+      s"prefix filter missed ${(brute.toSet -- got.toSet).size} pairs, " +
+        s"invented ${(got.toSet -- brute.toSet).size}")
+  }
+
   test("q65 CMS estimates are one-sided: est >= exact for every token") {
     val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
       .fn(spark, sf("sf0.01")).collect()
