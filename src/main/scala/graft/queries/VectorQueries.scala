@@ -504,8 +504,87 @@ object VectorQueries {
            |  FROM embeddings, (SELECT unnest(range(1, 9)) AS dim) d)
            |GROUP BY label, dim ORDER BY label, dim""".stripMargin))
 
+  private val PqM = 8 // subspaces
+  private val PqD = 8 // dims per subspace (8×8 = the 64-dim embedding)
+  private val PqK = 16 // centroids per subspace
+
+  /** q83: Product Quantization — the memory side of large-scale ANN
+    * (FAISS IVF-PQ): each 64-dim float vector compresses to M=8
+    * codebook indices (one byte-scale code per 8-dim subvector), a
+    * 32× memory reduction that is what actually lets 100 TB of
+    * embeddings fit an index. Codebooks are the subvectors of the
+    * first K vec_ids (the deterministic-seed discipline of q26, so
+    * DuckDB replays them; q34 shows the Lloyd's upgrade path).
+    * Scale shape: the codebook is M·K rows — broadcast — and
+    * assignment is row-local: per (vector, subspace), the argmin over
+    * K squared-L2 distances, each a SEQUENTIAL in-row fold in double
+    * (floats widened before subtracting; cross-row SUM of doubles
+    * would be partition-order-dependent, so the per-vector error
+    * folds over the m-sorted collected list instead). Ties break on
+    * centroid id. Output: the code word as a string and the total
+    * quantization error, fp6-floored.
+    */
+  val q83ProductQuantization = NamedQuery(
+    "q83_product_quantization",
+    s"PQ codes ($PqM×$PqK codebook from the first $PqK vectors): " +
+      "per-vector code string + fp6 quantization error, argmin by " +
+      "(distance, centroid id).",
+    (s, d) => {
+      def subspaces(v: org.apache.spark.sql.Column) = explode(array(
+        (0 until PqM).map(m => struct(lit(m.toLong).as("m"),
+          slice(v, m * PqD + 1, PqD).as("sub"))): _*))
+      val emb = Tables.embeddings(s, d)
+      val subs = emb.select(col("vec_id"), subspaces(col("embedding")).as("p"))
+        .select(col("vec_id"), col("p.m").as("m"), col("p.sub").as("sub"))
+      val cb = emb.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("k"), subspaces(col("embedding")).as("p"))
+        .select(col("k"), col("p.m").as("m"), col("p.sub").as("cent"))
+      val dists = subs.join(broadcast(cb), Seq("m"))
+        .withColumn("dist", aggregate(
+          zip_with(col("sub"), col("cent"), (x, y) => {
+            val dx = x.cast("double") - y.cast("double")
+            dx * dx
+          }),
+          lit(0.0), (acc, x) => acc + x))
+      val codes = dists.groupBy("vec_id", "m")
+        .agg(min(struct(col("dist"), col("k"))).as("s"))
+        .select(col("vec_id"), col("m"), col("s.k").as("k"),
+          col("s.dist").as("dist"))
+      codes.groupBy("vec_id")
+        .agg(sort_array(collect_list(struct(col("m"), col("k"), col("dist"))))
+          .as("arr"))
+        .select(col("vec_id"),
+          concat_ws("-", transform(col("arr"), a => a.getField("k"))).as("code"),
+          floor(aggregate(transform(col("arr"), a => a.getField("dist")),
+            lit(0.0), (acc, x) => acc + x) * lit(1000000.0)).cast("long")
+            .as("err_fp6"))
+        .orderBy("vec_id")
+    },
+    Some(s"""WITH ms AS (SELECT unnest(range($PqM)) AS m),
+            |subs AS (SELECT vec_id, m,
+            |    embedding[m*$PqD+1 : m*$PqD+$PqD] AS sub
+            |  FROM embeddings, ms),
+            |cb AS (SELECT vec_id AS k, m,
+            |    embedding[m*$PqD+1 : m*$PqD+$PqD] AS cent
+            |  FROM embeddings, ms WHERE vec_id < $PqK),
+            |dists AS (SELECT s.vec_id, s.m, c.k,
+            |    list_sum(list_transform(range(1, $PqD+1), i ->
+            |      (CAST(s.sub[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) *
+            |      (CAST(s.sub[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))))
+            |      AS dist
+            |  FROM subs s JOIN cb c USING (m)),
+            |codes AS (SELECT vec_id, m, k, dist FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY vec_id, m
+            |      ORDER BY dist, k) AS rn FROM dists) WHERE rn = 1)
+            |SELECT vec_id,
+            |  array_to_string(list(k ORDER BY m), '-') AS code,
+            |  CAST(floor(list_sum(list(dist ORDER BY m)) * 1000000.0)
+            |    AS BIGINT) AS err_fp6
+            |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
-    q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids)
+    q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
+    q83ProductQuantization)
 }

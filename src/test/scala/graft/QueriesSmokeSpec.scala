@@ -295,6 +295,21 @@ class QueriesSmokeSpec extends SparkSpec {
         s"invented ${(got.toSet -- brute.toSet).size}")
   }
 
+  test("q83 PQ: codebook seeds quantize to themselves with zero error") {
+    val rows = queries.VectorQueries.q83ProductQuantization
+      .fn(spark, sf("sf0.01")).collect()
+    assert(rows.nonEmpty)
+    rows.filter(_.getAs[Long]("vec_id") < 16).foreach { r =>
+      val id = r.getAs[Long]("vec_id")
+      assert(r.getAs[String]("code") == Seq.fill(8)(id).mkString("-"),
+        s"seed $id: code ${r.getAs[String]("code")}")
+      assert(r.getAs[Long]("err_fp6") == 0L, s"seed $id: nonzero error")
+    }
+    // non-seed vectors must carry positive quantization error
+    assert(rows.filter(_.getAs[Long]("vec_id") >= 16)
+      .forall(_.getAs[Long]("err_fp6") > 0L))
+  }
+
   test("q65 CMS estimates are one-sided: est >= exact for every token") {
     val rows = queries.TrainingDataQueries.q65CmsHeavyHitters
       .fn(spark, sf("sf0.01")).collect()
