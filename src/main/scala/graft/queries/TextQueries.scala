@@ -837,6 +837,20 @@ object TextQueries {
     * math is integer-exact for t = 3/5: ⌈3n/5⌉ = (3n+4) div 5 (a
     * float 0.6·n would round differently across engines at n = 5),
     * and the verify filter is 5·|∩| ≥ 3·|∪|, no float boundary.
+    *
+    * Candidate pruning (all lossless, so the oracle is unchanged):
+    *   - length filter: Jaccard ≥ 3/5 forces 3·|larger| ≤ 5·|smaller|;
+    *   - ppjoin positional filter: for the FIRST shared prefix gram at
+    *     sorted positions (pa, pb), overlap ≤ 1 + min(na−pa, nb−pb);
+    *     a true pair's first-match row always passes, and `distinct`
+    *     keeps a pair if ANY of its match rows passes, so no false
+    *     negatives;
+    *   - the equi-join runs on xxhash64(gram) (8-byte shuffle key, not a
+    *     ~25-char string); a hash collision can only ADD a candidate,
+    *     which exact verification then rejects.
+    * The prefix build shuffles only (doc_id, n, gram) — the gram ARRAY
+    * never enters a shuffle — and `prefixes` is cached because both
+    * sides of the self-join read it.
     */
   val q82PrefixFilterJoin = NamedQuery(
     "q82_prefix_filter_join",
@@ -851,19 +865,25 @@ object TextQueries {
           array_distinct(wordNgrams(tokens(col("text")), 3)).as("gs"))
         .filter(size(col("gs")) > 0)
         .cache() // fans out to prefix build and verification
-      val exploded = g.select(col("doc_id"), col("gs"),
+      val exploded = g.select(col("doc_id"), size(col("gs")).as("n"),
         explode(col("gs")).as("gram"))
       val df = exploded.groupBy("gram").agg(count(lit(1)).as("df"))
       val prefixes = exploded.join(df, Seq("gram"))
         .withColumn("rn", row_number().over(wDoc))
         // prefix length n − ⌈3n/5⌉ + 1, all-integer (`div`, not `/`:
         // Spark's / on ints returns DOUBLE)
-        .filter(col("rn") <=
-          expr("size(gs) - (size(gs) * 3 + 4) div 5 + 1"))
-        .select(col("doc_id"), col("gram"))
+        .filter(col("rn") <= expr("n - (n * 3 + 4) div 5 + 1"))
+        .select(col("doc_id"), col("n"), col("rn"),
+          xxhash64(col("gram")).as("gk"))
+        .cache() // both sides of the self-join below read this
       val cand = prefixes.as("a")
-        .join(prefixes.as("b"), col("a.gram") === col("b.gram") &&
-          col("a.doc_id") < col("b.doc_id"))
+        .join(prefixes.as("b"), col("a.gk") === col("b.gk") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          col("a.n") * lit(3) <= col("b.n") * lit(5) &&
+          col("b.n") * lit(3) <= col("a.n") * lit(5) &&
+          // 1 + min(na−pa, nb−pb) ≥ ⌈3(na+nb)/8⌉, integer form
+          (least(col("a.n") - col("a.rn"), col("b.n") - col("b.rn"))
+            + lit(1)) * lit(8) >= (col("a.n") + col("b.n")) * lit(3))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
       cand
