@@ -18,10 +18,13 @@ import graft.functions.NativeExpressions._
   * `SELECT graft_simhash60(split(lower(text), ' ')) FROM docs`.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       e.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // no-op until spark.graft.rangeJoin.binSize is set (see its scaladoc)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+  }
 }
 
 object GraftExtensions {

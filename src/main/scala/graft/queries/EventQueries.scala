@@ -435,9 +435,68 @@ object EventQueries {
             |FROM mat JOIN sizes USING (cohort_day)
             |ORDER BY cohort_day, age""".stripMargin))
 
+  /** q84: concurrent-session load curve through a PURE range join (no
+    * equi key) — the surface the [[graft.plans.RangeJoinRewrite]]
+    * optimizer rule exists for. The query is written as the natural
+    * inequality join (`start <= t AND t < end`); without the rule Spark
+    * plans a BroadcastNestedLoopJoin (|spine|·|sessions| comparisons —
+    * the classic range-join scale killer); with it, a binned equi-join
+    * whose shuffle key is `t div 1h`. Correctness is independent of the
+    * rewrite (spec-proven lossless); the oracle is DuckDB's native
+    * IEJoin over the same predicate.
+    *
+    * Spine stride 10 min, snapped DOWN to the stride grid from the
+    * corpus min — integer division, reproducible in any engine; bin
+    * width 1 h ≈ session length (sessions span ≤ 3 bins).
+    */
+  val q84RangeJoinSpine = NamedQuery(
+    "q84_range_join_spine",
+    "Concurrent sessions at 10-min spine marks via a pure range join " +
+      "(point-in-interval, no equi key), auto-rewritten to a binned " +
+      "equi-join by the RangeJoinRewrite optimizer rule.",
+    (s, d) => {
+      graft.plans.RangeJoinRewrite.enable(s, 3600L * 1000000L)
+      val sessions = Tables.events(s, d)
+        .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(unix_micros(col("w.start")).as("start_us"),
+          unix_micros(col("w.end")).as("end_us"), col("n_events"))
+      val step = 600L * 1000000L // 10 minutes in µs
+      val spine = Tables.events(s, d)
+        .agg(min(col("ts_us")).as("lo"), max(col("ts_us")).as("hi"))
+        .select(explode(sequence(expr(s"(lo div $step) * $step"),
+          col("hi"), lit(step))).as("t_us"))
+      spine
+        .join(sessions,
+          col("t_us") >= col("start_us") && col("t_us") < col("end_us"))
+        .groupBy("t_us")
+        .agg(count(lit(1)).as("n_active"),
+          sum("n_events").as("events_in_active"))
+        .orderBy("t_us")
+    },
+    Some("""WITH e AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+           |marked AS (SELECT *, CASE WHEN LAG(us) OVER w IS NULL
+           |      OR us - LAG(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+           |sess AS (SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY us
+           |    ROWS UNBOUNDED PRECEDING) AS sid FROM marked),
+           |sessions AS (SELECT MIN(us) AS start_us,
+           |    MAX(us) + 1800000000 AS end_us, COUNT(*) AS n_events
+           |  FROM sess GROUP BY user_id, sid),
+           |bounds AS (SELECT MIN(epoch_us(ts)) AS lo, MAX(epoch_us(ts)) AS hi
+           |  FROM events),
+           |spine AS (SELECT unnest(generate_series(
+           |    (lo // 600000000) * 600000000, hi, 600000000)) AS t_us
+           |  FROM bounds)
+           |SELECT t_us, COUNT(*) AS n_active,
+           |  CAST(SUM(n_events) AS BIGINT) AS events_in_active
+           |FROM spine JOIN sessions
+           |  ON t_us >= start_us AND t_us < end_us
+           |GROUP BY t_us ORDER BY t_us""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin,
     q59RollingFeatures, q66GapfillLocf, q71HoppingWindow,
-    q78TransitionMatrix, q79CohortRetention)
+    q78TransitionMatrix, q79CohortRetention, q84RangeJoinSpine)
 }

@@ -155,4 +155,12 @@ class PlanGuardsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       "the rates join must broadcast |langs| rows")
   }
+
+  test("q84 pure range join is rewritten to a binned equi-join, no nested loop") {
+    val p = plan("q84_range_join_spine")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "RangeJoinRewrite must replace the nested-loop range join")
+    assert(p.contains("__graft_bin"),
+      "the binned equi-join key must be present in the plan")
+  }
 }
