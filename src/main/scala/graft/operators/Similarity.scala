@@ -318,6 +318,37 @@ object Similarity {
     cent
   }
 
+  /** SemDeDup-style semantic dedup: restrict the near-dup search to
+    * pairs that share a k-means cell (cluster-then-compare). At scale
+    * this is THE way all-pairs cosine dedup (q21 / [[nearDupPairs]])
+    * survives a 100× corpus: the quadratic blowup happens per cell
+    * (Σ|cell|² ≪ N² for balanced cells, and cell count grows with the
+    * corpus), the pair join is an equi-join keyed by cell id, and the
+    * assignment is the same broadcast-centroid argmax shuffle as
+    * [[ivfAssign]]. Like IVF search vs brute force, the cell restriction
+    * trades recall for cost: only same-cell pairs are found — pairs the
+    * q21 all-pairs scan confirms (the oracle checks the within-cell set
+    * exactly, not approximately).
+    *
+    * Input: vecs(id, v), centroids(cid, cv). Output: (cid, id_a, id_b,
+    * cos_fp ≥ minCosFp).
+    */
+  def semanticNearDupPairs(vecs: DataFrame, centroids: DataFrame,
+      minCosFp: Long,
+      centScore: (Column, Column) => Column = centScoreD): DataFrame = {
+    val assigned = ivfAssign(vecs, centroids, centScore)
+    val a = assigned.select(col("cid"), col("id").as("id_a"),
+      col("v").as("va"), norm(col("v")).as("na"))
+    val b = assigned.select(col("cid"), col("id").as("id_b"),
+      col("v").as("vb"), norm(col("v")).as("nb"))
+    a.join(b, Seq("cid"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cos_fp",
+        cosineFp6PreNorm(dot(col("va"), col("vb")), col("na"), col("nb")))
+      .filter(col("cos_fp") >= minCosFp)
+      .select("cid", "id_a", "id_b", "cos_fp")
+  }
+
   /** All-pairs embedding near-dups: (id_a < id_b, cos_fp ≥ threshold). */
   def nearDupPairs(df: DataFrame, idCol: String, embCol: String,
       minCosFp: Long): DataFrame = {

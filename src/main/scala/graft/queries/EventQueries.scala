@@ -494,9 +494,65 @@ object EventQueries {
            |  ON t_us >= start_us AND t_us < end_us
            |GROUP BY t_us ORDER BY t_us""".stripMargin))
 
+  /** q89: SCD2 history build — turn a change stream into validity
+    * INTERVALS (the slowly-changing-dimension type-2 table every
+    * point-in-time feature join needs: q05/q06 give the CURRENT
+    * snapshot; this gives "what was the value at time t" without label
+    * leakage, the thing [[graft.operators.AsOfJoin]] then probes).
+    * Classic gaps-and-islands: mark value changes with one lag, running
+    * sum → version id, collapse runs to [valid_from, valid_to) with
+    * valid_to = the next version's start (NULL = still open). One
+    * window sort per key (the sessionization shape — linear per key,
+    * parallel across keys), one keyed agg; ties broken by event_id so
+    * the versioning is total-order deterministic.
+    */
+  val q89Scd2History = NamedQuery(
+    "q89_scd2_history",
+    "SCD2 validity intervals per user from the event_type change " +
+      "stream: version id, [valid_from, valid_to) epoch-us bounds " +
+      "(open interval = NULL), events per version.",
+    (s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("version")
+      val prev = lag(col("event_type"), 1).over(wOrd)
+      Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"))
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version", sum("chg").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "version")
+        .agg(min("event_type").as("event_type"),
+          min("ts_us").as("valid_from_us"),
+          count(lit(1)).as("n_events"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+        .select("user_id", "version", "event_type", "valid_from_us",
+          "valid_to_us", "n_events")
+        .orderBy("user_id", "version")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+           |    event_type FROM events),
+           |m AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+           |      OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+           |      AS chg
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+           |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |    AS version FROM m),
+           |runs AS (SELECT user_id, version, MIN(event_type) AS event_type,
+           |    MIN(us) AS valid_from_us, COUNT(*) AS n_events
+           |  FROM v GROUP BY user_id, version)
+           |SELECT user_id, version, event_type, valid_from_us,
+           |  LEAD(valid_from_us) OVER (PARTITION BY user_id ORDER BY version)
+           |    AS valid_to_us,
+           |  n_events
+           |FROM runs ORDER BY user_id, version""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin,
     q59RollingFeatures, q66GapfillLocf, q71HoppingWindow,
-    q78TransitionMatrix, q79CohortRetention, q84RangeJoinSpine)
+    q78TransitionMatrix, q79CohortRetention, q84RangeJoinSpine,
+    q89Scd2History)
 }

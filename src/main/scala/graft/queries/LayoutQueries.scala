@@ -58,5 +58,69 @@ object LayoutQueries {
            |FROM documents WHERE lang IN ('en','de')
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(q67PartitionedLayout)
+  private val ZBits = 12
+
+  /** 24-bit Morton (Z-order) interleave of two 12-bit dims — a static
+    * sum of 24 shift/mask terms, fully inside whole-stage codegen (no
+    * HOF, no UDF).
+    */
+  private def morton12(x: org.apache.spark.sql.Column,
+      y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until ZBits).map { b =>
+      shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
+        shiftleft(shiftright(y, b).bitwiseAND(lit(1L)), 2 * b + 1)
+    }.reduce(_ + _)
+
+  /** q90: Z-order curve layout key — multi-dimensional data skipping,
+    * the layout complement to q67's single-column hive partitioning.
+    * Writing sorted by the Morton interleave of (custkey, order-day)
+    * makes every file/row-group's min/max z-range a BOUNDING BOX in
+    * BOTH dims, so a 2-D range predicate (customer range × date range)
+    * prunes row groups on zone maps alone — one sort key serves two
+    * filter columns, where sorting by either column alone leaves the
+    * other unclustered. The query materializes the curve's locality
+    * contract as checkable numbers: per z-bucket (top-8 z-bits), the
+    * per-dim extents stay within the 2^(ZBits-4)-wide quadrant the
+    * prefix pins, corpus-wide extents would be 2^ZBits. The interleave
+    * itself is integer bit math — bit-identical in any engine.
+    */
+  val q90ZorderCurve = NamedQuery(
+    "q90_zorder_curve",
+    "Z-order (Morton) layout key over orders (custkey × order-day, " +
+      "12 bits each): per z-bucket row counts and per-dim bounding " +
+      "extents — the 2-D zone-map pruning contract.",
+    (s, d) => {
+      // date-diff in whole days: timezone-free (o_orderdate is NTZ —
+      // unix_micros would shift with the session timezone)
+      val day = datediff(col("o_orderdate").cast("date"),
+        to_date(lit("1970-01-01"))).cast("long")
+      Tables.orders(s, d)
+        .select((col("o_custkey") % 4096L).as("x"), (day % 4096L).as("y"))
+        .withColumn("z", morton12(col("x"), col("y")))
+        .withColumn("z_bucket", shiftright(col("z"), 16))
+        .groupBy("z_bucket")
+        .agg(count(lit(1)).as("n"),
+          min("x").as("min_x"), max("x").as("max_x"),
+          min("y").as("min_y"), max("y").as("max_y"))
+        .withColumn("bbox_area",
+          (col("max_x") - col("min_x") + 1L) *
+            (col("max_y") - col("min_y") + 1L))
+        .orderBy("z_bucket")
+    },
+    Some(s"""WITH pts AS (SELECT o_custkey % 4096 AS x,
+            |    CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01' AS BIGINT)
+            |      % 4096 AS y
+            |  FROM orders),
+            |zs AS (SELECT x, y,
+            |    list_sum(list_transform(range(0, $ZBits), b ->
+            |      (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b+1))))
+            |      AS z
+            |  FROM pts)
+            |SELECT z >> 16 AS z_bucket, COUNT(*) AS n,
+            |  MIN(x) AS min_x, MAX(x) AS max_x,
+            |  MIN(y) AS min_y, MAX(y) AS max_y,
+            |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox_area
+            |FROM zs GROUP BY z >> 16 ORDER BY z_bucket""".stripMargin))
+
+  val all: Seq[NamedQuery] = Seq(q67PartitionedLayout, q90ZorderCurve)
 }

@@ -935,10 +935,94 @@ object TextQueries {
            |WHERE n_int * 5 >= n_uni * 3
            |ORDER BY id_a, id_b""".stripMargin))
 
+  private val Bm25Terms = Seq("dup", "vector", "join")
+
+  /** q86: BM25 retrieval scoring, integer-exact. The BM25 term weight
+    * with k1 = 6/5, b = 3/4 and avgdl = T/N reduces to pure integer
+    * arithmetic:
+    *
+    *   tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *     = 44·tf·T / (20·tf·T + 6·T + 18·N·dl)
+    *
+    * so each term's contribution is the exact long
+    * `(idf_fp3 · 44 · tf · T) div (20·tf·T + 6·T + 18·N·dl)` — no float
+    * boundary anywhere (a double BM25 could rank-flip across engines at
+    * ties). idf is the q56 monotone surrogate floor(1e3·N/df) (ln is not
+    * cross-engine bit-stable); scaled to 1e3 so the worst-case product
+    * stays far below 2^63. Scale shape: df is one distinct+count agg
+    * over toks FILTERED to the |Q|=3 query terms (the corpus-wide df
+    * table never materializes), corpus stats N/T are one 1-row agg
+    * broadcast everywhere, and the ranking is a rank-pushdown window
+    * over docs that contain ≥1 query term.
+    */
+  val q86Bm25TopK = NamedQuery(
+    "q86_bm25_topk",
+    "BM25 top-10 docs for a 3-term query (k1=6/5, b=3/4), all-integer " +
+      "rational arithmetic: contribution = idf_fp3*44*tf*T div " +
+      "(20*tf*T + 6*T + 18*N*dl); rank by (score desc, doc_id).",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val dl = docs.select(col("doc_id"), size(tokens(col("text")))
+        .cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_total"))
+      val tf = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"),
+          expr("(1000 * n_docs) div df").as("idf_fp3"))
+      val w = Window.orderBy(col("score_fp").desc, col("doc_id").asc)
+      tf.join(broadcast(idf), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(
+          "(idf_fp3 * 44 * tf * t_total) div " +
+            "(20 * tf * t_total + 6 * t_total + 18 * n_docs * dl)"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_fp"))
+        .join(dl, "doc_id")
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .select("doc_id", "dl", "n_terms", "score_fp", "rank")
+        .orderBy("rank")
+    },
+    Some {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH dl AS (SELECT doc_id,
+         |    CAST(len(string_split(lower(text),' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS t_total FROM dl),
+         |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf FROM
+         |    (SELECT doc_id, unnest(string_split(lower(text),' ')) AS term
+         |     FROM documents)
+         |  WHERE term IN ($terms) GROUP BY doc_id, term),
+         |idf AS (SELECT term, (1000 * n_docs) // df AS idf_fp3 FROM
+         |    (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term),
+         |    stats),
+         |scored AS (SELECT tf.doc_id,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM((idf_fp3 * 44 * tf * t_total) //
+         |      (20 * tf * t_total + 6 * t_total + 18 * n_docs * dl)) AS BIGINT)
+         |      AS score_fp
+         |  FROM tf JOIN idf USING (term) JOIN dl ON tf.doc_id = dl.doc_id,
+         |    stats
+         |  GROUP BY tf.doc_id),
+         |ranked AS (SELECT s.doc_id, dl.dl, s.n_terms, s.score_fp,
+         |    CAST(row_number() OVER (ORDER BY s.score_fp DESC, s.doc_id ASC)
+         |      AS BIGINT) AS rank
+         |  FROM scored s JOIN dl ON s.doc_id = dl.doc_id)
+         |SELECT doc_id, dl, n_terms, score_fp, rank FROM ranked
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
-    q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin)
+    q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin,
+    q86Bm25TopK)
 }

@@ -606,9 +606,148 @@ object TrainingDataQueries {
             |GROUP BY ep.tok, ep.n_exact
             |ORDER BY n_exact DESC, tok""".stripMargin))
 
+  /** Target training-mixture weights per language (percent, sums to
+    * 100). Literal — in production this is the experiment config.
+    */
+  private val MixWeights: Seq[(String, Long)] = Seq(
+    "de" -> 15L, "en" -> 40L, "es" -> 15L, "fr" -> 15L, "zh" -> 15L)
+
+  /** q87: weighted corpus-mixture sampling — the "data recipe" step of
+    * training-set assembly: given target per-language weights, find the
+    * LARGEST total size the corpus can serve at exactly those weights
+    * (the binding stratum: S = min over l of ⌊n_l·100/w_l⌋), derive each
+    * language's quota, and draw it with the q39/q55 hash-mod-threshold
+    * discipline (deterministic, reprocessing-stable, no RNG). All
+    * arithmetic is integer `div` — no float rate whose rounding could
+    * admit a different doc set across engines. Scale shape: one keyed
+    * count agg, a 5-row quota table broadcast back, one row-local
+    * filter — the corpus shuffles zero times.
+    */
+  val q87CorpusMixture = NamedQuery(
+    "q87_corpus_mixture",
+    "Weighted training-mixture sampling: feasible total from the " +
+      "binding stratum, integer quotas + hash-mod thresholds per " +
+      "language, sampled counts and achieved shares.",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select(col("lang"),
+        (hash60(col("doc_id").cast("string")) % 1000000L).as("hm"))
+      val wdf = s.createDataFrame(MixWeights).toDF("lang", "w")
+      val tot = docs.groupBy("lang").agg(count(lit(1)).as("n_total"))
+        .join(broadcast(wdf), "lang")
+      val feas = tot.agg(min(expr("(n_total * 100) div w")).as("s_total"))
+      val quotas = tot.crossJoin(broadcast(feas))
+        .select(col("lang"), col("w"), col("n_total"),
+          expr("(w * s_total) div 100").as("quota"))
+        .withColumn("thr_fp", expr("(quota * 1000000) div n_total"))
+      val sampled = docs
+        .join(broadcast(quotas.select("lang", "thr_fp")), "lang")
+        .filter(col("hm") < col("thr_fp"))
+        .groupBy("lang").agg(count(lit(1)).as("n_sampled"))
+      val out = quotas.join(sampled, Seq("lang"), "left_outer")
+        .select(col("lang"), col("w"), col("n_total"), col("quota"),
+          coalesce(col("n_sampled"), lit(0L)).as("n_sampled"))
+      out.crossJoin(broadcast(out.agg(sum("n_sampled").as("tot_sampled"))))
+        .withColumn("share_fp6", expr("(n_sampled * 1000000) div tot_sampled"))
+        .select("lang", "w", "n_total", "quota", "n_sampled", "share_fp6")
+        .orderBy("lang")
+    },
+    Some {
+      val vals = MixWeights
+        .map { case (l, w) => s"('$l',${w}::BIGINT)" }.mkString(", ")
+      s"""WITH w(lang, w) AS (SELECT * FROM (VALUES $vals)),
+         |d AS (SELECT lang,
+         |    ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+         |      % 1000000 AS hm
+         |  FROM documents),
+         |tot AS (SELECT lang, COUNT(*) AS n_total FROM d GROUP BY lang),
+         |t2 AS (SELECT tot.lang, w.w, n_total FROM tot JOIN w USING (lang)),
+         |feas AS (SELECT MIN((n_total * 100) // w) AS s_total FROM t2),
+         |q AS (SELECT lang, w, n_total, (w * s_total) // 100 AS quota,
+         |    (((w * s_total) // 100) * 1000000) // n_total AS thr_fp
+         |  FROM t2, feas),
+         |samp AS (SELECT d.lang, COUNT(*) AS n_sampled
+         |  FROM d JOIN q ON d.lang = q.lang WHERE d.hm < q.thr_fp
+         |  GROUP BY d.lang),
+         |o AS (SELECT q.lang, w, n_total, quota,
+         |    COALESCE(n_sampled, 0) AS n_sampled
+         |  FROM q LEFT JOIN samp ON q.lang = samp.lang),
+         |ts AS (SELECT SUM(n_sampled) AS tot_sampled FROM o)
+         |SELECT lang, w, n_total, quota, n_sampled,
+         |  (n_sampled * 1000000) // tot_sampled AS share_fp6
+         |FROM o, ts ORDER BY lang""".stripMargin
+    })
+
+  private val DecontamN = 8 // benchmark-overlap n-gram width
+
+  /** q88: n-gram-level decontamination — the GPT-3/PaLM-style eval-set
+    * scrub. q43/q58 catch whole-document collisions (fingerprint
+    * equality); this catches PARTIAL containment of benchmark text: any
+    * training doc sharing an 8-gram with the eval slice is flagged with
+    * its overlap fraction. Eval set = the hash-mod slice
+    * hash60(doc_id) % 20 = 3 (deterministic stand-in for a benchmark
+    * suite). Scale shape: grams shuffle as 8-byte hash60 keys — the
+    * gram STRING never enters the join — the eval side is distinct-
+    * deduped (and small: eval suites are MBs, so at production scale it
+    * broadcasts or becomes a q58 Bloom digest), and the per-doc overlap
+    * is one keyed count agg. A hash60 collision can only ADD a flagged
+    * gram; both engines hash identically, so the oracle is exact — and
+    * production decontamination accepts that one-sidedness (over-flag,
+    * never under-flag).
+    */
+  val q88NgramDecontaminate = NamedQuery(
+    "q88_ngram_decontaminate",
+    s"Eval-overlap decontamination: training docs sharing any " +
+      s"$DecontamN-gram (as hash60 keys) with the eval slice; distinct " +
+      "gram counts, hits, and overlap fraction per flagged doc.",
+    (s, d) => {
+      val base = Tables.documents(s, d).withColumn("is_eval",
+        hash60(col("doc_id").cast("string")) % 20 === 3)
+      val grams = base.select(col("doc_id"), col("lang"), col("is_eval"),
+        explode(array_distinct(
+          graft.functions.TextFunctions.wordNgrams(
+            tokens(col("text")), DecontamN))).as("gram"))
+        .withColumn("gk", hash60(col("gram")))
+      val evalGrams = grams.filter(col("is_eval"))
+        .select(col("gk")).distinct()
+      val train = grams.filter(!col("is_eval"))
+      val stats = train.groupBy("doc_id", "lang")
+        .agg(count(lit(1)).as("n_grams"))
+      val hits = train.join(evalGrams, "gk")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      stats.join(hits, "doc_id")
+        .select(col("doc_id"), col("lang"), col("n_grams"), col("n_hit"),
+          graft.functions.TextFunctions.fp6(
+            col("n_hit").cast("double") / col("n_grams")).as("overlap_fp6"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH g AS (SELECT doc_id, lang,
+            |    ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+            |      % 20 = 3 AS is_eval,
+            |    unnest(list_distinct(list_transform(
+            |      range(1, len(ts) - ${DecontamN - 2}),
+            |      i -> list_aggregate(ts[i:i+${DecontamN - 1}],
+            |        'string_agg', ' ')))) AS gram
+            |  FROM (SELECT doc_id, lang, string_split(lower(text),' ') AS ts
+            |    FROM documents)
+            |  WHERE len(ts) >= $DecontamN),
+            |gh AS (SELECT doc_id, lang, is_eval,
+            |    ('0x'||substring(md5(gram),1,15))::BIGINT AS gk FROM g),
+            |ev AS (SELECT DISTINCT gk FROM gh WHERE is_eval),
+            |tr AS (SELECT doc_id, lang, gk FROM gh WHERE NOT is_eval),
+            |st AS (SELECT doc_id, lang, COUNT(*) AS n_grams FROM tr
+            |  GROUP BY doc_id, lang),
+            |hits AS (SELECT doc_id, COUNT(*) AS n_hit FROM tr
+            |  JOIN ev USING (gk) GROUP BY doc_id)
+            |SELECT st.doc_id, lang, n_grams, n_hit,
+            |  CAST(floor(CAST(n_hit AS DOUBLE) / n_grams * 1000000.0)
+            |    AS BIGINT) AS overlap_fp6
+            |FROM st JOIN hits ON st.doc_id = hits.doc_id
+            |ORDER BY st.doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
     q55StratifiedSample, q58BloomContamination, q62DocChunking,
-    q64KmvDistinct, q65CmsHeavyHitters)
+    q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
+    q88NgramDecontaminate)
 }

@@ -461,6 +461,44 @@ object VectorQueries {
             |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
             |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  /** q85: SemDeDup — semantic (embedding-space) dedup done the way it
+    * scales: cluster with the q34 k-means centroids, then search for
+    * near-dup pairs ONLY within each cell. The q21 all-pairs join is
+    * O(N²) in one monolithic join; here the quadratic work happens per
+    * cell and the pair search is an equi-join keyed by cell id, so a
+    * 100× corpus spreads across ~100× more cells instead of 10,000×
+    * more comparisons. Oracle replays the full chain — 3 Lloyd's
+    * iterations, final assignment, within-cell pairs — so the exact
+    * pair set (a subset of q21's, restricted to same-cell) is
+    * hash-checked cross-engine.
+    */
+  val q85SemanticDedup = NamedQuery(
+    "q85_semantic_dedup",
+    s"SemDeDup: $KmIters-iteration k-means cells, then within-cell " +
+      "cosine near-dup pairs (cos_fp >= 450000) via a cell-keyed " +
+      "equi-join — the cluster-then-compare scale path for q21.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+      val cent = Similarity.kmeansCentroids(vecs, NCentroids, KmIters)
+      Similarity.semanticNearDupPairs(vecs, cent, minCosFp = 450000L)
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH cent0 AS (SELECT vec_id AS cid,
+            |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+            |  FROM embeddings WHERE vec_id < $NCentroids),
+            |${(1 to KmIters).map(kmIterSql).mkString(",\n")},
+            |asg AS (SELECT vec_id, embedding, cid FROM (
+            |  SELECT e.vec_id, e.embedding, c.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpDSql("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+            |  FROM embeddings e, cent$KmIters c) WHERE rn = 1)
+            |SELECT a.cid, a.vec_id AS id_a, b.vec_id AS id_b,
+            |  ${cosFpSql("a.embedding", "b.embedding")} AS cos_fp
+            |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |WHERE ${cosFpSql("a.embedding", "b.embedding")} >= 450000
+            |ORDER BY id_a, id_b""".stripMargin))
+
   /** q75: distributed per-label centroids — the k-means UPDATE step
     * (and the class-prototype computation behind nearest-centroid
     * classifiers) as a hash-checked oracle query, over the first 8
@@ -586,5 +624,5 @@ object VectorQueries {
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
     q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
-    q83ProductQuantization)
+    q83ProductQuantization, q85SemanticDedup)
 }

@@ -15,4 +15,27 @@ trait SparkSpec extends AnyFunSuite {
     .getOrCreate()
 
   def sf(name: String): String = s"/root/testdata/$name"
+
+  /** Test-owned checkpoint dir, under a root SEPARATE from the
+    * `/tmp/graft-ckpt` that Verify/Bench sweep at startup — a
+    * concurrently running Verify must never delete a live test
+    * checkpoint out from under a streaming query (observed once as a
+    * "commits does not exist" STREAM_FAILED flake). The test root is
+    * swept once per JVM instead.
+    */
+  def ckptDir(name: String): String =
+    s"${SparkSpec.ckptRoot}/$name-${System.nanoTime()}"
+}
+
+object SparkSpec {
+  lazy val ckptRoot: String = {
+    val root = "/tmp/graft-ckpt-test"
+    val dir = new java.io.File(root)
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).foreach(_.foreach(rm))
+      f.delete(); ()
+    }
+    if (dir.exists()) rm(dir)
+    root
+  }
 }

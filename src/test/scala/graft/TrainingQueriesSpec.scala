@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.{hash60, tokens, wordNgrams}
+
+/** Properties of the round-4 training-data queries that the hash oracle
+  * alone doesn't pin: q86's integer-rational BM25 must rank exactly like
+  * the float formula it derives from, q87's quotas must respect the
+  * binding stratum, q88's hash-keyed contamination join must never
+  * under-flag relative to an exact string-keyed join.
+  */
+class TrainingQueriesSpec extends SparkSpec {
+
+  private val d = sf("sf0.001")
+
+  test("q86: integer-rational BM25 ranks exactly like the float formula") {
+    val docs = Tables.documents(spark, d)
+    val terms = Seq("dup", "vector", "join")
+    val dl = docs.select(col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum("dl").as("t_total"))
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(col("term").isin(terms: _*))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    // float BM25, k1 = 1.2, b = 0.75, idf = N/df (the same monotone
+    // surrogate q86 uses, un-quantized)
+    val contribF = {
+      val avgdl = col("t_total").cast("double") / col("n_docs")
+      val idf = col("n_docs").cast("double") / col("df")
+      idf * (col("tf") * 2.2) /
+        (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / avgdl))
+    }
+    val floatScores = tf.join(df, "term").join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .groupBy("doc_id").agg(sum(contribF).as("fscore"))
+      .orderBy(col("fscore").desc, col("doc_id").asc)
+      .select("doc_id").collect().map(_.getLong(0)).take(10)
+    val intScores = SparkEntry.queries("q86_bm25_topk")(spark, d)
+      .orderBy("rank").select("doc_id").collect().map(_.getLong(0))
+    // idf quantization to 1e3 and per-term floor can perturb near-exact
+    // ties only; on this corpus the orders agree outright
+    assert(intScores.toSeq == floatScores.toSeq,
+      s"integer BM25 ranking diverged: ${intScores.toSeq} vs ${floatScores.toSeq}")
+  }
+
+  test("q87: quotas respect the binding stratum and never exceed supply") {
+    val rows = SparkEntry.queries("q87_corpus_mixture")(spark, d).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (w, nTotal, quota, nSampled) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(quota <= nTotal, s"quota $quota exceeds supply $nTotal")
+      // the threshold hits the quota in expectation, never over supply
+      assert(nSampled <= nTotal, s"sampled $nSampled > supply $nTotal")
+      assert(w > 0)
+    }
+    // the binding stratum is sampled (near-)whole: its quota is within
+    // one integer step of its full count
+    assert(rows.exists(r => r.getLong(2) - r.getLong(3) <= r.getLong(1)),
+      "some stratum must bind the feasible total")
+  }
+
+  test("q88: hash-keyed contamination never under-flags vs exact grams") {
+    val base = Tables.documents(spark, d).withColumn("is_eval",
+      hash60(col("doc_id").cast("string")) % 20 === 3)
+    val grams = base.select(col("doc_id"), col("is_eval"),
+      explode(array_distinct(wordNgrams(tokens(col("text")), 8))).as("gram"))
+    val exact = grams.filter(!col("is_eval"))
+      .join(grams.filter(col("is_eval")).select("gram").distinct(), "gram")
+      .select("doc_id").distinct()
+      .collect().map(_.getLong(0)).toSet
+    val flagged = SparkEntry.queries("q88_ngram_decontaminate")(spark, d)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(exact.subsetOf(flagged),
+      s"under-flagged docs: ${exact -- flagged}")
+  }
+}

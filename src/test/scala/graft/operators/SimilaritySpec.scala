@@ -127,4 +127,24 @@ class SimilaritySpec extends SparkSpec {
     val perQuery = top.groupBy("query_id").count().collect()
     assert(perQuery.length == 5 && perQuery.forall(_.getLong(1) == 3L))
   }
+
+  test("semantic dedup pairs = all-pairs near-dups restricted to shared cells") {
+    val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"))
+    val cent = Similarity.kmeansCentroids(vecs, k = 8, iters = 2).cache()
+    val thr = 300000L
+    val sem = Similarity.semanticNearDupPairs(vecs, cent, thr)
+      .select("id_a", "id_b", "cos_fp").cache()
+    assert(sem.count() > 0, "threshold should yield within-cell pairs here")
+    // exactly the q21 all-pairs set ∩ same-cell pairs, scores identical
+    val asg = Similarity.ivfAssign(vecs, cent, Similarity.centScoreD)
+      .select(col("id"), col("cid"))
+    val allPairs = Similarity
+      .nearDupPairs(emb, "vec_id", "embedding", thr)
+      .join(asg.select(col("id").as("id_a"), col("cid").as("ca")), "id_a")
+      .join(asg.select(col("id").as("id_b"), col("cid").as("cb")), "id_b")
+      .filter(col("ca") === col("cb"))
+      .select("id_a", "id_b", "cos_fp")
+    assert(sem.exceptAll(allPairs).isEmpty && allPairs.exceptAll(sem).isEmpty,
+      "within-cell restriction of the all-pairs scan must match exactly")
+  }
 }

@@ -48,7 +48,7 @@ class KafkaIngestSpec extends SparkSpec {
     val name = s"kafka_ingest_${System.nanoTime()}"
     val q = bronze.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      .option("checkpointLocation", ckptDir(name))
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -29,7 +29,7 @@ class PosReplaySourceSpec extends SparkSpec {
     val q = counted.writeStream.format("memory")
       .queryName("replay_rate")
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"/tmp/graft-ckpt/replay-${System.nanoTime()}")
+      .option("checkpointLocation", ckptDir("replay"))
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     q.awaitTermination()

@@ -42,7 +42,7 @@ class StreamStreamJoinSpec extends SparkSpec {
       .select("c_user", "click_id", "buy_id")
     val q = joined.writeStream.format("memory").queryName("ss_join")
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"/tmp/graft-ckpt/ssjoin-${System.nanoTime()}")
+      .option("checkpointLocation", ckptDir("ssjoin"))
       .start()
     clicks.addData(ev(1, 7, "click", 10 * H), ev(2, 7, "click", 20 * H),
       ev(3, 8, "click", 10 * H))

@@ -25,7 +25,7 @@ class StreamingOpsSpec extends SparkSpec {
     val out = StreamingOps.latestPerKeyStream(mem.toDS())
     val q = out.toDF().writeStream.format("memory").queryName("s_latest")
       .outputMode(OutputMode.Update())
-      .option("checkpointLocation", s"/tmp/graft-ckpt/spec-latest-${System.nanoTime()}")
+      .option("checkpointLocation", ckptDir("spec-latest"))
       .start()
     // batch 1: initial values; batch 2: one late (stale) + one newer row
     mem.addData(ev(1, 1, "click", 1.0, 10 * H), ev(2, 1, "click", 2.0, 12 * H))
@@ -56,7 +56,7 @@ class StreamingOpsSpec extends SparkSpec {
     val q = dedup.select("user_id", "event_type", "event_id")
       .writeStream.format("memory").queryName("s_dedup")
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"/tmp/graft-ckpt/spec-dedup-${System.nanoTime()}")
+      .option("checkpointLocation", ckptDir("spec-dedup"))
       .start()
     mem.addData(ev(1, 1, "click", 1.0, 10 * H), ev(2, 1, "click", 1.0, 10 * H + 1),
       ev(3, 2, "click", 1.0, 10 * H))
@@ -107,7 +107,7 @@ class StreamingOpsSpec extends SparkSpec {
       .select(col("w.start").as("ws"), col("event_type"), col("n"), col("sv"))
     val q = agg.writeStream.format("memory").queryName("pt_gold")
       .outputMode(OutputMode.Complete())
-      .option("checkpointLocation", s"/tmp/graft-ckpt/pt-gold-${System.nanoTime()}")
+      .option("checkpointLocation", ckptDir("pt-gold"))
       .trigger(Trigger.ProcessingTime("100 milliseconds"))
       .start()
     mem.addData(ev(1, 1, "click", 2.0, 10 * H), ev(2, 1, "click", 3.0, 10 * H + 1))
@@ -148,7 +148,7 @@ class StreamingOpsSpec extends SparkSpec {
       org.apache.spark.sql.streaming.TTLConfig(java.time.Duration.ofHours(1)))
     val q = out.toDF().writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Update())
-      .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      .option("checkpointLocation", ckptDir(name))
       .start()
     def current(): Set[(Long, String, Long)] = ApplyChanges.latestByKey(
       spark.table(name), Seq("user_id", "event_type"),
@@ -181,7 +181,7 @@ class StreamingOpsSpec extends SparkSpec {
     val q = StreamingOps.sessionCloses(withWm, Gap).toDF()
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append())
-      .option("checkpointLocation", s"/tmp/graft-ckpt/$name")
+      .option("checkpointLocation", ckptDir(name))
       .start()
     // batch 1: user 1 has a 2-event session; user 2 a single event
     mem.addData(ev(1, 1, "click", 1.0, T),
@@ -217,7 +217,7 @@ class StreamingOpsSpec extends SparkSpec {
     val mem = MemoryStream[EventRow]
     val q = StreamingOps.foreachBatchUpsert(mem.toDS().toDF(), target,
         Seq("user_id", "event_type"), Seq("ts_us", "event_id"))
-      .option("checkpointLocation", s"/tmp/graft-ckpt/upsert-${System.nanoTime()}")
+      .option("checkpointLocation", ckptDir("upsert"))
       .start()
     mem.addData(ev(1, 1, "click", 1.0, 10 * H), ev(2, 2, "view", 7.0, 10 * H))
     q.processAllAvailable()
