@@ -549,10 +549,61 @@ object EventQueries {
            |  n_events
            |FROM runs ORDER BY user_id, version""".stripMargin))
 
+  /** q91: SCD TYPE-2 apply-changes — the `stored_as_scd_type = 2` half
+    * of the DLT API whose type-1 half is q06
+    * (reference: notebooks/03_Data_Ingestion.py:320-326 uses type 1;
+    * the same public API carries both). Where q89 versions a plain
+    * event stream, this runs the full CDC contract through
+    * [[graft.operators.ApplyChanges.applyChangesScd2]]: delete
+    * tombstones ('error' rows) CLOSE the open version without opening
+    * one, consecutive changes with an identical tracked payload
+    * collapse instead of bumping the version, and the sequence is the
+    * total (ts_us, event_id) order, so out-of-order arrival cannot
+    * change the history.
+    */
+  val q91Scd2ApplyChanges = NamedQuery(
+    "q91_scd2_apply_changes",
+    "DLT-style SCD2 apply_changes over the events changelog: per-user " +
+      "event_type version history with (ts_us, event_id) validity " +
+      "bounds; 'error' tombstones close versions, identical payloads " +
+      "collapse.",
+    (s, d) => {
+      val hist = ApplyChanges.applyChangesScd2(
+        Tables.events(s, d).drop("ts", "props"),
+        keys = Seq("user_id"),
+        sequenceBy = Seq(col("ts_us"), col("event_id")),
+        deleteExpr = col("event_type") === "error",
+        exceptColumns = Seq("event_id", "value", "ts_us"))
+      hist.select(col("user_id"), col("event_type"),
+          col("__start.__seq0").as("start_ts_us"),
+          col("__start.__seq1").as("start_event_id"),
+          col("__end.__seq0").as("end_ts_us"),
+          col("__end.__seq1").as("end_event_id"))
+        .orderBy("user_id", "start_ts_us", "start_event_id")
+    },
+    Some("""WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us,
+           |    event_id, event_type = 'error' AS is_del FROM events),
+           |m AS (SELECT *, LAG(is_del) OVER w AS pd,
+           |    LAG(event_type) OVER w AS pp
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |c AS (SELECT *, (pd IS NULL OR (is_del AND NOT pd)
+           |    OR (NOT is_del AND (pd OR event_type IS DISTINCT FROM pp)))
+           |    AS chg FROM m),
+           |f AS (SELECT * FROM c WHERE chg),
+           |v AS (SELECT user_id, event_type, is_del,
+           |    us AS start_ts_us, event_id AS start_event_id,
+           |    LEAD(us) OVER w2 AS end_ts_us,
+           |    LEAD(event_id) OVER w2 AS end_event_id
+           |  FROM f WINDOW w2 AS (PARTITION BY user_id ORDER BY us, event_id))
+           |SELECT user_id, event_type, start_ts_us, start_event_id,
+           |  end_ts_us, end_event_id
+           |FROM v WHERE NOT is_del
+           |ORDER BY user_id, start_ts_us, start_event_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin,
     q59RollingFeatures, q66GapfillLocf, q71HoppingWindow,
     q78TransitionMatrix, q79CohortRetention, q84RangeJoinSpine,
-    q89Scd2History)
+    q89Scd2History, q91Scd2ApplyChanges)
 }
