@@ -55,7 +55,15 @@ object GraftExtensions {
     ("graft_lsh_bucket",
       info("graft_lsh_bucket", "_FUNC_(vec, numPlanes, dim) - random-hyperplane LSH bucket of a float vector"),
       (es: Seq[Expression]) => LshBucket(es(0), intArg(es(1), "graft_lsh_bucket"),
-        intArg(es(2), "graft_lsh_bucket"))))
+        intArg(es(2), "graft_lsh_bucket"))),
+    ("graft_kmv_sketch",
+      info("graft_kmv_sketch", "_FUNC_(h, k) - mergeable bottom-k distinct sketch of a long hash column"),
+      (es: Seq[Expression]) => graft.functions.NativeAggregates.KmvSketchAgg(
+        es(0), intArg(es(1), "graft_kmv_sketch"))),
+    ("graft_top_k_pair",
+      info("graft_top_k_pair", "_FUNC_(score, id, k) - best k (score DESC, id ASC) long pairs, rank-ordered"),
+      (es: Seq[Expression]) => graft.functions.NativeAggregates.TopKPairAgg(
+        es(0), es(1), intArg(es(2), "graft_top_k_pair"))))
 
   /** Register all graft functions on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit =

@@ -86,6 +86,30 @@ object Similarity {
       .select("query_id", "neighbor_id", "cos_fp", "rank")
   }
 
+  /** [[bruteForceTopK]] with the ranking done by the custom
+    * [[graft.functions.NativeAggregates.TopKPairAgg]] bounded-heap
+    * aggregate instead of a row_number window: same scoring, same
+    * (cos_fp desc, neighbor_id asc) order, BIT-IDENTICAL output — but
+    * the shuffle after scoring carries ≤ k pairs per (query ×
+    * partition) rather than every scored pair, and there is no sort.
+    * At 100 TB this is the only viable brute-force shape: scored pairs
+    * are |queries|·|corpus| and must never be shuffled wholesale.
+    */
+  def bruteForceTopKAgg(queries: DataFrame, candidates: DataFrame, k: Int): DataFrame = {
+    import graft.functions.NativeAggregates.topKPair
+    val q = queries.select(col("query_id"), col("qv"), norm(col("qv")).as("qn"))
+    val c = candidates.select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"))
+    c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos_fp",
+        cosineFp6PreNorm(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      .groupBy("query_id")
+      .agg(topKPair(col("cos_fp"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "s")))
+      .select(col("query_id"), col("s.id").as("neighbor_id"),
+        col("s.score").as("cos_fp"),
+        (col("pos") + 1).cast("long").as("rank"))
+  }
+
   /** LSH-bucketed top-k: like [[bruteForceTopK]] but candidates are
     * restricted to the query's bucket (equi-join on bucket id).
     */

@@ -537,6 +537,55 @@ object TrainingDataQueries {
             |    END AS BIGINT) AS est
             |FROM t JOIN e USING (event_type) ORDER BY event_type""".stripMargin))
 
+  /** q92: the SAME KMV sketch as q64, but computed by the custom
+    * [[graft.functions.NativeAggregates.KmvSketchAgg]]
+    * `TypedImperativeAggregate` in ONE pass over the raw events — no
+    * pre-distinct, no window sort. q64's shape shuffles every distinct
+    * hash and sorts it per group (WindowGroupLimit prunes to k per
+    * partition, but the distinct itself is a full-width exchange); the
+    * aggregate form ships ≤ k longs per (group × partition) and merges
+    * sketches associatively — at 100 TB the exchange carries
+    * |groups|·k·8 bytes total. The estimate math is identical to q64
+    * (exact-integral (k−1)·2^60 div h_k in decimal(38,0)), and the
+    * oracle is q64's minus the n_exact column, so the two queries
+    * cross-check each other row-for-row.
+    */
+  val q92KmvSketchAgg = NamedQuery(
+    "q92_kmv_sketch_agg",
+    s"KMV bottom-$KmvK sketch per event_type via a custom " +
+      "TypedImperativeAggregate: one partial-aggregable pass, no " +
+      "distinct, no window sort; estimates match q64 exactly.",
+    (s, d) => {
+      import graft.functions.NativeAggregates.kmvSketch
+      Tables.events(s, d)
+        .select(col("event_type"),
+          hash60(col("user_id").cast("string")).as("h"))
+        .groupBy("event_type")
+        .agg(kmvSketch(col("h"), KmvK).as("sk"))
+        .select(col("event_type"),
+          size(col("sk")).cast("long").as("k"),
+          element_at(col("sk"), -1).as("h_k"))
+        .withColumn("est", when(col("k") < KmvK, col("k")).otherwise(
+          expr(s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0))) div " +
+            "CAST(h_k AS DECIMAL(38,0)) AS BIGINT)")))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH dh AS (SELECT DISTINCT event_type,
+            |    ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+            |  FROM events),
+            |r AS (SELECT event_type, h,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            |  FROM dh),
+            |t AS (SELECT event_type, MAX(h) AS h_k,
+            |    CAST(COUNT(*) AS BIGINT) AS k
+            |  FROM r WHERE rn <= $KmvK GROUP BY event_type)
+            |SELECT event_type, k, h_k,
+            |  CAST(CASE WHEN k < $KmvK THEN k
+            |    ELSE (CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // h_k
+            |    END AS BIGINT) AS est
+            |FROM t ORDER BY event_type""".stripMargin))
+
   private val CmsDepth = 4
   private val CmsWidth = 512L
 
@@ -749,5 +798,5 @@ object TrainingDataQueries {
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
     q55StratifiedSample, q58BloomContamination, q62DocChunking,
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
-    q88NgramDecontaminate)
+    q88NgramDecontaminate, q92KmvSketchAgg)
 }

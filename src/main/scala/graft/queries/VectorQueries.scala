@@ -620,9 +620,192 @@ object VectorQueries {
             |    AS BIGINT) AS err_fp6
             |FROM codes GROUP BY vec_id ORDER BY vec_id""".stripMargin))
 
+  private val RerankPool = 10 // ADC candidates re-ranked exactly per query
+
+  /** q93: IVF-PQ search — the complete FAISS-style ANN read path,
+    * composing q26's coarse cells with q83's PQ codes: (1) queries probe
+    * their `NProbe` best cells; (2) candidates in probed cells are scored
+    * by Asymmetric Distance Computation — the query's per-subspace
+    * distance TABLE (query-sub vs each of the K codebook centroids,
+    * 10×8×16 rows, broadcast) summed via each candidate's stored code,
+    * never touching the candidate's float vector; (3) the best
+    * `RerankPool` ADC candidates per query are re-ranked by exact cosine.
+    * This is what makes 100 TB of embeddings searchable: the scan reads
+    * M bytes of code per vector instead of 4·dim bytes (32× less I/O),
+    * and the float vectors are fetched only for the tiny re-rank pool.
+    * Determinism: ADC sums fold in subspace order (m-sorted collected
+    * list, as q83), are fp6-floored before ranking, and every rank
+    * tie-breaks on id — so DuckDB replays the identical pool and the
+    * final top-3 hash-matches.
+    */
+  val q93IvfPqSearch = NamedQuery(
+    "q93_ivfpq_search",
+    s"IVF-PQ ANN: probe $NProbe of $NCentroids cells, ADC-score " +
+      s"candidates through $PqM×$PqK PQ codes, exact-cosine re-rank of " +
+      s"the top-$RerankPool pool to cosine top-3.",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.VectorFunctions.cosineFp6
+      def subspaces(v: org.apache.spark.sql.Column) = explode(array(
+        (0 until PqM).map(m => struct(lit(m.toLong).as("m"),
+          slice(v, m * PqD + 1, PqD).as("sub"))): _*))
+      def sqDist(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+        aggregate(
+          zip_with(a, b, (x, y) => {
+            val dx = x.cast("double") - y.cast("double")
+            dx * dx
+          }),
+          lit(0.0), (acc, x) => acc + x)
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.ivfAssign(
+          emb.select(col("vec_id").as("id"), col("embedding").as("v")), cent)
+        .select(col("id").as("neighbor_id"), col("v").as("nv"), col("cid"))
+      val cb = emb.filter(col("vec_id") < PqK)
+        .select(col("vec_id").as("k"), subspaces(col("embedding")).as("p"))
+        .select(col("k"), col("p.m").as("m"), col("p.sub").as("cent"))
+      val codes = emb
+        .select(col("vec_id").as("neighbor_id"), subspaces(col("embedding")).as("p"))
+        .select(col("neighbor_id"), col("p.m").as("m"), col("p.sub").as("sub"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("dist", sqDist(col("sub"), col("cent")))
+        .groupBy("neighbor_id", "m")
+        .agg(min(struct(col("dist"), col("k"))).as("s"))
+        .select(col("neighbor_id"), col("m"), col("s.k").as("code"))
+      val q = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val wProbe = Window.partitionBy("query_id")
+        .orderBy(col("cos_fp").desc, col("cid").asc)
+      val probes = q.join(broadcast(cent))
+        .withColumn("cos_fp", cosineFp6(col("qv"), col("cv")))
+        .withColumn("prn", row_number().over(wProbe))
+        .filter(col("prn") <= NProbe)
+        .select(col("query_id"), col("cid"))
+      val dtab = q.select(col("query_id"), subspaces(col("qv")).as("p"))
+        .select(col("query_id"), col("p.m").as("m"), col("p.sub").as("qsub"))
+        .join(broadcast(cb), Seq("m"))
+        .withColumn("qd", sqDist(col("qsub"), col("cent")))
+        .select(col("query_id"), col("m"), col("k").as("code"), col("qd"))
+      val adc = probes.join(assigned.select("neighbor_id", "cid"), Seq("cid"))
+        .filter(col("query_id") =!= col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .join(codes, Seq("neighbor_id"))
+        .join(broadcast(dtab), Seq("query_id", "m", "code"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(floor(aggregate(
+          transform(sort_array(collect_list(struct(col("m"), col("qd")))),
+            x => x.getField("qd")),
+          lit(0.0), (acc, x) => acc + x) * lit(1000000.0)).cast("long")
+          .as("adc_fp6"))
+      val wPool = Window.partitionBy("query_id")
+        .orderBy(col("adc_fp6").asc, col("neighbor_id").asc)
+      val wRank = Window.partitionBy("query_id")
+        .orderBy(col("cos_fp").desc, col("neighbor_id").asc)
+      adc.withColumn("arn", row_number().over(wPool))
+        .filter(col("arn") <= RerankPool)
+        .join(q, Seq("query_id"))
+        .join(assigned.select("neighbor_id", "nv"), Seq("neighbor_id"))
+        .withColumn("cos_fp", cosineFp6(col("qv"), col("nv")))
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .filter(col("rank") <= 3)
+        .select("query_id", "neighbor_id", "cos_fp", "rank")
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH ms AS (SELECT unnest(range($PqM)) AS m),
+            |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            |  WHERE vec_id < $NCentroids),
+            |assigned AS (SELECT vec_id AS neighbor_id, embedding AS nv, cid FROM (
+            |  SELECT e.vec_id, e.embedding, c.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpSql("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+            |  FROM embeddings e, cent c) WHERE rn = 1),
+            |cb AS (SELECT vec_id AS k, m,
+            |    embedding[m*$PqD+1 : m*$PqD+$PqD] AS cent
+            |  FROM embeddings, ms WHERE vec_id < $PqK),
+            |subs AS (SELECT vec_id AS neighbor_id, m,
+            |    embedding[m*$PqD+1 : m*$PqD+$PqD] AS sub
+            |  FROM embeddings, ms),
+            |codes AS (SELECT neighbor_id, m, k AS code FROM (
+            |  SELECT s.neighbor_id, s.m, c.k,
+            |    row_number() OVER (PARTITION BY s.neighbor_id, s.m ORDER BY
+            |      list_sum(list_transform(range(1, $PqD+1), i ->
+            |        (CAST(s.sub[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) *
+            |        (CAST(s.sub[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))),
+            |      c.k) AS rn
+            |  FROM subs s JOIN cb c USING (m)) WHERE rn = 1),
+            |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+            |  WHERE vec_id < 10),
+            |probes AS (SELECT query_id, cid FROM (
+            |  SELECT q.query_id, c.cid,
+            |    row_number() OVER (PARTITION BY q.query_id
+            |      ORDER BY ${cosFpSql("q.qv", "c.cv")} DESC, c.cid ASC) AS prn
+            |  FROM q, cent c) WHERE prn <= $NProbe),
+            |qsubs AS (SELECT query_id, m, qv[m*$PqD+1 : m*$PqD+$PqD] AS qsub
+            |  FROM q, ms),
+            |dtab AS (SELECT query_id, qs.m, c.k AS code,
+            |    list_sum(list_transform(range(1, $PqD+1), i ->
+            |      (CAST(qs.qsub[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)) *
+            |      (CAST(qs.qsub[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS qd
+            |  FROM qsubs qs JOIN cb c ON qs.m = c.m),
+            |adc AS (SELECT p.query_id, a.neighbor_id,
+            |    CAST(floor(list_sum(list(d.qd ORDER BY d.m)) * 1000000.0)
+            |      AS BIGINT) AS adc_fp6
+            |  FROM probes p JOIN assigned a ON p.cid = a.cid
+            |  JOIN codes co ON co.neighbor_id = a.neighbor_id
+            |  JOIN dtab d ON d.query_id = p.query_id AND d.m = co.m
+            |    AND d.code = co.code
+            |  WHERE p.query_id <> a.neighbor_id
+            |  GROUP BY p.query_id, a.neighbor_id),
+            |pool AS (SELECT query_id, neighbor_id FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY adc_fp6 ASC, neighbor_id ASC) AS arn FROM adc)
+            |  WHERE arn <= $RerankPool),
+            |scored AS (SELECT pool.query_id, pool.neighbor_id,
+            |    ${cosFpSql("q.qv", "a.nv")} AS cos_fp
+            |  FROM pool JOIN q USING (query_id)
+            |  JOIN assigned a ON a.neighbor_id = pool.neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank
+            |  FROM scored)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  /** q94: q19's exact brute-force KNN re-ranked by the custom
+    * [[graft.functions.NativeAggregates.TopKPairAgg]] bounded-heap
+    * aggregate — same scoring, same order, bit-identical rows (the
+    * oracle IS q19's), but no window sort: the map side keeps a k-entry
+    * heap per query, so the post-scoring exchange carries
+    * |queries|·k·partitions pairs instead of |queries|·|corpus|. The
+    * two queries cross-check each other — and the aggregate is the
+    * shape that survives a 100× corpus.
+    */
+  val q94KnnTopKAgg = NamedQuery(
+    "q94_knn_topk_agg",
+    "Exact cosine top-5 for 10 query vectors via the bounded-heap " +
+      "top-k aggregate (no window sort); bit-identical to q19.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.bruteForceTopKAgg(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          k = 5)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            |pairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM q, c WHERE query_id <> neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM pairs)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
     q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
-    q83ProductQuantization, q85SemanticDedup)
+    q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
+    q94KnnTopKAgg)
 }
