@@ -935,6 +935,62 @@ object TextQueries {
            |WHERE n_int * 5 >= n_uni * 3
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** q95: unigram-LM surprisal quality score — the CCNet/perplexity
+    * family of quality filters, reduced to integer-exact math: a
+    * document's mean token surprisal under the corpus's own unigram
+    * distribution. True surprisal −log2(cnt/N) is float; the
+    * floor-log2 surrogate FL2(x) = length(bin(x)) − 1 (both engines
+    * have bin()) gives sup(t) = FL2(N) − FL2(cnt(t)) ∈ [0, 63] — a
+    * monotone, integer step function of frequency: rare tokens score
+    * high, and a doc full of rare/garbage tokens scores high overall
+    * (the filter-out signal), with NO float boundary anywhere — even
+    * the mean is `(sum·1e6) div n`, pure integer.
+    * Scale shape (the q56 discipline): per-doc term counts first (ONE
+    * (doc, term) hash-agg collapses occurrences), vocab = re-agg of
+    * those counts by term, then an equi-join on term — the corpus
+    * token stream is never joined row-per-occurrence — and the 1-row
+    * total is broadcast.
+    */
+  val q95UnigramSurprisal = NamedQuery(
+    "q95_unigram_surprisal",
+    "Mean unigram surprisal per doc under the corpus's own unigram " +
+      "LM, floor-log2 integer surrogate: rare-token-heavy docs score " +
+      "high; all-integer, no float boundary.",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("c"))
+      val vocab = tf.groupBy("term").agg(sum("c").as("cnt"))
+      val tot = vocab.agg(sum("cnt").as("n_total"))
+      def fl2(c: org.apache.spark.sql.Column) =
+        (length(bin(c)) - 1).cast("long")
+      tf.join(vocab, "term")
+        .crossJoin(broadcast(tot))
+        .withColumn("sup", fl2(col("n_total")) - fl2(col("cnt")))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(col("c") * col("sup")).cast("long").as("sum_sup"))
+        .withColumn("mean_sup_fp6",
+          expr("CAST((sum_sup * 1000000) div n_tokens AS BIGINT)"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, u AS term FROM
+           |    (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+           |    unnest(ts) AS t(u)),
+           |tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS c
+           |  FROM toks GROUP BY doc_id, term),
+           |vocab AS (SELECT term, CAST(SUM(c) AS BIGINT) AS cnt
+           |  FROM tf GROUP BY term),
+           |tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM vocab),
+           |sup AS (SELECT doc_id, c,
+           |    (length(bin(n_total)) - 1) - (length(bin(cnt)) - 1) AS sup
+           |  FROM tf JOIN vocab USING (term), tot)
+           |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+           |  CAST(SUM(c * sup) AS BIGINT) AS sum_sup,
+           |  CAST((CAST(SUM(c * sup) AS BIGINT) * 1000000) // CAST(SUM(c) AS BIGINT)
+           |    AS BIGINT) AS mean_sup_fp6
+           |FROM sup GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   private val Bm25Terms = Seq("dup", "vector", "join")
 
   /** q86: BM25 retrieval scoring, integer-exact. The BM25 term weight
@@ -1024,5 +1080,5 @@ object TextQueries {
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
     q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin,
-    q86Bm25TopK)
+    q86Bm25TopK, q95UnigramSurprisal)
 }
