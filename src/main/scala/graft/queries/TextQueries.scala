@@ -141,6 +141,69 @@ object TextQueries {
             |FROM comp GROUP BY cluster_id HAVING COUNT(*) >= 2
             |ORDER BY cluster_id""".stripMargin))
 
+  /** q96: canonical survivor selection — the step AFTER clustering that
+    * actually deduplicates a corpus: per q53 cluster, keep the member
+    * with the best quality (here: distinct-token count, an integer) and
+    * list the members dropped. Tie-breaks on doc_id asc, so survivor
+    * choice is deterministic and engine-exact. Scale shape: quality is
+    * one (doc, term) hash-agg; survivor is `max_by` over the cluster
+    * (partial-agg, no per-cluster sort); the dropped list reuses the
+    * same collected members q53 already carries. At 100 TB the cluster
+    * table is tiny relative to the corpus (only docs in ≥2-member
+    * clusters), so every join here is on the small side.
+    */
+  val q96CanonicalSurvivors = NamedQuery(
+    "q96_canonical_survivors",
+    "Per dedup cluster (q53), pick the survivor by (distinct-token " +
+      "quality desc, doc_id asc); emit survivor, quality, dropped ids.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
+      val comp = graft.operators.GraphOps.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val qual = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+        .groupBy("doc_id").agg(countDistinct(col("t")).as("quality"))
+      comp.join(qual, comp("id") === qual("doc_id"))
+        .groupBy(col("component").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("id"), struct(col("quality"), -col("id"))).as("survivor_id"),
+          max(struct(col("quality"), -col("id"))).getField("quality")
+            .as("survivor_quality"),
+          array_sort(collect_list(col("id"))).as("members"))
+        .filter(col("n_members") >= 2)
+        .withColumn("dropped_ids",
+          concat_ws(",", array_remove(col("members"), col("survivor_id"))))
+        .select("cluster_id", "n_members", "survivor_id",
+          "survivor_quality", "dropped_ids")
+        .orderBy("cluster_id")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairsCtes,
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, label) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+            |comp AS (SELECT id, MIN(label) AS cluster_id FROM reach GROUP BY id),
+            |qual AS (SELECT doc_id, CAST(COUNT(DISTINCT u) AS BIGINT) AS quality
+            |  FROM toks, unnest(ts) AS t(u) GROUP BY doc_id),
+            |cl AS (SELECT c.cluster_id, c.id, q.quality
+            |  FROM comp c JOIN qual q ON q.doc_id = c.id),
+            |surv AS (SELECT cluster_id, id AS survivor_id,
+            |    quality AS survivor_quality FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+            |    ORDER BY quality DESC, id ASC) AS rn FROM cl) WHERE rn = 1)
+            |SELECT cl.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+            |  s.survivor_id, s.survivor_quality,
+            |  array_to_string(list_sort(list(cl.id) FILTER (WHERE cl.id <> s.survivor_id)),
+            |    ',') AS dropped_ids
+            |FROM cl JOIN surv s USING (cluster_id)
+            |GROUP BY cl.cluster_id, s.survivor_id, s.survivor_quality
+            |HAVING COUNT(*) >= 2
+            |ORDER BY cluster_id""".stripMargin))
+
   val q15SimhashHamming = NamedQuery(
     "q15_simhash_hamming",
     "60-bit tf-weighted SimHash per doc (array HOFs, zero shuffle) + " +
@@ -1080,5 +1143,5 @@ object TextQueries {
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
     q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin,
-    q86Bm25TopK, q95UnigramSurprisal)
+    q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors)
 }
