@@ -236,20 +236,44 @@ object StreamingOps {
       ()
     }
 
+  /** State-store partition count for harness streaming runs. A stateful
+    * query's state partitioning is fixed at FIRST start from
+    * `spark.sql.shuffle.partitions` — and every micro-batch then commits
+    * one delta file PER state partition PER stateful operator, so at the
+    * harness's data scale 32 batch-sized partitions mean 4× the
+    * checkpoint-commit I/O of 8 with identical results. Production sizes
+    * this to expected state volume, not to batch shuffle width — the
+    * per-key hash partitioning, and therefore every result, is
+    * partition-count-independent for the monotone/windowed state used
+    * here.
+    */
+  val StreamStatePartitions = 8
+
   /** Run a finite streaming query to completion (Trigger.AvailableNow) into
     * an in-memory sink and return the result table. This is how the batch
     * harness exercises real streaming plans: same operators, bounded input.
+    *
+    * `spark.sql.shuffle.partitions` is narrowed to
+    * [[StreamStatePartitions]] strictly for the duration of the start —
+    * set-then-restore, never left mutated (the state partition count is
+    * captured by the new checkpoint at start; the surrounding batch
+    * session is untouched afterwards).
     */
   def runToMemory(spark: SparkSession, out: DataFrame, queryName: String,
       mode: OutputMode): DataFrame = {
     val ckpt = s"/tmp/graft-ckpt/$queryName-${System.nanoTime()}"
-    val q = out.writeStream
-      .format("memory")
-      .queryName(queryName)
-      .outputMode(mode)
-      .option("checkpointLocation", ckpt)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    val q =
+      try {
+        spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+        out.writeStream
+          .format("memory")
+          .queryName(queryName)
+          .outputMode(mode)
+          .option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow())
+          .start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     q.awaitTermination()
     // A finished AvailableNow run has no recovery value; repeated harness
     // runs otherwise accumulate hundreds of MB of dead state under /tmp
