@@ -24,11 +24,10 @@ import org.apache.spark.sql.functions._
   * 100 TB notes: every round is partition-parallel and keyed by vertex
   * id — nothing is collected to the driver; the per-round result is
   * cached (and the previous round unpersisted) so lineage doesn't
-  * re-derive earlier rounds. For adversarial long-chain graphs production
-  * systems switch to alternating large-star/small-star (Kiveris et al.,
-  * "Connected Components in MapReduce and Beyond"), which converges in
-  * O(log n) rounds using the SAME per-round plan shape (equi-join +
-  * min-agg) — near-dup graphs never need it because their diameter is
+  * re-derive earlier rounds. For adversarial long-chain graphs use
+  * [[connectedComponentsStar]] (alternating large-star/small-star),
+  * which converges in O(log n) rounds with the same per-round plan
+  * shape — near-dup graphs never need it because their diameter is
   * bounded by the dedup cluster size.
   */
 object GraphOps {
@@ -101,4 +100,84 @@ object GraphOps {
     */
   private def labelSum(labels: DataFrame): Long =
     labels.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
+
+  /** Connected components via alternating large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond") —
+    * the O(log n)-round algorithm for graphs whose DIAMETER breaks
+    * min-label propagation ([[connectedComponents]] needs diameter
+    * rounds; a 200-node chain needs 200). Near-dup graphs never need
+    * this (clusters are small and dense); long-chain graphs — entity
+    * resolution, web-link components — do.
+    *
+    * Per round, both stars are one groupBy(min) + one equi-join over
+    * the CURRENT edge set (which only shrinks toward stars), all
+    * partition-parallel and keyed by vertex id:
+    *   - large-star: every neighbor v > u links to m(u) = min(Γ(u)∪{u})
+    *     — long chains halve;
+    *   - small-star: with edges directed hi→lo, every lo-neighbor and u
+    *     itself link to the smallest lo-neighbor — stars flatten onto
+    *     the true minimum.
+    * Both steps preserve connectivity and never create cross-component
+    * edges, so the fixed point (edge-set signature unchanged: count +
+    * order-independent hash sum) is exactly the star forest whose
+    * centers are component minima. Output matches
+    * [[connectedComponents]] row-for-row (spec-proven on random graphs
+    * and on chains past label-propagation's budget).
+    */
+  def connectedComponentsStar(vertices: DataFrame, edges: DataFrame,
+      maxIter: Int = 30): DataFrame = {
+    def canon(df: DataFrame): DataFrame = df
+      .select(least(col("a"), col("b")).as("lo"),
+        greatest(col("a"), col("b")).as("hi"))
+      .filter(col("lo") =!= col("hi"))
+      .distinct()
+    // order-independent signature: equal across rounds ⟺ identical set
+    // (count + XOR-fold of per-edge hashes — XOR, not sum: ANSI mode
+    // makes a long hash sum overflow. A collision would need two edge
+    // SETS with equal size and equal 64-bit XOR — not a correctness
+    // risk worth a full anti-join per round)
+    def sig(e: DataFrame): (Long, Long) = {
+      val r = e.agg(count(lit(1)),
+        coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).head
+      (r.getLong(0), r.getLong(1))
+    }
+    var e = canon(edges.select(col("src").as("a"), col("dst").as("b")))
+      .localCheckpoint(true)
+    var prev = sig(e)
+    var converged = prev._1 == 0L
+    var round = 0
+    while (!converged && round < maxIter) {
+      // large-star over the symmetric neighborhood
+      val sym = e.select(col("lo").as("u"), col("hi").as("v"))
+        .unionByName(e.select(col("hi").as("u"), col("lo").as("v")))
+      val mL = sym.groupBy("u")
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = canon(sym.join(mL, "u")
+        .filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")))
+      // small-star on the hi→lo orientation of the large-star output
+      val inc = ls.select(col("hi").as("u"), col("lo").as("v"))
+      val mS = inc.groupBy("u").agg(min(col("v")).as("m")) // m < u always
+      val ss = inc.join(mS, "u")
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(mS.select(col("u").as("a"), col("m").as("b")))
+      val next = canon(ss).localCheckpoint(true)
+      e.unpersist()
+      val s = sig(next)
+      converged = s == prev
+      prev = s
+      e = next
+      round += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponentsStar did not converge in $maxIter rounds")
+    // fixed point = star forest: hi nodes link straight to their
+    // component-min center; centers and singletons label themselves
+    val labels = e.select(col("hi").as("id"), col("lo").as("label"))
+      .groupBy("id").agg(min(col("label")).as("label"))
+    vertices.select(col("id"))
+      .join(labels, Seq("id"), "left_outer")
+      .select(col("id"), coalesce(col("label"), col("id")).as("component"))
+  }
 }
