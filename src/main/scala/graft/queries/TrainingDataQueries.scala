@@ -586,6 +586,98 @@ object TrainingDataQueries {
             |    END AS BIGINT) AS est
             |FROM t ORDER BY event_type""".stripMargin))
 
+  /** q98: KMV sketch ALGEBRA — estimating the overlap of two key sets
+    * from their bottom-k sketches alone, never revisiting the raw data:
+    * the 100 TB pattern where per-partition/per-day sketches are tiny
+    * mergeable summaries and cross-set questions (shared users between
+    * event types here; shared n-grams between corpora in a dedup
+    * planner) are answered in sketch space.
+    *   - union sketch = bottom-k of the merged hash sets (array_union +
+    *     sort + slice — pure array math on two k-arrays);
+    *   - est_union   = the q64/q92 estimator on the union sketch;
+    *   - est_inter   = est_union · |{x ∈ union sketch: x ∈ A ∧ x ∈ B}|
+    *     div k_u (the fraction of the union sample present in both — the
+    *     standard KMV Jaccard estimator), all exact-integral;
+    *   - n_exact     = the true distinct-user intersection, computed
+    *     next to it so the estimation error is visible and hash-checked.
+    * Sketches come from the q92 `TypedImperativeAggregate`; everything
+    * after the (tiny) |types|² pair join is row-local array math.
+    */
+  val q98KmvOverlap = NamedQuery(
+    "q98_kmv_overlap",
+    s"KMV set algebra: pairwise distinct-user overlap between event " +
+      s"types estimated from bottom-$KmvK sketches (union + Jaccard " +
+      "estimators, exact-integral), vs the true intersection.",
+    (s, d) => {
+      import graft.functions.NativeAggregates.kmvSketch
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          hash60(col("user_id").cast("string")).as("h"))
+      val sk = ev.groupBy("event_type")
+        .agg(kmvSketch(col("h"), KmvK).as("sk"))
+      val a = sk.select(col("event_type").as("et_a"), col("sk").as("sk_a"))
+      val b = sk.select(col("event_type").as("et_b"), col("sk").as("sk_b"))
+      val du = ev.distinct()
+      val exact = du.as("x").join(du.as("y"),
+          col("x.h") === col("y.h") &&
+            col("x.event_type") < col("y.event_type"))
+        .groupBy(col("x.event_type").as("et_a"),
+          col("y.event_type").as("et_b"))
+        .agg(count(lit(1)).as("n_exact"))
+      a.join(b, col("et_a") < col("et_b"))
+        .withColumn("usk",
+          slice(array_sort(array_union(col("sk_a"), col("sk_b"))), 1, KmvK))
+        .withColumn("k_u", size(col("usk")).cast("long"))
+        .withColumn("h_k", element_at(col("usk"), -1))
+        .withColumn("n_both",
+          size(filter(col("usk"), x =>
+            array_contains(col("sk_a"), x) && array_contains(col("sk_b"), x)))
+            .cast("long"))
+        .withColumn("est_union", when(col("k_u") < KmvK, col("k_u")).otherwise(
+          expr(s"CAST((CAST(${KmvK - 1} AS DECIMAL(38,0)) * " +
+            "CAST(1152921504606846976 AS DECIMAL(38,0))) div " +
+            "CAST(h_k AS DECIMAL(38,0)) AS BIGINT)")))
+        .withColumn("est_inter",
+          expr("CAST((n_both * est_union) div k_u AS BIGINT)"))
+        .join(exact, Seq("et_a", "et_b"), "left_outer")
+        .select(col("et_a"), col("et_b"), col("k_u"), col("n_both"),
+          col("est_union"), col("est_inter"),
+          coalesce(col("n_exact"), lit(0L)).as("n_exact"))
+        .orderBy("et_a", "et_b")
+    },
+    Some(s"""WITH dh AS (SELECT DISTINCT event_type,
+            |    ('0x'||substring(md5(CAST(user_id AS VARCHAR)),1,15))::BIGINT AS h
+            |  FROM events),
+            |r AS (SELECT event_type, h,
+            |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            |  FROM dh),
+            |sk AS (SELECT event_type, list_sort(list(h)) AS sk
+            |  FROM r WHERE rn <= $KmvK GROUP BY event_type),
+            |ex AS (SELECT x.event_type AS et_a, y.event_type AS et_b,
+            |    CAST(COUNT(*) AS BIGINT) AS n_exact
+            |  FROM dh x JOIN dh y ON x.h = y.h AND x.event_type < y.event_type
+            |  GROUP BY 1, 2),
+            |pairs AS (SELECT a.event_type AS et_a, b.event_type AS et_b,
+            |    a.sk AS sk_a, b.sk AS sk_b,
+            |    list_sort(list_distinct(a.sk || b.sk))[1 : $KmvK] AS usk
+            |  FROM sk a JOIN sk b ON a.event_type < b.event_type),
+            |m AS (SELECT et_a, et_b,
+            |    CAST(len(usk) AS BIGINT) AS k_u,
+            |    usk[-1] AS h_k,
+            |    CAST(len(list_filter(usk, x -> list_contains(sk_a, x)
+            |      AND list_contains(sk_b, x))) AS BIGINT) AS n_both
+            |  FROM pairs)
+            |SELECT m.et_a, m.et_b, k_u, n_both,
+            |  CAST(CASE WHEN k_u < $KmvK THEN k_u
+            |    ELSE (CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // h_k
+            |    END AS BIGINT) AS est_union,
+            |  CAST((n_both * (CASE WHEN k_u < $KmvK THEN k_u
+            |    ELSE (CAST(${KmvK - 1} AS HUGEINT) * 1152921504606846976) // h_k
+            |    END)) // k_u AS BIGINT) AS est_inter,
+            |  COALESCE(ex.n_exact, 0) AS n_exact
+            |FROM m LEFT JOIN ex ON m.et_a = ex.et_a AND m.et_b = ex.et_b
+            |ORDER BY m.et_a, m.et_b""".stripMargin))
+
   private val CmsDepth = 4
   private val CmsWidth = 512L
 
@@ -798,5 +890,5 @@ object TrainingDataQueries {
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
     q55StratifiedSample, q58BloomContamination, q62DocChunking,
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
-    q88NgramDecontaminate, q92KmvSketchAgg)
+    q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap)
 }
