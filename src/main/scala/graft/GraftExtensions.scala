@@ -24,6 +24,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     }
     // no-op until spark.graft.rangeJoin.binSize is set (see its scaladoc)
     e.injectOptimizerRule(_ => graft.plans.RangeJoinRewrite)
+    // plans AsOfJoinPlan nodes (built by AsOfJoin.asOfExec) into the
+    // sorted-merge AsOfJoinExec
+    e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
   }
 }
 

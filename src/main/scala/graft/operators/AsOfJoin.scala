@@ -67,4 +67,35 @@ object AsOfJoin {
       .select((lCols.map(c => col(s"__lp.$c").as(c)) ++
         rPayload.map(c => col(s"__filled.$c").as(c))): _*)
   }
+
+  /** [[asOf]] via the dedicated physical operator
+    * ([[graft.plans.AsOfJoinExec]]): same semantics, same output
+    * columns, but planned as a sorted-merge exec with a streaming
+    * per-partition pass instead of union + window fill. Times must be
+    * LongType (epoch-µs). Registers [[graft.plans.AsOfJoinStrategy]] on
+    * the session's experimental strategies (idempotent) so it works
+    * without `spark.sql.extensions` configuration.
+    */
+  def asOfExec(left: DataFrame, right: DataFrame, keys: Seq[String],
+      leftTs: String, rightTs: String): DataFrame = {
+    import org.apache.spark.sql.graftshim.ColumnBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    // fresh exprIds on the right side: both inputs often derive from the
+    // same scan (self-as-of), and a duplicate attribute id in one binary
+    // node corrupts resolution
+    val r = right.select(right.columns.toSeq.map(c => col(c).as(c)): _*)
+    val lPlan = left.queryExecution.analyzed
+    val rPlan = r.queryExecution.analyzed
+    def attr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) =
+      plan.output.find(_.name == name).getOrElse(
+        throw new IllegalArgumentException(s"asOfExec: no column '$name'"))
+    ColumnBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
+      lPlan, rPlan,
+      keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
+      attr(lPlan, leftTs), attr(rPlan, rightTs)))
+  }
 }

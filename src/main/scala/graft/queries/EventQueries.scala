@@ -181,6 +181,41 @@ object EventQueries {
            |  ON b.user_id = c.user_id AND b.ts_us >= c.c_ts
            |ORDER BY buy_id""".stripMargin))
 
+  /** q99: q46's as-of join planned through the engine's CUSTOM PHYSICAL
+    * OPERATOR ([[graft.plans.AsOfJoinExec]]: logical node → planner
+    * strategy → sorted-merge exec) instead of the union + window-fill
+    * formulation. Same semantics, same oracle (DuckDB native ASOF LEFT
+    * JOIN), so the full custom-operator stack — including
+    * EnsureRequirements inserting the key Exchange+Sort the exec
+    * declares — is hash-checked end-to-end, not just spec-checked. The
+    * exec's per-partition pass streams with one buffered right row; no
+    * window frame, no union.
+    */
+  val q99AsOfExec = NamedQuery(
+    "q99_asof_exec",
+    "AS-OF join via the custom AsOfJoinExec physical operator " +
+      "(sorted-merge, streaming one-pass merge); bit-identical to q46.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts_us").as("c_ts"))
+        .agg(max("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"), col("ts_us"))
+      graft.operators.AsOfJoin.asOfExec(buys, clicks, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "c_ts")
+        .orderBy("buy_id")
+    },
+    Some("""WITH clicks AS (SELECT user_id, epoch_us(ts) AS c_ts,
+           |    MAX(event_id) AS click_id
+           |  FROM events WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts)),
+           |buys AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS ts_us
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT b.user_id, b.buy_id, b.ts_us, c.click_id
+           |FROM buys b ASOF LEFT JOIN clicks c
+           |  ON b.user_id = c.user_id AND b.ts_us >= c.c_ts
+           |ORDER BY buy_id""".stripMargin))
+
   val q51IntervalJoin = NamedQuery(
     "q51_interval_join",
     "Interval-overlap join via time bucketing (1h buckets): per-user-day " +
@@ -602,7 +637,7 @@ object EventQueries {
 
   val all: Seq[NamedQuery] = Seq(
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
-    q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin,
+    q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin, q99AsOfExec,
     q59RollingFeatures, q66GapfillLocf, q71HoppingWindow,
     q78TransitionMatrix, q79CohortRetention, q84RangeJoinSpine,
     q89Scd2History, q91Scd2ApplyChanges)

@@ -1,0 +1,69 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+
+/** The custom sorted-merge AsOfJoinExec must be bit-identical to the
+  * union + window-fill formulation on every partition layout, and must
+  * actually plan as the custom exec (no union, no window).
+  */
+class AsOfJoinExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def buysClicks = {
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts_us").as("c_ts"))
+      .agg(max("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts_us"))
+    (buys, clicks)
+  }
+
+  test("exec as-of equals union+window as-of on harness data") {
+    val (buys, clicks) = buysClicks
+    val expect = AsOfJoin.asOf(buys, clicks, Seq("user_id"), "ts_us", "c_ts")
+      .orderBy("buy_id").collect().toSeq
+    val got = AsOfJoin.asOfExec(buys, clicks, Seq("user_id"), "ts_us", "c_ts")
+      .orderBy("buy_id").collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+  }
+
+  test("exec as-of is robust to input partition layout") {
+    val (buys, clicks) = buysClicks
+    val expect = AsOfJoin.asOf(buys, clicks, Seq("user_id"), "ts_us", "c_ts")
+      .orderBy("buy_id").collect().toSeq
+    for (parts <- Seq(1, 7)) {
+      val got = AsOfJoin.asOfExec(buys.repartition(parts),
+          clicks.repartition(parts + 2), Seq("user_id"), "ts_us", "c_ts")
+        .orderBy("buy_id").collect().toSeq
+      assert(got === expect, s"parts=$parts")
+    }
+  }
+
+  test("left rows with no prior right row get NULL payload; inclusive <=") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 50L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 100L, 10L), (1L, 150L, 11L), (3L, 1L, 12L))
+      .toDF("k", "rt", "payload")
+    val got = AsOfJoin.asOfExec(left, right, Seq("k"), "t", "rt")
+      .orderBy("k", "t")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got === Seq(
+      (1L, 100L, "a", 10L), // exactly-at: inclusive
+      (1L, 200L, "b", 11L), // latest of the two prior rows
+      (2L, 50L, "c", -1L))) // no right rows for key 2
+  }
+
+  test("plan is AsOfJoinExec: no Union, no Window, sorted-merge shape") {
+    val (buys, clicks) = buysClicks
+    val df = AsOfJoin.asOfExec(buys, clicks, Seq("user_id"), "ts_us", "c_ts")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"))
+    assert(!plan.contains("Window"))
+    assert(!plan.contains("Union"))
+  }
+}
