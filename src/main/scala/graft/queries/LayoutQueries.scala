@@ -122,5 +122,45 @@ object LayoutQueries {
             |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox_area
             |FROM zs GROUP BY z >> 16 ORDER BY z_bucket""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(q67PartitionedLayout, q90ZorderCurve)
+  /** q100: the manifest-versioned managed table
+    * ([[graft.sources.ManagedTable]] — the atomic-visibility /
+    * time-travel core of the Delta tables the reference materializes
+    * into) exercised through the oracle: commit v1, overwrite-commit
+    * v2, then read BOTH versions back through their manifests (v1 via
+    * time travel after v2 has landed) and aggregate. Values must match
+    * the source-table aggregates exactly, proving the manifest read
+    * path is lossless and old versions stay intact under overwrite.
+    * The crash-safety and concurrency invariants are spec-checked
+    * (ManagedTableSpec); this query makes the happy path a
+    * hash-checked inventory item.
+    */
+  val q100ManagedTable = NamedQuery(
+    "q100_managed_table",
+    "Manifest-versioned table: commit v1 (doc_id<200), commit v2 " +
+      "(doc_id<350), read latest + time-travel v1; per-version doc " +
+      "counts and exact n_chars sums.",
+    (s, d) => {
+      val dir = "/tmp/graft-managed/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // fresh per run: versions are per-run state
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      graft.sources.ManagedTable.commit(docs.filter(col("doc_id") < 200), dir)
+      graft.sources.ManagedTable.commit(docs.filter(col("doc_id") < 350), dir)
+      Seq(1, 2).map { v =>
+        graft.sources.ManagedTable.read(s, dir, Some(v))
+          .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+          .select(lit(v.toLong).as("version"), col("n_docs"),
+            col("sum_chars"))
+      }.reduce(_.unionByName(_)).orderBy("version")
+    },
+    Some("""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_docs,
+           |  SUM(n_chars) AS sum_chars FROM documents WHERE doc_id < 200
+           |UNION ALL
+           |SELECT CAST(2 AS BIGINT), COUNT(*), SUM(n_chars)
+           |FROM documents WHERE doc_id < 350
+           |ORDER BY version""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable)
 }

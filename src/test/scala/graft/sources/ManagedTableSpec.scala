@@ -1,0 +1,57 @@
+package graft.sources
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Manifest-versioned table invariants: atomic visibility (a crash
+  * between data write and manifest leaves the table unchanged), dense
+  * version history with time travel, and vacuum that only removes
+  * unreferenced segments.
+  */
+class ManagedTableSpec extends SparkSpec {
+
+  private def docs = graft.Tables.documents(spark, sf("sf0.001"))
+
+  test("commit/read round trip; overwrite creates a new version; time travel") {
+    val dir = Files.createTempDirectory("graft-mt").toString
+    val v1Data = docs.filter(col("doc_id") < 20)
+    val v2Data = docs.filter(col("doc_id") < 35)
+    assert(ManagedTable.commit(v1Data, dir) == 1)
+    assert(ManagedTable.commit(v2Data, dir) == 2)
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2))
+    // latest = v2
+    assert(ManagedTable.read(spark, dir).count() == 35)
+    // time travel = v1, bit-exact
+    val v1 = ManagedTable.read(spark, dir, Some(1)).orderBy("doc_id").collect()
+    assert(v1 === v1Data.orderBy("doc_id").collect())
+  }
+
+  test("crashed writer (data without manifest) is invisible; vacuum removes it") {
+    val dir = Files.createTempDirectory("graft-mt2").toString
+    ManagedTable.commit(docs.filter(col("doc_id") < 10), dir)
+    // simulate a writer that died after writing data, before the manifest
+    docs.filter(col("doc_id") >= 10)
+      .write.parquet(s"$dir/data/v2-deadbeef-crashed")
+    assert(ManagedTable.versions(spark, dir) == Seq(1))
+    assert(ManagedTable.read(spark, dir).count() == 10)
+    val removed = ManagedTable.vacuum(spark, dir)
+    assert(removed == Seq("v2-deadbeef-crashed"))
+    // the committed version is untouched
+    assert(ManagedTable.read(spark, dir).count() == 10)
+  }
+
+  test("concurrent committers conflict on the version file instead of interleaving") {
+    val dir = Files.createTempDirectory("graft-mt3").toString
+    ManagedTable.commit(docs.limit(5), dir)
+    // racing committer claims v2 first
+    ManagedTable.commit(docs.limit(7), dir)
+    // a stale writer that also computed next=2 must fail its manifest
+    // create — simulate by creating the claim directly
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest/v2.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assertThrows[java.io.IOException] {
+      fs.create(p, false).close()
+    }
+  }
+}
