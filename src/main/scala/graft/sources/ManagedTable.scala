@@ -54,13 +54,43 @@ object ManagedTable {
       .sorted
   }
 
+  /** Manifest content: first line the committer tag (may be empty),
+    * second line the JSON file list. The tag lives INSIDE the file —
+    * the manifest NAME is always `v<N>.json`, so create-if-absent
+    * arbitrates every committer regardless of tag.
+    */
+  private def readManifest(spark: SparkSession, dir: String,
+      v: Int): (String, Seq[String]) = {
+    val f = fs(spark, dir)
+    val in = f.open(new Path(manifestDir(dir), s"v$v.json"))
+    val raw = try {
+      val bytes = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+      bytes.toString("UTF-8")
+    } finally in.close()
+    val (tag, list) = raw.split("\n", 2) match {
+      case Array(t, l) => (t, l)
+      case Array(l) => ("", l)
+    }
+    val files = list.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
+      .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    (tag, files)
+  }
+
   /** Write `df` as the table's next version. The data lands in a fresh
     * immutable segment directory first; the version becomes VISIBLE
     * only when the manifest file is created (create-fails-if-exists —
     * a concurrent committer racing to the same version number loses
     * cleanly and must retry on top of the new state).
+    *
+    * `tag`: opaque committer metadata recorded in the manifest name
+    * (`v<N>.<tag>.json`) — the streaming sink stores the micro-batch id
+    * there to make replayed batches detectable.
     */
-  def commit(df: DataFrame, dir: String): Int = {
+  def commit(df: DataFrame, dir: String, tag: String = ""): Int = {
+    require(!tag.contains("\n"), s"ManagedTable.commit: invalid tag '$tag'")
     val spark = df.sparkSession
     val f = fs(spark, dir)
     val next = versions(spark, dir).lastOption.getOrElse(0) + 1
@@ -71,13 +101,34 @@ object ManagedTable {
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"$segment/$n")
-    val manifest = files.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+    val manifest = tag + "\n" +
+      files.map(p => "\"" + p + "\"").mkString("[", ",", "]")
     f.mkdirs(manifestDir(dir))
     // create(..., overwrite = false): atomic claim of version `next`
     val out = f.create(new Path(manifestDir(dir), s"v$next.json"), false)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
     next
   }
+
+  /** Committer tags in version order (empty string where untagged). */
+  def tags(spark: SparkSession, dir: String): Seq[(Int, String)] =
+    versions(spark, dir).map(v => v -> readManifest(spark, dir, v)._1)
+
+  /** Streaming append sink: each micro-batch commits as one table
+    * version tagged `b<batchId>`. EXACTLY-ONCE across restarts by
+    * idempotence: foreachBatch can replay a batch after a crash, but a
+    * replayed id is already present in the manifest tags and is
+    * skipped — the pair (checkpointed source offsets, tagged manifest
+    * log) is precisely the two-ledger design of the reference's Delta
+    * streaming sink. Start with `.option("checkpointLocation", …)` and
+    * any trigger.
+    */
+  def streamingSink(stream: DataFrame, dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val done = tags(spark, dir).exists(_._2 == s"b$batchId")
+      if (!done) { commit(batch, dir, s"b$batchId"); () }
+    }
 
   /** Read a version (default: latest). Only manifest-listed files are
     * read — never a directory listing of `data/`.
@@ -88,17 +139,7 @@ object ManagedTable {
     require(vs.nonEmpty, s"ManagedTable.read: no committed versions in $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"ManagedTable.read: version $v not in $vs")
-    val f = fs(spark, dir)
-    val in = f.open(new Path(manifestDir(dir), s"v$v.json"))
-    val raw = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
-    val files = raw.stripPrefix("[").stripSuffix("]").split(",").toSeq
-      .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+    val files = readManifest(spark, dir, v)._2
     spark.read.parquet(files.map(p => s"$dir/$p"): _*)
   }
 
@@ -112,13 +153,7 @@ object ManagedTable {
     val dataDir = new Path(dir, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val referenced = versions(spark, dir).flatMap { v =>
-      read(spark, dir, Some(v)) // validates the manifest parses
-      val in = f.open(new Path(manifestDir(dir), s"v$v.json"))
-      val raw = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      raw.stripPrefix("[").stripSuffix("]").split(",").toSeq
-        .filter(_.nonEmpty)
-        .map(_.trim.stripPrefix("\"").stripSuffix("\"").split("/")(1))
+      readManifest(spark, dir, v)._2.map(_.split("/")(1))
     }.toSet
     val orphans = f.listStatus(dataDir).toSeq
       .map(_.getPath.getName)
