@@ -584,6 +584,86 @@ object EventQueries {
            |  n_events
            |FROM runs ORDER BY user_id, version""".stripMargin))
 
+  /** q101: POINT-IN-TIME lookup against the SCD2 history — the
+    * feature-store join: each purchase reads the dimension state that
+    * was valid AT ITS OWN EVENT TIME, never a later version (the
+    * training-serving-skew bug this join shape exists to prevent).
+    * Composes q89's validity intervals with the custom as-of physical
+    * operator (q99): history versions collapse to one row per (user,
+    * valid_from) — max version wins a same-timestamp change cluster,
+    * making the as-of pick total-ordered on both engines — then
+    * [[graft.operators.AsOfJoin.asOfExec]] matches each purchase to
+    * the latest version starting at-or-before it. `in_interval`
+    * re-checks `ts < valid_to` on the result (all 1 by construction —
+    * intervals tile the timeline), making the interval contract a
+    * hash-checked output, not an assumption.
+    */
+  val q101PointInTime = NamedQuery(
+    "q101_point_in_time",
+    "Point-in-time SCD2 lookup: each purchase joined to the user state " +
+      "version valid at its event time, via the custom as-of exec; " +
+      "interval containment verified in the output.",
+    (s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+      val wRun = Window.partitionBy("user_id").orderBy("version")
+      val prev = lag(col("event_type"), 1).over(wOrd)
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("event_type"))
+      val hist = ev
+        .withColumn("chg",
+          when(prev.isNull || prev =!= col("event_type"), 1L).otherwise(0L))
+        .withColumn("version", sum("chg").over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "version")
+        .agg(min("event_type").as("state"),
+          min("ts_us").as("valid_from_us"))
+        .withColumn("valid_to_us", lead(col("valid_from_us"), 1).over(wRun))
+      val h = hist
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("user_id", "valid_from_us")
+            .orderBy(col("version").desc)))
+        .filter(col("rn") === 1)
+        .select("user_id", "valid_from_us", "version", "state",
+          "valid_to_us")
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"), col("ts_us"))
+      graft.operators.AsOfJoin.asOfExec(buys, h, Seq("user_id"),
+          leftTs = "ts_us", rightTs = "valid_from_us")
+        .withColumn("in_interval",
+          when(col("valid_to_us").isNull || col("ts_us") < col("valid_to_us"),
+            1L).otherwise(0L))
+        .select("user_id", "buy_id", "ts_us", "version", "state",
+          "in_interval")
+        .orderBy("buy_id")
+    },
+    Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us,
+           |    event_type FROM events),
+           |m AS (SELECT *, CASE WHEN LAG(event_type) OVER w IS NULL
+           |      OR LAG(event_type) OVER w <> event_type THEN 1 ELSE 0 END
+           |      AS chg
+           |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+           |v AS (SELECT *, CAST(SUM(chg) OVER (PARTITION BY user_id
+           |    ORDER BY us, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |    AS version FROM m),
+           |runs AS (SELECT user_id, version, MIN(event_type) AS state,
+           |    MIN(us) AS valid_from_us
+           |  FROM v GROUP BY user_id, version),
+           |hist AS (SELECT *, LEAD(valid_from_us) OVER (PARTITION BY user_id
+           |    ORDER BY version) AS valid_to_us FROM runs),
+           |h AS (SELECT user_id, valid_from_us, version, state, valid_to_us
+           |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id,
+           |      valid_from_us ORDER BY version DESC) AS rn FROM hist)
+           |  WHERE rn = 1),
+           |buys AS (SELECT user_id, event_id AS buy_id, epoch_us(ts) AS ts_us
+           |  FROM events WHERE event_type = 'purchase')
+           |SELECT b.user_id, b.buy_id, b.ts_us, h.version, h.state,
+           |  CAST(CASE WHEN h.valid_to_us IS NULL OR b.ts_us < h.valid_to_us
+           |    THEN 1 ELSE 0 END AS BIGINT) AS in_interval
+           |FROM buys b ASOF LEFT JOIN h
+           |  ON b.user_id = h.user_id AND b.ts_us >= h.valid_from_us
+           |ORDER BY buy_id""".stripMargin))
+
   /** q91: SCD TYPE-2 apply-changes — the `stored_as_scd_type = 2` half
     * of the DLT API whose type-1 half is q06
     * (reference: notebooks/03_Data_Ingestion.py:320-326 uses type 1;
@@ -640,5 +720,5 @@ object EventQueries {
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin, q99AsOfExec,
     q59RollingFeatures, q66GapfillLocf, q71HoppingWindow,
     q78TransitionMatrix, q79CohortRetention, q84RangeJoinSpine,
-    q89Scd2History, q91Scd2ApplyChanges)
+    q89Scd2History, q91Scd2ApplyChanges, q101PointInTime)
 }
