@@ -74,6 +74,19 @@ class ManagedTableSpec extends SparkSpec {
     assert(all == Seq(1L, 2L, 3L))
   }
 
+  test("schema evolution: a version with an added column reads back; time travel keeps the old schema") {
+    val dir = Files.createTempDirectory("graft-mt5").toString
+    ManagedTable.commit(docs.select("doc_id", "lang"), dir)
+    ManagedTable.commit(
+      docs.select(col("doc_id"), col("lang"),
+        col("n_chars").as("added_later")), dir)
+    val v1 = ManagedTable.read(spark, dir, Some(1))
+    val v2 = ManagedTable.read(spark, dir, Some(2))
+    assert(v1.columns.toSeq == Seq("doc_id", "lang"))
+    assert(v2.columns.toSeq == Seq("doc_id", "lang", "added_later"))
+    assert(v2.filter(col("added_later").isNull).count() == 0)
+  }
+
   test("concurrent committers conflict on the version file instead of interleaving") {
     val dir = Files.createTempDirectory("graft-mt3").toString
     ManagedTable.commit(docs.limit(5), dir)
