@@ -163,9 +163,22 @@ object TextQueries {
       val comp = graft.operators.GraphOps.connectedComponents(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
-      val qual = docs.select(col("doc_id"), explode(tokens(col("text"))).as("t"))
+      // quality is only consulted for docs in ≥2-member clusters — a
+      // tiny fraction of the corpus — so tokenize ONLY those members
+      // (semi-join first): at 100 TB, scoring the whole corpus to rank
+      // 0.1% of it is the waste this avoids. Result is unchanged: the
+      // dropped quality rows belonged to singletons the final filter
+      // discards anyway.
+      val inCluster = comp.groupBy("component")
+        .agg(count(lit(1)).as("n")).filter(col("n") >= 2)
+      val members = comp.join(broadcast(inCluster.select("component")),
+        Seq("component"), "left_semi")
+      val qual = docs
+        .join(members.select(col("id").as("doc_id")), Seq("doc_id"),
+          "left_semi")
+        .select(col("doc_id"), explode(tokens(col("text"))).as("t"))
         .groupBy("doc_id").agg(countDistinct(col("t")).as("quality"))
-      comp.join(qual, comp("id") === qual("doc_id"))
+      members.join(qual, members("id") === qual("doc_id"))
         .groupBy(col("component").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           max_by(col("id"), struct(col("quality"), -col("id"))).as("survivor_id"),
