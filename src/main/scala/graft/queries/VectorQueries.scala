@@ -499,6 +499,61 @@ object VectorQueries {
             |WHERE ${cosFpSql("a.embedding", "b.embedding")} >= 450000
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** q102: cross-label semantic pair mining — the bitext-mining /
+    * cross-source-duplicate shape: same cluster-then-compare plan as
+    * SemDeDup (q85), but the pair filter keeps only pairs whose LABELS
+    * DIFFER — mining near-identical content across corpora (translation
+    * pairs across languages, syndicated articles across sources,
+    * re-posts across crawls). Plan shape is q85's: broadcast-centroid
+    * argmax assignment, cell-keyed equi-join, row-local cosine on
+    * candidates; the label constraint is a residual predicate on the
+    * joined pair, and labels ride the assignment row (no extra join
+    * against the corpus). Deterministic-subset centroids (q26's
+    * discipline) keep the oracle replayable.
+    */
+  val q102CrossLabelPairs = NamedQuery(
+    "q102_cross_label_pairs",
+    s"Cross-label semantic pairs: $NCentroids deterministic cells, " +
+      "within-cell cosine >= 0.40 pairs whose labels differ — the " +
+      "bitext/cross-source mining shape.",
+    (s, d) => {
+      import graft.functions.VectorFunctions.cosineFp6
+      val emb = Tables.embeddings(s, d)
+      val vecs = emb.select(col("vec_id").as("id"), col("embedding").as("v"),
+        col("label").cast("long").as("lbl"))
+      val cent = emb.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = Similarity.ivfAssign(
+          vecs.select(col("id"), col("v")), cent, cosineFp6)
+        .join(vecs.select(col("id"), col("lbl")), Seq("id"))
+      val a = assigned.select(col("cid"), col("id").as("id_a"),
+        col("v").as("va"), col("lbl").as("label_a"))
+      val b = assigned.select(col("cid"), col("id").as("id_b"),
+        col("v").as("vb"), col("lbl").as("label_b"))
+      a.join(b, Seq("cid"))
+        .filter(col("id_a") < col("id_b") &&
+          col("label_a") =!= col("label_b"))
+        .withColumn("cos_fp", cosineFp6(col("va"), col("vb")))
+        .filter(col("cos_fp") >= 400000L)
+        .select("id_a", "id_b", "label_a", "label_b", "cos_fp")
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+            |  FROM embeddings WHERE vec_id < $NCentroids),
+            |asg AS (SELECT vec_id, embedding, label, cid FROM (
+            |  SELECT e.vec_id, e.embedding, e.label, c.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpSql("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+            |  FROM embeddings e, cent c) WHERE rn = 1)
+            |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+            |  CAST(a.label AS BIGINT) AS label_a,
+            |  CAST(b.label AS BIGINT) AS label_b,
+            |  ${cosFpSql("a.embedding", "b.embedding")} AS cos_fp
+            |FROM asg a JOIN asg b ON a.cid = b.cid AND a.vec_id < b.vec_id
+            |WHERE a.label <> b.label
+            |  AND ${cosFpSql("a.embedding", "b.embedding")} >= 400000
+            |ORDER BY id_a, id_b""".stripMargin))
+
   /** q75: distributed per-label centroids — the k-means UPDATE step
     * (and the class-prototype computation behind nearest-centroid
     * classifiers) as a hash-checked oracle query, over the first 8
@@ -807,5 +862,5 @@ object VectorQueries {
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
     q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
-    q94KnnTopKAgg)
+    q94KnnTopKAgg, q102CrossLabelPairs)
 }
