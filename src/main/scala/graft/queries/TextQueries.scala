@@ -1067,6 +1067,104 @@ object TextQueries {
            |    AS BIGINT) AS mean_sup_fp6
            |FROM sup GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  private val BoilerGram = 6 // leading tokens that define a doc's header
+
+  /** q103: per-source boilerplate detection — the CommonCrawl-style
+    * cleaning step that strips the shared header/footer a SOURCE stamps
+    * on every document (cookie banners, feed preambles): the most
+    * common leading token 6-gram per source is declared boilerplate
+    * when it opens a non-trivial share of the source's docs, and
+    * matching docs are accounted with their post-strip length.
+    * Scale shape: the leading gram is row-local (slice of the token
+    * array, no explode of full text); the per-(source, gram) histogram
+    * is one hash-agg; the winner per source is `max_by` (partial-agg,
+    * no sort); and the verdict joins back by source against a
+    * broadcast-sized winners table (|sources| rows).
+    */
+  val q103Boilerplate = NamedQuery(
+    "q103_boilerplate",
+    s"Per-source boilerplate: most common leading $BoilerGram-gram " +
+      "per source (share >= 2 docs), docs opening with it counted and " +
+      "re-measured post-strip.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          tokens(col("text")).as("ts"))
+        .withColumn("n_tokens", size(col("ts")).cast("long"))
+        .filter(col("n_tokens") >= BoilerGram)
+        .withColumn("head_gram",
+          concat_ws(" ", slice(col("ts"), 1, BoilerGram)))
+      val hist = docs.groupBy("source", "head_gram")
+        .agg(count(lit(1)).as("n_docs"))
+      val winners = hist.groupBy("source")
+        .agg(max_by(struct(col("head_gram"), col("n_docs")),
+          struct(col("n_docs"), col("head_gram"))).as("w"))
+        .select(col("source"), col("w.head_gram").as("boiler_gram"),
+          col("w.n_docs").as("n_matching"))
+        .filter(col("n_matching") >= 2)
+      docs.join(broadcast(winners), Seq("source"))
+        .filter(col("head_gram") === col("boiler_gram"))
+        .groupBy(col("source"), col("boiler_gram"), col("n_matching"))
+        .agg(count(lit(1)).as("n_stripped"),
+          sum(col("n_tokens") - lit(BoilerGram.toLong)).as("tokens_after"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, source,
+            |    string_split(lower(text),' ') AS ts FROM documents),
+            |docs AS (SELECT doc_id, source,
+            |    CAST(len(ts) AS BIGINT) AS n_tokens,
+            |    array_to_string(ts[1:$BoilerGram], ' ') AS head_gram
+            |  FROM t WHERE len(ts) >= $BoilerGram),
+            |hist AS (SELECT source, head_gram, COUNT(*) AS n_docs
+            |  FROM docs GROUP BY source, head_gram),
+            |winners AS (SELECT source, head_gram AS boiler_gram,
+            |    n_docs AS n_matching FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY source
+            |    ORDER BY n_docs DESC, head_gram DESC) AS rn FROM hist)
+            |  WHERE rn = 1 AND n_docs >= 2)
+            |SELECT d.source, w.boiler_gram, w.n_matching,
+            |  COUNT(*) AS n_stripped,
+            |  CAST(SUM(d.n_tokens - $BoilerGram) AS BIGINT) AS tokens_after,
+            |  MIN(d.doc_id) AS first_doc
+            |FROM docs d JOIN winners w
+            |  ON d.source = w.source AND d.head_gram = w.boiler_gram
+            |GROUP BY d.source, w.boiler_gram, w.n_matching
+            |ORDER BY d.source""".stripMargin))
+
+  /** q104: within-doc consecutive-duplicate token collapse ("the the
+    * the" → "the") — the cheapest of the within-doc cleaning passes
+    * (q54 measures repetition; this one REWRITES): a row-local HOF
+    * filter keeping token i only when it differs from token i−1, with
+    * before/after counts and the cleaned text's digest as the
+    * hash-checked identity. Zero shuffle until the output sort.
+    */
+  val q104CollapseRuns = NamedQuery(
+    "q104_collapse_runs",
+    "Collapse consecutive duplicate tokens per doc: before/after " +
+      "token counts and md5 of the cleaned text (docs 0-99).",
+    (s, d) =>
+      Tables.documents(s, d)
+        .filter(col("doc_id") < 100)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .withColumn("cleaned",
+          filter(col("ts"), (t, i) =>
+            i === 0 || t =!= element_at(col("ts"), i)))
+        .select(col("doc_id"),
+          size(col("ts")).cast("long").as("n_before"),
+          size(col("cleaned")).cast("long").as("n_after"),
+          md5(concat_ws(" ", col("cleaned"))).as("clean_digest"))
+        .orderBy("doc_id"),
+    Some("""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS ts
+           |  FROM documents WHERE doc_id < 100),
+           |c AS (SELECT doc_id, ts,
+           |    list_filter(ts, (x, i) -> i = 1 OR x <> ts[i - 1]) AS cleaned
+           |  FROM t)
+           |SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_before,
+           |  CAST(len(cleaned) AS BIGINT) AS n_after,
+           |  md5(array_to_string(cleaned, ' ')) AS clean_digest
+           |FROM c ORDER BY doc_id""".stripMargin))
+
   private val Bm25Terms = Seq("dup", "vector", "join")
 
   /** q86: BM25 retrieval scoring, integer-exact. The BM25 term weight
@@ -1156,5 +1254,6 @@ object TextQueries {
     q53DedupClusters, q54RepetitionMetrics, q56TfidfTopK,
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
     q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin,
-    q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors)
+    q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors,
+    q103Boilerplate, q104CollapseRuns)
 }
