@@ -217,6 +217,67 @@ object TextQueries {
             |HAVING COUNT(*) >= 2
             |ORDER BY cluster_id""".stripMargin))
 
+  /** q105: LEAKAGE-SAFE dataset split — q39 splits by doc hash, which
+    * silently puts near-duplicate docs on both sides of the train/test
+    * wall (the eval-contamination mode n-gram decontamination (q88)
+    * then has to mop up). The correct unit of assignment is the DEDUP
+    * CLUSTER: hash the q53 component id, so every near-dup family
+    * lands in exactly one split by construction — and the query
+    * HASH-CHECKS that invariant (`n_leaky_clusters` = clusters
+    * spanning >1 split = 0) instead of assuming it. Scale shape: the
+    * cluster table is the q53 plan (LSH pairs + O(diameter) CC rounds
+    * on the tiny near-dup subgraph); assignment and accounting are one
+    * hash-agg each.
+    */
+  val q105ClusterSplit = NamedQuery(
+    "q105_cluster_split",
+    "80/10/10 split assigned per dedup CLUSTER (q53 components), not " +
+      "per doc: per-split doc/cluster counts + the leakage invariant " +
+      "(0 clusters span splits), hash-checked.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
+      val comp = graft.operators.GraphOps.connectedComponents(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val h = hash60(col("component").cast("string")) % 100
+      val asg = comp.withColumn("split",
+        when(h < 80, "train").when(h < 90, "val").otherwise("test"))
+      val leak = asg.groupBy("component")
+        .agg(countDistinct("split").as("ns"))
+        .agg(count(when(col("ns") > 1, 1)).as("n_leaky_clusters"))
+      asg.groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct("component").as("n_clusters"))
+        .crossJoin(broadcast(leak))
+        .orderBy("split")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairsCtes,
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, label) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+            |comp AS (SELECT id, MIN(label) AS cluster FROM reach GROUP BY id),
+            |asg AS (SELECT id, cluster,
+            |    CASE WHEN hm < 80 THEN 'train' WHEN hm < 90 THEN 'val'
+            |      ELSE 'test' END AS split
+            |  FROM (SELECT *,
+            |    ('0x'||substring(md5(CAST(cluster AS VARCHAR)),1,15))::BIGINT
+            |      % 100 AS hm
+            |  FROM comp)),
+            |leak AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_leaky_clusters
+            |  FROM (SELECT cluster FROM asg GROUP BY cluster
+            |    HAVING COUNT(DISTINCT split) > 1))
+            |SELECT split, COUNT(*) AS n_docs,
+            |  CAST(COUNT(DISTINCT cluster) AS BIGINT) AS n_clusters,
+            |  n_leaky_clusters
+            |FROM asg, leak
+            |GROUP BY split, n_leaky_clusters
+            |ORDER BY split""".stripMargin))
+
   val q15SimhashHamming = NamedQuery(
     "q15_simhash_hamming",
     "60-bit tf-weighted SimHash per doc (array HOFs, zero shuffle) + " +
@@ -1255,5 +1316,5 @@ object TextQueries {
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
     q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin,
     q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors,
-    q103Boilerplate, q104CollapseRuns)
+    q103Boilerplate, q104CollapseRuns, q105ClusterSplit)
 }
