@@ -401,8 +401,78 @@ object AnalyticsQueries {
            |WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
            |ORDER BY event_type, rnk, event_id""".stripMargin))
 
+  /** q106: map-typed columns end-to-end — `props` parsed as
+    * `map<string,string>` (`from_json` with a MapType, the schema-free
+    * path for ragged JSON where q11's struct extraction needs fixed
+    * fields), the map EXPLODED to (key, value) rows, and per
+    * (event_type, key) stats aggregated. Scale shape: the explode is
+    * row-local fan-out by map size; one hash-agg after it.
+    */
+  val q106PropsMap = NamedQuery(
+    "q106_props_map",
+    "props as map<string,string>: explode entries, per (event_type, " +
+      "key) counts, distinct values, min/max numeric value.",
+    (s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          explode(from_json(col("props"),
+            org.apache.spark.sql.types.MapType(
+              org.apache.spark.sql.types.StringType,
+              org.apache.spark.sql.types.StringType)))
+            .as(Seq("key", "val")))
+        .groupBy("event_type", "key")
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val").cast("long")).as("min_v"),
+          max(col("val").cast("long")).as("max_v"))
+        .orderBy("event_type", "key"),
+    Some("""WITH kv AS (SELECT event_type, u AS key,
+           |    json_extract_string(props, '$.' || u) AS val
+           |  FROM events, unnest(json_keys(props)) AS t(u))
+           |SELECT event_type, key, COUNT(*) AS n,
+           |  CAST(COUNT(DISTINCT val) AS BIGINT) AS n_distinct,
+           |  MIN(CAST(val AS BIGINT)) AS min_v,
+           |  MAX(CAST(val AS BIGINT)) AS max_v
+           |FROM kv GROUP BY event_type, key
+           |ORDER BY event_type, key""".stripMargin))
+
+  /** q107: UNPIVOT/melt — the inverse of q48's PIVOT and the reshape
+    * every per-metric analysis starts from: lineitem's three rate
+    * columns melt into (metric, value) rows via the native
+    * `Dataset.unpivot` (wide→long without N self-unions), then
+    * decimal-exact per-(returnflag, metric) aggregation.
+    */
+  val q107UnpivotMelt = NamedQuery(
+    "q107_unpivot_melt",
+    "Melt (l_tax, l_discount, l_quantity) to long form with " +
+      "Dataset.unpivot; per (returnflag, metric) count + exact sum.",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_tax"), col("l_discount"),
+          col("l_quantity"))
+        .unpivot(
+          ids = Array(col("l_returnflag")),
+          values = Array(col("l_tax"), col("l_discount"), col("l_quantity")),
+          variableColumnName = "metric",
+          valueColumnName = "v")
+        .groupBy("l_returnflag", "metric")
+        .agg(count(lit(1)).as("n"),
+          sum(col("v").cast("decimal(18,2)")).cast("double").as("sum_v"))
+        .orderBy("l_returnflag", "metric"),
+    Some("""SELECT l_returnflag, metric, COUNT(*) AS n,
+           |  CAST(SUM(CAST(v AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+           |FROM (
+           |  SELECT l_returnflag, 'l_tax' AS metric, l_tax AS v FROM lineitem
+           |  UNION ALL
+           |  SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+           |  UNION ALL
+           |  SELECT l_returnflag, 'l_quantity', l_quantity FROM lineitem)
+           |GROUP BY l_returnflag, metric
+           |ORDER BY l_returnflag, metric""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
     q44HistogramQuantiles, q47SaltedAgg, q48Pivot, q49SetAlgebra,
-    q50ScalarSubquery, q70NtileQuartiles, q73Cube, q74RankingSuite)
+    q50ScalarSubquery, q70NtileQuartiles, q73Cube, q74RankingSuite,
+    q106PropsMap, q107UnpivotMelt)
 }
