@@ -93,9 +93,23 @@ object AsOfJoin {
         name: String) =
       plan.output.find(_.name == name).getOrElse(
         throw new IllegalArgumentException(s"asOfExec: no column '$name'"))
+    // same µs-exact rule as [[asOf]]'s tsKey: timestamps order by
+    // unix_micros (a bare long cast would truncate to SECONDS), longs
+    // pass through, other numerics cast
+    def timeExpr(plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String): org.apache.spark.sql.catalyst.expressions.Expression = {
+      val a = attr(plan, name)
+      a.dataType match {
+        case TimestampType =>
+          org.apache.spark.sql.catalyst.expressions.UnixMicros(a)
+        case org.apache.spark.sql.types.LongType => a
+        case _ => org.apache.spark.sql.catalyst.expressions.Cast(a,
+          org.apache.spark.sql.types.LongType)
+      }
+    }
     ColumnBridge.ofRows(spark, graft.plans.AsOfJoinPlan(
       lPlan, rPlan,
       keys.map(attr(lPlan, _)), keys.map(attr(rPlan, _)),
-      attr(lPlan, leftTs), attr(rPlan, rightTs)))
+      timeExpr(lPlan, leftTs), timeExpr(rPlan, rightTs)))
   }
 }

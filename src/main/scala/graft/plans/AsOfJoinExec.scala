@@ -57,8 +57,12 @@ case class AsOfJoinPlan(
 object AsOfJoinPlan {
   private[plans] def rightPayload(rightOutput: Seq[Attribute],
       rightKeys: Seq[Expression], rightTime: Expression): Seq[Attribute] =
+    // reference-based, not semanticEquals: the time expression may wrap
+    // the column (unix_micros over a timestamp) and the wrapped column
+    // must still be excluded from the payload
     rightOutput.filterNot(a =>
-      rightKeys.exists(_.semanticEquals(a)) || rightTime.semanticEquals(a))
+      rightKeys.exists(_.references.contains(a)) ||
+        rightTime.references.contains(a))
 }
 
 /** Plans [[AsOfJoinPlan]] into [[AsOfJoinExec]]. Registered per-session

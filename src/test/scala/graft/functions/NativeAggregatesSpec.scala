@@ -118,6 +118,36 @@ class NativeAggregatesSpec extends SparkSpec {
     assert(got === Seq((10L, 1L), (10L, 2L), (10L, 3L)))
   }
 
+  test("randomized model check: both aggregates match plain-Scala references") {
+    import NativeAggregates.{kmvSketch, topKPair}
+    import spark.implicits._
+    for (seed <- 1L to 5L) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(400)((s"g${rnd.nextInt(4)}",
+        rnd.nextInt(50).toLong, rnd.nextLong().abs % 1000L))
+      val parts = 1 + rnd.nextInt(16)
+      val df = rows.toDF("g", "h", "id").repartition(parts)
+      // KMV reference: sorted distinct h, first K
+      val kmvExpect = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(_._2).distinct.sorted.take(K)
+      }
+      val kmvGot = df.groupBy("g").agg(kmvSketch(col("h"), K).as("sk"))
+        .collect().map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+      assert(kmvGot === kmvExpect, s"kmv seed=$seed parts=$parts")
+      // top-k reference: distinct (score, id) pairs by (score desc, id asc)
+      val tkExpect = rows.groupBy(_._1).map { case (g, rs) =>
+        g -> rs.map(r => (r._2, r._3)).distinct
+          .sortBy { case (s, i) => (-s, i) }.take(K)
+      }
+      val tkGot = df.groupBy("g").agg(topKPair(col("h"), col("id"), K).as("tk"))
+        .select(col("g"), explode(col("tk")).as("e"))
+        .select(col("g"), col("e.score"), col("e.id"))
+        .collect().groupBy(_.getString(0))
+        .map { case (g, rs) => g -> rs.map(r => (r.getLong(1), r.getLong(2))).toSeq }
+      assert(tkGot === tkExpect, s"topk seed=$seed parts=$parts")
+    }
+  }
+
   test("SQL surface: graft_kmv_sketch via GraftExtensions.register") {
     graft.GraftExtensions.register(spark)
     hashes.createOrReplaceTempView("kmv_hashes")

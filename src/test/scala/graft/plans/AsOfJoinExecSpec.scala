@@ -58,6 +58,24 @@ class AsOfJoinExecSpec extends SparkSpec {
       (2L, 50L, "c", -1L))) // no right rows for key 2
   }
 
+  test("timestamp-typed time columns order at microsecond precision") {
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts").as("c_ts"))
+      .agg(max("event_id").as("click_id"))
+    val buys = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("buy_id"), col("ts"))
+    val expect = AsOfJoin.asOf(buys, clicks, Seq("user_id"), "ts", "c_ts")
+      .orderBy("buy_id").collect().toSeq
+    val got = AsOfJoin.asOfExec(buys, clicks, Seq("user_id"), "ts", "c_ts")
+      .orderBy("buy_id").collect().toSeq
+    assert(got === expect)
+    assert(got.nonEmpty)
+    // the raw right timestamp column must NOT leak into the payload
+    assert(AsOfJoin.asOfExec(buys, clicks, Seq("user_id"), "ts", "c_ts")
+      .columns.toSeq === Seq("user_id", "buy_id", "ts", "click_id"))
+  }
+
   test("plan is AsOfJoinExec: no Union, no Window, sorted-merge shape") {
     val (buys, clicks) = buysClicks
     val df = AsOfJoin.asOfExec(buys, clicks, Seq("user_id"), "ts_us", "c_ts")
