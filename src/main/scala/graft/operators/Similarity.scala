@@ -360,7 +360,10 @@ object Similarity {
   def semanticNearDupPairs(vecs: DataFrame, centroids: DataFrame,
       minCosFp: Long,
       centScore: (Column, Column) => Column = centScoreD): DataFrame = {
-    val assigned = ivfAssign(vecs, centroids, centScore)
+    // cached: BOTH sides of the within-cell self-join read the
+    // assignment — uncached, the broadcast-centroid argmax (the
+    // dominant scan) runs twice (plan-audit finding, round 4)
+    val assigned = ivfAssign(vecs, centroids, centScore).cache()
     val a = assigned.select(col("cid"), col("id").as("id_a"),
       col("v").as("va"), norm(col("v")).as("na"))
     val b = assigned.select(col("cid"), col("id").as("id_b"),

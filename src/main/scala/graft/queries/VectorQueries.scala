@@ -526,6 +526,7 @@ object VectorQueries {
       val assigned = Similarity.ivfAssign(
           vecs.select(col("id"), col("v")), cent, cosineFp6)
         .join(vecs.select(col("id"), col("lbl")), Seq("id"))
+        .cache() // both sides of the pair self-join read it
       val a = assigned.select(col("cid"), col("id").as("id_a"),
         col("v").as("va"), col("lbl").as("label_a"))
       val b = assigned.select(col("cid"), col("id").as("id_b"),
