@@ -1226,6 +1226,35 @@ object TextQueries {
            |  md5(array_to_string(cleaned, ' ')) AS clean_digest
            |FROM c ORDER BY doc_id""".stripMargin))
 
+  /** q108: corpus 3-gram histogram through the custom GENERATOR
+    * ([[graft.functions.NativeGenerators.WordNgramGen]]) — one row per
+    * gram emitted directly, never materializing the per-doc gram array
+    * the scalar `explode(wordNgrams(...))` path allocates (the biggest
+    * transient the dedup stack creates at 100 TB). Spec-proven
+    * row-identical to the scalar path; this query hash-checks it
+    * end-to-end. Plan: Generate → one hash-agg with map-side partials
+    * → TakeOrderedAndProject.
+    */
+  val q108NgramGenerator = NamedQuery(
+    "q108_ngram_generator",
+    "Top-20 word 3-grams by occurrence via the explode-free custom " +
+      "generator; (count desc, gram asc) order.",
+    (s, d) => {
+      import graft.functions.NativeGenerators.wordNgramGen
+      Tables.documents(s, d)
+        .select(tokens(col("text")).as("ts"))
+        .select(wordNgramGen(col("ts"), 3).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("gram").asc)
+        .limit(20)
+    },
+    Some("""SELECT g AS gram, COUNT(*) AS n FROM
+           |  (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+           |  unnest(list_transform(range(1, len(ts)-1),
+           |    i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+           |WHERE len(ts) >= 3
+           |GROUP BY g ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin))
+
   private val Bm25Terms = Seq("dup", "vector", "join")
 
   /** q86: BM25 retrieval scoring, integer-exact. The BM25 term weight
@@ -1316,5 +1345,6 @@ object TextQueries {
     q60IncrementalDedup, q63LengthOutliers, q68CorpusPipeline,
     q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin,
     q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors,
-    q103Boilerplate, q104CollapseRuns, q105ClusterSplit)
+    q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
+    q108NgramGenerator)
 }
