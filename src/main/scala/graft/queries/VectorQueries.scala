@@ -555,6 +555,98 @@ object VectorQueries {
             |  AND ${cosFpSql("a.embedding", "b.embedding")} >= 400000
             |ORDER BY id_a, id_b""".stripMargin))
 
+  // 1e6/log2(pos+1) for pos 1..3, floored — shared LITERALS on both
+  // engines, so the usual cross-engine log() drift cannot exist
+  private val NdcgW = Seq(1000000L, 630929L, 500000L)
+  private val IdcgFp6 = 3 * NdcgW(0) + 2 * NdcgW(1) + 1 * NdcgW(2) // rel 3,2,1
+
+  /** q109: ranked-retrieval QUALITY metrics — q33 measures set recall;
+    * this scores the ORDER: per query, MRR (reciprocal rank of the true
+    * nearest neighbor in the IVF result) and NDCG@3 (graded relevance
+    * rel = 4 − truth_rank, discounts 1/log2(pos+1) as shared fp6
+    * literal constants) of IVF top-3 vs brute-force truth. All integer
+    * math: rr = 1e6 div rank, dcg = Σ rel·w exact products,
+    * ndcg = (dcg·1e6) div idcg — the eval numbers an ANN user tunes
+    * nprobe by, as hash-checked outputs rather than offline scripts.
+    */
+  val q109RetrievalMetrics = NamedQuery(
+    "q109_retrieval_metrics",
+    "MRR and NDCG@3 of IVF ANN vs brute-force truth per query, " +
+      "integer-exact (shared fp6 discount literals).",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val qdf = emb.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cdf = emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+      val cent = emb.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val truth = Similarity.bruteForceTopK(qdf, cdf, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_t"))
+      val ivf = Similarity.ivfTopK(qdf, cdf, cent, NProbe, 3)
+        .select(col("query_id"), col("neighbor_id"), col("rank").as("rank_a"))
+      val w = when(col("rank_a") === 1, NdcgW(0))
+        .when(col("rank_a") === 2, NdcgW(1))
+        .otherwise(NdcgW(2))
+      val scored = ivf
+        .join(truth, Seq("query_id", "neighbor_id"), "left_outer")
+        .withColumn("rel",
+          coalesce(lit(4L) - col("rank_t"), lit(0L)))
+        .withColumn("w", w)
+      scored.groupBy("query_id")
+        .agg(sum(col("rel") * col("w")).as("dcg_fp6"),
+          max(when(col("rank_t") === 1,
+            expr("1000000 div rank_a")).otherwise(0L)).as("rr_fp6"))
+        .withColumn("ndcg_fp6",
+          expr(s"CAST((dcg_fp6 * 1000000) div $IdcgFp6 AS BIGINT)"))
+        .select(col("query_id"), col("rr_fp6"),
+          col("dcg_fp6").cast("long").as("dcg_fp6"), col("ndcg_fp6"))
+        .orderBy("query_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            |tpairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM q, c WHERE query_id <> neighbor_id),
+            |truth AS (SELECT query_id, neighbor_id,
+            |    CAST(rank_t AS BIGINT) AS rank_t FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank_t FROM tpairs)
+            |  WHERE rank_t <= 3),
+            |cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+            |  WHERE vec_id < $NCentroids),
+            |assigned AS (SELECT vec_id AS neighbor_id, embedding AS ncv, cid FROM (
+            |  SELECT e.vec_id, e.embedding, cc.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpSql("e.embedding", "cc.cv")} DESC, cc.cid ASC) AS rn
+            |  FROM embeddings e, cent cc) WHERE rn = 1),
+            |probes AS (SELECT query_id, qv, cid FROM (
+            |  SELECT q.query_id, q.qv, cc.cid,
+            |    row_number() OVER (PARTITION BY q.query_id
+            |      ORDER BY ${cosFpSql("q.qv", "cc.cv")} DESC, cc.cid ASC) AS prn
+            |  FROM q, cent cc) WHERE prn <= $NProbe),
+            |iscored AS (SELECT p.query_id, a.neighbor_id,
+            |    ${cosFpSql("p.qv", "a.ncv")} AS cos_fp
+            |  FROM probes p JOIN assigned a ON p.cid = a.cid
+            |  WHERE p.query_id <> a.neighbor_id),
+            |ivf AS (SELECT query_id, neighbor_id,
+            |    CAST(rank_a AS BIGINT) AS rank_a FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS rank_a FROM iscored)
+            |  WHERE rank_a <= 3),
+            |j AS (SELECT i.query_id, i.rank_a,
+            |    COALESCE(4 - t.rank_t, 0) AS rel, t.rank_t,
+            |    CASE WHEN i.rank_a = 1 THEN ${NdcgW(0)}
+            |         WHEN i.rank_a = 2 THEN ${NdcgW(1)}
+            |         ELSE ${NdcgW(2)} END AS w
+            |  FROM ivf i LEFT JOIN truth t
+            |    ON i.query_id = t.query_id AND i.neighbor_id = t.neighbor_id)
+            |SELECT query_id,
+            |  MAX(CASE WHEN rank_t = 1 THEN 1000000 // rank_a ELSE 0 END)
+            |    AS rr_fp6,
+            |  CAST(SUM(rel * w) AS BIGINT) AS dcg_fp6,
+            |  CAST((CAST(SUM(rel * w) AS BIGINT) * 1000000) // $IdcgFp6
+            |    AS BIGINT) AS ndcg_fp6
+            |FROM j GROUP BY query_id ORDER BY query_id""".stripMargin))
+
   /** q75: distributed per-label centroids — the k-means UPDATE step
     * (and the class-prototype computation behind nearest-centroid
     * classifiers) as a hash-checked oracle query, over the first 8
@@ -863,5 +955,5 @@ object VectorQueries {
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
     q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
-    q94KnnTopKAgg, q102CrossLabelPairs)
+    q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics)
 }
