@@ -950,10 +950,75 @@ object VectorQueries {
             |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
             |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin))
 
+  private val IndexCut = 400L // vec_id < cut = the built index; rest = new batch
+
+  /** q110: INCREMENTAL ANN index maintenance — the q60-for-vectors: a
+    * new embedding batch joins an already-built IVF index by assigning
+    * ONLY the batch to the frozen coarse centroids (broadcast argmax,
+    * cost O(|batch|), the index itself is never rescanned), and the
+    * query PROVES the incremental posting counts equal a full rebuild
+    * (`agree` = 1 per cell) — the invariant that lets production append
+    * to an IVF index nightly instead of rebuilding it, and exactly what
+    * breaks if someone lets the batch move the centroids. The rebuild
+    * branch exists here as the in-query oracle; production drops it.
+    */
+  val q110IncrementalIvf = NamedQuery(
+    "q110_incremental_ivf",
+    s"Incremental IVF maintenance: batch (vec_id >= $IndexCut) " +
+      "assigned to frozen cells; per-cell old/new/total postings, " +
+      "proven equal to a full rebuild.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      def counts(df: org.apache.spark.sql.DataFrame, name: String) =
+        Similarity.ivfAssign(
+            df.select(col("vec_id").as("id"), col("embedding").as("v")), cent)
+          .groupBy("cid").agg(count(lit(1)).as(name))
+      val old = counts(emb.filter(col("vec_id") < IndexCut), "n_old")
+      val add = counts(emb.filter(col("vec_id") >= IndexCut), "n_new")
+      val rebuild = counts(emb, "n_rebuild")
+      old.join(add, Seq("cid"), "full_outer")
+        .join(rebuild, Seq("cid"), "full_outer")
+        .select(col("cid"),
+          coalesce(col("n_old"), lit(0L)).as("n_old"),
+          coalesce(col("n_new"), lit(0L)).as("n_new"),
+          coalesce(col("n_rebuild"), lit(0L)).as("n_rebuild"))
+        .withColumn("n_total", col("n_old") + col("n_new"))
+        .withColumn("agree",
+          when(col("n_total") === col("n_rebuild"), 1L).otherwise(0L))
+        .orderBy("cid")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+            |  FROM embeddings WHERE vec_id < $NCentroids),
+            |asg AS (SELECT vec_id, cid FROM (
+            |  SELECT e.vec_id, c.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpSql("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+            |  FROM embeddings e, cent c) WHERE rn = 1),
+            |o AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_old FROM asg
+            |  WHERE vec_id < $IndexCut GROUP BY cid),
+            |a AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_new FROM asg
+            |  WHERE vec_id >= $IndexCut GROUP BY cid),
+            |r AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_rebuild FROM asg
+            |  GROUP BY cid)
+            |SELECT r.cid, COALESCE(o.n_old, 0) AS n_old,
+            |  COALESCE(a.n_new, 0) AS n_new, r.n_rebuild,
+            |  COALESCE(o.n_old, 0) + COALESCE(a.n_new, 0) AS n_total,
+            |  CAST(CASE WHEN COALESCE(o.n_old, 0) + COALESCE(a.n_new, 0)
+            |    = r.n_rebuild THEN 1 ELSE 0 END AS BIGINT) AS agree
+            |FROM r
+            |LEFT JOIN o ON o.cid = r.cid
+            |LEFT JOIN a ON a.cid = r.cid
+            |ORDER BY r.cid""".stripMargin))
+
+  // declared LAST: object vals initialize in source order, so the
+  // registry must come after every query it references
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
     q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
-    q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics)
+    q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
+    q110IncrementalIvf)
 }
