@@ -241,6 +241,34 @@ object NativeExpressions {
       else -1.0
   }
 
+  /** One-pass token statistics `[n_tokens, n_distinct, sum_char_len,
+    * n_stopword_hits]` over a string array — the native form of the
+    * four-walk HOF chain in the q16 quality metrics (see
+    * [[graft.functions.NativeKernels.tokenStats]] for the exact
+    * equivalences). Stopwords are fixed at construction and shipped as
+    * a referenced UTF8String array.
+    */
+  case class TokenStats(child: Expression, stopwords: Seq[String])
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    @transient private lazy val stops: Array[org.apache.spark.unsafe.types.UTF8String] =
+      stopwords.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.tokenStats(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], stops)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("tokStops", stops,
+        "org.apache.spark.unsafe.types.UTF8String[]")
+      defineCodeGen(ctx, ev, c => s"$K.tokenStats($c, $ref)")
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): TokenStats =
+      copy(child = newChild)
+  }
+
   import org.apache.spark.sql.graftshim.ColumnBridge.{column, expression}
 
   def simhash60(tokens: Column): Column = column(SimHash60(expression(tokens)))
@@ -258,6 +286,8 @@ object NativeExpressions {
   def lshBucket(vec: Column, numPlanes: Int, dim: Int,
       planeOffset: Int = 0): Column =
     column(LshBucket(expression(vec), numPlanes, dim, planeOffset))
+  def tokenStats(toks: Column, stopwords: Seq[String]): Column =
+    column(TokenStats(expression(toks), stopwords))
 
   /** Dot product dispatching on element type — [[FloatVecDot]] for
     * `array<float>`, [[DoubleVecDot]] for `array<double>` — so callers

@@ -141,6 +141,39 @@ object NativeKernels {
     java.lang.Long.valueOf(math.floor(jac * 1000000.0).toLong)
   }
 
+  /** One-pass token statistics: [n_tokens, n_distinct, sum_char_len,
+    * n_stopword_hits]. Bit-identical to the HOF chain
+    * `size(toks) / size(array_distinct(toks)) /
+    * aggregate(transform(toks, length), 0, +) /
+    * size(filter(toks, isin(stops)))` — which walks the array four
+    * times through interpreted lambdas; this walks it once in a tight
+    * loop. Null elements count toward n_tokens only (matching size()
+    * vs the null-skipping of the other three).
+    */
+  def tokenStats(arr: ArrayData, stops: Array[UTF8String]): ArrayData = {
+    val n = arr.numElements()
+    val seen = new java.util.HashSet[Any](n * 2)
+    var sumLen = 0L
+    var nStop = 0L
+    var i = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        val t = arr.getUTF8String(i)
+        seen.add(t)
+        sumLen += t.numChars()
+        var s = 0
+        var isStop = false
+        while (s < stops.length && !isStop) {
+          if (stops(s).equals(t)) isStop = true
+          s += 1
+        }
+        if (isStop) nStop += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Array(n.toLong, seen.size.toLong, sumLen, nStop))
+  }
+
   /** Sequential-fold float dot in double; null on length mismatch. */
   def floatVecDot(x: ArrayData, y: ArrayData): java.lang.Double = {
     val n = x.numElements()

@@ -314,18 +314,22 @@ object TextQueries {
       "whitespace + BPE-ish regex token counts, distinct-token ratio, mean " +
       "token length, stopword ratio, punctuation ratio.",
     (s, d) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks)
+      // token-derived counts come from ONE native pass
+      // (NativeExpressions.TokenStats: [n, n_distinct, sum_len, n_stop])
+      // instead of four interpreted HOF walks — bit-identical values,
+      // cross-checked in NativeExpressionsSpec; the two regex metrics
+      // keep their regex contract
+      val st = graft.functions.NativeExpressions.tokenStats(
+        tokens(col("text")), Stopwords)
+      val nTok = element_at(st, 1)
       Tables.documents(s, d).select(
         col("doc_id"),
-        nTok.cast("long").as("n_tokens"),
+        nTok.as("n_tokens"),
         size(regexp_extract_all(lower(col("text")),
           lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))).cast("long").as("n_bpe_tokens"),
-        fp6(size(array_distinct(toks)).cast("double") / nTok).as("distinct_ratio_fp"),
-        fp6(aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
-          .cast("double") / nTok).as("mean_token_len_fp"),
-        fp6(size(filter(toks, t => t.isin(Stopwords: _*))).cast("double") / nTok)
-          .as("stopword_ratio_fp"),
+        fp6(element_at(st, 2).cast("double") / nTok).as("distinct_ratio_fp"),
+        fp6(element_at(st, 3).cast("double") / nTok).as("mean_token_len_fp"),
+        fp6(element_at(st, 4).cast("double") / nTok).as("stopword_ratio_fp"),
         fp6(punctCount(col("text")).cast("double") / length(col("text")))
           .as("punct_ratio_fp"))
         .orderBy("doc_id")

@@ -73,6 +73,25 @@ class NativeExpressionsSpec extends SparkSpec {
     assert(mism == 0)
   }
 
+  test("TokenStats == the four-walk HOF chain on the whole corpus") {
+    val stops = Seq("the", "a", "of", "and", "to", "in")
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .select(tokens(col("text")).as("ts"))
+    val mism = docs.select(
+        NativeExpressions.tokenStats(col("ts"), stops).as("st"),
+        size(col("ts")).cast("long").as("n"),
+        size(array_distinct(col("ts"))).cast("long").as("nd"),
+        aggregate(transform(col("ts"), t => length(t)), lit(0), (a, x) => a + x)
+          .cast("long").as("sl"),
+        size(filter(col("ts"), t => t.isin(stops: _*))).cast("long").as("ns"))
+      .filter(element_at(col("st"), 1) =!= col("n") ||
+        element_at(col("st"), 2) =!= col("nd") ||
+        element_at(col("st"), 3) =!= col("sl") ||
+        element_at(col("st"), 4) =!= col("ns"))
+      .count()
+    assert(mism == 0)
+  }
+
   test("FloatVecDot yields NULL on length mismatch, like the zip_with HOF") {
     import spark.implicits._
     val df = Seq((Seq(1.0f, 2.0f), Seq(1.0f, 2.0f, 3.0f))).toDF("a", "b")
