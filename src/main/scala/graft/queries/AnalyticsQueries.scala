@@ -470,9 +470,59 @@ object AnalyticsQueries {
            |GROUP BY l_returnflag, metric
            |ORDER BY l_returnflag, metric""".stripMargin))
 
+  /** q111: MAD robust outliers — the median-based complement to q63's
+    * z-score (a mean/stddev pair is itself dragged by the outliers it
+    * hunts; median absolute deviation is not): per event_type,
+    * med = p50(value), mad = p50(|value − med|), outlier ⟺
+    * |value − med| > 3·mad. Percentiles ride the q32-proven
+    * percentile()↔quantile_cont parity; the per-row deviation is one
+    * IEEE subtract in both engines, so the boundary comparison cannot
+    * drift. Two-pass shape (q63's): a broadcast 1-row-per-group stats
+    * table probes the narrow value column twice — no corpus shuffle.
+    */
+  val q111MadOutliers = NamedQuery(
+    "q111_mad_outliers",
+    "MAD-based robust outliers per event_type: median, median absolute " +
+      "deviation, |v - med| > 3*mad counts and fp6 ratio.",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("event_type", "value")
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile(value, 0.5)").as("med"))
+      val dev = ev.join(broadcast(med), Seq("event_type"))
+        .withColumn("dev", abs(col("value") - col("med")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile(dev, 0.5)").as("mad"))
+      dev.join(broadcast(mad.select("event_type", "mad")), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          floor(first("med") * lit(1000000.0)).cast("long").as("med_fp"),
+          floor(first("mad") * lit(1000000.0)).cast("long").as("mad_fp"),
+          count(when(col("dev") > lit(3.0) * col("mad"), 1)).as("n_outliers"))
+        .withColumn("outlier_ratio_fp",
+          floor(col("n_outliers") * lit(1000000.0) / col("n")).cast("long"))
+        .orderBy("event_type")
+    },
+    Some("""WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+           |  FROM events GROUP BY event_type),
+           |dev AS (SELECT e.event_type, e.value, m.med,
+           |    abs(e.value - m.med) AS dev
+           |  FROM events e JOIN med m USING (event_type)),
+           |mad AS (SELECT event_type, quantile_cont(dev, 0.5) AS mad
+           |  FROM dev GROUP BY event_type)
+           |SELECT d.event_type, COUNT(*) AS n,
+           |  CAST(floor(ANY_VALUE(d.med) * 1000000.0) AS BIGINT) AS med_fp,
+           |  CAST(floor(ANY_VALUE(m.mad) * 1000000.0) AS BIGINT) AS mad_fp,
+           |  CAST(COUNT(CASE WHEN d.dev > 3.0 * m.mad THEN 1 END) AS BIGINT)
+           |    AS n_outliers,
+           |  CAST(floor(CAST(COUNT(CASE WHEN d.dev > 3.0 * m.mad THEN 1 END)
+           |    AS DOUBLE) * 1000000.0 / COUNT(*)) AS BIGINT)
+           |    AS outlier_ratio_fp
+           |FROM dev d JOIN mad m USING (event_type)
+           |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
     q44HistogramQuantiles, q47SaltedAgg, q48Pivot, q49SetAlgebra,
     q50ScalarSubquery, q70NtileQuartiles, q73Cube, q74RankingSuite,
-    q106PropsMap, q107UnpivotMelt)
+    q106PropsMap, q107UnpivotMelt, q111MadOutliers)
 }

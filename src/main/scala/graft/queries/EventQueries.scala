@@ -664,6 +664,77 @@ object EventQueries {
            |  ON b.user_id = h.user_id AND b.ts_us >= h.valid_from_us
            |ORDER BY buy_id""".stripMargin))
 
+  /** q112: ORDERED funnel conversion — the product-analytics staple the
+    * cohort (q79) and transition-matrix (q78) queries don't cover: how
+    * many users did view → click → purchase IN THAT ORDER, where each
+    * stage must happen strictly AFTER the previous stage's first
+    * occurrence (a click before the first view does not count). Three
+    * conditional first-occurrence passes: min(view ts) per user, then
+    * min(click ts > that), then min(purchase ts > that) — each one
+    * hash-agg + a broadcast-sized per-user join (|users| rows), never
+    * a window over the event stream. Output: stage counts + fp6
+    * conversion ratios, engine-exact (mins of epoch-µs longs).
+    */
+  val q112FunnelConversion = NamedQuery(
+    "q112_funnel_conversion",
+    "Ordered view->click->purchase funnel: per-stage user counts and " +
+      "fp6 conversion ratios; each stage strictly after the previous " +
+      "stage's first occurrence.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_us").as("v_ts"))
+      val c = ev.filter(col("event_type") === "click")
+        .join(v, Seq("user_id"))
+        .filter(col("ts_us") > col("v_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("c_ts"))
+      val p = ev.filter(col("event_type") === "purchase")
+        .join(c, Seq("user_id"))
+        .filter(col("ts_us") > col("c_ts"))
+        .groupBy("user_id").agg(min("ts_us").as("p_ts"))
+      // fully declarative: three 1-row counts cross-joined, stages
+      // exploded from an inline struct array — no driver-side math
+      v.agg(count(lit(1)).as("nv"))
+        .crossJoin(c.agg(count(lit(1)).as("nc")))
+        .crossJoin(p.agg(count(lit(1)).as("np")))
+        .select(explode(array(
+          struct(lit("1_view").as("stage"), col("nv").as("n_users"),
+            lit(1000000L).as("conv_from_top_fp")),
+          struct(lit("2_view_click").as("stage"), col("nc").as("n_users"),
+            floor(col("nc") * lit(1000000.0) / col("nv")).cast("long")
+              .as("conv_from_top_fp")),
+          struct(lit("3_view_click_purchase").as("stage"),
+            col("np").as("n_users"),
+            floor(col("np") * lit(1000000.0) / col("nv")).cast("long")
+              .as("conv_from_top_fp")))).as("r"))
+        .select("r.*")
+        .orderBy("stage")
+    },
+    Some("""WITH v AS (SELECT user_id, MIN(epoch_us(ts)) AS v_ts FROM events
+           |  WHERE event_type = 'view' GROUP BY user_id),
+           |c AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS c_ts
+           |  FROM events e JOIN v USING (user_id)
+           |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.v_ts
+           |  GROUP BY e.user_id),
+           |p AS (SELECT e.user_id, MIN(epoch_us(e.ts)) AS p_ts
+           |  FROM events e JOIN c USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.c_ts
+           |  GROUP BY e.user_id),
+           |n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
+           |  (SELECT COUNT(*) FROM c) AS nc,
+           |  (SELECT COUNT(*) FROM p) AS np)
+           |SELECT stage, n_users, conv_from_top_fp FROM (
+           |  SELECT '1_view' AS stage, CAST(nv AS BIGINT) AS n_users,
+           |    CAST(1000000 AS BIGINT) AS conv_from_top_fp FROM n
+           |  UNION ALL
+           |  SELECT '2_view_click', CAST(nc AS BIGINT),
+           |    CAST(floor(nc * 1000000.0 / nv) AS BIGINT) FROM n
+           |  UNION ALL
+           |  SELECT '3_view_click_purchase', CAST(np AS BIGINT),
+           |    CAST(floor(np * 1000000.0 / nv) AS BIGINT) FROM n)
+           |ORDER BY stage""".stripMargin))
+
   /** q91: SCD TYPE-2 apply-changes — the `stored_as_scd_type = 2` half
     * of the DLT API whose type-1 half is q06
     * (reference: notebooks/03_Data_Ingestion.py:320-326 uses type 1;
@@ -720,5 +791,6 @@ object EventQueries {
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin, q99AsOfExec,
     q59RollingFeatures, q66GapfillLocf, q71HoppingWindow,
     q78TransitionMatrix, q79CohortRetention, q84RangeJoinSpine,
-    q89Scd2History, q91Scd2ApplyChanges, q101PointInTime)
+    q89Scd2History, q91Scd2ApplyChanges, q101PointInTime,
+    q112FunnelConversion)
 }
