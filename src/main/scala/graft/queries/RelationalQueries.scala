@@ -237,8 +237,99 @@ object RelationalQueries {
            |FROM c FULL JOIN s USING (n_key)
            |ORDER BY n_key""".stripMargin))
 
+  /** q113: TPC-H Q5's shape — "local supplier volume": revenue by
+    * nation for orders in one region and one year where the CUSTOMER'S
+    * nation equals the SUPPLIER'S nation (the cross-table residual that
+    * makes Q5 the classic join-order test). Six tables: region and
+    * nation broadcast (tiny dims), customer broadcast-joined into
+    * orders, the orders×lineitem join shuffles on orderkey (the only
+    * big-big join), supplier broadcast at the end with the
+    * nation-equality residual. Revenue is the exact decimal sum.
+    */
+  val q113LocalSupplierVolume = NamedQuery(
+    "q113_local_supplier_volume",
+    "TPC-H Q5 shape: per-nation revenue for EUROPE 1996 orders where " +
+      "customer and supplier share the nation; decimal-exact revenue.",
+    (s, d) => {
+      val nations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+          .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(nations), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_nationkey"), col("n_name"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+        .select(col("o_orderkey"), col("o_custkey"))
+      val supp = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+      ord.join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(Tables.lineitem(s, d)
+            .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+          col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM region
+           |JOIN nation ON n_regionkey = r_regionkey
+           |JOIN customer ON c_nationkey = n_nationkey
+           |JOIN orders ON o_custkey = c_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON s_suppkey = l_suppkey
+           |  AND s_nationkey = c_nationkey
+           |WHERE r_name = 'EUROPE'
+           |  AND o_orderdate >= DATE '1996-01-01'
+           |  AND o_orderdate < DATE '1997-01-01'
+           |GROUP BY n_name ORDER BY n_name""".stripMargin))
+
+  /** q114: TPC-H Q4's shape — "order priority checking": per priority,
+    * how many orders in a quarter have AT LEAST ONE line item shipped
+    * after the order date. The EXISTS is a LEFT SEMI join (each order
+    * counted once however many late items it has — a plain inner join
+    * would double-count), shuffling only orderkeys; the priority
+    * rollup is one small hash-agg.
+    */
+  val q114PriorityChecking = NamedQuery(
+    "q114_priority_checking",
+    "TPC-H Q4 shape: orders per priority in 1996Q1 with >= 1 line " +
+      "item shipped after the order date (left-semi EXISTS).",
+    (s, d) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1996-04-01"))
+      val late = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(late,
+          ord("o_orderkey") === late("l_orderkey") &&
+            late("l_shipdate") > ord("o_orderdate"),
+          "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders
+           |FROM orders o
+           |WHERE o_orderdate >= DATE '1996-01-01'
+           |  AND o_orderdate < DATE '1996-04-01'
+           |  AND EXISTS (SELECT 1 FROM lineitem l
+           |    WHERE l.l_orderkey = o.o_orderkey
+           |      AND l.l_shipdate > o.o_orderdate)
+           |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03BroadcastDims,
     q04GoldCurrentInventory, q09TopK, q10SetOps, q45SupplierPartProfit,
-    q72FullOuterReconcile)
+    q72FullOuterReconcile, q113LocalSupplierVolume, q114PriorityChecking)
 }
