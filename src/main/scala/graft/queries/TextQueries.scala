@@ -608,17 +608,23 @@ object TextQueries {
       "new-doc count, exact-digest dups, fingerprint near-dups (among " +
       "non-exact), and survivors.",
     (s, d) => {
+      // digest + fingerprint computed in ONE scan and cached: the
+      // history side needs both identity columns and the new side needs
+      // both — three uncached branches re-tokenized the corpus once per
+      // identity (round-4 plan audit)
       val base = Tables.documents(s, d)
-        .withColumn("is_new",
-          hash60(col("doc_id").cast("string")) % 10 === 7)
+        .select(col("lang"),
+          (hash60(col("doc_id").cast("string")) % 10 === 7).as("is_new"),
+          TextDedup.textDigest(col("text")).as("dg"),
+          fingerprint(col("text")).as("fp"))
+        .cache()
       val hist = base.filter(!col("is_new"))
-      val histDg = hist.select(TextDedup.textDigest(col("text")).as("dg"))
+      val histDg = hist.select(col("dg"))
         .distinct().withColumn("exact_hit", lit(1L))
-      val histFp = hist.select(fingerprint(col("text")).as("fp"))
+      val histFp = hist.select(col("fp"))
         .distinct().withColumn("near_hit", lit(1L))
       base.filter(col("is_new"))
-        .select(col("lang"), TextDedup.textDigest(col("text")).as("dg"),
-          fingerprint(col("text")).as("fp"))
+        .select(col("lang"), col("dg"), col("fp"))
         .join(histDg, Seq("dg"), "left_outer")
         .join(histFp, Seq("fp"), "left_outer")
         .groupBy("lang")

@@ -249,11 +249,14 @@ object TrainingDataQueries {
       "after the q39 hash-mod split: contaminated doc counts per split.",
     (s, d) => {
       val h = hash60(col("doc_id").cast("string")) % 100
+      // cached: three branches (train set, contamination probe, totals)
+      // otherwise re-run the fingerprint scan each (round-4 plan audit)
       val fp = Tables.documents(s, d).select(
         when(h < 80, "train").when(h < 90, "val").otherwise("test")
           .as("split"),
         col("doc_id"),
         graft.functions.TextFunctions.fingerprint(col("text")).as("fp"))
+        .cache()
       val trainFps = fp.filter(col("split") === "train")
         .select(col("fp")).distinct()
       val holdout = fp.filter(col("split") =!= "train")
