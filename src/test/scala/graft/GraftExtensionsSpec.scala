@@ -32,6 +32,22 @@ class GraftExtensionsSpec extends SparkSpec {
     new GraftExtensions().apply(new SparkSessionExtensions)
   }
 
+  test("SQL aggregate functions: graft_kmv_sketch and graft_top_k_pair") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("g", 5L, 10L), ("g", 3L, 11L), ("g", 5L, 12L), ("g", 9L, 13L))
+      .toDF("g", "h", "id").createOrReplaceTempView("agg_ext")
+    val sk = spark.sql(
+      "SELECT graft_kmv_sketch(h, 2) AS sk FROM agg_ext GROUP BY g")
+      .head.getSeq[Long](0)
+    assert(sk == Seq(3L, 5L)) // bottom-2 DISTINCT
+    val tk = spark.sql(
+      """SELECT graft_top_k_pair(h, id, 2) AS tk FROM agg_ext GROUP BY g""")
+      .head.getSeq[org.apache.spark.sql.Row](0)
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(tk == Seq((9L, 13L), (5L, 10L))) // score desc, id asc
+  }
+
   test("SQL simhash matches the Column API on real docs") {
     GraftExtensions.register(spark)
     Tables.documents(spark, sf("sf0.001")).createOrReplaceTempView("docs_ext")
