@@ -116,7 +116,7 @@ object LayoutQueries {
             |      (((x >> b) & 1) << (2*b)) + (((y >> b) & 1) << (2*b+1))))
             |      AS z
             |  FROM pts)
-            |SELECT z >> 16 AS z_bucket, COUNT(*) AS n,
+            |SELECT CAST(z >> 16 AS BIGINT) AS z_bucket, COUNT(*) AS n,
             |  MIN(x) AS min_x, MAX(x) AS max_x,
             |  MIN(y) AS min_y, MAX(y) AS max_y,
             |  (MAX(x) - MIN(x) + 1) * (MAX(y) - MIN(y) + 1) AS bbox_area
@@ -155,9 +155,10 @@ object LayoutQueries {
       }.reduce(_.unionByName(_)).orderBy("version")
     },
     Some("""SELECT CAST(1 AS BIGINT) AS version, COUNT(*) AS n_docs,
-           |  SUM(n_chars) AS sum_chars FROM documents WHERE doc_id < 200
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents WHERE doc_id < 200
            |UNION ALL
-           |SELECT CAST(2 AS BIGINT), COUNT(*), SUM(n_chars)
+           |SELECT CAST(2 AS BIGINT), COUNT(*), CAST(SUM(n_chars) AS BIGINT)
            |FROM documents WHERE doc_id < 350
            |ORDER BY version""".stripMargin))
 

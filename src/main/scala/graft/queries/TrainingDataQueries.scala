@@ -817,7 +817,7 @@ object TrainingDataQueries {
          |  FROM q LEFT JOIN samp ON q.lang = samp.lang),
          |ts AS (SELECT SUM(n_sampled) AS tot_sampled FROM o)
          |SELECT lang, w, n_total, quota, n_sampled,
-         |  (n_sampled * 1000000) // tot_sampled AS share_fp6
+         |  CAST((n_sampled * 1000000) // tot_sampled AS BIGINT) AS share_fp6
          |FROM o, ts ORDER BY lang""".stripMargin
     })
 
