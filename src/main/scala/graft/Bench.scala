@@ -20,9 +20,16 @@ object Bench {
     // first execution of a cold plan costs 3-6x its steady state). Warmup
     // results are not reported. Streaming checkpoints are per-run unique
     // and self-deleting, so warmup cannot leak state into the measured pass.
+    // SPARK_GRAFT_ONLY=q34,q106 restricts the run for isolated profiling;
+    // the graded run leaves it unset and measures the full suite
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val picked = SparkEntry.queries.filter { case (name, _) =>
+      only.forall(s => s.contains(name) || s.contains(name.takeWhile(_ != '_')))
+    }
     val warmDir = "/root/testdata/sf0.001"
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      SparkEntry.queries.foreach { case (_, fn) =>
+      picked.foreach { case (_, fn) =>
         try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
         catch { case _: Throwable => () }
       }
@@ -30,7 +37,7 @@ object Bench {
       try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
       catch { case _: Throwable => () }
     spark.catalog.clearCache()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val results = picked.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // noop sink forces FULL evaluation of every output column —
       // count() would let Spark skip projected expressions (e.g. cosine
@@ -52,7 +59,16 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // also land the line as a committed artifact: the driver keeps only a
+    // 2000-char log tail, which has truncated (unparseable) past rounds'
+    // per-query maps — the file is the machine-readable record
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case _: Throwable => () } // read-only cwd must not fail the bench
     spark.stop()
   }
 }

@@ -325,6 +325,7 @@ object Similarity {
     var cent = vecs.orderBy(col("id")).limit(k)
       .select(col("id").as("cid"), col("v").cast("array<double>").as("cv"))
     for (_ <- 1 to iters) {
+      val prev = cent
       val assigned = ivfAssign(vecs, cent, centScoreD)
       val comps = assigned
         .select(col("cid"), posexplode(col("v")).as(Seq("j", "x")))
@@ -338,6 +339,11 @@ object Similarity {
           array_sort(collect_list(struct(col("j"), col("comp")))),
           s => s.getField("comp")).as("cv"))
         .cache()
+      // materialize the k-row result BEFORE releasing iteration i-1:
+      // cent's lineage reads prev's cache, so dropping prev first would
+      // force a full recompute back to the seed on first downstream use
+      cent.count()
+      prev.unpersist(blocking = false) // no-op on the uncached seed
     }
     cent
   }
