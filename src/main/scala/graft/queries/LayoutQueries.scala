@@ -162,6 +162,95 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 350
            |ORDER BY version""".stripMargin))
 
+  /** q115: MERGE — CDC changesets applied INTO the managed table as
+    * row-level upsert commits ([[graft.sources.ManagedTable.merge]]),
+    * the `apply_changes`-into-Delta write path of the reference
+    * (notebooks/03_Data_Ingestion.py:318-326) the snapshot-commit q100
+    * doesn't cover. A deterministic 4-changeset history (key =
+    * doc_id % 150, sequence = doc_id, every 7th change a tombstone) is
+    * merged chunk-by-chunk — each merge rewrites only segments holding
+    * changed keys and reuses the rest by manifest reference — then the
+    * LIVE state is read back via [[graft.sources.ManagedTable.readCurrent]].
+    * The oracle replays the same history as one windowed latest-per-key
+    * over the union, proving merge-at-a-time ≡ applyChanges-once (the
+    * associativity the stored-tombstone design guarantees).
+    */
+  val q115MergeUpsert = NamedQuery(
+    "q115_merge_upsert",
+    "CDC merge into the managed table: 4 chunked changesets (key = " +
+      "doc_id % 150, seq = doc_id, %7 tombstones) applied as row-level " +
+      "upsert commits; final live state per key.",
+    (s, d) => {
+      val dir = "/tmp/graft-merged/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // fresh per run: versions are per-run state
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select((col("doc_id") % 150L).as("k"), col("doc_id").as("seq"),
+          col("lang"), col("n_chars"),
+          when(col("doc_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+      (0 until 4).foreach { i =>
+        graft.sources.ManagedTable.merge(
+          hist.filter(col("seq") >= i * 100 && col("seq") < (i + 1) * 100),
+          dir, keys = Seq("k"), sequenceBy = Seq(col("seq")), tag = s"m$i")
+      }
+      graft.sources.ManagedTable.readCurrent(s, dir,
+          deleteExpr = col("op") === "d", exceptColumns = Seq("op"))
+        .orderBy("k")
+    },
+    Some("""WITH h AS (SELECT doc_id % 150 AS k, doc_id AS seq, lang,
+           |    n_chars, CASE WHEN doc_id % 7 = 0 THEN 'd' ELSE 'u' END op
+           |  FROM documents WHERE doc_id < 400),
+           |w AS (SELECT *, row_number() OVER (PARTITION BY k
+           |    ORDER BY seq DESC) AS rn FROM h)
+           |SELECT k, seq, lang, n_chars FROM w WHERE rn = 1 AND op <> 'd'
+           |ORDER BY k""".stripMargin))
+
+  /** q116: manifest-level DATA SKIPPING — the zone-map pruning that
+    * makes clustered layout (q67 hive partitions, q90 Z-order) pay off
+    * at read time. Documents are committed range-clustered (8 files,
+    * tight per-file doc_id bounds recorded as manifest stats); a range
+    * probe plans only the stats-matching files
+    * ([[graft.sources.ManagedTable.readWhere]]) and must return exactly
+    * the rows a full-scan filter would. The oracle is that full-scan
+    * filter; the output also carries the planned-file reduction
+    * (derived from the deterministic range partitioning) so the pruning
+    * itself is hash-checked, not just the row values.
+    */
+  val q116DataSkipping = NamedQuery(
+    "q116_data_skipping",
+    "Data skipping via manifest min/max stats: range-clustered commit " +
+      "(8 files), doc_id BETWEEN probe planned from stats; per-lang " +
+      "aggregates + the files-pruned invariant.",
+    (s, d) => {
+      val dir = "/tmp/graft-skip/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // fresh per run: versions are per-run state
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      graft.sources.ManagedTable.commit(
+        docs.repartitionByRange(8, col("doc_id")), dir)
+      val (kept, all) = graft.sources.ManagedTable
+        .planFiles(s, dir, "doc_id", 100L, 180L)
+      // range clustering puts 81 consecutive ids in ≤2 of 8 range files
+      // (+1 if a boundary lands mid-range); the probe must never scan
+      // more than that — hash-checked as a hard pruning invariant
+      val prunedEnough = kept.size <= 3 && kept.size < all.size
+      graft.sources.ManagedTable.readWhere(s, dir, "doc_id", 100L, 180L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .withColumn("pruned", lit(prunedEnough))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS pruned
+           |FROM documents WHERE doc_id BETWEEN 100 AND 180
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable)
+    Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
+      q115MergeUpsert, q116DataSkipping)
 }

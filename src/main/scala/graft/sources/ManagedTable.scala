@@ -27,13 +27,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     transaction log);
   *   - every version's file list is retained: `read(dir, Some(v))` is
   *     time travel, `versions` is the history, `vacuum` deletes
-  *     segments unreferenced by any retained manifest.
+  *     segments unreferenced by any retained manifest (after a
+  *     retention window protecting in-flight commits);
+  *   - the manifest also records the version's SCHEMA (empty versions
+  *     read back typed) and per-file min/max column stats — the zone
+  *     map `planFiles`/`readWhere` prune with, and what `merge` (CDC
+  *     row-level upsert), `compact` (small-file OPTIMIZE) and the
+  *     streaming sinks maintain incrementally, rewriting only affected
+  *     files and carrying the rest by reference.
   *
-  * At 100 TB: the manifest holds file PATHS (one small JSON per
-  * commit), readers plan directly from it (no directory listing of the
-  * data tree — the object-store listing cost Delta removes), and
-  * overwrite never touches old segments, so concurrent readers of v
-  * N−1 are unaffected by the v N writer.
+  * At 100 TB: the manifest holds file PATHS + stats (one small JSON
+  * per commit), readers plan directly from it (no directory listing of
+  * the data tree — the object-store listing cost Delta removes), range
+  * probes open only stats-matching files, and overwrite never touches
+  * old segments, so concurrent readers of v N−1 are unaffected by the
+  * v N writer.
   */
 object ManagedTable {
 
@@ -54,13 +62,26 @@ object ManagedTable {
       .sorted
   }
 
-  /** Manifest content: first line the committer tag (may be empty),
-    * second line the JSON file list. The tag lives INSIDE the file —
-    * the manifest NAME is always `v<N>.json`, so create-if-absent
-    * arbitrates every committer regardless of tag.
+  /** Per-file column statistics: relative file path → column name →
+    * (min, max) rendered as strings. The manifest-level zone map Delta
+    * keeps in its transaction log — what [[planFiles]] prunes with.
+    */
+  type FileStats = Map[String, Map[String, (String, String)]]
+
+  /** Manifest content, one field per line:
+    *   1. committer tag (may be empty);
+    *   2. JSON file list;
+    *   3. (since round 5) the version's schema as Spark DataType JSON —
+    *      what lets an EMPTY version read back as a typed empty
+    *      DataFrame instead of failing parquet schema inference;
+    *   4. (since round 5) per-file min/max column stats JSON.
+    * Older manifests may lack lines 3-4; readers treat them as absent
+    * (no empty-read schema, no pruning — conservative). The tag lives
+    * INSIDE the file — the manifest NAME is always `v<N>.json`, so
+    * create-if-absent arbitrates every committer regardless of tag.
     */
   private def readManifest(spark: SparkSession, dir: String,
-      v: Int): (String, Seq[String]) = {
+      v: Int): (String, Seq[String], Option[String], FileStats) = {
     val f = fs(spark, dir)
     val in = f.open(new Path(manifestDir(dir), s"v$v.json"))
     val raw = try {
@@ -70,13 +91,95 @@ object ManagedTable {
       while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
       bytes.toString("UTF-8")
     } finally in.close()
-    val (tag, list) = raw.split("\n", 2) match {
-      case Array(t, l) => (t, l)
-      case Array(l) => ("", l)
-    }
+    val lines = raw.split("\n", 4)
+    val tag = if (lines.length >= 2) lines(0) else ""
+    val list = if (lines.length >= 2) lines(1) else lines(0)
+    val schema =
+      if (lines.length >= 3) Some(lines(2).trim).filter(_.nonEmpty) else None
+    val stats =
+      if (lines.length >= 4) parseStats(lines(3)) else Map.empty[String,
+        Map[String, (String, String)]]
     val files = list.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
       .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    (tag, files)
+    (tag, files, schema, stats)
+  }
+
+  // stats JSON via Jackson (already on Spark's classpath — it's what
+  // Spark itself parses JSON with); values are all strings, so the
+  // shape is a plain nested map: {"file":{"col":["min","max"],…},…}
+  private def mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def renderStats(stats: FileStats): String = {
+    val root = new java.util.LinkedHashMap[String, Object]()
+    stats.toSeq.sortBy(_._1).foreach { case (file, cols) =>
+      val m = new java.util.LinkedHashMap[String, Object]()
+      cols.toSeq.sortBy(_._1).foreach { case (c, (lo, hi)) =>
+        m.put(c, java.util.List.of(lo, hi))
+      }
+      root.put(file, m)
+    }
+    mapper.writeValueAsString(root)
+  }
+
+  private def parseStats(json: String): FileStats = {
+    val t = json.trim
+    if (t.isEmpty || t == "{}") return Map.empty
+    val root = mapper.readTree(t)
+    val out = Map.newBuilder[String, Map[String, (String, String)]]
+    root.properties().forEach { e =>
+      val cols = Map.newBuilder[String, (String, String)]
+      e.getValue.properties().forEach { c =>
+        cols += c.getKey -> (c.getValue.get(0).asText(),
+          c.getValue.get(1).asText())
+      }
+      out += e.getKey -> cols.result()
+    }
+    out.result()
+  }
+
+  /** Columns stats are kept for: orderable atomics whose string render
+    * round-trips exactly (numerics via BigDecimal, strings verbatim).
+    * Everything else is skipped — absent stats mean "never pruned",
+    * which is always safe.
+    */
+  private def statsColumns(
+      schema: org.apache.spark.sql.types.StructType): Seq[String] =
+    schema.fields.toSeq.collect {
+      case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
+        || f.dataType == org.apache.spark.sql.types.StringType => f.name
+    }
+
+  /** One aggregation pass over freshly written segment files: per-file
+    * min/max for every [[statsColumns]] column. One extra scan of the
+    * NEW segment only (Delta folds this into the writer; a plain
+    * parquet write can't be hooked, so the segment — just written and
+    * page-cached — is re-read once). All-null columns in a file are
+    * omitted (no stats = never pruned).
+    */
+  private def segmentStats(spark: SparkSession, dir: String,
+      relFiles: Seq[String]): FileStats = {
+    import org.apache.spark.sql.functions.{col, max, min}
+    if (relFiles.isEmpty) return Map.empty
+    val df = spark.read.parquet(relFiles.map(p => s"$dir/$p"): _*)
+    val cols = statsColumns(df.schema)
+    if (cols.isEmpty) return Map.empty
+    val aggs = cols.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val rows = df
+      .groupBy(col("_metadata.file_path").as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+    rows.map { r =>
+      val abs = r.getString(0)
+      val rel = relFiles.find(abs.endsWith(_)).getOrElse(abs)
+      val colStats = cols.flatMap { c =>
+        val lo = r.getAs[String](s"__min_$c")
+        val hi = r.getAs[String](s"__max_$c")
+        if (lo == null || hi == null) None else Some(c -> (lo, hi))
+      }.toMap
+      rel -> colStats
+    }.toMap
   }
 
   /** Write `df` as the table's next version. The data lands in a fresh
@@ -85,29 +188,52 @@ object ManagedTable {
     * a concurrent committer racing to the same version number loses
     * cleanly and must retry on top of the new state).
     *
-    * `tag`: opaque committer metadata recorded in the manifest name
-    * (`v<N>.<tag>.json`) — the streaming sink stores the micro-batch id
-    * there to make replayed batches detectable.
+    * `tag`: opaque committer metadata recorded INSIDE the manifest file
+    * (its first line — the name stays `v<N>.json`); the streaming sink
+    * stores the micro-batch id there to make replayed batches
+    * detectable.
     */
   def commit(df: DataFrame, dir: String, tag: String = ""): Int = {
-    require(!tag.contains("\n"), s"ManagedTable.commit: invalid tag '$tag'")
     val spark = df.sparkSession
-    val f = fs(spark, dir)
     val next = versions(spark, dir).lastOption.getOrElse(0) + 1
-    val segment = s"data/v$next-${java.util.UUID.randomUUID()}"
+    val files = writeSegment(df, dir, next)
+    writeManifest(spark, dir, next, tag, files, df.schema.json,
+      segmentStats(spark, dir, files))
+    next
+  }
+
+  /** Write `df` as version `v`'s fresh data segment; returns the
+    * segment-relative parquet paths (empty for a no-row write).
+    */
+  private def writeSegment(df: DataFrame, dir: String, v: Int): Seq[String] = {
+    val segment = s"data/v$v-${java.util.UUID.randomUUID()}"
     df.write.mode("error").parquet(s"$dir/$segment")
-    val files = f.listStatus(new Path(s"$dir/$segment")).toSeq
+    val f = fs(df.sparkSession, dir)
+    f.listStatus(new Path(s"$dir/$segment")).toSeq
       .map(_.getPath.getName)
       .filter(_.endsWith(".parquet"))
       .sorted
       .map(n => s"$segment/$n")
+  }
+
+  /** Atomically claim version `v` with an explicit file list — the
+    * shared commit tail of [[commit]], [[merge]] and [[compact]] (which
+    * reuse untouched segments from the previous version instead of
+    * rewriting them).
+    */
+  private def writeManifest(spark: SparkSession, dir: String, v: Int,
+      tag: String, files: Seq[String], schemaJson: String,
+      stats: FileStats): Unit = {
+    require(!tag.contains("\n"), s"ManagedTable: invalid tag '$tag'")
+    val f = fs(spark, dir)
     val manifest = tag + "\n" +
-      files.map(p => "\"" + p + "\"").mkString("[", ",", "]")
+      files.map(p => "\"" + p + "\"").mkString("[", ",", "]") + "\n" +
+      schemaJson + "\n" +
+      renderStats(stats)
     f.mkdirs(manifestDir(dir))
-    // create(..., overwrite = false): atomic claim of version `next`
-    val out = f.create(new Path(manifestDir(dir), s"v$next.json"), false)
+    // create(..., overwrite = false): atomic claim of version `v`
+    val out = f.create(new Path(manifestDir(dir), s"v$v.json"), false)
     try out.write(manifest.getBytes("UTF-8")) finally out.close()
-    next
   }
 
   /** Committer tags in version order (empty string where untagged). */
@@ -131,7 +257,10 @@ object ManagedTable {
     }
 
   /** Read a version (default: latest). Only manifest-listed files are
-    * read — never a directory listing of `data/`.
+    * read — never a directory listing of `data/`. A version with an
+    * EMPTY file list (a no-row commit — e.g. an empty micro-batch from
+    * [[streamingSink]]) reads back as an empty DataFrame of the schema
+    * recorded in its manifest rather than failing schema inference.
     */
   def read(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
@@ -139,26 +268,277 @@ object ManagedTable {
     require(vs.nonEmpty, s"ManagedTable.read: no committed versions in $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"ManagedTable.read: version $v not in $vs")
-    val files = readManifest(spark, dir, v)._2
-    spark.read.parquet(files.map(p => s"$dir/$p"): _*)
+    val (_, files, schemaJson, _) = readManifest(spark, dir, v)
+    if (files.nonEmpty)
+      spark.read.parquet(files.map(p => s"$dir/$p"): _*)
+    else {
+      val schema = schemaJson
+        .map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(throw new IllegalStateException(
+          s"ManagedTable.read: version $v of $dir has no files and no " +
+            "recorded schema (pre-round-5 manifest)"))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
   }
 
-  /** Delete data segments unreferenced by ANY committed manifest (e.g.
-    * segments from writers that crashed before their manifest landed).
-    * Never touches referenced segments, so every retained version stays
-    * readable.
+  /** Default [[vacuum]] retention: long enough that a writer whose data
+    * segment has landed can finish writing its manifest (segment-then-
+    * manifest is the commit order — a zero-retention vacuum racing that
+    * window would delete the segment of a commit about to succeed).
     */
-  def vacuum(spark: SparkSession, dir: String): Seq[String] = {
+  val DefaultVacuumRetentionMs: Long = 10L * 60 * 1000
+
+  /** Delete data segments unreferenced by ANY committed manifest (e.g.
+    * segments from writers that crashed before their manifest landed)
+    * and older than `retentionMs` (modification time — Delta's VACUUM
+    * retention, defaulted so an IN-FLIGHT commit, which writes its
+    * segment before its manifest, is never swept mid-window). Never
+    * touches referenced segments, so every retained version stays
+    * readable. Pass `retentionMs = 0` only when no writer can be
+    * concurrent (tests, single-writer maintenance windows).
+    */
+  def vacuum(spark: SparkSession, dir: String,
+      retentionMs: Long = DefaultVacuumRetentionMs): Seq[String] = {
     val f = fs(spark, dir)
     val dataDir = new Path(dir, "data")
     if (!f.exists(dataDir)) return Seq.empty
     val referenced = versions(spark, dir).flatMap { v =>
       readManifest(spark, dir, v)._2.map(_.split("/")(1))
     }.toSet
+    val cutoff = System.currentTimeMillis() - retentionMs
     val orphans = f.listStatus(dataDir).toSeq
+      .filter(st => !referenced(st.getPath.getName) &&
+        st.getModificationTime <= cutoff)
       .map(_.getPath.getName)
-      .filterNot(referenced)
     orphans.foreach(seg => f.delete(new Path(dataDir, seg), true))
     orphans.sorted
+  }
+
+  /** MERGE a CDC changeset into the table — the row-level-upsert commit
+    * Delta's `apply_changes` target performs
+    * (reference: notebooks/03_Data_Ingestion.py:318-326), re-expressed
+    * on the manifest log:
+    *
+    *   1. plan: semi-join the CURRENT version's rows (tagged with
+    *      `_metadata.file_path`) against the changeset's distinct keys —
+    *      only files that CONTAIN a changed key are affected; the
+    *      file-path list that comes back to the driver is manifest-scale
+    *      metadata, exactly what Delta's MERGE collects;
+    *   2. rewrite: latest-per-key (partial-agg `max_by`, same engine as
+    *      [[graft.operators.ApplyChanges.latestByKey]]) over ONLY
+    *      (affected-file rows ∪ changeset) lands as a fresh segment;
+    *   3. commit: new manifest = untouched files (reused as-is, never
+    *      rewritten or copied) + the fresh segment, claimed atomically
+    *      like any [[commit]].
+    *
+    * The stored state keeps each key's WINNING row verbatim — including
+    * delete tombstones and bookkeeping columns — which is what makes
+    * merging changesets one at a time, in ANY batch grouping, equal to
+    * one big `applyChanges` over their union: latest-per-key is an
+    * associative fold, but only if losers (including tombstoned keys)
+    * stay defeated by a stored winner. Read the user-facing state (live
+    * rows, bookkeeping dropped) with [[readCurrent]].
+    *
+    * `sequenceBy` must be total per key across ALL changesets (the
+    * [[graft.operators.ApplyChanges]] determinism contract); change
+    * schemas must match the stored schema (first merge fixes it).
+    *
+    * At 100 TB: the semi-join is a broadcast of the changeset's keys
+    * against a manifest-planned scan, shuffle is proportional to
+    * |affected rows| + |changes| (not table size), and unaffected
+    * segments move by manifest reference only.
+    */
+  def merge(changes: DataFrame, dir: String, keys: Seq[String],
+      sequenceBy: Seq[org.apache.spark.sql.Column],
+      tag: String = ""): Int = {
+    import org.apache.spark.sql.functions.{broadcast, col}
+    val spark = changes.sparkSession
+    if (versions(spark, dir).isEmpty)
+      return commit(
+        graft.operators.ApplyChanges.latestByKey(changes, keys, sequenceBy),
+        dir, tag)
+    val current = versions(spark, dir).last
+    val (_, currentFiles, _, currentStats) = readManifest(spark, dir, current)
+    val base = read(spark, dir, Some(current))
+    // step 1: which files contain a changed key? (file paths only —
+    // driver-side metadata, same scale as the manifest itself)
+    val changeKeys = changes.select(keys.map(col): _*).distinct()
+    val affectedPaths =
+      if (currentFiles.isEmpty) Set.empty[String]
+      else base
+        .select((keys.map(col) :+
+          col("_metadata.file_path").as("__file")): _*)
+        .join(broadcast(changeKeys), keys, "left_semi")
+        .select("__file").distinct()
+        .collect().map(_.getString(0)).toSet
+    val affected = currentFiles.filter(rel =>
+      affectedPaths.exists(_.endsWith(rel)))
+    val untouched = currentFiles.diff(affected)
+    // steps 2+3: rewrite ONLY affected rows ∪ changes; reuse the rest
+    val next = current + 1
+    val affectedRows =
+      if (affected.isEmpty)
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
+      else spark.read.parquet(affected.map(p => s"$dir/$p"): _*)
+    val merged = graft.operators.ApplyChanges.latestByKey(
+      affectedRows.unionByName(
+        changes.select(base.columns.toIndexedSeq.map(col): _*)),
+      keys, sequenceBy)
+    val newFiles = writeSegment(merged, dir, next)
+    // untouched files keep their recorded stats; only the fresh segment
+    // is scanned for new ones
+    writeManifest(spark, dir, next, tag, untouched ++ newFiles,
+      base.schema.json,
+      currentStats.view.filterKeys(untouched.contains).toMap ++
+        segmentStats(spark, dir, newFiles))
+    next
+  }
+
+  /** The user-facing state of a [[merge]]-maintained table: the winning
+    * row per key with tombstones filtered and bookkeeping columns
+    * dropped — `applyChanges(union of every merged changeset)`, read
+    * from the manifest instead of recomputed.
+    */
+  def readCurrent(spark: SparkSession, dir: String,
+      deleteExpr: org.apache.spark.sql.Column,
+      exceptColumns: Seq[String] = Nil,
+      version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, lit}
+    read(spark, dir, version)
+      .filter(!coalesce(deleteExpr, lit(false)))
+      .drop(exceptColumns: _*)
+  }
+
+  /** Streaming CDC upsert sink: each micro-batch of a changelog stream
+    * is [[merge]]d into the table as one row-level-upsert version,
+    * tagged `m<batchId>` — exactly-once across restarts by the same
+    * replayed-tag idempotence as [[streamingSink]]. This is the full
+    * reference write path (Kafka CDC stream → `apply_changes` → Delta
+    * table, notebooks/03_Data_Ingestion.py:300-326) on the open
+    * manifest log.
+    */
+  def mergeStreamingSink(changes: DataFrame, dir: String,
+      keys: Seq[String],
+      sequenceBy: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val done = tags(spark, dir).exists(_._2 == s"m$batchId")
+      if (!done && !batch.isEmpty) {
+        merge(batch, dir, keys, sequenceBy, s"m$batchId"); ()
+      }
+    }
+
+  /** Compact ("OPTIMIZE"): bin small files into full segments. Files of
+    * the current version smaller than `smallFileBytes` are rewritten
+    * TOGETHER into one fresh segment (coalesced toward
+    * `smallFileBytes`-sized outputs); files already at size are carried
+    * into the new version by manifest reference, byte-untouched. A
+    * content-identical commit — only the file layout changes — so time
+    * travel to pre-compaction versions still works and concurrent
+    * readers are unaffected. No-op (returns the current version) when
+    * fewer than two small files exist.
+    *
+    * At 100 TB this is the small-file compaction every streaming sink
+    * needs: micro-batch commits land thousands of KB-scale files whose
+    * per-file open/footer cost dominates scans; compaction is
+    * proportional to the SMALL files' bytes, never a table rewrite.
+    */
+  def compact(spark: SparkSession, dir: String,
+      smallFileBytes: Long = 32L * 1024 * 1024, tag: String = ""): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.compact: no versions in $dir")
+    val current = vs.last
+    val (_, files, schemaJson, stats) = readManifest(spark, dir, current)
+    val f = fs(spark, dir)
+    val sized = files.map(p => p -> f.getFileStatus(new Path(s"$dir/$p")).getLen)
+    val small = sized.filter(_._2 < smallFileBytes).map(_._1)
+    if (small.size < 2) return current
+    val keep = files.diff(small)
+    val totalSmall = sized.filter(s => small.contains(s._1)).map(_._2).sum
+    val outFiles = math.max(1, (totalSmall / smallFileBytes).toInt +
+      (if (totalSmall % smallFileBytes > 0) 1 else 0))
+    val next = current + 1
+    val packed = spark.read.parquet(small.map(p => s"$dir/$p"): _*)
+      .coalesce(outFiles)
+    val newFiles = writeSegment(packed, dir, next)
+    writeManifest(spark, dir, next, tag, keep ++ newFiles,
+      schemaJson.getOrElse(read(spark, dir, Some(current)).schema.json),
+      stats.view.filterKeys(keep.contains).toMap ++
+        segmentStats(spark, dir, newFiles))
+    next
+  }
+
+  /** The data-skipping plan for a `column BETWEEN lower AND upper`
+    * read: (files kept, all files) of the version. A file is kept
+    * unless its recorded [min, max] for `column` provably excludes the
+    * range — missing stats (old manifests, all-null files, non-stats
+    * types) keep the file. Comparison is typed: numerics via
+    * BigDecimal (exact for every numeric Spark renders, including
+    * scientific notation), strings in Spark's own UTF8String binary
+    * order (java.lang.String order differs beyond the BMP). Unparseable
+    * endpoints (NaN) keep the file — pruning must only ever drop
+    * provably-disjoint files.
+    */
+  def planFiles(spark: SparkSession, dir: String, column: String,
+      lower: Any, upper: Any,
+      version: Option[Int] = None): (Seq[String], Seq[String]) = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.planFiles: no versions in $dir")
+    val v = version.getOrElse(vs.last)
+    val (_, files, schemaJson, stats) = readManifest(spark, dir, v)
+    val isString = schemaJson.exists { sj =>
+      org.apache.spark.sql.types.DataType.fromJson(sj)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+        .fields.exists(f => f.name == column &&
+          f.dataType == org.apache.spark.sql.types.StringType)
+    }
+    def cmp(a: String, b: String): Int =
+      if (isString)
+        org.apache.spark.unsafe.types.UTF8String.fromString(a)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
+      else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    val lo = String.valueOf(lower)
+    val hi = String.valueOf(upper)
+    val kept = files.filter { p =>
+      stats.get(p).flatMap(_.get(column)) match {
+        case Some((mn, mx)) =>
+          try cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
+          catch { case _: NumberFormatException => true }
+        case None => true // no stats recorded — never prune blind
+      }
+    }
+    (kept, files)
+  }
+
+  /** Range read with manifest-level data skipping: plan the file subset
+    * with [[planFiles]], scan only it, apply the residual predicate.
+    * Result always equals `read(...).filter(column between lower and
+    * upper)` — stats only ever EXCLUDE provably-disjoint files. This is
+    * the zone-map pruning that makes the q90 Z-order layout pay off:
+    * clustered commits give each file a tight [min, max], so a range
+    * probe of a 100 TB table opens the few files that can match
+    * instead of all of them.
+    */
+  def readWhere(spark: SparkSession, dir: String, column: String,
+      lower: Any, upper: Any, version: Option[Int] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val (kept, _) = planFiles(spark, dir, column, lower, upper, version)
+    val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
+    if (kept.isEmpty) {
+      // all files pruned: empty result of the recorded schema
+      val (_, _, schemaJson, _) =
+        readManifest(spark, dir,
+          version.getOrElse(versions(spark, dir).last))
+      val schema = schemaJson
+        .map(org.apache.spark.sql.types.DataType.fromJson(_)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse(org.apache.spark.sql.types.StructType(Nil))
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    } else
+      spark.read.parquet(kept.map(p => s"$dir/$p"): _*).filter(pred)
   }
 }

@@ -35,10 +35,25 @@ class ManagedTableSpec extends SparkSpec {
       .write.parquet(s"$dir/data/v2-deadbeef-crashed")
     assert(ManagedTable.versions(spark, dir) == Seq(1))
     assert(ManagedTable.read(spark, dir).count() == 10)
-    val removed = ManagedTable.vacuum(spark, dir)
+    // default retention protects the fresh orphan: an in-flight commit
+    // writes its segment BEFORE its manifest, and must not be swept
+    assert(ManagedTable.vacuum(spark, dir) == Seq.empty)
+    val removed = ManagedTable.vacuum(spark, dir, retentionMs = 0L)
     assert(removed == Seq("v2-deadbeef-crashed"))
     // the committed version is untouched
     assert(ManagedTable.read(spark, dir).count() == 10)
+  }
+
+  test("empty commit records its schema and reads back as a typed empty DataFrame") {
+    val dir = Files.createTempDirectory("graft-mt6").toString
+    ManagedTable.commit(docs.filter(col("doc_id") < 5), dir)
+    val empty = docs.filter(lit(false))
+    ManagedTable.commit(empty, dir)
+    val v2 = ManagedTable.read(spark, dir, Some(2))
+    assert(v2.count() == 0)
+    assert(v2.schema == empty.schema)
+    // latest resolves to the empty version, not an error
+    assert(ManagedTable.read(spark, dir).count() == 0)
   }
 
   test("streaming sink: batch-tagged commits are idempotent under replay") {
@@ -85,6 +100,142 @@ class ManagedTableSpec extends SparkSpec {
     assert(v1.columns.toSeq == Seq("doc_id", "lang"))
     assert(v2.columns.toSeq == Seq("doc_id", "lang", "added_later"))
     assert(v2.filter(col("added_later").isNull).count() == 0)
+  }
+
+  test("merge: incremental changeset merges equal one batch applyChanges over the union") {
+    import spark.implicits._
+    // a deterministic random CDC history: ops on 40 keys with a total
+    // sequence (seq), ~1/5 deletes, split into 4 arbitrary changesets
+    val rnd = new scala.util.Random(7)
+    val history = (1 to 200).map { seq =>
+      val k = rnd.nextInt(40).toLong
+      val op = if (rnd.nextInt(5) == 0) "d" else "u"
+      (k, s"payload-$seq", seq.toLong, op)
+    }
+    val chunks = history.grouped(50).toSeq
+    val dir = Files.createTempDirectory("graft-mt7").toString
+    chunks.zipWithIndex.foreach { case (c, i) =>
+      val df = c.toDF("k", "payload", "seq", "op")
+      ManagedTable.merge(df, dir, Seq("k"), Seq(col("seq")), tag = s"m$i")
+    }
+    val got = ManagedTable.readCurrent(spark, dir,
+        deleteExpr = col("op") === "d", exceptColumns = Seq("op"))
+      .orderBy("k").collect().toSeq
+    val want = graft.operators.ApplyChanges.applyChanges(
+        history.toDF("k", "payload", "seq", "op"),
+        keys = Seq("k"), sequenceBy = Seq(col("seq")),
+        deleteExpr = col("op") === "d", exceptColumns = Seq("op"))
+      .orderBy("k").collect().toSeq
+    assert(got === want)
+    // every merge = one new version; history stays time-travelable
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2, 3, 4))
+  }
+
+  test("merge rewrites only segments containing changed keys; others are reused by reference") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mt8").toString
+    // two disjoint key populations, committed via merge in two halves so
+    // the table has (at least) two segments
+    ManagedTable.merge((0L until 50L).map(k => (k, s"a$k", 1L)).toDF("k", "p", "seq"),
+      dir, Seq("k"), Seq(col("seq")))
+    ManagedTable.merge((100L until 150L).map(k => (k, s"b$k", 2L)).toDF("k", "p", "seq"),
+      dir, Seq("k"), Seq(col("seq")))
+    val filesV2 = filesOf(dir, 2)
+    // touch ONLY the high-key population
+    ManagedTable.merge(Seq((120L, "changed", 3L)).toDF("k", "p", "seq"),
+      dir, Seq("k"), Seq(col("seq")))
+    val filesV3 = filesOf(dir, 3)
+    val reused = filesV2.intersect(filesV3)
+    // the low-key segment(s) carried over verbatim; at least one segment
+    // (the one holding k=120) was rewritten
+    assert(reused.nonEmpty)
+    assert(filesV3.diff(filesV2).nonEmpty)
+    // and the low-key rows are bit-identical, read via the reused files
+    val low = ManagedTable.read(spark, dir).filter(col("k") < 100)
+      .orderBy("k").collect()
+    assert(low.length == 50 && low.head.getString(1) == "a0")
+    assert(ManagedTable.read(spark, dir)
+      .filter(col("k") === 120L).head().getString(1) == "changed")
+  }
+
+  private def filesOf(dir: String, v: Int): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_manifest/v$v.json")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val raw = try scala.io.Source.fromInputStream(in).mkString finally in.close()
+    raw.split("\n")(1).stripPrefix("[").stripSuffix("]").split(",")
+      .toSeq.filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+  }
+
+  test("data skipping: range reads plan only stats-matching files; results equal the unpruned filter") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mt9").toString
+    // range-clustered commit: 8 files, each covering a tight doc_id range
+    ManagedTable.commit(
+      docs.repartitionByRange(8, col("doc_id")), dir)
+    val (kept, all) = ManagedTable.planFiles(spark, dir, "doc_id", 100L, 180L)
+    assert(all.size == 8)
+    assert(kept.nonEmpty && kept.size < all.size)
+    val got = ManagedTable.readWhere(spark, dir, "doc_id", 100L, 180L)
+      .orderBy("doc_id").collect()
+    val want = ManagedTable.read(spark, dir)
+      .filter(col("doc_id").between(100L, 180L))
+      .orderBy("doc_id").collect()
+    assert(got === want)
+    // string column pruning works too, and is conservative
+    val (keptS, _) = ManagedTable.planFiles(spark, dir, "lang", "de", "de")
+    val gotS = ManagedTable.readWhere(spark, dir, "lang", "de", "de").count()
+    assert(gotS == ManagedTable.read(spark, dir)
+      .filter(col("lang") === "de").count())
+    assert(keptS.size <= all.size)
+    // a fully-disjoint probe prunes everything and still returns typed empty
+    val none = ManagedTable.readWhere(spark, dir, "doc_id", -500L, -100L)
+    assert(none.count() == 0 && none.columns.contains("doc_id"))
+  }
+
+  test("compact bins small files into one segment; content and time travel unchanged") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mt10").toString
+    // many small files: 6-way round-robin split of a small table
+    ManagedTable.commit(docs.filter(col("doc_id") < 60).repartition(6), dir)
+    val before = ManagedTable.read(spark, dir).orderBy("doc_id").collect()
+    val v = ManagedTable.compact(spark, dir)
+    assert(v == 2)
+    assert(filesOf(dir, 2).size < filesOf(dir, 1).size)
+    // identical content after compaction…
+    assert(ManagedTable.read(spark, dir).orderBy("doc_id").collect() === before)
+    // …and the pre-compaction version is still readable (time travel)
+    assert(ManagedTable.read(spark, dir, Some(1)).count() == 60)
+    // compacting an already-compacted table is a no-op
+    assert(ManagedTable.compact(spark, dir) == 2)
+  }
+
+  test("streaming merge sink: CDC micro-batches upsert exactly-once under replay") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-mt11").toString
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, String, Long, String)]
+    val q = ManagedTable.mergeStreamingSink(
+        mem.toDS().toDF("k", "payload", "seq", "op"),
+        dir, keys = Seq("k"), sequenceBy = Seq(col("seq")))
+      .option("checkpointLocation", ckptDir("mt-merge-sink"))
+      .start()
+    mem.addData((1L, "a", 1L, "u"), (2L, "b", 2L, "u"))
+    q.processAllAvailable()
+    mem.addData((1L, "a2", 3L, "u"), (2L, "gone", 4L, "d"), (3L, "c", 5L, "u"))
+    q.processAllAvailable()
+    q.stop()
+    // replayed batch id is a no-op (same idempotence as the append sink)
+    val before = ManagedTable.versions(spark, dir)
+    if (!ManagedTable.tags(spark, dir).exists(_._2 == "m0"))
+      ManagedTable.merge(Seq((1L, "a", 1L, "u")).toDF("k", "payload", "seq", "op"),
+        dir, Seq("k"), Seq(col("seq")), "m0")
+    assert(ManagedTable.versions(spark, dir) == before)
+    val state = ManagedTable.readCurrent(spark, dir,
+        deleteExpr = col("op") === "d", exceptColumns = Seq("op"))
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(state == Seq((1L, "a2", 3L), (3L, "c", 5L)))
   }
 
   test("concurrent committers conflict on the version file instead of interleaving") {
