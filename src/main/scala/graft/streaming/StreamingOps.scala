@@ -263,18 +263,21 @@ object StreamingOps {
       mode: OutputMode): DataFrame = {
     val ckpt = s"/tmp/graft-ckpt/$queryName-${System.nanoTime()}"
     val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    val q =
-      try {
-        spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
-        out.writeStream
-          .format("memory")
-          .queryName(queryName)
-          .outputMode(mode)
-          .option("checkpointLocation", ckpt)
-          .trigger(Trigger.AvailableNow())
-          .start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
-    q.awaitTermination()
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", StreamStatePartitions)
+      val q = out.writeStream
+        .format("memory")
+        .queryName(queryName)
+        .outputMode(mode)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+      // restore only after termination: StreamExecution snapshots the
+      // session conf ASYNCHRONOUSLY after start() returns, so an
+      // immediate restore races the clone and the narrowed state
+      // partition count may silently not apply (round-4 advice)
+      q.awaitTermination()
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     // A finished AvailableNow run has no recovery value; repeated harness
     // runs otherwise accumulate hundreds of MB of dead state under /tmp
     // (measured to inflate later stateful-query times on the shared disk).

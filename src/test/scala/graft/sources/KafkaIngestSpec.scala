@@ -34,6 +34,34 @@ class KafkaIngestSpec extends SparkSpec {
       "maxOffsetsPerTrigger" -> "100"))
   }
 
+  test("reader resolves format 'kafka' + the exact reference options on the DataStreamReader") {
+    // the deploy-path seam: reader(spark, cfg) with the DEFAULT format
+    // must hand Spark precisely (format = "kafka", options = the
+    // reference's map) — asserted on the reader's resolved state via
+    // reflection (the fields are private), so the only untested delta
+    // left is the broker itself (none exists in this sandbox)
+    val r = KafkaIngest.reader(spark, cfg)
+    def field(obj: AnyRef, name: String): AnyRef = {
+      var c: Class[_] = obj.getClass
+      while (c != null) {
+        c.getDeclaredFields.find(_.getName.split("\\$").last == name) match {
+          case Some(f) => f.setAccessible(true); return f.get(obj)
+          case None => c = c.getSuperclass
+        }
+      }
+      fail(s"no field '$name' on ${obj.getClass}")
+    }
+    assert(field(r, "source") == "kafka")
+    val resolved = field(r, "extraOptions")
+      .asInstanceOf[scala.collection.Map[String, String]]
+    // CaseInsensitiveMap may fold key case; compare case-insensitively,
+    // values verbatim
+    val want = KafkaIngest.options(cfg)
+      .map { case (k, v) => (k.toLowerCase, v) }
+    val got = resolved.map { case (k, v) => (k.toLowerCase, v) }.toMap
+    assert(got == want)
+  }
+
   test("reader drives the wire-identical replay source through the bronze path") {
     val bronze = KafkaIngest.bronze(spark, cfg,
       format = "graft.sources.PosReplaySource")
