@@ -1360,6 +1360,87 @@ object TextQueries {
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     })
 
+  /** q118: EXACT grouped quantiles without a corpus sort — the
+    * length-threshold calibration every quality-filter pipeline runs
+    * (cut below p50, flag above p99). percentile_disc semantics (the
+    * smallest value whose cumulative count reaches ceil(q·n)) via the
+    * grouped-histogram method: aggregate the corpus to (lang, value,
+    * count) — partial-agg, the only full-data pass — then window-cumsum
+    * over the DISTINCT VALUES only. At 100 TB the sort that hurts is
+    * over |distinct lengths| rows (thousands), not documents; integer
+    * math end-to-end, so the quantiles are engine-exact (a float
+    * interpolation à la percentile_cont would never hash-match across
+    * engines).
+    */
+  val q118GroupedQuantiles = NamedQuery(
+    "q118_grouped_quantiles",
+    "Exact per-language p50/p90/p99 of n_chars via the grouped-" +
+      "histogram method: value-level counts + cumsum over distinct " +
+      "values, never a corpus sort.",
+    (s, d) => {
+      val counts = Tables.documents(s, d)
+        .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy("lang").orderBy("n_chars")
+      val tot = counts.groupBy("lang").agg(sum("c").as("n"))
+      val cum = counts.withColumn("cum", sum("c").over(w))
+        .join(broadcast(tot), "lang")
+      def pick(pct: Int) = min(when(
+        col("cum") * 100 >= col("n") * pct, col("n_chars"))).as(s"p$pct")
+      cum.groupBy("lang")
+        .agg(first(col("n")).as("n_docs"), pick(50), pick(90), pick(99))
+        .orderBy("lang")
+    },
+    Some("""WITH counts AS (SELECT lang, n_chars, COUNT(*) AS c
+           |  FROM documents GROUP BY lang, n_chars),
+           |tot AS (SELECT lang, SUM(c) AS n FROM counts GROUP BY lang),
+           |cum AS (SELECT counts.lang, n_chars, n,
+           |    SUM(c) OVER (PARTITION BY counts.lang ORDER BY n_chars)
+           |      AS cum
+           |  FROM counts JOIN tot ON counts.lang = tot.lang)
+           |SELECT lang, CAST(MIN(n) AS BIGINT) AS n_docs,
+           |  MIN(CASE WHEN cum * 100 >= n * 50 THEN n_chars END) AS p50,
+           |  MIN(CASE WHEN cum * 100 >= n * 90 THEN n_chars END) AS p90,
+           |  MIN(CASE WHEN cum * 100 >= n * 99 THEN n_chars END) AS p99
+           |FROM cum GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** q119: INVERTED INDEX build — word 3-gram → sorted posting list,
+    * the exact-match search structure behind dedup forensics ("which
+    * docs contain this eval answer?") and decontamination debugging
+    * (q88 flags overlap; the index answers WHERE). Derived from the
+    * same shared gram stage as q13/q14 ([[TextDedup.gramSets]]). Two
+    * aggregations, both gram-keyed: document frequency first (a cheap
+    * count partial-agg), then posting-list collection ONLY for grams
+    * surviving the df band — the giant boilerplate lists are filtered
+    * out BEFORE any list is materialized, so the heavy collect_list
+    * never sees them. The df band [2, 20] is the classic rare-term
+    * index; postings are sorted and comma-joined so the list itself is
+    * hash-checked, not just its size.
+    */
+  val q119InvertedIndex = NamedQuery(
+    "q119_inverted_index",
+    "Rare 3-gram inverted index over documents: grams with df in " +
+      "[2,20]; df + the sorted posting list per gram.",
+    (s, d) => {
+      val grams = TextDedup.gramSets(
+        Tables.documents(s, d), "doc_id", "text", n = 3)
+        .select(col("gs_id").as("doc_id"), col("gram"))
+      val dfBand = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+        .filter(col("df").between(2, 20))
+      grams.join(dfBand, "gram")
+        .groupBy("gram", "df")
+        .agg(concat_ws(",",
+          transform(array_sort(collect_list(col("doc_id"))),
+            _.cast("string"))).as("postings"))
+        .orderBy("gram")
+    },
+    Some(s"""WITH $gramsCte,
+            |band AS (SELECT g, COUNT(*) AS df FROM grams GROUP BY g
+            |  HAVING COUNT(*) BETWEEN 2 AND 20)
+            |SELECT band.g AS gram, df,
+            |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+            |FROM grams JOIN band ON grams.g = band.g
+            |GROUP BY band.g, df ORDER BY band.g""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -1368,5 +1449,5 @@ object TextQueries {
     q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin,
     q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors,
     q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
-    q108NgramGenerator)
+    q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex)
 }

@@ -888,10 +888,49 @@ object TrainingDataQueries {
             |FROM st JOIN hits ON st.doc_id = hits.doc_id
             |ORDER BY st.doc_id""".stripMargin))
 
+  /** q117: EXACT-k per-stratum sampling — the complement of q55's
+    * rate-based thresholding when the contract is "exactly k docs per
+    * language", not "approximately rate·n". Selection key is the
+    * deterministic hash60(doc_id) (uniform, reprocessing-stable, no
+    * RNG); the k smallest keys per stratum are found by the bounded-heap
+    * [[graft.functions.NativeAggregates.TopKPairAgg]] — map-side k-entry
+    * heaps, so the exchange carries ≤ k pairs per (lang × partition)
+    * instead of a window sort shuffling the whole corpus. At 100 TB
+    * this is how per-stratum eval slices get drawn: one partial-agg
+    * pass, output size |strata|·k.
+    */
+  val q117ExactKSample = NamedQuery(
+    "q117_exact_k_sample",
+    "Exactly-25-per-language sample: k smallest hash60(doc_id) per " +
+      "stratum via the bounded-heap top-k aggregate (no window sort).",
+    (s, d) => {
+      val k = 25
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          hash60(col("doc_id").cast("string")).as("h"))
+      docs.groupBy("lang")
+        // heap keeps score DESC; negate the hash for ascending order
+        .agg(graft.functions.NativeAggregates
+          .topKPair(-col("h"), col("doc_id"), k).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.id").as("doc_id"), (-col("e.score")).as("h"))
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH d AS (SELECT lang, doc_id,
+            |    ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+            |      AS h FROM documents),
+            |r AS (SELECT lang, doc_id, h,
+            |    CAST(row_number() OVER (PARTITION BY lang
+            |      ORDER BY h ASC, doc_id ASC) AS BIGINT) AS rank FROM d)
+            |SELECT lang, rank, doc_id, h FROM r WHERE rank <= 25
+            |ORDER BY lang, rank""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
     q55StratifiedSample, q58BloomContamination, q62DocChunking,
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
-    q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap)
+    q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
+    q117ExactKSample)
 }
