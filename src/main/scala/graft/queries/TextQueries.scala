@@ -1380,10 +1380,14 @@ object TextQueries {
     (s, d) => {
       val counts = Tables.documents(s, d)
         .groupBy("lang", "n_chars").agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy("lang").orderBy("n_chars")
-      val tot = counts.groupBy("lang").agg(sum("c").as("n"))
-      val cum = counts.withColumn("cum", sum("c").over(w))
-        .join(broadcast(tot), "lang")
+      // running count and stratum total over the SAME lang partitioning
+      // (one exchange; the unbounded total adds no second sort) — a
+      // separate groupBy+join would recompute the counts subtree
+      val wCum = Window.partitionBy("lang").orderBy("n_chars")
+      val wAll = Window.partitionBy("lang")
+      val cum = counts
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
       def pick(pct: Int) = min(when(
         col("cum") * 100 >= col("n") * pct, col("n_chars"))).as(s"p$pct")
       cum.groupBy("lang")
@@ -1424,9 +1428,17 @@ object TextQueries {
       val grams = TextDedup.gramSets(
         Tables.documents(s, d), "doc_id", "text", n = 3)
         .select(col("gs_id").as("doc_id"), col("gram"))
-      val dfBand = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+      // df as an unbounded count over the gram partition, NOT a
+      // groupBy+join-back: the gram stage (tokenize + n-gram + distinct,
+      // the dominant cost) runs once, the window shuffles it once, and
+      // the final groupBy reuses the same hash partitioning (subset of
+      // the grouping keys) — zero extra exchanges. The window carries
+      // counts only; posting lists are materialized strictly AFTER the
+      // df-band filter, so boilerplate grams never build a list.
+      grams
+        .withColumn("df",
+          count(lit(1)).over(Window.partitionBy("gram")))
         .filter(col("df").between(2, 20))
-      grams.join(dfBand, "gram")
         .groupBy("gram", "df")
         .agg(concat_ws(",",
           transform(array_sort(collect_list(col("doc_id"))),

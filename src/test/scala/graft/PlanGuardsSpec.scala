@@ -163,4 +163,34 @@ class PlanGuardsSpec extends SparkSpec {
     assert(p.contains("__graft_bin"),
       "the binned equi-join key must be present in the plan")
   }
+
+  test("q117 exact-k sample aggregates map-side heaps, no window sort") {
+    val p = plan("q117_exact_k_sample")
+    assert(p.contains("partial_graft_top_k_pair"),
+      "the bounded heap must partial-aggregate before the exchange")
+    assert(!p.contains("WindowExec") && !p.contains("row_number"),
+      "no corpus-wide window sort in the exact-k path")
+  }
+
+  test("q118 quantiles: one corpus pass, windows share one sort, agg reuses the partitioning") {
+    val p = plan("q118_grouped_quantiles")
+    // "(n) Scan parquet" detail headers — one per physical scan node
+    assert(p.split("\\) Scan parquet").length - 1 == 1,
+      "the corpus must be scanned once (value-level counts), not per branch")
+    // cum + total stack as two Window nodes over ONE Sort/Exchange, and
+    // the final per-lang aggregate reuses the lang hash partitioning:
+    // exactly 3 exchanges (counts agg, window partition, final orderBy)
+    assert(p.split("\\) Exchange").length - 1 == 3,
+      "quantile assembly must not add exchanges beyond counts/window/order")
+  }
+
+  test("q119 inverted index: df window and posting agg share one gram shuffle") {
+    val p = plan("q119_inverted_index")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "df must come from a window over the gram partition, not a join-back")
+    // one exchange partitions by gram (window + agg both use it), one
+    // is the final orderBy: the gram stage is never computed twice
+    assert(p.split("\\) Exchange").length - 1 == 2,
+      "posting aggregation must reuse the window's gram partitioning")
+  }
 }
