@@ -83,25 +83,52 @@ object ManagedTable {
   private def readManifest(spark: SparkSession, dir: String,
       v: Int): (String, Seq[String], Option[String], FileStats) = {
     val f = fs(spark, dir)
-    val in = f.open(new Path(manifestDir(dir), s"v$v.json"))
-    val raw = try {
-      val bytes = new java.io.ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      var n = in.read(buf)
-      while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
-      bytes.toString("UTF-8")
-    } finally in.close()
-    val lines = raw.split("\n", 4)
-    val tag = if (lines.length >= 2) lines(0) else ""
-    val list = if (lines.length >= 2) lines(1) else lines(0)
-    val schema =
-      if (lines.length >= 3) Some(lines(2).trim).filter(_.nonEmpty) else None
-    val stats =
-      if (lines.length >= 4) parseStats(lines(3)) else Map.empty[String,
-        Map[String, (String, String)]]
-    val files = list.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
-      .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
-    (tag, files, schema, stats)
+    def readRaw(): String = {
+      val in = f.open(new Path(manifestDir(dir), s"v$v.json"))
+      try {
+        val bytes = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+        bytes.toString("UTF-8")
+      } finally in.close()
+    }
+    // The manifest NAME is claimed (create-excl) a moment before its
+    // content lands; an empty or torn read means the committer is
+    // inside that window — spin briefly instead of misreading an
+    // in-flight commit as an empty/garbled version (a race the
+    // concurrent-merge spec actually caught). A manifest still
+    // unreadable after the timeout means a writer crashed mid-commit:
+    // surfaced as an error, never as silent data loss. Completeness
+    // check = all 4 lines present and the stats JSON parses (the
+    // manifest's last bytes — if they parse, everything before landed).
+    def parse(raw: String): (String, Seq[String], Option[String], FileStats) = {
+      val lines = raw.split("\n", 4)
+      require(lines.length >= 2, "manifest incomplete")
+      val tag = lines(0)
+      val list = lines(1)
+      val schema =
+        if (lines.length >= 3) Some(lines(2).trim).filter(_.nonEmpty) else None
+      val stats =
+        if (lines.length >= 4) parseStats(lines(3))
+        else Map.empty[String, Map[String, (String, String)]]
+      val files = list.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
+        .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
+      (tag, files, schema, stats)
+    }
+    var waitedMs = 0
+    var result: Option[(String, Seq[String], Option[String], FileStats)] = None
+    var lastErr: Throwable = null
+    while (result.isEmpty && waitedMs <= 2000) {
+      try result = Some(parse(readRaw()))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = e; Thread.sleep(10); waitedMs += 10
+      }
+    }
+    result.getOrElse(throw new java.io.IOException(
+      s"ManagedTable: manifest v$v of $dir unreadable after ${waitedMs}ms " +
+        "(committer crashed between claim and content write?)", lastErr))
   }
 
   // stats JSON via Jackson (already on Spark's classpath — it's what
@@ -232,8 +259,15 @@ object ManagedTable {
       renderStats(stats)
     f.mkdirs(manifestDir(dir))
     // create(..., overwrite = false): atomic claim of version `v`
+    // (O_EXCL — the fail-if-exists primitive; rename would silently
+    // OVERWRITE on a POSIX local filesystem). The claim lands before
+    // the content: readManifest spins through that microsecond window
+    // (see its scaladoc) rather than observing an empty manifest — a
+    // race the concurrent-merge spec caught. On a put-if-absent object
+    // store the claim and content are one atomic operation.
     val out = f.create(new Path(manifestDir(dir), s"v$v.json"), false)
-    try out.write(manifest.getBytes("UTF-8")) finally out.close()
+    try { out.write(manifest.getBytes("UTF-8")); out.hsync() }
+    finally out.close()
   }
 
   /** Committer tags in version order (empty string where untagged). */
@@ -349,10 +383,35 @@ object ManagedTable {
     * against a manifest-planned scan, shuffle is proportional to
     * |affected rows| + |changes| (not table size), and unaffected
     * segments move by manifest reference only.
+    *
+    * Concurrency: on a manifest-create conflict (another committer
+    * claimed the version first) the merge RE-PLANS from the new
+    * current version and retries — the standard optimistic-commit
+    * loop. The loser's orphaned segment is invisible (no manifest
+    * references it) and is reclaimed by [[vacuum]].
     */
   def merge(changes: DataFrame, dir: String, keys: Seq[String],
       sequenceBy: Seq[org.apache.spark.sql.Column],
-      tag: String = ""): Int = {
+      tag: String = "", maxAttempts: Int = 3): Int = {
+    @annotation.tailrec
+    def attemptLoop(attempt: Int): Int = {
+      val r =
+        try Some(mergeOnce(changes, dir, keys, sequenceBy, tag))
+        catch {
+          // lost the version race: re-plan against the winner's state
+          case _: java.io.IOException if attempt < maxAttempts => None
+        }
+      r match {
+        case Some(v) => v
+        case None => attemptLoop(attempt + 1)
+      }
+    }
+    attemptLoop(1)
+  }
+
+  private def mergeOnce(changes: DataFrame, dir: String, keys: Seq[String],
+      sequenceBy: Seq[org.apache.spark.sql.Column],
+      tag: String): Int = {
     import org.apache.spark.sql.functions.{broadcast, col}
     val spark = changes.sparkSession
     if (versions(spark, dir).isEmpty)

@@ -208,6 +208,40 @@ class ManagedTableSpec extends SparkSpec {
     assert(ManagedTable.read(spark, dir, Some(1)).count() == 60)
     // compacting an already-compacted table is a no-op
     assert(ManagedTable.compact(spark, dir) == 2)
+    // data skipping keeps working across the rewrite: the fresh
+    // segment's stats were recomputed, carried files kept theirs
+    val got = ManagedTable.readWhere(spark, dir, "doc_id", 10L, 20L)
+      .orderBy("doc_id").collect()
+    val want = ManagedTable.read(spark, dir)
+      .filter(col("doc_id").between(10L, 20L)).orderBy("doc_id").collect()
+    assert(got === want)
+  }
+
+  test("concurrent merges: the version-race loser retries and both changesets land") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mt12").toString
+    ManagedTable.merge(Seq((1L, "a", 1L)).toDF("k", "p", "seq"),
+      dir, Seq("k"), Seq(col("seq")))
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val futures = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          val df = Seq((10L + i, s"t$i", 5L + i)).toDF("k", "p", "seq")
+          barrier.await() // maximize the chance both plan the same version
+          ManagedTable.merge(df, dir, Seq("k"), Seq(col("seq")))
+        }
+      })
+    }
+    val claimed = futures.map(_.get())
+    pool.shutdown()
+    // both merges succeeded with DISTINCT dense versions…
+    assert(claimed.toSet.size == 2)
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2, 3))
+    // …and neither changeset was lost to the race
+    val state = ManagedTable.read(spark, dir)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(state.map(_._1) == Seq(1L, 10L, 11L))
   }
 
   test("streaming merge sink: CDC micro-batches upsert exactly-once under replay") {
