@@ -291,10 +291,14 @@ object ManagedTable {
     }
 
   /** Read a version (default: latest). Only manifest-listed files are
-    * read — never a directory listing of `data/`. A version with an
+    * read — never a directory listing of `data/` — and the scan uses
+    * the MANIFEST's recorded schema, not footer inference: a version
+    * whose older segments predate a schema evolution (see [[merge]])
+    * gets the missing columns null-filled deterministically (inference
+    * would pick an arbitrary file's footer), and a version with an
     * EMPTY file list (a no-row commit — e.g. an empty micro-batch from
-    * [[streamingSink]]) reads back as an empty DataFrame of the schema
-    * recorded in its manifest rather than failing schema inference.
+    * [[streamingSink]]) reads back as a typed empty DataFrame instead
+    * of failing.
     */
   def read(spark: SparkSession, dir: String,
       version: Option[Int] = None): DataFrame = {
@@ -303,17 +307,21 @@ object ManagedTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"ManagedTable.read: version $v not in $vs")
     val (_, files, schemaJson, _) = readManifest(spark, dir, v)
-    if (files.nonEmpty)
-      spark.read.parquet(files.map(p => s"$dir/$p"): _*)
-    else {
-      val schema = schemaJson
-        .map(org.apache.spark.sql.types.DataType.fromJson(_)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(throw new IllegalStateException(
+    val schema = schemaJson.map(
+      org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    (files.nonEmpty, schema) match {
+      case (true, Some(s)) =>
+        spark.read.schema(s).parquet(files.map(p => s"$dir/$p"): _*)
+      case (true, None) => // pre-round-5 manifest: footer inference
+        spark.read.parquet(files.map(p => s"$dir/$p"): _*)
+      case (false, Some(s)) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
+      case (false, None) =>
+        throw new IllegalStateException(
           s"ManagedTable.read: version $v of $dir has no files and no " +
-            "recorded schema (pre-round-5 manifest)"))
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+            "recorded schema (pre-round-5 manifest)")
     }
   }
 
@@ -376,8 +384,11 @@ object ManagedTable {
     * rows, bookkeeping dropped) with [[readCurrent]].
     *
     * `sequenceBy` must be total per key across ALL changesets (the
-    * [[graft.operators.ApplyChanges]] determinism contract); change
-    * schemas must match the stored schema (first merge fixes it).
+    * [[graft.operators.ApplyChanges]] determinism contract). Schemas
+    * EVOLVE by name: a changeset may add columns (the table widens;
+    * prior rows read null there — Delta's mergeSchema) or omit stored
+    * ones (its rows get nulls); key and sequence columns must always
+    * be present.
     *
     * At 100 TB: the semi-join is a broadcast of the changeset's keys
     * against a manifest-planned scan, shuffle is proportional to
@@ -435,22 +446,27 @@ object ManagedTable {
     val affected = currentFiles.filter(rel =>
       affectedPaths.exists(_.endsWith(rel)))
     val untouched = currentFiles.diff(affected)
-    // steps 2+3: rewrite ONLY affected rows ∪ changes; reuse the rest
+    // steps 2+3: rewrite ONLY affected rows ∪ changes; reuse the rest.
+    // unionByName(allowMissingColumns) is the SCHEMA EVOLUTION seam
+    // (Delta's mergeSchema): a changeset with new columns widens the
+    // table — base rows read null there — and the EVOLVED schema is
+    // recorded in the new manifest, so untouched old segments are
+    // null-filled at read time by the manifest-schema scan in [[read]].
     val next = current + 1
     val affectedRows =
       if (affected.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
-      else spark.read.parquet(affected.map(p => s"$dir/$p"): _*)
+      else spark.read.schema(base.schema)
+        .parquet(affected.map(p => s"$dir/$p"): _*)
     val merged = graft.operators.ApplyChanges.latestByKey(
-      affectedRows.unionByName(
-        changes.select(base.columns.toIndexedSeq.map(col): _*)),
+      affectedRows.unionByName(changes, allowMissingColumns = true),
       keys, sequenceBy)
     val newFiles = writeSegment(merged, dir, next)
     // untouched files keep their recorded stats; only the fresh segment
     // is scanned for new ones
     writeManifest(spark, dir, next, tag, untouched ++ newFiles,
-      base.schema.json,
+      merged.schema.json,
       currentStats.view.filterKeys(untouched.contains).toMap ++
         segmentStats(spark, dir, newFiles))
     next

@@ -193,6 +193,36 @@ class ManagedTableSpec extends SparkSpec {
     assert(none.count() == 0 && none.columns.contains("doc_id"))
   }
 
+  test("data skipping property: random layouts × random probes always equal the unpruned filter") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    (0 until 3).foreach { trial =>
+      val dir = Files.createTempDirectory(s"graft-mtp$trial").toString
+      val n = 200 + rnd.nextInt(200)
+      val data = (0 until n)
+        .map(_ => (rnd.nextInt(1000).toLong, rnd.nextInt(50).toLong))
+        .toDF("id", "grp")
+      // random layout: clustered, hash-partitioned, or single-file —
+      // stats must make pruning CORRECT for all of them, tight or not
+      val laid = rnd.nextInt(3) match {
+        case 0 => data.repartitionByRange(5, col("id"))
+        case 1 => data.repartition(5)
+        case _ => data.coalesce(1)
+      }
+      ManagedTable.commit(laid, dir)
+      (0 until 5).foreach { _ =>
+        val a = rnd.nextInt(1100) - 50
+        val b = a + rnd.nextInt(300)
+        val got = ManagedTable.readWhere(spark, dir, "id", a.toLong, b.toLong)
+          .orderBy("id", "grp").collect()
+        val want = ManagedTable.read(spark, dir)
+          .filter(col("id").between(a.toLong, b.toLong))
+          .orderBy("id", "grp").collect()
+        assert(got === want, s"trial $trial probe [$a,$b]")
+      }
+    }
+  }
+
   test("compact bins small files into one segment; content and time travel unchanged") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-mt10").toString
@@ -215,6 +245,35 @@ class ManagedTableSpec extends SparkSpec {
     val want = ManagedTable.read(spark, dir)
       .filter(col("doc_id").between(10L, 20L)).orderBy("doc_id").collect()
     assert(got === want)
+  }
+
+  test("merge schema evolution: a changeset with a new column widens the table; old segments null-fill") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mt13").toString
+    ManagedTable.merge(
+      Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "p", "seq"),
+      dir, Seq("k"), Seq(col("seq")))
+    // evolved changeset: adds `score`, touches only key 2 — key 1's
+    // segment is NOT rewritten, so its rows must null-fill at read
+    ManagedTable.merge(
+      Seq((2L, "b2", 3L, 10L), (3L, "c", 4L, 20L))
+        .toDF("k", "p", "seq", "score"),
+      dir, Seq("k"), Seq(col("seq")))
+    val v2 = ManagedTable.read(spark, dir)
+    assert(v2.columns.toSeq == Seq("k", "p", "seq", "score"))
+    val rows = v2.as[(Long, String, Long, Option[Long])]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", 1L, None), (2L, "b2", 3L, Some(10L)),
+      (3L, "c", 4L, Some(20L))))
+    // time travel: the pre-evolution version keeps its narrow schema
+    assert(ManagedTable.read(spark, dir, Some(1)).columns.toSeq ==
+      Seq("k", "p", "seq"))
+    // and a later changeset MISSING a stored column gets nulls there
+    ManagedTable.merge(Seq((4L, 5L, 30L)).toDF("k", "seq", "score"),
+      dir, Seq("k"), Seq(col("seq")))
+    val r4 = ManagedTable.read(spark, dir).filter(col("k") === 4L)
+      .as[(Long, Option[String], Long, Option[Long])].head()
+    assert(r4 == ((4L, None, 5L, Some(30L))))
   }
 
   test("concurrent merges: the version-race loser retries and both changesets land") {
