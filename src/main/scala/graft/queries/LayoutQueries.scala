@@ -250,7 +250,51 @@ object LayoutQueries {
            |FROM documents WHERE doc_id BETWEEN 100 AND 180
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q120: the lakehouse MAINTENANCE LIFECYCLE as one hash-checked
+    * query — what a streaming sink's table needs periodically: a
+    * version fragmented into small files (micro-batch aftermath) →
+    * `compact` bins them into one segment (content-identical commit) →
+    * a stats-pruned range read serves the result. The output carries
+    * the layout invariants (5 small files → 1 compacted; versions
+    * dense through the rewrite) alongside the aggregates, so the
+    * compaction and the post-compaction skipping are themselves
+    * oracle-checked, not just spec-checked.
+    */
+  val q120CompactionLifecycle = NamedQuery(
+    "q120_compaction_lifecycle",
+    "Maintenance loop: a 5-small-file version compacted to one " +
+      "segment, then a stats-pruned range read; per-lang aggregates + " +
+      "layout invariants.",
+    (s, d) => {
+      val dir = "/tmp/graft-compact/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // fresh per run: versions are per-run state
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      // the aftermath of 5 micro-batch-sized writes: 5 small files
+      graft.sources.ManagedTable.commit(docs.repartition(5), dir)
+      val filesBefore = graft.sources.ManagedTable
+        .planFiles(s, dir, "doc_id", Long.MinValue, Long.MaxValue)._2.size
+      val vCompact = graft.sources.ManagedTable.compact(s, dir)
+      val filesAfter = graft.sources.ManagedTable
+        .planFiles(s, dir, "doc_id", Long.MinValue, Long.MaxValue)._2.size
+      val invariants = filesBefore == 5 && filesAfter == 1 &&
+        vCompact == 2 &&
+        graft.sources.ManagedTable.versions(s, dir) == Seq(1, 2)
+      graft.sources.ManagedTable.readWhere(s, dir, "doc_id", 50L, 300L)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .withColumn("layout_ok", lit(invariants))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS layout_ok
+           |FROM documents WHERE doc_id BETWEEN 50 AND 300
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
-      q115MergeUpsert, q116DataSkipping)
+      q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle)
 }
