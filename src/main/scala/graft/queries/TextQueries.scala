@@ -1453,6 +1453,88 @@ object TextQueries {
             |FROM grams JOIN band ON grams.g = band.g
             |GROUP BY band.g, df ORDER BY band.g""".stripMargin))
 
+  private val SpanN = 8 // span width for cross-doc repeated-span detection
+
+  /** q121: cross-document repeated-span coverage — the span-granular
+    * form of exact substring dedup (Lee et al. 2022, "Deduplicating
+    * Training Data Makes Language Models Better"): a token span is
+    * duplicated when its $SpanN-gram hash occurs in MORE THAN ONE
+    * document, and a doc's signal is the fraction of its tokens
+    * covered by some duplicated span. Where q12 scores whole-text
+    * identity and q13/q14 score whole-doc similarity, this finds the
+    * COPIED PASSAGES inside otherwise-distinct documents — the quote/
+    * license-header/syndication case doc-level dedup misses.
+    * Scale shape: grams carry (doc, pos, hash60) — never the gram
+    * string — through ONE shuffle keyed by gram hash to find
+    * cross-doc hashes (distinct doc-pairs per hash, count > 1), then
+    * the join-back re-shuffles only duplicated positions; coverage is
+    * a row-local ±$SpanN position fan-out + per-doc distinct count.
+    * At 100 TB the gram stream is the big intermediate, and it stays
+    * (long, long, int) triples end to end.
+    */
+  val q121RepeatedSpans = NamedQuery(
+    "q121_repeated_spans",
+    s"Cross-doc repeated-span coverage: $SpanN-gram hashes in >1 doc " +
+      "mark duplicated spans; per-doc covered-token fraction.",
+    (s, d) => {
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .withColumn("n_tokens", size(col("ts")).cast("long"))
+        .filter(col("n_tokens") >= SpanN)
+      val grams = base
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.wordNgrams(
+            col("ts"), SpanN)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), hash60(col("gram")).as("gk"))
+      // cross-doc hashes: >1 distinct doc per gk (within-doc repeats
+      // are q54's business, not duplication across the corpus)
+      val dup = grams.select("gk", "doc_id").distinct()
+        .groupBy("gk").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") > 1).select("gk")
+      val dupSpans = grams.join(dup, "gk")
+      val perDocSpans = dupSpans.groupBy("doc_id")
+        .agg(count(lit(1)).as("n_dup_spans"))
+      val covered = dupSpans
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(SpanN - 1))).as("p"))
+        .distinct()
+        .groupBy("doc_id").agg(count(lit(1)).as("covered_tokens"))
+      base.select(col("doc_id"), col("n_tokens"),
+          (col("n_tokens") - lit(SpanN - 1).cast("long")).as("n_spans"))
+        .join(perDocSpans, Seq("doc_id"), "left")
+        .join(covered, Seq("doc_id"), "left")
+        .na.fill(0L, Seq("n_dup_spans", "covered_tokens"))
+        .withColumn("coverage_fp6",
+          expr("CAST((covered_tokens * 1000000) div n_tokens AS BIGINT)"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS ts
+            |    FROM documents),
+            |b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts
+            |  FROM t WHERE len(ts) >= $SpanN),
+            |g AS (SELECT doc_id, i AS pos,
+            |    ('0x'||substring(md5(list_aggregate(ts[i:i+${SpanN - 1}],
+            |      'string_agg', ' ')),1,15))::BIGINT AS gk
+            |  FROM b, unnest(range(1, len(ts) - ${SpanN - 2})) AS r(i)),
+            |dup AS (SELECT gk FROM (SELECT gk, COUNT(DISTINCT doc_id) AS nd
+            |    FROM g GROUP BY gk) WHERE nd > 1),
+            |ds AS (SELECT g.doc_id, g.pos FROM g JOIN dup USING (gk)),
+            |spans AS (SELECT doc_id, COUNT(*) AS n_dup_spans FROM ds
+            |  GROUP BY doc_id),
+            |cov AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT)
+            |    AS covered_tokens FROM (SELECT DISTINCT doc_id, p
+            |    FROM ds, unnest(range(pos, pos + $SpanN)) AS c(p))
+            |  GROUP BY doc_id)
+            |SELECT b.doc_id, b.n_tokens,
+            |  b.n_tokens - ${SpanN - 1} AS n_spans,
+            |  COALESCE(spans.n_dup_spans, 0) AS n_dup_spans,
+            |  COALESCE(cov.covered_tokens, 0) AS covered_tokens,
+            |  CAST((COALESCE(cov.covered_tokens, 0) * 1000000)
+            |    // b.n_tokens AS BIGINT) AS coverage_fp6
+            |FROM b LEFT JOIN spans ON b.doc_id = spans.doc_id
+            |LEFT JOIN cov ON b.doc_id = cov.doc_id
+            |ORDER BY b.doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -1461,5 +1543,6 @@ object TextQueries {
     q69BigramDice, q76FuzzyMatch, q80Containment, q82PrefixFilterJoin,
     q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors,
     q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
-    q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex)
+    q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
+    q121RepeatedSpans)
 }

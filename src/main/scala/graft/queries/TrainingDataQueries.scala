@@ -926,11 +926,96 @@ object TrainingDataQueries {
             |SELECT lang, rank, doc_id, h FROM r WHERE rank <= 25
             |ORDER BY lang, rank""".stripMargin))
 
+  /** Integer log2 with 1/16 resolution, identical in Spark and DuckDB:
+    * `16·floor(log2 x) + (16x >> floor(log2 x)) − 16` — the floor-log2
+    * backbone q95 uses plus a 4-bit linear-mantissa correction, so
+    * nearby counts stop collapsing onto the same power of two (the
+    * plain fl2 form left every q122 importance weight at exactly 0).
+    * Monotone, all-integer, defined for x ≥ 1.
+    */
+  private def lg16Sql(e: String): String =
+    s"(16*(length(bin($e))-1)" +
+      s" + (16*($e)) div shiftleft(CAST(1 AS BIGINT), length(bin($e))-1)" +
+      " - 16)"
+
+  private def lg16DuckSql(e: String): String =
+    s"(16*(length(bin($e))-1)" +
+      s" + (16*($e)) // (1::BIGINT << (length(bin($e))-1)) - 16)"
+
+  /** q122: DSIR-shaped data selection (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling") with an integer
+    * unigram-LM surrogate: each token scores
+    * (target-slice log-prob − raw-corpus log-prob) under [[lg16Sql]]
+    * fixed-point log2 — positive when the token is relatively MORE
+    * likely in the target distribution (here the `lang = 'en'` slice) —
+    * add-1 smoothed against the raw vocabulary so unseen-in-target
+    * tokens stay finite; a doc's importance weight is the
+    * count-weighted sum and the top-50 by (weight, doc_id) are the
+    * resampled selection. All-integer, so the selection boundary is
+    * engine-exact.
+    * Scale shape: two vocab hash-aggs (map-side combined) off one
+    * token explode; totals are a broadcast 1-row crossJoin; the
+    * per-doc weight is one more hash-agg; top-50 is
+    * TakeOrderedAndProject (no global sort). The corpus is never
+    * shuffled by anything wider than (doc, term).
+    */
+  val q122DsirImportance = NamedQuery(
+    "q122_dsir_importance",
+    "DSIR importance weights: fixed-point-log2 (target − raw) " +
+      "log-prob per token, add-1 smoothed, summed per doc; top-50 " +
+      "selection.",
+    (s, d) => {
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("c"))
+      val raw = tf.groupBy("term").agg(sum("c").as("c_raw"))
+      val tgt = tf.filter(col("lang") === "en")
+        .groupBy("term").agg(sum("c").as("c_tgt"))
+      val vocab = raw.join(tgt, Seq("term"), "left")
+        .na.fill(0L, Seq("c_tgt"))
+      val totals = vocab.agg(sum("c_raw").as("tot_raw"),
+        sum("c_tgt").as("tot_tgt"), count(lit(1)).as("v"))
+      tf.join(vocab, "term")
+        .crossJoin(broadcast(totals))
+        .withColumn("w", expr(
+          s"(${lg16Sql("c_tgt + 1")} - ${lg16Sql("tot_tgt + v")})" +
+            s" - (${lg16Sql("c_raw + 1")} - ${lg16Sql("tot_raw + v")})"))
+        .groupBy("doc_id", "lang")
+        .agg(sum(col("c")).cast("long").as("n_tokens"),
+          sum(col("c") * col("w")).cast("long").as("weight"))
+        .orderBy(col("weight").desc, col("doc_id"))
+        .limit(50)
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, lang, u AS term FROM
+            |    (SELECT doc_id, lang, string_split(lower(text),' ') AS ts
+            |     FROM documents), unnest(ts) AS t(u)),
+            |tf AS (SELECT doc_id, lang, term, CAST(COUNT(*) AS BIGINT) AS c
+            |  FROM toks GROUP BY doc_id, lang, term),
+            |raw AS (SELECT term, CAST(SUM(c) AS BIGINT) AS c_raw
+            |  FROM tf GROUP BY term),
+            |tgt AS (SELECT term, CAST(SUM(c) AS BIGINT) AS c_tgt
+            |  FROM tf WHERE lang = 'en' GROUP BY term),
+            |vocab AS (SELECT raw.term, c_raw, COALESCE(c_tgt, 0) AS c_tgt
+            |  FROM raw LEFT JOIN tgt ON raw.term = tgt.term),
+            |tot AS (SELECT CAST(SUM(c_raw) AS BIGINT) AS tot_raw,
+            |    CAST(SUM(c_tgt) AS BIGINT) AS tot_tgt,
+            |    CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+            |w AS (SELECT doc_id, lang, c,
+            |    (${lg16DuckSql("c_tgt + 1")} - ${lg16DuckSql("tot_tgt + v")})
+            |    - (${lg16DuckSql("c_raw + 1")} - ${lg16DuckSql("tot_raw + v")})
+            |      AS w
+            |  FROM tf JOIN vocab USING (term), tot)
+            |SELECT doc_id, lang, CAST(SUM(c) AS BIGINT) AS n_tokens,
+            |  CAST(SUM(c * w) AS BIGINT) AS weight
+            |FROM w GROUP BY doc_id, lang
+            |ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
     q55StratifiedSample, q58BloomContamination, q62DocChunking,
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
     q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
-    q117ExactKSample)
+    q117ExactKSample, q122DsirImportance)
 }
