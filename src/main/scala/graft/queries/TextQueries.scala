@@ -1464,48 +1464,53 @@ object TextQueries {
     * identity and q13/q14 score whole-doc similarity, this finds the
     * COPIED PASSAGES inside otherwise-distinct documents — the quote/
     * license-header/syndication case doc-level dedup misses.
-    * Scale shape: grams carry (doc, pos, hash60) — never the gram
-    * string — through ONE shuffle keyed by gram hash to find
-    * cross-doc hashes (distinct doc-pairs per hash, count > 1), then
-    * the join-back re-shuffles only duplicated positions; coverage is
-    * a row-local ±$SpanN position fan-out + per-doc distinct count.
-    * At 100 TB the gram stream is the big intermediate, and it stays
-    * (long, long, int) triples end to end.
+    * Scale shape: ONE corpus scan; grams carry (doc, n_tokens, pos,
+    * hash60) — never the gram string — through ONE shuffle keyed by
+    * gram hash, where a whole-partition min/max window marks cross-doc
+    * hashes (min(doc) ≠ max(doc) over the gk partition — no distinct
+    * pre-agg, no join-back, and unlike a collect_set the state per
+    * gram is two longs no matter how hot the gram); the flagged
+    * stream is cached and feeds both the per-doc span counts and the
+    * coverage count (row-local ±$SpanN position fan-out on DUP spans
+    * only + per-doc distinct). At 100 TB the gram stream is the big
+    * intermediate, and it stays fixed-width longs end to end.
     */
   val q121RepeatedSpans = NamedQuery(
     "q121_repeated_spans",
     s"Cross-doc repeated-span coverage: $SpanN-gram hashes in >1 doc " +
       "mark duplicated spans; per-doc covered-token fraction.",
     (s, d) => {
-      val base = Tables.documents(s, d)
+      val wGk = Window.partitionBy("gk")
+      // cross-doc iff the gk partition spans >1 doc: min ≠ max — the
+      // O(1)-state window form of COUNT(DISTINCT doc) > 1 (within-doc
+      // repeats are q54's business, not duplication across the corpus)
+      val flagged = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .withColumn("n_tokens", size(col("ts")).cast("long"))
         .filter(col("n_tokens") >= SpanN)
-      val grams = base
-        .select(col("doc_id"),
+        .select(col("doc_id"), col("n_tokens"),
           posexplode(graft.functions.TextFunctions.wordNgrams(
             col("ts"), SpanN)).as(Seq("pos", "gram")))
-        .select(col("doc_id"), col("pos"), hash60(col("gram")).as("gk"))
-      // cross-doc hashes: >1 distinct doc per gk (within-doc repeats
-      // are q54's business, not duplication across the corpus)
-      val dup = grams.select("gk", "doc_id").distinct()
-        .groupBy("gk").agg(count(lit(1)).as("nd"))
-        .filter(col("nd") > 1).select("gk")
-      val dupSpans = grams.join(dup, "gk")
-      val perDocSpans = dupSpans.groupBy("doc_id")
-        .agg(count(lit(1)).as("n_dup_spans"))
-      val covered = dupSpans
+        .select(col("doc_id"), col("n_tokens"), col("pos"),
+          hash60(col("gram")).as("gk"))
+        .withColumn("dup",
+          min("doc_id").over(wGk) =!= max("doc_id").over(wGk))
+        .cache() // feeds both the span counts and the coverage branch
+      val perDoc = flagged.groupBy("doc_id", "n_tokens")
+        .agg(count(lit(1)).as("n_spans"),
+          sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_spans"))
+      val covered = flagged.filter(col("dup"))
         .select(col("doc_id"),
           explode(sequence(col("pos"), col("pos") + lit(SpanN - 1))).as("p"))
         .distinct()
         .groupBy("doc_id").agg(count(lit(1)).as("covered_tokens"))
-      base.select(col("doc_id"), col("n_tokens"),
-          (col("n_tokens") - lit(SpanN - 1).cast("long")).as("n_spans"))
-        .join(perDocSpans, Seq("doc_id"), "left")
+      perDoc
         .join(covered, Seq("doc_id"), "left")
-        .na.fill(0L, Seq("n_dup_spans", "covered_tokens"))
+        .na.fill(0L, Seq("covered_tokens"))
         .withColumn("coverage_fp6",
           expr("CAST((covered_tokens * 1000000) div n_tokens AS BIGINT)"))
+        .select("doc_id", "n_tokens", "n_spans", "n_dup_spans",
+          "covered_tokens", "coverage_fp6")
         .orderBy("doc_id")
     },
     Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS ts

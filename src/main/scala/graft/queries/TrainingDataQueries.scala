@@ -953,9 +953,11 @@ object TrainingDataQueries {
     * count-weighted sum and the top-50 by (weight, doc_id) are the
     * resampled selection. All-integer, so the selection boundary is
     * engine-exact.
-    * Scale shape: two vocab hash-aggs (map-side combined) off one
-    * token explode; totals are a broadcast 1-row crossJoin; the
-    * per-doc weight is one more hash-agg; top-50 is
+    * Scale shape: ONE corpus scan into a cached (doc, lang, term, c)
+    * table; the corpus-wide and target-slice term counts are
+    * whole-partition window sums over the term partition (no vocab
+    * join-back), the three global totals are a 1-row broadcast
+    * crossJoin, the per-doc weight is one hash-agg, and top-50 is
     * TakeOrderedAndProject (no global sort). The corpus is never
     * shuffled by anything wider than (doc, term).
     */
@@ -969,14 +971,17 @@ object TrainingDataQueries {
         .select(col("doc_id"), col("lang"),
           explode(tokens(col("text"))).as("term"))
         .groupBy("doc_id", "lang", "term").agg(count(lit(1)).as("c"))
-      val raw = tf.groupBy("term").agg(sum("c").as("c_raw"))
-      val tgt = tf.filter(col("lang") === "en")
-        .groupBy("term").agg(sum("c").as("c_tgt"))
-      val vocab = raw.join(tgt, Seq("term"), "left")
-        .na.fill(0L, Seq("c_tgt"))
-      val totals = vocab.agg(sum("c_raw").as("tot_raw"),
-        sum("c_tgt").as("tot_tgt"), count(lit(1)).as("v"))
-      tf.join(vocab, "term")
+        .cache() // feeds the totals row and the weighted stream
+      val totals = tf.agg(sum("c").as("tot_raw"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L))
+          .as("tot_tgt"),
+        countDistinct(col("term")).as("v"))
+      val wTerm = Window.partitionBy("term")
+      tf
+        .withColumn("c_raw", sum("c").over(wTerm))
+        .withColumn("c_tgt",
+          sum(when(col("lang") === "en", col("c")).otherwise(0L))
+            .over(wTerm))
         .crossJoin(broadcast(totals))
         .withColumn("w", expr(
           s"(${lg16Sql("c_tgt + 1")} - ${lg16Sql("tot_tgt + v")})" +

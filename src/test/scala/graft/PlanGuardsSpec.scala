@@ -193,4 +193,28 @@ class PlanGuardsSpec extends SparkSpec {
     assert(p.split("\\) Exchange").length - 1 == 2,
       "posting aggregation must reuse the window's gram partitioning")
   }
+
+  test("q121 repeated spans: one corpus scan, dup flag is a window, no join-back") {
+    val p = plan("q121_repeated_spans")
+    // the flagged gram stream is cached; both the span-count and the
+    // coverage branches must read the cache, not re-scan the corpus
+    assert(p.split("\\) Scan parquet").length - 1 == 1,
+      "the corpus must be scanned once; branches read the cached grams")
+    // cross-doc detection is min≠max over the gk partition — a second
+    // corpus-wide join (beyond the final per-doc assembly) would mean
+    // a distinct+join-back crept back in
+    assert(p.split("SortMergeJoin").length - 1 <= 1
+      && !p.contains("CartesianProduct"),
+      "dup flag must come from the gk window, not a dup-set join-back")
+  }
+
+  test("q122 DSIR: one corpus scan, window term-counts, broadcast totals, top-k pushdown") {
+    val p = plan("q122_dsir_importance")
+    assert(p.split("\\) Scan parquet").length - 1 == 1,
+      "the corpus must be scanned once; totals and weights share the cached tf")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"),
+      "term counts must come from the term window, not a vocab join-back")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-50 selection must push down, not globally sort")
+  }
 }
