@@ -180,4 +180,59 @@ object GraphOps {
       .join(labels, Seq("id"), "left_outer")
       .select(col("id"), coalesce(col("label"), col("id")).as("component"))
   }
+
+  /** Fixed-iteration PageRank in all-integer fixed-point arithmetic —
+    * centrality over the near-dup (or any) graph, engine-exact so the
+    * scores themselves can be hash-checked against an external oracle.
+    *
+    * Per iteration, with `S = scaleFp` and damping 0.85 kept as the
+    * rational 85/100:
+    *
+    *   pr'(v) = (15·S) div (100·N)  +  (85 · Σ_{(u,v)∈E} pr(u) div outdeg(u)) div 100
+    *
+    * All divisions are integer floor on non-negative longs, and every
+    * per-vertex sum is order-independent, so the result is bit-identical
+    * across engines and partitionings. Dangling mass (vertices with no
+    * out-edges) simply evaporates — the standard simplification; with
+    * S = 1e12 no intermediate exceeds 8.5e13, far inside long range.
+    *
+    * Scale shape: `edges ⋈ outdeg` is computed once and cached (the
+    * static part); each iteration is one shuffle of the rank table keyed
+    * by src plus one partial-aggregated sum keyed by dst — the standard
+    * Pregel round, nothing driver-side. The constants row (N-derived)
+    * rides a 1-row broadcast crossJoin. Lineage grows linearly with
+    * `iterations`; callers running many rounds should localCheckpoint
+    * every few iterations like [[connectedComponentsStar]] does.
+    *
+    * @param vertices one column `id`
+    * @param edges    columns `src`, `dst` — DIRECTED (union both
+    *                 directions for an undirected graph)
+    * @return (id, out_degree, pr_fp) — pr_fp on the scaleFp scale
+    */
+  def pageRankFp(vertices: DataFrame, edges: DataFrame, iterations: Int,
+      scaleFp: Long = 1000000000000L): DataFrame = {
+    require(iterations >= 1, "pageRankFp: iterations must be >= 1")
+    val verts = vertices.select(col("id"))
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    val ewd = edges.join(deg, "src").cache() // static across iterations
+    val consts = verts.agg(count(lit(1)).as("n"))
+      .select(expr(s"CAST($scaleFp div n AS BIGINT)").as("init_fp"),
+        expr(s"CAST((15 * $scaleFp) div (100 * n) AS BIGINT)").as("base_fp"))
+    var pr = verts.crossJoin(broadcast(consts))
+      .select(col("id"), col("init_fp").as("pr_fp"))
+    for (_ <- 1 to iterations) {
+      val contribs = ewd
+        .join(pr.select(col("id").as("src"), col("pr_fp")), "src")
+        .groupBy(col("dst").as("id"))
+        .agg(sum(expr("pr_fp div d")).as("s"))
+      pr = verts.crossJoin(broadcast(consts))
+        .join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          expr("CAST(base_fp + (85 * coalesce(s, CAST(0 AS BIGINT))) div 100 AS BIGINT)")
+            .as("pr_fp"))
+    }
+    pr.join(deg.select(col("src").as("id"), col("d")), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("d"), lit(0L)).as("out_degree"), col("pr_fp"))
+  }
 }

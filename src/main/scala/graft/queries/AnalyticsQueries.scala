@@ -520,9 +520,70 @@ object AnalyticsQueries {
            |FROM dev d JOIN mad m USING (event_type)
            |GROUP BY d.event_type ORDER BY d.event_type""".stripMargin))
 
+  private val MinItemSupport = 35L // orders containing the item
+  private val MinPairSupport = 2L  // orders containing both items
+
+  /** q124: A-priori frequent-pair mining (market basket) — the
+    * combinatorial-explosion-control pattern: raw per-basket pair
+    * expansion is Σ C(k,2), quadratic in basket width, but by the
+    * a-priori property a pair can only be frequent if BOTH items are,
+    * so baskets are first semi-joined down to frequent items
+    * ($MinItemSupport+ orders) and only then expanded. Lift is exact
+    * integer fp6: support(a,b)·N·1e6 div (support(a)·support(b)).
+    * Scale shape: item supports are one hash-agg over distinct
+    * (order, item); the frequent-item filter is an equi-join on item
+    * (carrying the support along for the final lift math — no
+    * join-back later); the pair expansion is a within-order self-join
+    * keyed by the order — shuffle ∝ filtered baskets, never raw
+    * C(k,2); the 1-row order count broadcasts.
+    */
+  val q124FrequentPairs = NamedQuery(
+    "q124_frequent_pairs",
+    s"A-priori market-basket pairs: items in >=$MinItemSupport orders, " +
+      s"pairs co-occurring in >=$MinPairSupport; support + exact fp6 lift.",
+    (s, d) => {
+      val op = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+        .distinct()
+        .cache() // supports, the basket filter, and N all read it
+      val nOrders = op.agg(countDistinct(col("o")).as("n_orders"))
+      val sup = op.groupBy("p").agg(count(lit(1)).as("s"))
+        .filter(col("s") >= MinItemSupport)
+      val fop = op.join(sup, "p")
+      fop.select(col("o"), col("p").as("pa"), col("s").as("sa"))
+        .join(fop.select(col("o"), col("p").as("pb"), col("s").as("sb")),
+          "o")
+        .filter(col("pa") < col("pb"))
+        .groupBy("pa", "pb")
+        .agg(count(lit(1)).as("sp"),
+          min(col("sa")).as("sa"), min(col("sb")).as("sb"))
+        .filter(col("sp") >= MinPairSupport)
+        .crossJoin(broadcast(nOrders))
+        .select(col("pa"), col("pb"), col("sp").as("pair_support"),
+          expr("CAST((sp * n_orders * 1000000) div (sa * sb) AS BIGINT)")
+            .as("lift_fp6"))
+        .orderBy("pa", "pb")
+    },
+    Some(s"""WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+            |    FROM lineitem),
+            |n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders
+            |  FROM op),
+            |sup AS (SELECT p, CAST(COUNT(*) AS BIGINT) AS s FROM op
+            |  GROUP BY p HAVING COUNT(*) >= $MinItemSupport),
+            |fop AS (SELECT o, p, s FROM op JOIN sup USING (p)),
+            |pairs AS (SELECT a.p AS pa, b.p AS pb,
+            |    CAST(COUNT(*) AS BIGINT) AS sp,
+            |    MIN(a.s) AS sa, MIN(b.s) AS sb
+            |  FROM fop a JOIN fop b ON a.o = b.o AND a.p < b.p
+            |  GROUP BY a.p, b.p HAVING COUNT(*) >= $MinPairSupport)
+            |SELECT pa, pb, sp AS pair_support,
+            |  CAST((sp * n_orders * 1000000) // (sa * sb) AS BIGINT)
+            |    AS lift_fp6
+            |FROM pairs, n ORDER BY pa, pb""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
     q44HistogramQuantiles, q47SaltedAgg, q48Pivot, q49SetAlgebra,
     q50ScalarSubquery, q70NtileQuartiles, q73Cube, q74RankingSuite,
-    q106PropsMap, q107UnpivotMelt, q111MadOutliers)
+    q106PropsMap, q107UnpivotMelt, q111MadOutliers, q124FrequentPairs)
 }

@@ -1540,6 +1540,61 @@ object TextQueries {
             |LEFT JOIN cov ON b.doc_id = cov.doc_id
             |ORDER BY b.doc_id""".stripMargin))
 
+  /** q123: PageRank centrality over the q14 near-dup graph — the
+    * canonical-selection signal that beats q96's per-doc quality when
+    * clusters chain (A≈B≈C but A≉C): the member most linked within its
+    * duplicate neighborhood is the natural survivor. 3 iterations of
+    * [[graft.operators.GraphOps.pageRankFp]] in all-integer fixed
+    * point (S = 1e12, damping 85/100), so the scores are bit-exact
+    * across engines — the oracle replays the same iterations as
+    * unrolled CTEs over the shared verified pair set. Scale shape:
+    * per-iteration cost is one edge⋈rank shuffle + one partial-agg
+    * sum (the Pregel round); edges+outdeg are computed once and
+    * cached; the constants row is a 1-row broadcast.
+    */
+  val q123PageRank = NamedQuery(
+    "q123_pagerank",
+    "Integer fixed-point PageRank (3 iterations, damping 85/100) over " +
+      "the MinHash+LSH near-dup graph; (doc, out_degree, pr_fp).",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+          n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
+        .cache() // both edge directions read it
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.GraphOps.pageRankFp(
+          docs.select(col("doc_id").as("id")), edges, iterations = 3)
+        .select(col("id").as("doc_id"), col("out_degree"), col("pr_fp"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val S = "1000000000000"
+      def iter(k: Int): String =
+        s"""c$k AS (SELECT e.dst AS id, CAST(SUM(p.pr // d.d) AS BIGINT) AS s
+           |  FROM edges e JOIN pr${k - 1} p ON p.id = e.src
+           |  JOIN deg d ON d.src = e.src GROUP BY e.dst),
+           |pr$k AS (SELECT n.doc_id AS id,
+           |    CAST(base_fp + (85 * COALESCE(c$k.s, 0)) // 100 AS BIGINT) AS pr
+           |  FROM documents n LEFT JOIN c$k ON c$k.id = n.doc_id, consts)""".stripMargin
+      s"""WITH $minhashPairsCtes,
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges
+         |  GROUP BY src),
+         |consts AS (SELECT CAST($S // COUNT(*) AS BIGINT) AS init_fp,
+         |    CAST((15 * $S) // (100 * COUNT(*)) AS BIGINT) AS base_fp
+         |  FROM documents),
+         |pr0 AS (SELECT doc_id AS id, init_fp AS pr FROM documents, consts),
+         |${iter(1)},
+         |${iter(2)},
+         |${iter(3)}
+         |SELECT pr3.id AS doc_id, COALESCE(dg.d, 0) AS out_degree,
+         |  pr3.pr AS pr_fp
+         |FROM pr3 LEFT JOIN deg dg ON dg.src = pr3.id
+         |ORDER BY doc_id""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -1549,5 +1604,5 @@ object TextQueries {
     q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors,
     q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
-    q121RepeatedSpans)
+    q121RepeatedSpans, q123PageRank)
 }
