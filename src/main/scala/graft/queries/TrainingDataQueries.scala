@@ -1016,11 +1016,51 @@ object TrainingDataQueries {
             |FROM w GROUP BY doc_id, lang
             |ORDER BY weight DESC, doc_id LIMIT 50""".stripMargin))
 
+  /** q126: weight-biased deterministic sampling — the data-mixing draw
+    * where selection probability should scale with a per-doc weight
+    * (here `n_chars`, standing in for a quality score): selection key
+    * is hash60(doc_id) div weight, so heavier docs get systematically
+    * smaller keys and the k smallest keys per language approximate a
+    * weighted draw (the integer surrogate of exponential-race /
+    * A-ES sampling — approximate in distribution, but byte-exact and
+    * reprocessing-stable, which is what a training pipeline needs to
+    * reproduce a mix). Same bounded-heap shape as q117: map-side
+    * k-entry heaps, exchange ≤ k·partitions per stratum, no corpus
+    * window sort.
+    */
+  val q126WeightedSample = NamedQuery(
+    "q126_weighted_sample",
+    "Weight-biased top-10-per-language sample: k smallest " +
+      "hash60(doc_id) div n_chars keys via the bounded-heap aggregate.",
+    (s, d) => {
+      val k = 10
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
+            " 16, 10) AS BIGINT) div n_chars").as("wkey"))
+      docs.groupBy("lang")
+        .agg(graft.functions.NativeAggregates
+          .topKPair(-col("wkey"), col("doc_id"), k).as("tk"))
+        .select(col("lang"), posexplode(col("tk")).as(Seq("pos", "e")))
+        .select(col("lang"), (col("pos") + 1).cast("long").as("rank"),
+          col("e.id").as("doc_id"), (-col("e.score")).as("wkey"))
+        .orderBy("lang", "rank")
+    },
+    Some("""WITH d AS (SELECT lang, doc_id,
+           |    ('0x'||substring(md5(CAST(doc_id AS VARCHAR)),1,15))::BIGINT
+           |      // n_chars AS wkey FROM documents),
+           |r AS (SELECT lang, doc_id, wkey,
+           |    CAST(row_number() OVER (PARTITION BY lang
+           |      ORDER BY wkey ASC, doc_id ASC) AS BIGINT) AS rank FROM d)
+           |SELECT lang, rank, doc_id, wkey FROM r WHERE rank <= 10
+           |ORDER BY lang, rank""".stripMargin))
+
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
     q55StratifiedSample, q58BloomContamination, q62DocChunking,
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
     q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
-    q117ExactKSample, q122DsirImportance)
+    q117ExactKSample, q122DsirImportance, q126WeightedSample)
 }

@@ -1014,11 +1014,59 @@ object VectorQueries {
 
   // declared LAST: object vals initialize in source order, so the
   // registry must come after every query it references
+  private val JlInDims = 64
+  private val JlOutDims = 16
+
+  /** q125: Johnson–Lindenstrauss random projection, 64 → 16 dims — the
+    * cheap dimensionality reduction that runs BEFORE the expensive ANN
+    * machinery (JL preserves pairwise distances to 1±ε with random ±1
+    * signs; Achlioptas 2003 shows sign matrices suffice). The "random"
+    * matrix is md5-derived (sign(j,i) = parity of hash60(j·64+i)), and
+    * the components are fp6-floored BEFORE summation (the q75
+    * discipline), so each projected coordinate is an exact integer sum
+    * both engines reproduce bit-for-bit.
+    * Scale shape: entirely row-local — a transform over the 16 output
+    * dims with an inner 64-term integer aggregate per row, then one
+    * posexplode; no shuffle until the output sort. At 100 TB this is
+    * the pattern for any fixed linear map over an embedding column:
+    * fuse it into the scan, never materialize the matrix product as a
+    * join.
+    */
+  val q125JlProjection = NamedQuery(
+    "q125_jl_projection",
+    s"JL sign-projection $JlInDims->$JlOutDims dims: md5-derived +-1 " +
+      "matrix over fp6-floored components; exact integer sums, " +
+      "row-local.",
+    (s, d) =>
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), posexplode(expr(
+          s"""transform(sequence(0, ${JlOutDims - 1}), j ->
+             |  aggregate(sequence(0, ${JlInDims - 1}), CAST(0 AS BIGINT),
+             |    (acc, i) -> acc +
+             |      IF(CAST(conv(substring(md5(CAST(j*$JlInDims + i AS STRING)),
+             |            1, 15), 16, 10) AS BIGINT) % 2 = 0,
+             |         CAST(1 AS BIGINT), CAST(-1 AS BIGINT))
+             |      * CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE)
+             |          * 1000000) AS BIGINT)))""".stripMargin))
+          .as(Seq("j", "proj_fp6")))
+        .select(col("vec_id"), col("j").cast("long").as("dim"),
+          col("proj_fp6"))
+        .orderBy("vec_id", "dim"),
+    Some(s"""SELECT vec_id, j AS dim,
+            |  CAST(list_sum(list_transform(range(0, $JlInDims), i ->
+            |    (CASE WHEN ('0x'||substring(md5(CAST(j*$JlInDims + i
+            |            AS VARCHAR)),1,15))::BIGINT % 2 = 0
+            |        THEN 1 ELSE -1 END)
+            |    * CAST(floor(CAST(embedding[i + 1] AS DOUBLE) * 1000000)
+            |        AS BIGINT))) AS BIGINT) AS proj_fp6
+            |FROM embeddings, unnest(range(0, $JlOutDims)) AS t(j)
+            |ORDER BY vec_id, dim""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
     q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
-    q110IncrementalIvf)
+    q110IncrementalIvf, q125JlProjection)
 }
