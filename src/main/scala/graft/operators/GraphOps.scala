@@ -212,7 +212,10 @@ object GraphOps {
   def pageRankFp(vertices: DataFrame, edges: DataFrame, iterations: Int,
       scaleFp: Long = 1000000000000L): DataFrame = {
     require(iterations >= 1, "pageRankFp: iterations must be >= 1")
-    val verts = vertices.select(col("id"))
+    // the vertex set is read by pr0 AND by every iteration's left join
+    // (the base term for rank-sink-free vertices); cached so the rank
+    // loop never re-derives the upstream vertex scan
+    val verts = vertices.select(col("id")).cache()
     val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
     val ewd = edges.join(deg, "src").cache() // static across iterations
     val consts = verts.agg(count(lit(1)).as("n"))

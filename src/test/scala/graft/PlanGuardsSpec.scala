@@ -208,6 +208,39 @@ class PlanGuardsSpec extends SparkSpec {
       "dup flag must come from the gk window, not a dup-set join-back")
   }
 
+  test("q123 PageRank: cached vertex/edge tables bound the scans; no cartesian") {
+    val p = plan("q123_pagerank")
+    // one scan builds the minhash pair cache, one feeds the cached
+    // vertex projection — the 3-iteration rank loop must not re-derive
+    // either (uncached this plan showed NINE corpus scans)
+    assert(p.split("\\) Scan parquet").length - 1 <= 2,
+      "rank iterations must read the caches, not re-scan the corpus")
+    assert(!p.contains("CartesianProduct"),
+      "only 1-row broadcast const joins are allowed")
+  }
+
+  test("q124 frequent pairs: one scan; a-priori filter before the pair expansion") {
+    val p = plan("q124_frequent_pairs")
+    assert(p.split("\\) Scan parquet").length - 1 == 1,
+      "supports, basket filter and order count must share the cached (o,p) scan")
+    assert(!p.contains("CartesianProduct"),
+      "pair expansion must be the within-order equi self-join")
+  }
+
+  test("q125 JL projection is row-local: no shuffle before the output sort") {
+    val p = plan("q125_jl_projection")
+    assert(p.split("\\) Scan parquet").length - 1 == 1)
+    assert(p.split("\\) Exchange").length - 1 == 1,
+      "the projection must fuse into the scan; only the orderBy exchanges")
+  }
+
+  test("q126 weighted sample aggregates map-side heaps, no window sort") {
+    val p = plan("q126_weighted_sample")
+    assert(p.contains("partial_graft_top_k"),
+      "selection must be the bounded-heap aggregate with a partial pass")
+    assert(!p.contains("Window"), "no per-stratum window sort")
+  }
+
   test("q122 DSIR: one corpus scan, window term-counts, broadcast totals, top-k pushdown") {
     val p = plan("q122_dsir_importance")
     assert(p.split("\\) Scan parquet").length - 1 == 1,
