@@ -328,8 +328,145 @@ object RelationalQueries {
            |      AND l.l_shipdate > o.o_orderdate)
            |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin))
 
+  /** q127: TPC-H Q7's shape — "volume shipping": directional trade
+    * volume between two nations by ship year. The scale move is
+    * filtering BOTH nation copies to the two names BEFORE any join, so
+    * the supplier and customer sides shrink to the two nations'
+    * members at the dim joins (semi-join pushdown by construction)
+    * instead of carrying the whole fact join to a post-hoc OR filter;
+    * the cross-pair restriction then reduces to supp ≠ cust. lineitem
+    * ⋈ orders stays the one big-big shuffle; supplier/customer join
+    * through broadcast nation-filtered dims (q45's posture: at 100 TB
+    * AQE demotes outgrown broadcasts to shuffles at runtime).
+    */
+  val q127VolumeShipping = NamedQuery(
+    "q127_volume_shipping",
+    "TPC-H Q7 shape: directional NATION_1<->NATION_2 revenue by ship " +
+      "year; nation filters pushed ahead of every join.",
+    (s, d) => {
+      val picked = Tables.nation(s, d)
+        .filter(col("n_name").isin("NATION_1", "NATION_2"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(picked
+            .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(picked
+            .select(col("n_nationkey").as("c_nk"),
+              col("n_name").as("cust_nation"))),
+          col("c_nationkey") === col("c_nk"))
+        .select(col("c_custkey"), col("cust_nation"))
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") =!= col("cust_nation"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).cast("long").as("l_year"))
+        .agg(sum(col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+          .cast("double").as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    },
+    Some("""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           |  CAST(year(l_shipdate) AS BIGINT) AS l_year,
+           |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS revenue,
+           |  COUNT(*) AS n_items
+           |FROM lineitem
+           |JOIN orders ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+           |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+           |WHERE n1.n_name IN ('NATION_1', 'NATION_2')
+           |  AND n2.n_name IN ('NATION_1', 'NATION_2')
+           |  AND n1.n_name <> n2.n_name
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  /** q128: TPC-H Q8's shape — "national market share": one nation's
+    * slice of a region's revenue per order year, as a CONDITIONAL
+    * aggregate over one join tree (never two scans): share =
+    * Σ(rev | supp_nation = target) / Σ(rev), with the ratio carried in
+    * exact integer basis points — both sums are decimal-exact
+    * ten-thousandths, so (nat·10000) div total is pure BIGINT math and
+    * engine-identical. Region restriction prunes the customer side
+    * through broadcast dims before the fact joins.
+    */
+  val q128MarketShare = NamedQuery(
+    "q128_market_share",
+    "TPC-H Q8 shape: NATION_3's basis-point share of EUROPE-customer " +
+      "revenue by order year; conditional decimal aggregate, one pass.",
+    (s, d) => {
+      val euroNations = Tables.nation(s, d)
+        .join(broadcast(Tables.region(s, d)
+            .filter(col("r_name") === "EUROPE")),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"))
+      val cust = Tables.customer(s, d)
+        .join(broadcast(euroNations),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"))
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("s_nk"),
+              col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("s_nk"))
+        .select(col("s_suppkey"), col("supp_nation"))
+      // decimal(18,2) × decimal(18,2) has scale 4, so ×10000 is an
+      // exact integral — carried as a per-row BIGINT so the sums are
+      // order-independent long adds
+      val revE4 = (col("l_extendedprice").cast("decimal(18,2)") *
+        (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+        .multiply(lit(10000)).cast("long")
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .join(Tables.orders(s, d)
+            .select("o_orderkey", "o_custkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+        .agg(
+          sum(revE4).as("total_e4"),
+          sum(when(col("supp_nation") === "NATION_3", revE4)
+            .otherwise(lit(0L))).as("nat_e4"))
+        .select(col("o_year"), col("total_e4"), col("nat_e4"),
+          expr("CAST((nat_e4 * 10000) div total_e4 AS BIGINT)")
+            .as("share_bp"))
+        .orderBy("o_year")
+    },
+    Some("""WITH j AS (SELECT year(o_orderdate) AS o_year, n2.n_name AS supp_nation,
+           |    CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |      CAST(1.0 - l_discount AS DECIMAL(18,2)) * 10000
+           |      AS BIGINT) AS rev_e4
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+           |  JOIN region ON n1.n_regionkey = r_regionkey
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+           |  WHERE r_name = 'EUROPE')
+           |SELECT CAST(o_year AS BIGINT) AS o_year,
+           |  CAST(SUM(rev_e4) AS BIGINT) AS total_e4,
+           |  CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4
+           |    ELSE 0 END) AS BIGINT) AS nat_e4,
+           |  CAST((CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN rev_e4
+           |      ELSE 0 END) AS BIGINT) * 10000)
+           |    // CAST(SUM(rev_e4) AS BIGINT) AS BIGINT) AS share_bp
+           |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03BroadcastDims,
     q04GoldCurrentInventory, q09TopK, q10SetOps, q45SupplierPartProfit,
-    q72FullOuterReconcile, q113LocalSupplierVolume, q114PriorityChecking)
+    q72FullOuterReconcile, q113LocalSupplierVolume, q114PriorityChecking,
+    q127VolumeShipping, q128MarketShare)
 }

@@ -1540,6 +1540,71 @@ object TextQueries {
             |LEFT JOIN cov ON b.doc_id = cov.doc_id
             |ORDER BY b.doc_id""".stripMargin))
 
+  /** q129: repeated-span STRIP — the rewrite step on top of q121's
+    * detection (the q104-for-spans: q121 measures, this one deletes):
+    * tokens covered by any cross-doc duplicated $SpanN-gram are removed
+    * and the cleaned text is re-identified by digest, ready for
+    * re-tokenization downstream. Covered positions collect into a
+    * per-doc set (bounded by the doc's own length) and the strip is a
+    * row-local indexed `filter` over the token array — the corpus
+    * never materializes a per-position row stream beyond the q121 gram
+    * pipeline it already pays for.
+    */
+  val q129SpanStrip = NamedQuery(
+    "q129_span_strip",
+    s"Strip tokens covered by cross-doc duplicated $SpanN-grams; " +
+      "kept-token counts + digest of the cleaned text.",
+    (s, d) => {
+      val wGk = Window.partitionBy("gk")
+      val base = Tables.documents(s, d)
+        .select(col("doc_id"), tokens(col("text")).as("ts"))
+        .withColumn("n_tokens", size(col("ts")).cast("long"))
+        .filter(col("n_tokens") >= SpanN)
+        .cache() // gram build + final strip both read it
+      val cov = base
+        .select(col("doc_id"),
+          posexplode(graft.functions.TextFunctions.wordNgrams(
+            col("ts"), SpanN)).as(Seq("pos", "gram")))
+        .select(col("doc_id"), col("pos"), hash60(col("gram")).as("gk"))
+        .withColumn("dup",
+          min("doc_id").over(wGk) =!= max("doc_id").over(wGk))
+        .filter(col("dup"))
+        .select(col("doc_id"),
+          explode(sequence(col("pos"), col("pos") + lit(SpanN - 1))).as("p"))
+        .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+      base.join(cov, Seq("doc_id"), "left")
+        .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
+        .withColumn("kept",
+          expr("filter(ts, (t, i) -> NOT array_contains(cov, i))"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(col("kept")).cast("long").as("kept_tokens"),
+          md5(concat_ws(" ", col("kept"))).as("clean_hash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH t AS (SELECT doc_id, string_split(lower(text),' ') AS ts
+            |    FROM documents),
+            |b AS (SELECT doc_id, CAST(len(ts) AS BIGINT) AS n_tokens, ts
+            |  FROM t WHERE len(ts) >= $SpanN),
+            |g AS (SELECT doc_id, i AS pos,
+            |    ('0x'||substring(md5(list_aggregate(ts[i:i+${SpanN - 1}],
+            |      'string_agg', ' ')),1,15))::BIGINT AS gk
+            |  FROM b, unnest(range(1, len(ts) - ${SpanN - 2})) AS r(i)),
+            |dup AS (SELECT gk FROM (SELECT gk, COUNT(DISTINCT doc_id) AS nd
+            |    FROM g GROUP BY gk) WHERE nd > 1),
+            |cov AS (SELECT doc_id, list(DISTINCT p) AS cov
+            |  FROM (SELECT g.doc_id, p FROM g JOIN dup USING (gk),
+            |    unnest(range(pos, pos + $SpanN)) AS c(p))
+            |  GROUP BY doc_id)
+            |SELECT b.doc_id, b.n_tokens,
+            |  CAST(len(list_filter(b.ts, (t, i) ->
+            |    NOT list_contains(COALESCE(cov.cov, []), i))) AS BIGINT)
+            |    AS kept_tokens,
+            |  md5(COALESCE(array_to_string(list_filter(b.ts, (t, i) ->
+            |    NOT list_contains(COALESCE(cov.cov, []), i)), ' '), ''))
+            |    AS clean_hash
+            |FROM b LEFT JOIN cov ON b.doc_id = cov.doc_id
+            |ORDER BY b.doc_id""".stripMargin))
+
   /** q123: PageRank centrality over the q14 near-dup graph — the
     * canonical-selection signal that beats q96's per-doc quality when
     * clusters chain (A≈B≈C but A≉C): the member most linked within its
@@ -1604,5 +1669,5 @@ object TextQueries {
     q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors,
     q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
-    q121RepeatedSpans, q123PageRank)
+    q121RepeatedSpans, q123PageRank, q129SpanStrip)
 }
