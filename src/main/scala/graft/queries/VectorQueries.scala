@@ -1027,31 +1027,43 @@ object VectorQueries {
     * both engines reproduce bit-for-bit.
     * Scale shape: entirely row-local — a transform over the 16 output
     * dims with an inner 64-term integer aggregate per row, then one
-    * posexplode; no shuffle until the output sort. At 100 TB this is
-    * the pattern for any fixed linear map over an embedding column:
-    * fuse it into the scan, never materialize the matrix product as a
-    * join.
+    * posexplode; no shuffle until the output sort. The sign matrix is
+    * CONSTANT, so it is evaluated once on the driver (same md5
+    * derivation the oracle uses) and shipped as a 1024-element int
+    * literal — inlining the md5 into the lambda instead re-hashed
+    * 16×64 times per row and made the projection 5× slower at sf0.1.
+    * At 100 TB this is the pattern for any fixed linear map over an
+    * embedding column: broadcast the (tiny, constant) matrix, fuse the
+    * product into the scan, never materialize it as a join.
     */
   val q125JlProjection = NamedQuery(
     "q125_jl_projection",
     s"JL sign-projection $JlInDims->$JlOutDims dims: md5-derived +-1 " +
       "matrix over fp6-floored components; exact integer sums, " +
       "row-local.",
-    (s, d) =>
+    (s, d) => {
+      // the constant +-1 matrix, row-major (j*64 + i), from the same
+      // md5-parity derivation the oracle replays in SQL
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val signs = (0 until JlOutDims * JlInDims).map { k =>
+        val hex = md.digest(k.toString.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.take(15)
+        if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1L else -1L
+      }
+      val signsSql = signs.mkString("array(", "L, ", "L)")
       Tables.embeddings(s, d)
         .select(col("vec_id"), posexplode(expr(
           s"""transform(sequence(0, ${JlOutDims - 1}), j ->
              |  aggregate(sequence(0, ${JlInDims - 1}), CAST(0 AS BIGINT),
              |    (acc, i) -> acc +
-             |      IF(CAST(conv(substring(md5(CAST(j*$JlInDims + i AS STRING)),
-             |            1, 15), 16, 10) AS BIGINT) % 2 = 0,
-             |         CAST(1 AS BIGINT), CAST(-1 AS BIGINT))
+             |      element_at($signsSql, j * $JlInDims + i + 1)
              |      * CAST(floor(CAST(element_at(embedding, i + 1) AS DOUBLE)
              |          * 1000000) AS BIGINT)))""".stripMargin))
           .as(Seq("j", "proj_fp6")))
         .select(col("vec_id"), col("j").cast("long").as("dim"),
           col("proj_fp6"))
-        .orderBy("vec_id", "dim"),
+        .orderBy("vec_id", "dim")
+    },
     Some(s"""SELECT vec_id, j AS dim,
             |  CAST(list_sum(list_transform(range(0, $JlInDims), i ->
             |    (CASE WHEN ('0x'||substring(md5(CAST(j*$JlInDims + i
