@@ -294,7 +294,85 @@ object LayoutQueries {
            |FROM documents WHERE doc_id BETWEEN 50 AND 300
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q130: INCREMENTAL VIEW MAINTENANCE — the aggregate table a CDC
+    * stream keeps warm without ever recomputing the base: per change
+    * batch, the delta is computed from the AFFECTED KEYS ONLY
+    * (before-state of changed keys read from the pre-merge version,
+    * after-state from the post-merge version — both key-restricted
+    * reads, O(batch) not O(table)), signed (+1 after / −1 before), and
+    * folded into the tiny per-lang aggregate table as a new commit.
+    * Counts and sums are integers, so the additive fold is exact and
+    * the final view must BIT-EQUAL the oracle's full recompute of the
+    * end state — the IVM correctness contract. The output also pins
+    * the maintenance shape: one bootstrap + 3 incremental commits on
+    * the view table (`n_view_commits = 4`).
+    * At 100 TB: the base merge already plans only key-affected
+    * segments; the delta reads reuse exactly those keys, so view
+    * maintenance cost tracks changeset size while the view stays a
+    * |groups|-row table.
+    */
+  val q130IncrementalView = NamedQuery(
+    "q130_incremental_view",
+    "Incremental per-lang aggregate view under 4 CDC merge batches: " +
+      "key-restricted before/after deltas folded additively; final " +
+      "view ≡ full recompute.",
+    (s, d) => {
+      val dir = "/tmp/graft-ivm/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val aggDir = dir + "-view"
+      for (x <- Seq(dir, aggDir)) {
+        val p = new org.apache.hadoop.fs.Path(x)
+        p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      }
+      val M = graft.sources.ManagedTable
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select((col("doc_id") % 150L).as("k"), col("doc_id").as("seq"),
+          col("lang"), col("n_chars"),
+          when(col("doc_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+      def live(): org.apache.spark.sql.DataFrame =
+        M.readCurrent(s, dir, col("op") === "d", Seq("op"))
+      (0 until 4).foreach { i =>
+        val chunk = hist.filter(
+          col("seq") >= i * 100 && col("seq") < (i + 1) * 100)
+        val changed = chunk.select("k").distinct()
+        val before =
+          if (i == 0) null
+          else live().join(changed, "k")
+            .select(col("lang"), lit(-1L).as("dn"),
+              (-col("n_chars")).as("dc"))
+        M.merge(chunk, dir, keys = Seq("k"),
+          sequenceBy = Seq(col("seq")), tag = s"m$i")
+        val after = live().join(changed, "k")
+          .select(col("lang"), lit(1L).as("dn"), col("n_chars").as("dc"))
+        val delta = if (before == null) after else after.unionByName(before)
+        val oldView =
+          if (i == 0) delta.limit(0)
+          else M.readCurrent(s, aggDir, lit(false))
+            .select(col("lang"), col("n_docs").as("dn"),
+              col("sum_chars").as("dc"))
+        M.commit(oldView.unionByName(delta)
+          .groupBy("lang")
+          .agg(sum("dn").as("n_docs"), sum("dc").cast("long").as("sum_chars"))
+          .filter(col("n_docs") > 0), aggDir, tag = s"v$i")
+      }
+      val nCommits = M.versions(s, aggDir).size
+      M.readCurrent(s, aggDir, lit(false))
+        .withColumn("n_view_commits", lit(nCommits.toLong))
+        .orderBy("lang")
+    },
+    Some("""WITH h AS (SELECT doc_id % 150 AS k, doc_id AS seq, lang,
+           |    n_chars, CASE WHEN doc_id % 7 = 0 THEN 'd' ELSE 'u' END op
+           |  FROM documents WHERE doc_id < 400),
+           |w AS (SELECT *, row_number() OVER (PARTITION BY k
+           |    ORDER BY seq DESC) AS rn FROM h),
+           |state AS (SELECT lang, n_chars FROM w WHERE rn = 1 AND op <> 'd')
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(4 AS BIGINT) AS n_view_commits
+           |FROM state GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
-      q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle)
+      q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
+      q130IncrementalView)
 }
