@@ -929,6 +929,75 @@ object TextQueries {
            |WHERE levenshtein(a.pfx, b.pfx) <= 20
            |ORDER BY id_a, id_b""".stripMargin))
 
+  /** q131: END-TO-END ENTITY RESOLUTION — the three-stage pipeline
+    * (block → match → merge) composed from pieces each already proven
+    * alone: q76's blocking + edit-distance matcher produces candidate
+    * MATCHES, the star connected components fold transitive matches
+    * into ENTITIES (A≈B, B≈C ⇒ one entity even when A≉C — the step a
+    * pairwise matcher cannot do), and a `max_by` pick (best n_chars,
+    * tie → lowest id) nominates each entity's CANONICAL record. Scale
+    * shape: candidates only inside blocking buckets (never all-pairs),
+    * CC is O(log n) rounds, canonical pick is a partial-agg max_by;
+    * the blocked doc table is cached once and feeds both join sides
+    * and the member metadata.
+    */
+  val q131EntityResolution = NamedQuery(
+    "q131_entity_resolution",
+    "Entity resolution: blocked levenshtein matches -> transitive " +
+      "closure -> canonical record per multi-member entity.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          concat_ws(" ", slice(tokens(col("text")), 1, 2)).as("bk"),
+          substring(lower(col("text")), 1, 64).as("pfx"))
+        .cache() // both match sides + the member metadata read it
+      val a = docs.select(col("doc_id").as("id_a"), col("bk"),
+        col("pfx").as("pfx_a"))
+      val b = docs.select(col("doc_id").as("id_b"), col("bk"),
+        col("pfx").as("pfx_b"))
+      val pairs = a.join(b, Seq("bk"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(levenshtein(col("pfx_a"), col("pfx_b")) <= 20)
+        .select(col("id_a"), col("id_b"))
+      val comp = graft.operators.GraphOps.connectedComponentsStar(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      comp.join(docs.select(col("doc_id").as("id"), col("n_chars")), "id")
+        .groupBy(col("component").as("entity_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max_by(col("id"), struct(col("n_chars"), -col("id")))
+            .as("canonical_id"),
+          concat_ws(",", array_sort(collect_list(col("id"))))
+            .as("member_ids"))
+        .filter(col("n_members") >= 2)
+        .orderBy("entity_id")
+    },
+    Some("""WITH RECURSIVE d AS (SELECT doc_id, n_chars,
+           |    array_to_string(string_split(lower(text),' ')[1:2], ' ') AS bk,
+           |    substring(lower(text), 1, 64) AS pfx
+           |  FROM documents),
+           |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM d a JOIN d b ON a.bk = b.bk AND a.doc_id < b.doc_id
+           |  WHERE levenshtein(a.pfx, b.pfx) <= 20),
+           |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+           |  UNION ALL SELECT id_b, id_a FROM pairs),
+           |reach(id, label) AS (
+           |  SELECT doc_id, doc_id FROM documents
+           |  UNION
+           |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+           |comp AS (SELECT id, MIN(label) AS entity_id FROM reach GROUP BY id),
+           |m AS (SELECT comp.id, entity_id, n_chars
+           |  FROM comp JOIN d ON d.doc_id = comp.id),
+           |canon AS (SELECT entity_id, id AS canonical_id FROM (
+           |  SELECT *, row_number() OVER (PARTITION BY entity_id
+           |    ORDER BY n_chars DESC, id ASC) AS rn FROM m) WHERE rn = 1)
+           |SELECT m.entity_id, COUNT(*) AS n_members,
+           |  MIN(canon.canonical_id) AS canonical_id,
+           |  array_to_string(list_sort(list(m.id)), ',') AS member_ids
+           |FROM m JOIN canon ON m.entity_id = canon.entity_id
+           |GROUP BY m.entity_id HAVING COUNT(*) >= 2
+           |ORDER BY m.entity_id""".stripMargin))
+
   /** q80: asymmetric CONTAINMENT scoring — |g(A)∩g(B)| / |g(A)| in both
     * directions, the measure that catches partial copies and quotes
     * which symmetric resemblance (Jaccard, q13/q14) dilutes away: a
@@ -1669,5 +1738,6 @@ object TextQueries {
     q86Bm25TopK, q95UnigramSurprisal, q96CanonicalSurvivors,
     q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
-    q121RepeatedSpans, q123PageRank, q129SpanStrip)
+    q121RepeatedSpans, q123PageRank, q129SpanStrip,
+    q131EntityResolution)
 }
