@@ -247,4 +247,42 @@ object TextDedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document repeated-span flags — the span-granular form of
+    * exact substring dedup (q121 detects with it, q129 strips): every
+    * word `n`-gram position of every doc (with ≥ n tokens), flagged
+    * `dup` when the gram's hash occurs in MORE THAN ONE document.
+    * Within-doc repeats alone never flag (that's repetition scoring's
+    * business, not corpus duplication).
+    *
+    * Output: (id, n_tokens, pos, gk, dup) — pos 0-based, gk =
+    * hash60(gram). The stream carries fixed-width longs only (never
+    * the gram string) through ONE shuffle keyed by gram hash, where a
+    * whole-partition min/max window marks cross-doc hashes: two longs
+    * of state per gram no matter how hot the gram (a distinct+join-back
+    * or collect_set formulation degrades on boilerplate grams). The
+    * result is cached — both q121 consumers (span counts, coverage)
+    * and the q129 strip read it more than once.
+    */
+  def spanFlags(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame = {
+    val wGk = org.apache.spark.sql.expressions.Window.partitionBy("gk")
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("ts"))
+      .withColumn("n_tokens", size(col("ts")).cast("long"))
+      .filter(col("n_tokens") >= n)
+      .select(col("id"), col("n_tokens"),
+        posexplode(wordNgrams(col("ts"), n)).as(Seq("pos", "gram")))
+      .select(col("id"), col("n_tokens"), col("pos"),
+        hash60(col("gram")).as("gk"))
+      .withColumn("dup", min("id").over(wGk) =!= max("id").over(wGk))
+      .cache()
+  }
+
+  /** Distinct 0-based token positions of `id` covered by some
+    * cross-doc duplicated span from [[spanFlags]] output. */
+  def spanCoverage(flags: DataFrame, n: Int): DataFrame =
+    flags.filter(col("dup"))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
 }

@@ -1549,30 +1549,14 @@ object TextQueries {
     s"Cross-doc repeated-span coverage: $SpanN-gram hashes in >1 doc " +
       "mark duplicated spans; per-doc covered-token fraction.",
     (s, d) => {
-      val wGk = Window.partitionBy("gk")
-      // cross-doc iff the gk partition spans >1 doc: min ≠ max — the
-      // O(1)-state window form of COUNT(DISTINCT doc) > 1 (within-doc
-      // repeats are q54's business, not duplication across the corpus)
-      val flagged = Tables.documents(s, d)
-        .select(col("doc_id"), tokens(col("text")).as("ts"))
-        .withColumn("n_tokens", size(col("ts")).cast("long"))
-        .filter(col("n_tokens") >= SpanN)
-        .select(col("doc_id"), col("n_tokens"),
-          posexplode(graft.functions.TextFunctions.wordNgrams(
-            col("ts"), SpanN)).as(Seq("pos", "gram")))
-        .select(col("doc_id"), col("n_tokens"), col("pos"),
-          hash60(col("gram")).as("gk"))
-        .withColumn("dup",
-          min("doc_id").over(wGk) =!= max("doc_id").over(wGk))
-        .cache() // feeds both the span counts and the coverage branch
-      val perDoc = flagged.groupBy("doc_id", "n_tokens")
+      val flagged = TextDedup.spanFlags(
+        Tables.documents(s, d), "doc_id", "text", SpanN)
+      val perDoc = flagged.groupBy(col("id").as("doc_id"), col("n_tokens"))
         .agg(count(lit(1)).as("n_spans"),
           sum(when(col("dup"), 1L).otherwise(0L)).as("n_dup_spans"))
-      val covered = flagged.filter(col("dup"))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + lit(SpanN - 1))).as("p"))
-        .distinct()
-        .groupBy("doc_id").agg(count(lit(1)).as("covered_tokens"))
+      val covered = TextDedup.spanCoverage(flagged, SpanN)
+        .groupBy(col("id").as("doc_id"))
+        .agg(count(lit(1)).as("covered_tokens"))
       perDoc
         .join(covered, Seq("doc_id"), "left")
         .na.fill(0L, Seq("covered_tokens"))
@@ -1624,23 +1608,17 @@ object TextQueries {
     s"Strip tokens covered by cross-doc duplicated $SpanN-grams; " +
       "kept-token counts + digest of the cleaned text.",
     (s, d) => {
-      val wGk = Window.partitionBy("gk")
       val base = Tables.documents(s, d)
         .select(col("doc_id"), tokens(col("text")).as("ts"))
         .withColumn("n_tokens", size(col("ts")).cast("long"))
         .filter(col("n_tokens") >= SpanN)
         .cache() // gram build + final strip both read it
-      val cov = base
-        .select(col("doc_id"),
-          posexplode(graft.functions.TextFunctions.wordNgrams(
-            col("ts"), SpanN)).as(Seq("pos", "gram")))
-        .select(col("doc_id"), col("pos"), hash60(col("gram")).as("gk"))
-        .withColumn("dup",
-          min("doc_id").over(wGk) =!= max("doc_id").over(wGk))
-        .filter(col("dup"))
-        .select(col("doc_id"),
-          explode(sequence(col("pos"), col("pos") + lit(SpanN - 1))).as("p"))
-        .groupBy("doc_id").agg(collect_set(col("p")).as("cov"))
+      val cov = TextDedup.spanCoverage(
+          TextDedup.spanFlags(base.select(
+            col("doc_id"), concat_ws(" ", col("ts")).as("text")),
+            "doc_id", "text", SpanN), SpanN)
+        .groupBy(col("id").as("doc_id"))
+        .agg(collect_set(col("p")).as("cov"))
       base.join(cov, Seq("doc_id"), "left")
         .withColumn("cov", coalesce(col("cov"), array().cast("array<int>")))
         .withColumn("kept",
