@@ -64,11 +64,17 @@ object Bench {
     println(line)
     // also land the line as a committed artifact: the driver keeps only a
     // 2000-char log tail, which has truncated (unparseable) past rounds'
-    // per-query maps — the file is the machine-readable record
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_latest.json")
-    try java.nio.file.Files.write(java.nio.file.Paths.get(out),
-      (line + "\n").getBytes("UTF-8"))
-    catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    // per-query maps — the file is the machine-readable record. An
+    // SPARK_GRAFT_ONLY-restricted profiling run must NOT clobber the
+    // full-suite artifact with a partial map, so it only writes when an
+    // explicit SPARK_GRAFT_BENCH_OUT redirects it.
+    val out = sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(if (only.isEmpty) Some("bench_latest.json") else None)
+    out.foreach { o =>
+      try java.nio.file.Files.write(java.nio.file.Paths.get(o),
+        (line + "\n").getBytes("UTF-8"))
+      catch { case _: Throwable => () } // read-only cwd must not fail the bench
+    }
     spark.stop()
   }
 }

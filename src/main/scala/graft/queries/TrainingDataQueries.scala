@@ -1036,8 +1036,8 @@ object TrainingDataQueries {
       val k = 10
       val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("lang"),
-          expr("CAST(conv(substring(md5(CAST(doc_id AS STRING)), 1, 15)," +
-            " 16, 10) AS BIGINT) div n_chars").as("wkey"))
+          hash60(col("doc_id").cast("string")).as("h"), col("n_chars"))
+        .select(col("doc_id"), col("lang"), expr("h div n_chars").as("wkey"))
       docs.groupBy("lang")
         .agg(graft.functions.NativeAggregates
           .topKPair(-col("wkey"), col("doc_id"), k).as("tk"))

@@ -104,14 +104,19 @@ object ManagedTable {
     // manifest's last bytes — if they parse, everything before landed).
     def parse(raw: String): (String, Seq[String], Option[String], FileStats) = {
       val lines = raw.split("\n", 4)
-      require(lines.length >= 2, "manifest incomplete")
+      // Every manifest writeManifest produces has exactly 4 lines and a
+      // non-empty stats tail (at least "{}"); a shorter or stats-empty
+      // read is a torn read of an in-flight commit — rejecting it here
+      // (→ the retry loop below) is what stops a cut inside line 2
+      // from being misread as a complete manifest with a truncated
+      // file list. The stats JSON is the final bytes: if it parses,
+      // everything before it landed.
+      require(lines.length == 4 && lines(3).trim.nonEmpty,
+        "manifest incomplete")
       val tag = lines(0)
       val list = lines(1)
-      val schema =
-        if (lines.length >= 3) Some(lines(2).trim).filter(_.nonEmpty) else None
-      val stats =
-        if (lines.length >= 4) parseStats(lines(3))
-        else Map.empty[String, Map[String, (String, String)]]
+      val schema = Some(lines(2).trim).filter(_.nonEmpty)
+      val stats = parseStats(lines(3))
       val files = list.trim.stripPrefix("[").stripSuffix("]").split(",").toSeq
         .filter(_.nonEmpty).map(_.trim.stripPrefix("\"").stripSuffix("\""))
       (tag, files, schema, stats)
@@ -536,11 +541,20 @@ object ManagedTable {
     val outFiles = math.max(1, (totalSmall / smallFileBytes).toInt +
       (if (totalSmall % smallFileBytes > 0) 1 else 0))
     val next = current + 1
-    val packed = spark.read.parquet(small.map(p => s"$dir/$p"): _*)
+    // Read with the MANIFEST schema, never footer inference: after a
+    // schema evolution (see [[merge]]) the small segments have
+    // different physical schemas, and inference would take one file's
+    // footer and silently drop the newer columns from the packed
+    // segment while the manifest still records the wide schema.
+    val schema = schemaJson
+      .map(org.apache.spark.sql.types.DataType.fromJson(_)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(read(spark, dir, Some(current)).schema)
+    val packed = spark.read.schema(schema)
+      .parquet(small.map(p => s"$dir/$p"): _*)
       .coalesce(outFiles)
     val newFiles = writeSegment(packed, dir, next)
-    writeManifest(spark, dir, next, tag, keep ++ newFiles,
-      schemaJson.getOrElse(read(spark, dir, Some(current)).schema.json),
+    writeManifest(spark, dir, next, tag, keep ++ newFiles, schema.json,
       stats.view.filterKeys(keep.contains).toMap ++
         segmentStats(spark, dir, newFiles))
     next

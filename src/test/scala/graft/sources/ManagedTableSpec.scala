@@ -276,6 +276,29 @@ class ManagedTableSpec extends SparkSpec {
     assert(r4 == ((4L, None, 5L, Some(30L))))
   }
 
+  test("compact after schema evolution keeps the evolved columns' data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mt14").toString
+    // two small segments with DIFFERENT physical schemas: footer
+    // inference would take the narrow v1 segment's schema and silently
+    // null the evolved `score` column in the packed output
+    ManagedTable.merge(
+      Seq((1L, "a", 1L), (2L, "b", 2L)).toDF("k", "p", "seq"),
+      dir, Seq("k"), Seq(col("seq")))
+    // touches only NEW keys, so the narrow v1 segment is carried into
+    // v2 by reference and v2 really holds mixed physical schemas
+    ManagedTable.merge(
+      Seq((3L, "c", 4L, 20L), (4L, "d", 5L, 30L))
+        .toDF("k", "p", "seq", "score"),
+      dir, Seq("k"), Seq(col("seq")))
+    val v3 = ManagedTable.compact(spark, dir)
+    assert(v3 == 3)
+    val rows = ManagedTable.read(spark, dir)
+      .as[(Long, String, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    assert(rows == Seq((1L, "a", 1L, None), (2L, "b", 2L, None),
+      (3L, "c", 4L, Some(20L)), (4L, "d", 5L, Some(30L))))
+  }
+
   test("concurrent merges: the version-race loser retries and both changesets land") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-mt12").toString
