@@ -464,9 +464,113 @@ object RelationalQueries {
            |    // CAST(SUM(rev_e4) AS BIGINT) AS BIGINT) AS share_bp
            |FROM j GROUP BY o_year ORDER BY o_year""".stripMargin))
 
+  /** q132: TPC-H Q21's shape — "suppliers who kept orders waiting":
+    * late line items of the supplier who was the ONLY late supplier on
+    * a multi-supplier finished order. The classic form is a double
+    * correlated EXISTS / NOT EXISTS self-join on lineitem (the oracle
+    * keeps that form, proving equivalence); executing it that way
+    * re-shuffles the fact table three times. Here it is two CASCADED
+    * hash-aggs instead: per (order, supplier) collapse line items
+    * (carrying the late flag and the late-item count), then per order
+    * count suppliers and late suppliers — "another supplier exists" =
+    * n_supp > 1, "no other supplier was late" = n_late = 1. No
+    * self-join, no Expand (the two distinct counts become plain counts
+    * after the first collapse), and the second agg reshuffles rows
+    * already collapsed to ~|suppliers per order|. The one big-big
+    * shuffle is lineitem ⋈ orders on orderkey.
+    */
+  val q132WaitingSuppliers = NamedQuery(
+    "q132_waiting_suppliers",
+    "TPC-H Q21 shape: late items of the only-late supplier on " +
+      "multi-supplier 'F' orders; EXISTS/NOT EXISTS self-joins " +
+      "rewritten as two cascaded hash-aggs.",
+    (s, d) => {
+      val j = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderstatus") === "F")
+            .select(col("o_orderkey"), col("o_orderdate")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (col("l_shipdate") >
+            col("o_orderdate") + expr("INTERVAL 60 DAYS")).as("late"))
+      val perSupp = j.groupBy("l_orderkey", "l_suppkey")
+        .agg(max(col("late")).as("late"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late_items"))
+      val perOrder = perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum(when(col("late"), 1L).otherwise(0L)).as("n_late"),
+          max(when(col("late"), col("l_suppkey"))).as("late_supp"),
+          max(when(col("late"), col("n_late_items"))).as("late_items"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+      perOrder
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("late_supp") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(sum("late_items").cast("long").as("n_waits"))
+        .orderBy(col("n_waits").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("""SELECT s_name, CAST(count(*) AS BIGINT) AS n_waits
+           |FROM supplier s, lineitem l1, orders o
+           |WHERE s.s_suppkey = l1.l_suppkey
+           |  AND o.o_orderkey = l1.l_orderkey
+           |  AND o.o_orderstatus = 'F'
+           |  AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+           |  AND EXISTS (SELECT 1 FROM lineitem l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey
+           |      AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+           |GROUP BY s_name
+           |ORDER BY n_waits DESC, s_name LIMIT 10""".stripMargin))
+
+  /** q133: TPC-H Q18's shape — "large volume customers": orders whose
+    * total quantity exceeds a threshold, joined back to orders and
+    * customer. The IN-(HAVING-subquery) is the aggregate itself: one
+    * shuffle (lineitem grouped on orderkey), a HAVING cut that shrinks
+    * the qualifying set by ~100× (here 46 of 15k orders), and the
+    * shrunken set is explicitly broadcast through the orders and
+    * customer joins — neither big table reshuffles. At 100 TB the
+    * qualifying-set size is data-dependent; the broadcast hint is
+    * advisory and AQE demotes an outgrown build side to a shuffle join
+    * at runtime.
+    */
+  val q133LargeVolumeCustomers = NamedQuery(
+    "q133_large_volume_customers",
+    "TPC-H Q18 shape: customers behind orders with total quantity " +
+      "> 300; HAVING-cut agg broadcast through both dim joins.",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(sum("l_quantity").cast("long").as("sum_qty"))
+        .filter(col("sum_qty") > 300)
+      val ord = Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+      Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+        .join(broadcast(ord), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_orderkey"), col("o_orderdate"),
+          col("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(100)
+    },
+    Some("""WITH big AS (
+           |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+           |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
+           |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+           |FROM big
+           |JOIN orders ON o_orderkey = l_orderkey
+           |JOIN customer ON c_custkey = o_custkey
+           |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03BroadcastDims,
     q04GoldCurrentInventory, q09TopK, q10SetOps, q45SupplierPartProfit,
     q72FullOuterReconcile, q113LocalSupplierVolume, q114PriorityChecking,
-    q127VolumeShipping, q128MarketShare)
+    q127VolumeShipping, q128MarketShare, q132WaitingSuppliers,
+    q133LargeVolumeCustomers)
 }

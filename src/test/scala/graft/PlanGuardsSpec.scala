@@ -241,6 +241,25 @@ class PlanGuardsSpec extends SparkSpec {
     assert(!p.contains("Window"), "no per-stratum window sort")
   }
 
+  test("q132 waiting suppliers: no self-join, no Expand, top-k pushdown") {
+    val p = plan("q132_waiting_suppliers")
+    assert(p.split("\\) Scan parquet").length - 1 == 3,
+      "lineitem, orders and supplier each scan exactly once — the " +
+        "EXISTS/NOT EXISTS pair must not re-scan lineitem")
+    assert(!p.contains("Expand"),
+      "the two distinct counts must collapse in the per-supplier agg, " +
+        "not expand the fact table")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must push down")
+  }
+
+  test("q133 large-volume customers: HAVING cut broadcasts through both joins") {
+    val p = plan("q133_large_volume_customers")
+    assert(p.split("\\) Scan parquet").length - 1 == 3)
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "the qualifying-order set must broadcast; neither big table reshuffles")
+    assert(p.contains("TakeOrderedAndProject"), "top-100 must push down")
+  }
+
   test("q122 DSIR: one corpus scan, window term-counts, broadcast totals, top-k pushdown") {
     val p = plan("q122_dsir_importance")
     assert(p.split("\\) Scan parquet").length - 1 == 1,
