@@ -1707,6 +1707,60 @@ object TextQueries {
          |ORDER BY doc_id""".stripMargin
     })
 
+  /** q134: QUALITY-FILTER CASCADE — the FineWeb/C4-style keep/drop
+    * gate every pretraining corpus passes through: ordered rules, the
+    * FIRST failing rule is the document's reason code. All three
+    * signals (token count, distinct-token ratio, stopword ratio) come
+    * from the ONE native [[graft.functions.NativeExpressions.TokenStats]]
+    * pass — entirely row-local, so the plan is scan → project → sort
+    * with zero shuffles before the output order. At 100 TB the cascade
+    * is a free rider on whatever scan already reads `text`; the reason
+    * code (not just a boolean) is what makes the funnel auditable —
+    * `GROUP BY reason` gives the per-rule survival report without
+    * re-running the rules.
+    */
+  val q134FilterCascade = NamedQuery(
+    "q134_filter_cascade",
+    "Quality-filter cascade with reason codes: too_short -> " +
+      "low_distinct -> en_stop_low -> pass, one native TokenStats " +
+      "pass, row-local.",
+    (s, d) => {
+      val st = graft.functions.NativeExpressions.tokenStats(
+        tokens(col("text")), Stopwords)
+      val nTok = element_at(st, 1)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          nTok.as("n_tok"),
+          fp6(element_at(st, 2).cast("double") / nTok).as("dr_fp"),
+          fp6(element_at(st, 4).cast("double") / nTok).as("sr_fp"))
+        .select(col("doc_id"),
+          when(col("n_tok") < 20, "too_short")
+            .when(col("dr_fp") < 350000, "low_distinct")
+            .when(col("lang") === "en" && col("sr_fp") < 20000,
+              "en_stop_low")
+            .otherwise("pass").as("reason"))
+        .withColumn("keep",
+          when(col("reason") === "pass", 1L).otherwise(0L))
+        .orderBy("doc_id")
+    },
+    Some("""WITH t AS (SELECT doc_id, lang,
+           |    string_split(lower(text),' ') AS ts FROM documents),
+           |s AS (SELECT doc_id, lang,
+           |    CAST(len(ts) AS BIGINT) AS n_tok,
+           |    CAST(floor(len(list_distinct(ts))*1000000.0/len(ts)) AS BIGINT) AS dr_fp,
+           |    CAST(floor(len(list_filter(ts, x ->
+           |      list_contains(['the','a','of','and','to','in'], x)))
+           |      *1000000.0/len(ts)) AS BIGINT) AS sr_fp
+           |  FROM t),
+           |r AS (SELECT doc_id,
+           |    CASE WHEN n_tok < 20 THEN 'too_short'
+           |      WHEN dr_fp < 350000 THEN 'low_distinct'
+           |      WHEN lang = 'en' AND sr_fp < 20000 THEN 'en_stop_low'
+           |      ELSE 'pass' END AS reason FROM s)
+           |SELECT doc_id, reason,
+           |  CAST(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS BIGINT) AS keep
+           |FROM r ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -1717,5 +1771,5 @@ object TextQueries {
     q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
-    q131EntityResolution)
+    q131EntityResolution, q134FilterCascade)
 }

@@ -1056,11 +1056,82 @@ object TrainingDataQueries {
            |ORDER BY lang, rank""".stripMargin))
 
 
+  /** q135: WATER-FILLING TOKEN-BUDGET ALLOCATION — distribute a total
+    * token budget across sources so no source exceeds what it has:
+    * alloc_s = min(avail_s, λ) with the water level λ chosen so
+    * Σ alloc = budget (up to floor slack). The classic algorithm
+    * (sort by avail, walk until the candidate level fits) runs as
+    * window functions over the per-source table, which is TINY by
+    * construction — the corpus contributes exactly one grouped
+    * aggregation (token counts per source), and everything after
+    * operates on |sources| rows, so the single-partition window is a
+    * driver-scale triviality, not a shuffle of data. λ is integer
+    * floor division end-to-end — engine-exact, no fixed point needed.
+    * The 1-row λ broadcast-joins back (the scalar-broadcast pattern of
+    * q63). This is the "how much of each domain can I actually take"
+    * step that precedes any mixture sampling (q87) when targets
+    * overshoot small domains.
+    */
+  val q135TokenBudget = NamedQuery(
+    "q135_token_budget",
+    "Water-filling allocation of a 24k-token budget across sources: " +
+      "min(avail, lambda) with integer water level; saturated sources " +
+      "flagged.",
+    (s, d) => {
+      val budget = 24000L
+      val avail = Tables.documents(s, d)
+        .groupBy(col("source"))
+        .agg(sum(size(tokens(col("text"))).cast("long")).as("avail"))
+      val w = Window.orderBy("avail", "source")
+      val cand = avail.select(col("source"), col("avail"),
+          row_number().over(w).as("rn"),
+          count(lit(1)).over(w.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing)).as("n"),
+          coalesce(sum(col("avail")).over(w.rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)).as("pa"))
+        .withColumn("lam_i",
+          expr(s"($budget - pa) div (n - rn + 1)"))
+        .cache() // λ search + final allocation both read it: one corpus scan
+      // the FIRST row (smallest rn) whose candidate level fits defines
+      // the water level; no row fits iff budget >= total avail
+      val lam = cand.filter(col("lam_i") <= col("avail"))
+        .agg(min_by(col("lam_i"), col("rn")).as("lam"))
+      cand.crossJoin(broadcast(lam))
+        .select(col("source"), col("avail"),
+          when(col("lam").isNull || col("avail") <= col("lam"),
+            col("avail")).otherwise(col("lam")).as("alloc"),
+          when(col("lam").isNull || col("avail") <= col("lam"), 1L)
+            .otherwise(0L).as("saturated"))
+        .orderBy("source")
+    },
+    Some("""WITH avail AS (
+           |  SELECT source,
+           |    CAST(sum(len(string_split(lower(text),' '))) AS BIGINT) AS avail
+           |  FROM documents GROUP BY 1),
+           |ranked AS (
+           |  SELECT source, avail,
+           |    row_number() OVER (ORDER BY avail, source) AS rn,
+           |    count(*) OVER () AS n,
+           |    COALESCE(sum(avail) OVER (ORDER BY avail, source
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS pa
+           |  FROM avail),
+           |cand AS (
+           |  SELECT *, (24000 - pa) // (n - rn + 1) AS lam_i FROM ranked),
+           |lam AS (
+           |  SELECT min_by(lam_i, rn) FILTER (lam_i <= avail) AS lam FROM cand)
+           |SELECT source, avail,
+           |  CAST(CASE WHEN lam IS NULL OR avail <= lam
+           |    THEN avail ELSE lam END AS BIGINT) AS alloc,
+           |  CAST(CASE WHEN lam IS NULL OR avail <= lam
+           |    THEN 1 ELSE 0 END AS BIGINT) AS saturated
+           |FROM cand, lam ORDER BY source""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
     q55StratifiedSample, q58BloomContamination, q62DocChunking,
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
     q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
-    q117ExactKSample, q122DsirImportance, q126WeightedSample)
+    q117ExactKSample, q122DsirImportance, q126WeightedSample,
+    q135TokenBudget)
 }

@@ -260,6 +260,25 @@ class PlanGuardsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-100 must push down")
   }
 
+  test("q134 filter cascade is one scan, native token stats, no shuffle before the sort") {
+    val p = plan("q134_filter_cascade")
+    assert(p.split("\\) Scan parquet").length - 1 == 1)
+    assert(p.contains("tokenstats"),
+      "signals must come from the one-pass native TokenStats expression")
+    assert(!p.contains("Join") && !p.contains("Window"),
+      "the cascade is row-local: no join, no window")
+  }
+
+  test("q135 water filling scans the corpus once; lambda is a broadcast scalar") {
+    val p = plan("q135_token_budget")
+    assert(p.split("\\) Scan parquet").length - 1 == 1,
+      "the per-source table must be cached: lambda search and final " +
+        "allocation share one corpus scan")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"),
+      "the 1-row water level joins back as a broadcast, never a shuffle")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
   test("q122 DSIR: one corpus scan, window term-counts, broadcast totals, top-k pushdown") {
     val p = plan("q122_dsir_importance")
     assert(p.split("\\) Scan parquet").length - 1 == 1,
