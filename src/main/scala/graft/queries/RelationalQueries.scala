@@ -543,10 +543,17 @@ object RelationalQueries {
     "TPC-H Q18 shape: customers behind orders with total quantity " +
       "> 300; HAVING-cut agg broadcast through both dim joins.",
     (s, d) => {
+      // the HAVING cut compares the RAW double sum (like the oracle's
+      // HAVING) and only then floors to BIGINT — cutting on a
+      // truncated long would disagree with the oracle on any
+      // fractional quantity, and Spark's long cast truncates where
+      // DuckDB's CAST rounds, so the floor is explicit on both sides
       val big = Tables.lineitem(s, d)
         .groupBy(col("l_orderkey"))
-        .agg(sum("l_quantity").cast("long").as("sum_qty"))
-        .filter(col("sum_qty") > 300)
+        .agg(sum("l_quantity").as("qty_raw"))
+        .filter(col("qty_raw") > 300)
+        .select(col("l_orderkey"),
+          floor(col("qty_raw")).cast("long").as("sum_qty"))
       val ord = Tables.orders(s, d)
         .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
@@ -559,7 +566,8 @@ object RelationalQueries {
         .limit(100)
     },
     Some("""WITH big AS (
-           |  SELECT l_orderkey, CAST(SUM(l_quantity) AS BIGINT) AS sum_qty
+           |  SELECT l_orderkey,
+           |    CAST(FLOOR(SUM(l_quantity)) AS BIGINT) AS sum_qty
            |  FROM lineitem GROUP BY 1 HAVING SUM(l_quantity) > 300)
            |SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
            |FROM big

@@ -1747,10 +1747,11 @@ object TextQueries {
            |    string_split(lower(text),' ') AS ts FROM documents),
            |s AS (SELECT doc_id, lang,
            |    CAST(len(ts) AS BIGINT) AS n_tok,
-           |    CAST(floor(len(list_distinct(ts))*1000000.0/len(ts)) AS BIGINT) AS dr_fp,
-           |    CAST(floor(len(list_filter(ts, x ->
+           |    CAST(floor(CAST(len(list_distinct(ts)) AS DOUBLE)
+           |      /len(ts)*1000000.0) AS BIGINT) AS dr_fp,
+           |    CAST(floor(CAST(len(list_filter(ts, x ->
            |      list_contains(['the','a','of','and','to','in'], x)))
-           |      *1000000.0/len(ts)) AS BIGINT) AS sr_fp
+           |      AS DOUBLE)/len(ts)*1000000.0) AS BIGINT) AS sr_fp
            |  FROM t),
            |r AS (SELECT doc_id,
            |    CASE WHEN n_tok < 20 THEN 'too_short'

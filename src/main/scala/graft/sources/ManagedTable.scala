@@ -71,12 +71,14 @@ object ManagedTable {
   /** Manifest content, one field per line:
     *   1. committer tag (may be empty);
     *   2. JSON file list;
-    *   3. (since round 5) the version's schema as Spark DataType JSON —
-    *      what lets an EMPTY version read back as a typed empty
-    *      DataFrame instead of failing parquet schema inference;
-    *   4. (since round 5) per-file min/max column stats JSON.
-    * Older manifests may lack lines 3-4; readers treat them as absent
-    * (no empty-read schema, no pruning — conservative). The tag lives
+    *   3. the version's schema as Spark DataType JSON — what lets an
+    *      EMPTY version read back as a typed empty DataFrame instead
+    *      of failing parquet schema inference, and what every scan
+    *      uses instead of footer inference;
+    *   4. per-file min/max column stats JSON (at least `{}`).
+    * All 4 lines are REQUIRED — every writer produces them, so a
+    * shorter read can only be a torn read of an in-flight commit and
+    * is rejected (see the completeness check in parse). The tag lives
     * INSIDE the file — the manifest NAME is always `v<N>.json`, so
     * create-if-absent arbitrates every committer regardless of tag.
     */
@@ -135,6 +137,11 @@ object ManagedTable {
       s"ManagedTable: manifest v$v of $dir unreadable after ${waitedMs}ms " +
         "(committer crashed between claim and content write?)", lastErr))
   }
+
+  /** Manifest line 3 → the version's schema. */
+  private def schemaOf(json: String): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.DataType.fromJson(json)
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
   // stats JSON via Jackson (already on Spark's classpath — it's what
   // Spark itself parses JSON with); values are all strings, so the
@@ -312,22 +319,14 @@ object ManagedTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"ManagedTable.read: version $v not in $vs")
     val (_, files, schemaJson, _) = readManifest(spark, dir, v)
-    val schema = schemaJson.map(
-      org.apache.spark.sql.types.DataType.fromJson(_)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    (files.nonEmpty, schema) match {
-      case (true, Some(s)) =>
-        spark.read.schema(s).parquet(files.map(p => s"$dir/$p"): _*)
-      case (true, None) => // pre-round-5 manifest: footer inference
-        spark.read.parquet(files.map(p => s"$dir/$p"): _*)
-      case (false, Some(s)) =>
-        spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
-      case (false, None) =>
-        throw new IllegalStateException(
-          s"ManagedTable.read: version $v of $dir has no files and no " +
-            "recorded schema (pre-round-5 manifest)")
-    }
+    val schema = schemaJson.map(schemaOf).getOrElse(
+      throw new IllegalStateException(
+        s"ManagedTable.read: version $v of $dir has no recorded schema"))
+    if (files.nonEmpty)
+      spark.read.schema(schema).parquet(files.map(p => s"$dir/$p"): _*)
+    else
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
   }
 
   /** Default [[vacuum]] retention: long enough that a writer whose data
@@ -546,10 +545,10 @@ object ManagedTable {
     // different physical schemas, and inference would take one file's
     // footer and silently drop the newer columns from the packed
     // segment while the manifest still records the wide schema.
-    val schema = schemaJson
-      .map(org.apache.spark.sql.types.DataType.fromJson(_)
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-      .getOrElse(read(spark, dir, Some(current)).schema)
+    val schema = schemaJson.map(schemaOf).getOrElse(
+      throw new IllegalStateException(
+        s"ManagedTable.compact: version $current of $dir has no " +
+          "recorded schema"))
     val packed = spark.read.schema(schema)
       .parquet(small.map(p => s"$dir/$p"): _*)
       .coalesce(outFiles)
@@ -578,12 +577,9 @@ object ManagedTable {
     require(vs.nonEmpty, s"ManagedTable.planFiles: no versions in $dir")
     val v = version.getOrElse(vs.last)
     val (_, files, schemaJson, stats) = readManifest(spark, dir, v)
-    val isString = schemaJson.exists { sj =>
-      org.apache.spark.sql.types.DataType.fromJson(sj)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-        .fields.exists(f => f.name == column &&
-          f.dataType == org.apache.spark.sql.types.StringType)
-    }
+    val isString = schemaJson.exists(sj =>
+      schemaOf(sj).fields.exists(f => f.name == column &&
+        f.dataType == org.apache.spark.sql.types.StringType))
     def cmp(a: String, b: String): Int =
       if (isString)
         org.apache.spark.unsafe.types.UTF8String.fromString(a)
@@ -616,18 +612,20 @@ object ManagedTable {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = planFiles(spark, dir, column, lower, upper, version)
     val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
-    if (kept.isEmpty) {
+    val (_, _, schemaJson, _) =
+      readManifest(spark, dir, version.getOrElse(versions(spark, dir).last))
+    val schema = schemaJson.map(schemaOf).getOrElse(
+      org.apache.spark.sql.types.StructType(Nil))
+    if (kept.isEmpty)
       // all files pruned: empty result of the recorded schema
-      val (_, _, schemaJson, _) =
-        readManifest(spark, dir,
-          version.getOrElse(versions(spark, dir).last))
-      val schema = schemaJson
-        .map(org.apache.spark.sql.types.DataType.fromJson(_)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse(org.apache.spark.sql.types.StructType(Nil))
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    } else
-      spark.read.parquet(kept.map(p => s"$dir/$p"): _*).filter(pred)
+    else
+      // manifest schema, never footer inference — same evolved-segment
+      // rule as [[read]]: a pruned scan of a schema-evolved version
+      // must null-fill the old segments' missing columns, not adopt
+      // one file's footer
+      spark.read.schema(schema).parquet(kept.map(p => s"$dir/$p"): _*)
+        .filter(pred)
   }
 }
