@@ -575,10 +575,72 @@ object RelationalQueries {
            |JOIN customer ON c_custkey = o_custkey
            |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin))
 
+  /** q137: TPC-H Q2's shape — "minimum cost supplier": for every part
+    * that shipped, the cheapest supplier who shipped it (min acctbal
+    * standing in for min supplycost — no partsupp table in the
+    * fixture). The classic form is a CORRELATED SCALAR SUBQUERY
+    * (`WHERE s_acctbal = (SELECT min(...) ... WHERE partkey = outer)`,
+    * the oracle keeps it); executed literally that's a re-evaluation
+    * per outer row. Here it is the standard DECORRELATION: dedup
+    * (part, supplier) pairs, aggregate the per-part minimum once, and
+    * join the aggregate back on the SAME key — the groupBy output is
+    * already hash-partitioned by partkey, so the join-back adds no
+    * extra shuffle of the aggregated side. Ties on the minimum break
+    * by smallest suppkey (a second tiny agg), keeping the result
+    * deterministic on both engines. supplier and part are broadcast
+    * dims.
+    */
+  val q137MinCostSupplier = NamedQuery(
+    "q137_min_cost_supplier",
+    "TPC-H Q2 shape: cheapest supplier per shipped part; correlated " +
+      "scalar subquery decorrelated into agg + same-key join-back.",
+    (s, d) => {
+      val shipped = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey")).distinct()
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey"), col("s_acctbal"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_partkey"), col("l_suppkey"), col("s_acctbal"))
+        .cache() // min-agg + join-back both read it: one lineitem scan
+      val minBal = shipped.groupBy(col("l_partkey").as("mp"))
+        .agg(min(col("s_acctbal")).as("min_bal"))
+      val winner = shipped
+        .join(minBal, col("l_partkey") === col("mp") &&
+          col("s_acctbal") === col("min_bal"))
+        .groupBy(col("l_partkey"))
+        .agg(min(col("l_suppkey")).as("supp"), first(col("min_bal"))
+          .as("min_bal"))
+      winner
+        .join(broadcast(Tables.part(s, d)
+            .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)
+            .select(col("s_suppkey").as("wk"), col("s_name"))),
+          col("supp") === col("wk"))
+        .select(col("p_partkey"), col("p_brand"), col("s_name"),
+          col("min_bal"))
+        .orderBy("p_partkey")
+    },
+    Some("""WITH shipped AS (
+           |  SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+           |SELECT p_partkey, p_brand, s_name, s_acctbal AS min_bal
+           |FROM part, supplier s, shipped
+           |WHERE p_partkey = l_partkey AND s.s_suppkey = l_suppkey
+           |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+           |    FROM shipped sh2, supplier s2
+           |    WHERE sh2.l_partkey = shipped.l_partkey
+           |      AND s2.s_suppkey = sh2.l_suppkey)
+           |  AND l_suppkey = (SELECT min(sh3.l_suppkey)
+           |    FROM shipped sh3, supplier s3
+           |    WHERE sh3.l_partkey = shipped.l_partkey
+           |      AND s3.s_suppkey = sh3.l_suppkey
+           |      AND s3.s_acctbal = s.s_acctbal)
+           |ORDER BY p_partkey""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03BroadcastDims,
     q04GoldCurrentInventory, q09TopK, q10SetOps, q45SupplierPartProfit,
     q72FullOuterReconcile, q113LocalSupplierVolume, q114PriorityChecking,
     q127VolumeShipping, q128MarketShare, q132WaitingSuppliers,
-    q133LargeVolumeCustomers)
+    q133LargeVolumeCustomers, q137MinCostSupplier)
 }

@@ -1126,6 +1126,58 @@ object TrainingDataQueries {
            |    THEN 1 ELSE 0 END AS BIGINT) AS saturated
            |FROM cand, lam ORDER BY source""".stripMargin))
 
+  /** q136: TOKEN-DISTRIBUTION DRIFT between two corpus snapshots —
+    * the monitoring query a training pipeline runs when a new crawl
+    * lands: have token frequencies shifted? The two "snapshots" are
+    * the deterministic doc_id-parity halves of the corpus; the
+    * statistic is each token's |freq_A − freq_B| in exact fp6
+    * (count·1e6 div total), i.e. the per-token contribution to total
+    * variation distance — all-integer, engine-exact, no log needed.
+    * Scale shape: ONE token scan; the two sides align by CONDITIONAL
+    * AGGREGATION on the half flag (`sum(case when half…)`) instead of
+    * a full-outer self-join — absent-in-one-half tokens fall out as
+    * count 0 with no join at all; the two per-half totals ride a
+    * 1-row broadcast; top-20 via TakeOrderedAndProject.
+    */
+  val q136DistributionDrift = NamedQuery(
+    "q136_distribution_drift",
+    "Top-20 drifting tokens between doc_id-parity corpus halves: " +
+      "|freq_A - freq_B| in exact fp6, conditional agg (no self-join).",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select((col("doc_id") % 2).cast("long").as("half"),
+          explode(tokens(col("text"))).as("tok"))
+      val counts = toks.groupBy("tok")
+        .agg(sum(when(col("half") === 0, 1L).otherwise(0L)).as("ca"),
+          sum(when(col("half") === 1, 1L).otherwise(0L)).as("cb"))
+        .cache() // totals + drift both read it: one token scan
+      val totals = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"))
+      counts.crossJoin(broadcast(totals))
+        .select(col("tok"),
+          expr("(ca * 1000000) div ta").as("fa_fp"),
+          expr("(cb * 1000000) div tb").as("fb_fp"))
+        .withColumn("drift_fp",
+          abs(col("fa_fp") - col("fb_fp")))
+        .orderBy(col("drift_fp").desc, col("tok"))
+        .limit(20)
+    },
+    Some("""WITH toks AS (SELECT doc_id % 2 AS half, u AS tok FROM
+           |  (SELECT doc_id, string_split(lower(text),' ') AS ts
+           |   FROM documents), unnest(ts) AS t(u)),
+           |counts AS (SELECT tok,
+           |    CAST(sum(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ca,
+           |    CAST(sum(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS BIGINT) AS cb
+           |  FROM toks GROUP BY 1),
+           |totals AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
+           |    CAST(sum(cb) AS BIGINT) AS tb FROM counts)
+           |SELECT tok,
+           |  CAST((ca * 1000000) // ta AS BIGINT) AS fa_fp,
+           |  CAST((cb * 1000000) // tb AS BIGINT) AS fb_fp,
+           |  CAST(abs((ca * 1000000) // ta - (cb * 1000000) // tb)
+           |    AS BIGINT) AS drift_fp
+           |FROM counts, totals
+           |ORDER BY drift_fp DESC, tok LIMIT 20""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1133,5 +1185,5 @@ object TrainingDataQueries {
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
     q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
     q117ExactKSample, q122DsirImportance, q126WeightedSample,
-    q135TokenBudget)
+    q135TokenBudget, q136DistributionDrift)
 }

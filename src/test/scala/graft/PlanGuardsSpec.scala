@@ -279,6 +279,23 @@ class PlanGuardsSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q136 drift: one token scan, conditional agg (no self-join), top-k pushdown") {
+    val p = plan("q136_distribution_drift")
+    assert(p.split("\\) Scan parquet").length - 1 == 1,
+      "the cached count table must feed totals and drift from one scan")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Expand"),
+      "halves align by conditional aggregation, not a full-outer self-join")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must push down")
+  }
+
+  test("q137 min-cost supplier: one lineitem scan, decorrelated agg join-back") {
+    val p = plan("q137_min_cost_supplier")
+    assert(p.split("\\) Scan parquet").length - 1 <= 4,
+      "lineitem once (cached shipped feeds agg + join-back) + dims")
+    assert(p.contains("BroadcastHashJoin"),
+      "part/supplier dims must broadcast")
+  }
+
   test("q122 DSIR: one corpus scan, window term-counts, broadcast totals, top-k pushdown") {
     val p = plan("q122_dsir_importance")
     assert(p.split("\\) Scan parquet").length - 1 == 1,
