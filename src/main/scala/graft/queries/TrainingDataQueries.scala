@@ -1078,30 +1078,11 @@ object TrainingDataQueries {
       "min(avail, lambda) with integer water level; saturated sources " +
       "flagged.",
     (s, d) => {
-      val budget = 24000L
       val avail = Tables.documents(s, d)
         .groupBy(col("source"))
         .agg(sum(size(tokens(col("text"))).cast("long")).as("avail"))
-      val w = Window.orderBy("avail", "source")
-      val cand = avail.select(col("source"), col("avail"),
-          row_number().over(w).as("rn"),
-          count(lit(1)).over(w.rowsBetween(
-            Window.unboundedPreceding, Window.unboundedFollowing)).as("n"),
-          coalesce(sum(col("avail")).over(w.rowsBetween(
-            Window.unboundedPreceding, -1)), lit(0L)).as("pa"))
-        .withColumn("lam_i",
-          expr(s"($budget - pa) div (n - rn + 1)"))
-        .cache() // λ search + final allocation both read it: one corpus scan
-      // the FIRST row (smallest rn) whose candidate level fits defines
-      // the water level; no row fits iff budget >= total avail
-      val lam = cand.filter(col("lam_i") <= col("avail"))
-        .agg(min_by(col("lam_i"), col("rn")).as("lam"))
-      cand.crossJoin(broadcast(lam))
-        .select(col("source"), col("avail"),
-          when(col("lam").isNull || col("avail") <= col("lam"),
-            col("avail")).otherwise(col("lam")).as("alloc"),
-          when(col("lam").isNull || col("avail") <= col("lam"), 1L)
-            .otherwise(0L).as("saturated"))
+      graft.operators.CorpusBudget
+        .waterFill(avail, "source", "avail", budget = 24000L)
         .orderBy("source")
     },
     Some("""WITH avail AS (
