@@ -637,10 +637,389 @@ object RelationalQueries {
            |      AND s3.s_acctbal = s.s_acctbal)
            |ORDER BY p_partkey""".stripMargin))
 
+  /** Per-row revenue `extendedprice·(1−discount)` in exact BIGINT
+    * ten-thousandths (decimal(18,2) × decimal(18,2) has scale 4, so
+    * ×10000 is an exact integral): sums become order-independent long
+    * adds and ratios/maxima/top-k orderings are engine-identical —
+    * the q128 discipline, shared by the q138+ TPC-H shapes.
+    */
+  private def revE4: org.apache.spark.sql.Column =
+    (col("l_extendedprice").cast("decimal(18,2)") *
+      (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+      .multiply(lit(10000)).cast("long")
+
+  private val revE4Sql =
+    """CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+      |      CAST(1.0 - l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT)""".stripMargin
+
+  /** q138: TPC-H Q3's shape — "shipping priority": top-10 unshipped
+    * orders of one market segment by revenue. The segment filter
+    * shrinks customer BEFORE its join (broadcast semi-join by
+    * construction), the date filters push to both fact scans, lineitem
+    * ⋈ orders is the one big-big shuffle, and the final top-10 is a
+    * TakeOrderedAndProject (per-partition heaps, never a full sort).
+    * Revenue is ordered in exact BIGINT e4 so the top-k cut is
+    * engine-identical — a double-ordered top-k can disagree across
+    * engines on near-ties.
+    */
+  val q138ShippingPriority = NamedQuery(
+    "q138_shipping_priority",
+    "TPC-H Q3 shape: top-10 BUILDING-segment orders still unshipped " +
+      "at the cutoff, by exact integer revenue; filters pushed, top-k " +
+      "as TakeOrderedAndProject.",
+    (s, d) => {
+      val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+      val cust = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), revE4.as("rev_e4"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") < cutoff)
+            .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(sum("rev_e4").as("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    Some(s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+           |  CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4
+           |FROM (SELECT l_orderkey, $revE4Sql AS rev_e4
+           |      FROM lineitem WHERE l_shipdate > TIMESTAMP '1998-01-01') l
+           |JOIN orders ON l_orderkey = o_orderkey
+           |  AND o_orderdate < TIMESTAMP '1998-01-01'
+           |JOIN customer ON o_custkey = c_custkey
+           |  AND c_mktsegment = 'BUILDING'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue_e4 DESC, o_orderdate, l_orderkey
+           |LIMIT 10""".stripMargin))
+
+  /** q139: TPC-H Q10's shape — "returned item reporting": customers
+    * ranked by revenue lost to returns in one quarter. The quarter
+    * filter pushes to the orders scan and the returnflag filter to the
+    * lineitem scan (both reach parquet as pushed predicates), lineitem
+    * ⋈ orders is the one big shuffle, customer joins the ALREADY
+    * per-customer-aggregated result — at 100 TB the agg output is
+    * |customers-with-returns| rows, so aggregating before the customer
+    * join (instead of joining then aggregating) keeps the second
+    * shuffle small; nation is a broadcast dim. Top-20 in exact e4.
+    */
+  val q139ReturnedItems = NamedQuery(
+    "q139_returned_items",
+    "TPC-H Q10 shape: top-20 customers by returned-item revenue in " +
+      "1996Q1; agg before the customer join, nation broadcast.",
+    (s, d) => {
+      val lost = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), revE4.as("rev_e4"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+              col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+            .select("o_orderkey", "o_custkey"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum("rev_e4").as("revenue_e4"))
+      lost
+        .join(Tables.customer(s, d)
+            .select("c_custkey", "c_name", "c_nationkey"),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revenue_e4"))
+        .orderBy(col("revenue_e4").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some(s"""SELECT c_custkey, c_name, n_name,
+           |  CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4
+           |FROM (SELECT l_orderkey, $revE4Sql AS rev_e4
+           |      FROM lineitem WHERE l_returnflag = 'R') l
+           |JOIN orders ON l_orderkey = o_orderkey
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate < TIMESTAMP '1996-04-01'
+           |JOIN customer ON o_custkey = c_custkey
+           |JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue_e4 DESC, c_custkey
+           |LIMIT 20""".stripMargin))
+
+  /** q140: TPC-H Q13's shape — "customer order distribution": the
+    * histogram of orders-per-customer including zero-order customers.
+    * The LEFT OUTER join (customer keeps rows with no orders) shuffles
+    * both sides on custkey; the per-customer count then groups on the
+    * SAME key, so it reuses the join's hash partitioning with no new
+    * exchange (EnsureRequirements sees the child already distributed),
+    * and the second agg's input is |distinct counts| — tiny by
+    * construction. The priority filter stands in for the classic
+    * comment NOT LIKE (no comment column in the fixture) and lives in
+    * the JOIN condition, not a WHERE — on an outer join those are
+    * different queries.
+    */
+  val q140OrderDistribution = NamedQuery(
+    "q140_order_distribution",
+    "TPC-H Q13 shape: histogram of non-urgent orders per customer " +
+      "incl. zero-order customers; per-customer agg reuses the outer " +
+      "join's partitioning.",
+    (s, d) => {
+      val perCust = Tables.customer(s, d).select(col("c_custkey"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderpriority") =!= "1-URGENT")
+            .select("o_orderkey", "o_custkey"),
+          col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+      perCust.groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""WITH per_cust AS (
+           |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+           |  FROM customer LEFT JOIN orders
+           |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+           |  GROUP BY 1)
+           |SELECT CAST(c_count AS BIGINT) AS c_count,
+           |  COUNT(*) AS custdist
+           |FROM per_cust GROUP BY 1
+           |ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  /** q141: TPC-H Q14's shape — "promotion effect": the PROMO-typed
+    * share of one month's revenue as a CONDITIONAL aggregate over a
+    * single scan (q128's one-pass discipline — never promo and total
+    * as two scans), with the share in exact integer basis points. The
+    * month filter pushes to the lineitem scan; part is a broadcast dim
+    * pruned to (p_partkey, p_type).
+    */
+  val q141PromoEffect = NamedQuery(
+    "q141_promo_effect",
+    "TPC-H Q14 shape: PROMO share of 1997-09 revenue in exact basis " +
+      "points; conditional aggregate, one scan, broadcast part dim.",
+    (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-09-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-10-01 00:00:00")))
+        .select(col("l_partkey"), revE4.as("rev_e4"))
+        .join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_e4"))
+            .otherwise(lit(0L))).as("promo_e4"),
+          sum("rev_e4").as("total_e4"))
+        .select(col("promo_e4"), col("total_e4"),
+          expr("CAST((promo_e4 * 10000) div total_e4 AS BIGINT)")
+            .as("promo_bp")),
+    Some(s"""WITH j AS (
+           |  SELECT p_type, $revE4Sql AS rev_e4
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+           |    AND l_shipdate < TIMESTAMP '1997-10-01')
+           |SELECT
+           |  CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_e4,
+           |  CAST(SUM(rev_e4) AS BIGINT) AS total_e4,
+           |  CAST((CAST(SUM(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) * 10000)
+           |    // CAST(SUM(rev_e4) AS BIGINT) AS BIGINT) AS promo_bp
+           |FROM j""".stripMargin))
+
+  /** q142: TPC-H Q15's shape — "top supplier": the supplier(s) whose
+    * quarter revenue equals the GLOBAL maximum. The classic form is a
+    * view used twice (once aggregated to max, once filtered against
+    * it); here the per-supplier aggregate is computed ONCE and cached,
+    * its 1-row max crossJoin-broadcast back — the second "scan" of the
+    * view is a broadcast-hash probe of |suppliers| rows, and lineitem
+    * is read exactly once. Revenue in exact e4 so the max-equality
+    * probe is engine-identical (a double-equality against an
+    * aggregated max is the textbook float trap).
+    */
+  val q142TopSupplier = NamedQuery(
+    "q142_top_supplier",
+    "TPC-H Q15 shape: supplier(s) with the max 1997Q1 revenue; " +
+      "cached per-supplier agg + 1-row max broadcast, one fact scan.",
+    (s, d) => {
+      val perSupp = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+          col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-04-01 00:00:00")))
+        .select(col("l_suppkey"), revE4.as("rev_e4"))
+        .groupBy(col("l_suppkey"))
+        .agg(sum("rev_e4").as("total_rev_e4"))
+        .cache() // max + probe both read it: one lineitem scan
+      val maxRev = perSupp.agg(max(col("total_rev_e4")).as("max_rev"))
+      perSupp
+        .join(broadcast(maxRev), col("total_rev_e4") === col("max_rev"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_e4"))
+        .orderBy("s_suppkey")
+    },
+    Some(s"""WITH rev AS (
+           |  SELECT l_suppkey, CAST(SUM(rev_e4) AS BIGINT) AS total_rev_e4
+           |  FROM (SELECT l_suppkey, $revE4Sql AS rev_e4
+           |        FROM lineitem
+           |        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+           |          AND l_shipdate < TIMESTAMP '1997-04-01') l
+           |  GROUP BY 1)
+           |SELECT s_suppkey, s_name, total_rev_e4
+           |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_rev_e4 = (SELECT MAX(total_rev_e4) FROM rev)
+           |ORDER BY s_suppkey""".stripMargin))
+
+  /** q143: TPC-H Q17's shape — "small-quantity-order revenue": revenue
+    * from order lines under 20% of the part's average quantity, for
+    * one brand. The classic correlated `l_quantity < (SELECT 0.2 *
+    * avg(..) WHERE partkey = outer)` decorrelates into a per-part agg
+    * joined back on the SAME key (q137's pattern: the agg output is
+    * already partitioned by partkey, so the join-back adds no exchange
+    * on that side), and the brand filter semi-joins lineitem down via
+    * the broadcast part dim BEFORE the agg — at 100 TB the agg runs
+    * over one brand's lines, not the corpus. The cached filtered scan
+    * feeds both the aggregate and the probe: one lineitem read. The
+    * 20% cut is integer-exact: qty < sum/(5·cnt) ⟺ 5·cnt·qty_e2 <
+    * sum_e2 — no float division on either engine.
+    */
+  val q143SmallQtyRevenue = NamedQuery(
+    "q143_small_qty_revenue",
+    "TPC-H Q17 shape: Brand#1 revenue from lines under 0.2× the " +
+      "part's avg quantity; decorrelated same-key join-back, " +
+      "integer-exact threshold.",
+    (s, d) => {
+      val brandLines = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") === "Brand#1")
+            .select(col("p_partkey"))),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey"),
+          (col("l_quantity").cast("decimal(18,2)") * 100).cast("long")
+            .as("qty_e2"),
+          revE4.as("rev_e4"))
+        .cache() // agg + probe both read it: one lineitem scan
+      val perPart = brandLines.groupBy(col("l_partkey").as("ap"))
+        .agg(sum("qty_e2").as("sum_qty_e2"), count(lit(1)).as("cnt"))
+      brandLines
+        .join(perPart, col("l_partkey") === col("ap"))
+        .filter(col("qty_e2") * 5 * col("cnt") < col("sum_qty_e2"))
+        .agg(sum("rev_e4").as("small_rev_e4"),
+          count(lit(1)).as("n_lines"))
+    },
+    Some(s"""WITH brand_lines AS (
+           |  SELECT l_partkey,
+           |    CAST(CAST(l_quantity AS DECIMAL(18,2)) * 100 AS BIGINT) AS qty_e2,
+           |    $revE4Sql AS rev_e4
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE p_brand = 'Brand#1'),
+           |per_part AS (
+           |  SELECT l_partkey AS ap, CAST(SUM(qty_e2) AS BIGINT) AS sum_qty_e2,
+           |    COUNT(*) AS cnt
+           |  FROM brand_lines GROUP BY 1)
+           |SELECT CAST(SUM(rev_e4) AS BIGINT) AS small_rev_e4,
+           |  COUNT(*) AS n_lines
+           |FROM brand_lines JOIN per_part ON l_partkey = ap
+           |WHERE qty_e2 * 5 * cnt < sum_qty_e2""".stripMargin))
+
+  /** q144: TPC-H Q19's shape — "discounted revenue" with DISJUNCTIVE
+    * bracket predicates: three (brand × size-range × quantity-range)
+    * brackets OR'd together. The scale move: the brackets' UNION of
+    * brands prunes the part dim BEFORE broadcast (the common conjunct
+    * of a disjunction is factorable and pushable even when the full
+    * OR is not), the join stays a single broadcast-hash equi-join on
+    * partkey with the OR as a cheap residual — never a union of three
+    * scans, never a nested-loop. Catalyst keeps the residual inside
+    * whole-stage codegen.
+    */
+  val q144BracketPredicates = NamedQuery(
+    "q144_bracket_predicates",
+    "TPC-H Q19 shape: revenue under three OR'd brand/size/quantity " +
+      "brackets; factored brand pushdown, single equi-join with " +
+      "codegen residual.",
+    (s, d) => {
+      val dim = Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand", "p_size")
+      Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity"), revE4.as("rev_e4"))
+        .join(broadcast(dim), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+            col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#2" && col("p_size").between(1, 20) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#3" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_lines"))
+    },
+    Some(s"""SELECT CAST(SUM(rev_e4) AS BIGINT) AS revenue_e4,
+           |  COUNT(*) AS n_lines
+           |FROM (SELECT l_partkey, l_quantity, $revE4Sql AS rev_e4
+           |      FROM lineitem) l
+           |JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+           |    AND l_quantity BETWEEN 1 AND 20)
+           |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 20
+           |    AND l_quantity BETWEEN 10 AND 30)
+           |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 30
+           |    AND l_quantity BETWEEN 20 AND 40)""".stripMargin))
+
+  /** q145: TPC-H Q22's shape — "global sales opportunity": DORMANT
+    * customers (no order since 1999) with above-average positive
+    * balance, by nation (nationkey stands in for the phone
+    * country-code prefix; the dormancy window stands in for "never
+    * ordered", which is empty on this fixture's dense order
+    * coverage). Two classic decorrelations in one query: the
+    * global-average scalar subquery becomes a 1-row aggregate
+    * crossJoin-broadcast (every partition compares locally — no
+    * shuffle), and NOT EXISTS becomes a LEFT ANTI join whose build
+    * side is orders WITH THE DATE FILTER PUSHED TO ITS SCAN and
+    * projected to the join key only — at 100 TB the anti-join carries
+    * |recent orders| keys, not the order history.
+    */
+  val q145GlobalOpportunity = NamedQuery(
+    "q145_global_opportunity",
+    "TPC-H Q22 shape: dormant customers with above-avg positive " +
+      "balance per nation; 1-row scalar broadcast + left-anti join, " +
+      "integer-exact threshold.",
+    (s, d) => {
+      val custE2 = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          (col("c_acctbal").cast("decimal(18,2)") * 100).cast("long")
+            .as("bal_e2"))
+      val avgPos = custE2.filter(col("bal_e2") > 0)
+        .agg(sum("bal_e2").as("sum_e2"), count(lit(1)).as("cnt"))
+      custE2
+        .crossJoin(broadcast(avgPos))
+        .filter(col("bal_e2") * col("cnt") > col("sum_e2"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1999-01-01 00:00:00")))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").cast("long").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"), sum("bal_e2").as("totacctbal_e2"))
+        .orderBy("cntrycode")
+    },
+    Some("""WITH cust AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    CAST(CAST(c_acctbal AS DECIMAL(18,2)) * 100 AS BIGINT) AS bal_e2
+           |  FROM customer),
+           |avg_pos AS (
+           |  SELECT CAST(SUM(bal_e2) AS BIGINT) AS sum_e2, COUNT(*) AS cnt
+           |  FROM cust WHERE bal_e2 > 0)
+           |SELECT CAST(c_nationkey AS BIGINT) AS cntrycode,
+           |  COUNT(*) AS numcust,
+           |  CAST(SUM(bal_e2) AS BIGINT) AS totacctbal_e2
+           |FROM cust, avg_pos
+           |WHERE bal_e2 * cnt > sum_e2
+           |  AND NOT EXISTS (SELECT 1 FROM orders
+           |    WHERE o_custkey = c_custkey
+           |      AND o_orderdate >= TIMESTAMP '1999-01-01')
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q01PricingSummary, q02FilterProject, q03BroadcastDims,
     q04GoldCurrentInventory, q09TopK, q10SetOps, q45SupplierPartProfit,
     q72FullOuterReconcile, q113LocalSupplierVolume, q114PriorityChecking,
     q127VolumeShipping, q128MarketShare, q132WaitingSuppliers,
-    q133LargeVolumeCustomers, q137MinCostSupplier)
+    q133LargeVolumeCustomers, q137MinCostSupplier, q138ShippingPriority,
+    q139ReturnedItems, q140OrderDistribution, q141PromoEffect,
+    q142TopSupplier, q143SmallQtyRevenue, q144BracketPredicates,
+    q145GlobalOpportunity)
 }

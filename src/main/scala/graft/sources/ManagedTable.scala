@@ -270,16 +270,41 @@ object ManagedTable {
       schemaJson + "\n" +
       renderStats(stats)
     f.mkdirs(manifestDir(dir))
-    // create(..., overwrite = false): atomic claim of version `v`
-    // (O_EXCL — the fail-if-exists primitive; rename would silently
-    // OVERWRITE on a POSIX local filesystem). The claim lands before
-    // the content: readManifest spins through that microsecond window
-    // (see its scaladoc) rather than observing an empty manifest — a
-    // race the concurrent-merge spec caught. On a put-if-absent object
-    // store the claim and content are one atomic operation.
-    val out = f.create(new Path(manifestDir(dir), s"v$v.json"), false)
-    try { out.write(manifest.getBytes("UTF-8")); out.hsync() }
-    finally out.close()
+    val target = new Path(manifestDir(dir), s"v$v.json")
+    if (f.getUri.getScheme == "file") {
+      // Local FS: Hadoop's create(path, overwrite = false) is
+      // CHECK-THEN-ACT (RawLocalFileSystem tests exists() and then
+      // opens a plain FileOutputStream — no O_EXCL), so two racing
+      // committers can BOTH "claim" the same version and one silently
+      // overwrites the other (the barrier-raced concurrent-merge spec
+      // caught exactly this). link(2) is the real fail-if-exists
+      // primitive: write the full content to a private temp file, then
+      // hard-link it to the manifest name — EEXIST arbitration AND
+      // content publication in one atomic syscall (no claim/content
+      // window at all, so readers never see a torn local manifest).
+      val mdir = java.nio.file.Paths.get(
+        f.makeQualified(manifestDir(dir)).toUri.getPath)
+      val tmp = java.nio.file.Files.createTempFile(mdir, s".v$v-", ".tmp")
+      try {
+        java.nio.file.Files.write(tmp, manifest.getBytes("UTF-8"))
+        try java.nio.file.Files.createLink(
+          mdir.resolve(s"v$v.json"), tmp)
+        catch {
+          case e: java.nio.file.FileAlreadyExistsException =>
+            throw new java.io.IOException(
+              s"ManagedTable: version $v already claimed", e)
+        }
+      } finally java.nio.file.Files.deleteIfExists(tmp)
+    } else {
+      // Non-local FS: create(..., overwrite = false) is the store's
+      // put-if-absent (atomic on HDFS and O_EXCL-semantics object
+      // stores). The claim lands before the content: readManifest
+      // spins through that window (see its scaladoc) rather than
+      // observing an empty manifest.
+      val out = f.create(target, false)
+      try { out.write(manifest.getBytes("UTF-8")); out.hsync() }
+      finally out.close()
+    }
   }
 
   /** Committer tags in version order (empty string where untagged). */
