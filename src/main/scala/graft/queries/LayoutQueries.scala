@@ -371,8 +371,62 @@ object LayoutQueries {
            |  CAST(4 AS BIGINT) AS n_view_commits
            |FROM state GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q146: BUCKETED CO-LOCATED JOIN — the write-time answer to the one
+    * shuffle every fact⋈fact query pays. Both tables are written
+    * `bucketBy(8, orderkey).sortBy(orderkey)` as external-path tables:
+    * rows with equal keys land in equal bucket files, so the join
+    * requires NO Exchange and NO per-task sort on either side (bucket
+    * files are read pre-sorted) — BucketingSpec pins that plan shape
+    * with broadcast disabled; this query makes the operator itself an
+    * oracle-checked inventory item: the values must survive the
+    * bucketed write → co-located join round trip bit-exactly. At
+    * 100 TB this is the difference between re-shuffling the fact
+    * tables on EVERY join and paying the partitioning once at ingest —
+    * the same trade hive partitioning (q67) makes for filters, made
+    * for joins. Revenue is carried in exact BIGINT ten-thousandths
+    * (the q128 discipline).
+    */
+  val q146BucketedJoin = NamedQuery(
+    "q146_bucketed_join",
+    "Orders and lineitem written bucketBy(8, orderkey) sortBy(orderkey) " +
+      "as external tables, then fact-fact joined shuffle-free; " +
+      "revenue + line count per order priority.",
+    (s, d) => {
+      val base = layoutDir(d) + "-buckets"
+      val suffix = d.replaceAll("[^A-Za-z0-9]", "_")
+      val ordersT = s"graft_b_orders_$suffix"
+      val liT = s"graft_b_lineitem_$suffix"
+      s.sql(s"DROP TABLE IF EXISTS $ordersT")
+      s.sql(s"DROP TABLE IF EXISTS $liT")
+      Tables.orders(s, d)
+        .select("o_orderkey", "o_orderpriority")
+        .write.option("path", s"$base/orders").mode("overwrite")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordersT)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1.0) - col("l_discount")).cast("decimal(18,2)"))
+            .multiply(lit(10000)).cast("long").as("rev_e4"))
+        .write.option("path", s"$base/lineitem").mode("overwrite")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liT)
+      s.table(ordersT)
+        .join(s.table(liT), col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_lines"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) *
+           |    CAST(1.0 - l_discount AS DECIMAL(18,2)) * 10000 AS BIGINT))
+           |    AS BIGINT) AS revenue_e4,
+           |  COUNT(*) AS n_lines
+           |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
-      q130IncrementalView)
+      q130IncrementalView, q146BucketedJoin)
 }

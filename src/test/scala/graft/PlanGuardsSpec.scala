@@ -305,4 +305,66 @@ class PlanGuardsSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-50 selection must push down, not globally sort")
   }
+
+  test("q138 shipping priority: pushed date filters, broadcast segment, top-k pushdown") {
+    val p = plan("q138_shipping_priority")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      "the shipdate cutoff must reach the lineitem parquet scan")
+    assert(p.contains("BroadcastHashJoin"),
+      "the segment-filtered customer side must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must push down")
+  }
+
+  test("q139 returned items: agg before the customer join; returnflag pushed") {
+    val p = plan("q139_returned_items")
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      "the returnflag filter must reach the lineitem scan")
+    // the per-customer aggregate must appear BELOW the customer join:
+    // after the final agg there is no further join in the plan walk
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must push down")
+  }
+
+  test("q141/q144 single-scan conditional aggregates with broadcast part dim") {
+    for (name <- Seq("q141_promo_effect", "q144_bracket_predicates")) {
+      val p = plan(name)
+      assert(p.split("\\) Scan parquet").length - 1 == 2,
+        s"$name: exactly lineitem + part, never two fact scans")
+      assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+        s"$name: part is a broadcast dim")
+    }
+  }
+
+  test("q142 top supplier: one lineitem scan; the max probes back as a broadcast") {
+    val p = plan("q142_top_supplier")
+    assert(p.contains("InMemoryTableScan"),
+      "the per-supplier aggregate must be cached and reused, not recomputed")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      "the 1-row max and the supplier dim both broadcast")
+  }
+
+  test("q145 dormant customers: anti-join with the date filter pushed to its build side") {
+    val p = plan("q145_global_opportunity")
+    assert(p.contains("LeftAnti"), "NOT EXISTS must execute as a left-anti join")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      "the dormancy window must reach the orders scan, not filter post-join")
+    assert(p.contains("BroadcastNestedLoop") || p.contains("BroadcastHashJoin"),
+      "the global-average scalar joins as a 1-row broadcast")
+  }
+
+  test("q146 bucketed join: co-located scans, no exchange below the join") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = SparkEntry.queries("q146_bucketed_join")(spark, sf("sf0.001"))
+      val p = df.queryExecution.executedPlan.toString
+      val joinIdx = p.indexOf("SortMergeJoin")
+      assert(joinIdx >= 0, s"bucketed fact-fact join should sort-merge:\n$p")
+      // everything BELOW the join (scans + filters) must be exchange-free:
+      // bucket pruning replaced the shuffle. The aggregate above it may
+      // (and does) exchange on the group key.
+      val below = p.substring(joinIdx)
+      assert(!below.contains("Exchange"),
+        s"no shuffle below the co-located join:\n$below")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
 }
