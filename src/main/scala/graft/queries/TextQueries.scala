@@ -1762,6 +1762,59 @@ object TextQueries {
            |  CAST(CASE WHEN reason = 'pass' THEN 1 ELSE 0 END AS BIGINT) AS keep
            |FROM r ORDER BY doc_id""".stripMargin))
 
+  /** q148: LSH DEDUP RECALL HARNESS — what q33 is to ANN, this is to
+    * near-dup detection: the banding approximation's quality becomes a
+    * hash-checked number instead of a tuning anecdote. Exact word-3-gram
+    * Jaccard pairs (the q13 reference, quadratic BY DESIGN — harness
+    * only, never the default path) left-join the MinHash+LSH pairs
+    * (the q14 scale path, a strict subset since LSH candidates are
+    * verified at the same threshold): recall = found/exact in exact
+    * fp6, plus the count of HIGH-similarity (≥0.7) pairs the banding
+    * missed — the S-curve's promise is that this number stays near 0
+    * while near-threshold misses are tolerated. Changing
+    * (numHashes, bands) now shows up as a hash mismatch, so banding
+    * tuning is regression-tested at the query level.
+    */
+  val q148LshRecall = NamedQuery(
+    "q148_lsh_dedup_recall",
+    "Recall of MinHash+LSH (q14) against exact n-gram Jaccard (q13) " +
+      "at j ≥ 0.5, with the high-similarity (≥ 0.7) miss count — the " +
+      "banding S-curve as a hash-checked contract.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val exact = TextDedup.jaccardPairs(docs, "doc_id", "text",
+        n = 3, minJaccard = 0.5)
+      val found = TextDedup.minhashNearDups(docs, "doc_id", "text",
+          n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("found"))
+      exact.join(found, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_exact"),
+          count(col("found")).as("n_found"),
+          sum(when(col("found").isNull && col("jaccard_fp") >= 700000L, 1L)
+            .otherwise(0L)).as("n_missed_hi"))
+        .select(col("n_exact"), col("n_found"),
+          expr("CAST((n_found * 1000000) div n_exact AS BIGINT)")
+            .as("recall_fp6"),
+          col("n_missed_hi"))
+    },
+    Some(s"""WITH $minhashPairsCtes,
+            |inter_all AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+            |    COUNT(*) AS n_inter
+            |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2),
+            |exact AS (SELECT id_a, id_b,
+            |    CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) AS jf
+            |  FROM inter_all JOIN sizes sa ON sa.doc_id = id_a
+            |  JOIN sizes sb ON sb.doc_id = id_b
+            |  WHERE CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) >= 500000)
+            |SELECT COUNT(*) AS n_exact,
+            |  COUNT(p.id_a) AS n_found,
+            |  CAST((COUNT(p.id_a) * 1000000) // COUNT(*) AS BIGINT) AS recall_fp6,
+            |  CAST(SUM(CASE WHEN p.id_a IS NULL AND e.jf >= 700000
+            |    THEN 1 ELSE 0 END) AS BIGINT) AS n_missed_hi
+            |FROM exact e LEFT JOIN pairs p
+            |  ON p.id_a = e.id_a AND p.id_b = e.id_b""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -1772,5 +1825,5 @@ object TextQueries {
     q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
-    q131EntityResolution, q134FilterCascade)
+    q131EntityResolution, q134FilterCascade, q148LshRecall)
 }

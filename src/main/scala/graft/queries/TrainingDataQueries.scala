@@ -1159,6 +1159,39 @@ object TrainingDataQueries {
            |FROM counts, totals
            |ORDER BY drift_fp DESC, tok LIMIT 20""".stripMargin))
 
+  /** q147: EPOCH-SEEDED DETERMINISTIC SHARD ASSIGNMENT — the export
+    * shuffle of a training pipeline. Training wants each epoch to read
+    * the corpus in a different pseudo-random order; at 100 TB that
+    * order is realized as hash-sharded output files (shard =
+    * hex-prefix of md5(seed ‖ doc_id)), written per shard in key
+    * order — NOT as a global sort of the corpus. The shard key is
+    * row-local (one exchange total, the stats agg), re-seeding an
+    * epoch re-keys with zero data movement until the re-write, and
+    * md5's uniformity makes the 16 shards byte-balanced — which is the
+    * property this query pins as hash-checked numbers (docs AND bytes
+    * per shard). Engine-identical because both engines md5 the same
+    * decimal string.
+    */
+  val q147ShardAssignment = NamedQuery(
+    "q147_shard_assignment",
+    "Epoch-seeded deterministic 16-way shard assignment (hex prefix " +
+      "of md5(seed||doc_id)): docs + bytes per shard pin the balance " +
+      "contract of hash-sharded training export.",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(
+          substring(md5(concat(lit("epoch7:"),
+            col("doc_id").cast("string"))), 1, 1).as("shard"),
+          col("n_chars"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))
+        .orderBy("shard"),
+    Some("""SELECT substring(md5('epoch7:' || CAST(doc_id AS VARCHAR)), 1, 1)
+           |    AS shard,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+           |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1166,5 +1199,5 @@ object TrainingDataQueries {
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
     q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
     q117ExactKSample, q122DsirImportance, q126WeightedSample,
-    q135TokenBudget, q136DistributionDrift)
+    q135TokenBudget, q136DistributionDrift, q147ShardAssignment)
 }
