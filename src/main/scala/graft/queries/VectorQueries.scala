@@ -1074,11 +1074,163 @@ object VectorQueries {
             |FROM embeddings, unnest(range(0, $JlOutDims)) AS t(j)
             |ORDER BY vec_id, dim""".stripMargin))
 
+  /** q149: FILTERED vector search — ANN under a metadata predicate
+    * (label = 3), the retrieval shape every production vector store
+    * must serve ("nearest neighbors among documents matching X"). The
+    * scale decision is WHERE the filter runs: POST-filtering a top-k
+    * list loses recall whenever the filter is selective (the true
+    * label-3 neighbors may all rank below k globally); here the
+    * predicate is applied to the candidate side BEFORE IVF assignment
+    * and scoring, so it pushes to the parquet scan
+    * (`PushedFilters: EqualTo(label,3)`) and the probe scores ONLY
+    * matching vectors — exact top-k over the filtered universe, cost
+    * ∝ |matching| / |cells| · nprobe. Composition, not a new operator:
+    * `ivfTopK(queries, candidates.filter(...), centroids)` — the
+    * declarative win of building ANN on DataFrames.
+    */
+  val q149FilteredAnn = NamedQuery(
+    "q149_filtered_ann",
+    "Label-constrained IVF ANN: the predicate prunes the candidate " +
+      "side before assignment/scoring (pushed to the scan), giving " +
+      "exact top-3 over the filtered universe — never post-filtered.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      Similarity.ivfTopK(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.filter(col("label") === 3)
+            .select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          emb.filter(col("vec_id") < NCentroids)
+            .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+          nprobe = NProbe, k = 3)
+        .orderBy("query_id", "rank")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < $NCentroids),
+            |assigned AS (SELECT vec_id AS neighbor_id, embedding AS ncv, cid FROM (
+            |  SELECT e.vec_id, e.embedding, c.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpSql("e.embedding", "c.cv")} DESC, c.cid ASC) AS rn
+            |  FROM embeddings e, cent c WHERE e.label = 3) WHERE rn = 1),
+            |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            |probes AS (SELECT query_id, qv, cid FROM (
+            |  SELECT q.query_id, q.qv, c.cid,
+            |    row_number() OVER (PARTITION BY q.query_id
+            |      ORDER BY ${cosFpSql("q.qv", "c.cv")} DESC, c.cid ASC) AS prn
+            |  FROM q, cent c) WHERE prn <= $NProbe),
+            |scored AS (SELECT p.query_id, a.neighbor_id,
+            |    ${cosFpSql("p.qv", "a.ncv")} AS cos_fp
+            |  FROM probes p JOIN assigned a ON p.cid = a.cid
+            |  WHERE p.query_id <> a.neighbor_id),
+            |ranked AS (SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank FROM scored)
+            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
+  /** q150: HYBRID RETRIEVAL by reciprocal-rank fusion — the modern
+    * search stack's lexical + dense combination (RRF, Cormack et al.:
+    * score = Σ 1/(60 + rank_m)), with documents and embeddings joined
+    * by the harness convention vec_id = doc_id. Each modality produces
+    * an independent bounded top-20 ranking — lexical = word-3-gram
+    * Jaccard overlap (one cached gram scan feeds both the query and
+    * candidate sides), dense = broadcast brute-force cosine — and the
+    * fusion is a FULL OUTER join of two |Q|·20-row lists: at 100 TB
+    * the expensive parts stay the modality engines (each already has
+    * its sub-quadratic scale sibling: q82 prefix-filter, q26 IVF);
+    * fusion cost is negligible by construction. RRF contributions are
+    * exact integers (1e6 div (60+rank)), so fused scores and the final
+    * top-5 cut are engine-identical.
+    */
+  val q150HybridRrf = NamedQuery(
+    "q150_hybrid_rrf",
+    "Lexical (3-gram Jaccard) + dense (cosine) top-20 rankings fused " +
+      "by integer reciprocal-rank fusion; full-outer join of bounded " +
+      "lists, top-5 fused results per query.",
+    (s, d) => {
+      import graft.operators.TextDedup
+      val docs = Tables.documents(s, d)
+      val cg = TextDedup.gramSets(docs, "doc_id", "text", n = 3).cache()
+      val qg = cg.filter(col("gs_id") < 10)
+        .select(col("gs_id").as("query_id"), col("gram"))
+      val sizes = cg.groupBy(col("gs_id")).agg(count(lit(1)).as("n_grams"))
+      val inter = qg
+        .join(cg.select(col("gs_id").as("cand_id"), col("gram")), "gram")
+        .filter(col("query_id") =!= col("cand_id"))
+        .groupBy("query_id", "cand_id").agg(count(lit(1)).as("n_inter"))
+      val jac = inter
+        .join(sizes.select(col("gs_id").as("query_id"), col("n_grams").as("na")), "query_id")
+        .join(sizes.select(col("gs_id").as("cand_id"), col("n_grams").as("nb")), "cand_id")
+        .select(col("query_id"), col("cand_id"),
+          floor(col("n_inter") / (col("na") + col("nb") - col("n_inter")) * 1e6)
+            .cast("long").as("jaccard_fp"))
+      val wLex = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("jaccard_fp").desc, col("cand_id").asc)
+      val lex = jac.withColumn("lex_rank", row_number().over(wLex).cast("long"))
+        .filter(col("lex_rank") <= 20)
+        .select("query_id", "cand_id", "lex_rank")
+      val emb = Tables.embeddings(s, d)
+      val den = Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") < 10)
+            .select(col("vec_id").as("query_id"), col("embedding").as("qv")),
+          emb.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv")),
+          k = 20)
+        .select(col("query_id"), col("neighbor_id").as("cand_id"),
+          col("rank").as("vec_rank"))
+      val fused = lex.join(den, Seq("query_id", "cand_id"), "full_outer")
+        .withColumn("rrf_fp6",
+          coalesce(expr("CAST(1000000 div (60 + lex_rank) AS BIGINT)"), lit(0L)) +
+            coalesce(expr("CAST(1000000 div (60 + vec_rank) AS BIGINT)"), lit(0L)))
+      val wF = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id")
+        .orderBy(col("rrf_fp6").desc, col("cand_id").asc)
+      fused.withColumn("fused_rank", row_number().over(wF).cast("long"))
+        .filter(col("fused_rank") <= 5)
+        .select("query_id", "cand_id", "rrf_fp6", "fused_rank")
+        .orderBy("query_id", "fused_rank")
+    },
+    Some(s"""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts FROM documents),
+            |grams AS (SELECT DISTINCT doc_id, g FROM toks,
+            |  unnest(list_transform(range(1, len(ts)-1),
+            |    i -> ts[i]||' '||ts[i+1]||' '||ts[i+2])) AS t(g)
+            |  WHERE len(ts) >= 3),
+            |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+            |inter AS (SELECT a.doc_id AS query_id, b.doc_id AS cand_id,
+            |    COUNT(*) AS n_inter
+            |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id <> b.doc_id
+            |  WHERE a.doc_id < 10 GROUP BY 1, 2),
+            |jac AS (SELECT query_id, cand_id,
+            |    CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) AS jaccard_fp
+            |  FROM inter JOIN sizes sa ON sa.doc_id = query_id
+            |  JOIN sizes sb ON sb.doc_id = cand_id),
+            |lex AS (SELECT query_id, cand_id,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY jaccard_fp DESC, cand_id ASC) AS BIGINT) AS lex_rank
+            |  FROM jac QUALIFY lex_rank <= 20),
+            |q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 10),
+            |c AS (SELECT vec_id AS neighbor_id, embedding AS cv FROM embeddings),
+            |pairs AS (SELECT query_id, neighbor_id, ${cosFpSql("qv", "cv")} AS cos_fp
+            |  FROM q, c WHERE query_id <> neighbor_id),
+            |den AS (SELECT query_id, neighbor_id AS cand_id,
+            |    CAST(row_number() OVER (PARTITION BY query_id
+            |      ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS vec_rank
+            |  FROM pairs QUALIFY vec_rank <= 20),
+            |fused AS (SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+            |    COALESCE(l.cand_id, v.cand_id) AS cand_id,
+            |    COALESCE(1000000 // (60 + l.lex_rank), 0) +
+            |      COALESCE(1000000 // (60 + v.vec_rank), 0) AS rrf_fp6
+            |  FROM lex l FULL OUTER JOIN den v
+            |    ON l.query_id = v.query_id AND l.cand_id = v.cand_id)
+            |SELECT query_id, cand_id, CAST(rrf_fp6 AS BIGINT) AS rrf_fp6,
+            |  CAST(row_number() OVER (PARTITION BY query_id
+            |    ORDER BY rrf_fp6 DESC, cand_id ASC) AS BIGINT) AS fused_rank
+            |FROM fused QUALIFY fused_rank <= 5
+            |ORDER BY query_id, fused_rank""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
     q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
-    q110IncrementalIvf, q125JlProjection)
+    q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf)
 }

@@ -351,6 +351,23 @@ class PlanGuardsSpec extends SparkSpec {
       "the global-average scalar joins as a 1-row broadcast")
   }
 
+  test("q149 filtered ANN: the label predicate reaches the candidate scan") {
+    val p = plan("q149_filtered_ann")
+    assert(p.contains("EqualTo(label,3)"),
+      "the metadata filter must push to the parquet scan — post-filtering " +
+        "a top-k list loses recall under selective predicates")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoop"),
+      "centroids and queries stay broadcast")
+  }
+
+  test("q150 hybrid RRF: one cached gram scan; fusion joins bounded lists") {
+    val p = plan("q150_hybrid_rrf")
+    assert(p.contains("InMemoryTableScan"),
+      "the gram table must be cached: query and candidate sides share one tokenize")
+    assert(p.contains("SortMergeJoin FullOuter") || p.contains("FullOuter"),
+      "fusion is a full-outer join of the two modality rankings")
+  }
+
   test("q146 bucketed join: co-located scans, no exchange below the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
