@@ -64,7 +64,7 @@ object LayoutQueries {
     * sum of 24 shift/mask terms, fully inside whole-stage codegen (no
     * HOF, no UDF).
     */
-  private def morton12(x: org.apache.spark.sql.Column,
+  private[graft] def morton12(x: org.apache.spark.sql.Column,
       y: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     (0 until ZBits).map { b =>
       shiftleft(shiftright(x, b).bitwiseAND(lit(1L)), 2 * b) +
@@ -425,8 +425,78 @@ object LayoutQueries {
            |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q151: CLUSTERED COMPACTION (Delta's `OPTIMIZE ... ZORDER BY`) —
+    * q120's maintenance loop upgraded from "fewer files" to "fewer
+    * files THAT PRUNE". Eight arrival-order micro-batch files each
+    * span the full custkey range, so a custkey probe keeps all 8
+    * (pinned as an invariant in the hash-checked output); compacting
+    * with `clusterBy = morton12(custkey, order-day)` range-partitions
+    * the rows on the z-curve, so the rebinned segments carry DISJOINT
+    * z ranges, per-file min/max extents shrink in BOTH dims (q90's
+    * bounding-box contract applied to the write path), and the same
+    * probe now prunes segments via the manifest zone maps — the
+    * invariant column proves (8 kept → strictly fewer kept) across
+    * the rewrite, and the aggregate proves the layout change moved
+    * no rows. At 100 TB this is the nightly OPTIMIZE every streaming
+    * ingest needs: arrival order never clusters, and re-clustering
+    * cost is bounded by the small-file bytes, never a table rewrite.
+    */
+  val q151ZorderCompaction = NamedQuery(
+    "q151_zorder_compaction",
+    "Compaction clustered by the (custkey × order-day) Morton curve: " +
+      "arrival-order files never prune, z-clustered segments do; " +
+      "pruning + version invariants ride the hash-checked aggregate.",
+    (s, d) => {
+      val dir = "/tmp/graft-zcompact/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true) // fresh per run: versions are per-run state
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        datediff(col("o_orderdate"), lit("1995-01-01")).cast("long").as("day"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100).cast("long")
+          .as("price_e2"),
+        col("o_orderpriority"))
+      graft.sources.ManagedTable.commit(base.repartition(8), dir)
+      val (k0, a0) = graft.sources.ManagedTable
+        .planFiles(s, dir, "o_custkey", 0L, 511L)
+      val totalBytes = a0.map(f =>
+        fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
+      // Scale each dim into morton12's 12 bits by an ORDER-PRESERVING
+      // right shift sized from the dim's actual max (one driver-side
+      // agg — OPTIMIZE computes stats anyway). A modulo wrap would
+      // cluster on the residue and leave raw extents corpus-wide;
+      // over-shifting one dim would let the other dominate the curve's
+      // high bits and the probe dim would never prune.
+      val mx = base.agg(max("o_custkey"), max("day")).head()
+      def sh(m: Long): Int =
+        math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(m) - ZBits)
+      val v = graft.sources.ManagedTable.compact(s, dir,
+        smallFileBytes = totalBytes / 6 + 1,
+        clusterBy = Seq(morton12(
+          shiftright(col("o_custkey"), sh(mx.getLong(0))),
+          shiftright(col("day"), sh(mx.getLong(1))))))
+      val (k1, a1) = graft.sources.ManagedTable
+        .planFiles(s, dir, "o_custkey", 0L, 511L)
+      val invariants = a0.size == 8 && k0.size == 8 && v == 2 &&
+        a1.size >= 4 && k1.size < a1.size &&
+        graft.sources.ManagedTable.versions(s, dir) == Seq(1, 2)
+      graft.sources.ManagedTable.readWhere(s, dir, "o_custkey", 0L, 511L)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum("price_e2").as("sum_price_e2"))
+        .withColumn("layout_ok", lit(invariants))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, COUNT(*) AS n_orders,
+           |  CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(18,2)) * 100
+           |    AS BIGINT)) AS BIGINT) AS sum_price_e2,
+           |  true AS layout_ok
+           |FROM orders WHERE o_custkey BETWEEN 0 AND 511
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
-      q130IncrementalView, q146BucketedJoin)
+      q130IncrementalView, q146BucketedJoin, q151ZorderCompaction)
 }

@@ -551,7 +551,8 @@ object ManagedTable {
     * proportional to the SMALL files' bytes, never a table rewrite.
     */
   def compact(spark: SparkSession, dir: String,
-      smallFileBytes: Long = 32L * 1024 * 1024, tag: String = ""): Int = {
+      smallFileBytes: Long = 32L * 1024 * 1024, tag: String = "",
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Int = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"ManagedTable.compact: no versions in $dir")
     val current = vs.last
@@ -574,9 +575,21 @@ object ManagedTable {
       throw new IllegalStateException(
         s"ManagedTable.compact: version $current of $dir has no " +
           "recorded schema"))
-    val packed = spark.read.schema(schema)
+    val packed0 = spark.read.schema(schema)
       .parquet(small.map(p => s"$dir/$p"): _*)
-      .coalesce(outFiles)
+    // clusterBy = Delta's OPTIMIZE ZORDER BY: instead of packing small
+    // files in arrival order, GLOBALLY range-partition the packed rows
+    // on the cluster key (pass a Morton-interleave expression for
+    // multi-dim clustering) and sort within each output file — output
+    // segments then carry DISJOINT cluster-key ranges, so the
+    // manifest's per-file min/max stats ([[planFiles]]) prune across
+    // the compacted segments, which arrival-order packing can never
+    // offer. Same rows, same schema (the key is an expression, not a
+    // stored column) — only the layout changes.
+    val packed =
+      if (clusterBy.isEmpty) packed0.coalesce(outFiles)
+      else packed0.repartitionByRange(outFiles, clusterBy: _*)
+        .sortWithinPartitions(clusterBy: _*)
     val newFiles = writeSegment(packed, dir, next)
     writeManifest(spark, dir, next, tag, keep ++ newFiles, schema.json,
       stats.view.filterKeys(keep.contains).toMap ++

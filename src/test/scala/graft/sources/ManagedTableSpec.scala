@@ -247,6 +247,47 @@ class ManagedTableSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("clustered compact (OPTIMIZE ZORDER): output segments carry disjoint key ranges and prune") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-mt15").toString
+    // 8 small files, each spanning the FULL x range (arrival order is
+    // uncorrelated with the probe column — the worst case for zone maps)
+    val rows = (0 until 1024).map(i => (i.toLong % 512, (i * 7 % 512).toLong,
+      s"payload_$i"))
+    ManagedTable.commit(rows.toDF("x", "y", "p").repartition(8), dir)
+    val (keptBefore, allBefore) =
+      ManagedTable.planFiles(spark, dir, "x", 0L, 63L)
+    assert(keptBefore.size == allBefore.size,
+      "arrival-order files all span the x range: nothing prunes")
+    val before = ManagedTable.read(spark, dir).orderBy("x", "y", "p").collect()
+    // compact clustered by the Morton interleave of (x, y): output
+    // segments get disjoint z ranges, so BOTH dims' per-file extents
+    // shrink and a 1-D range probe prunes. Bin threshold = total/6 so
+    // ~6 output segments emerge (each input file is total/8 < total/6,
+    // so all still count as small) — with only 2 z-halves the top bit
+    // constrains one dim only and nothing would prune.
+    val totalBytes = filesOf(dir, 1)
+      .map(p => new java.io.File(dir, p).length()).sum
+    val v = ManagedTable.compact(spark, dir,
+      smallFileBytes = totalBytes / 6 + 1,
+      clusterBy = Seq(graft.queries.LayoutQueries.morton12(col("x"), col("y"))))
+    assert(v == 2)
+    assert(filesOf(dir, 2).size >= 4,
+      s"the clustering demo needs several output segments, got ${filesOf(dir, 2).size}")
+    val (keptAfter, allAfter) = ManagedTable.planFiles(spark, dir, "x", 0L, 63L)
+    assert(keptAfter.size < allAfter.size,
+      s"z-clustered segments must prune the x probe: ${keptAfter.size}/${allAfter.size}")
+    // same rows, same schema — only the layout changed
+    assert(ManagedTable.read(spark, dir).orderBy("x", "y", "p").collect()
+      === before)
+    // and the pruned read equals the unpruned filter
+    val got = ManagedTable.readWhere(spark, dir, "x", 0L, 63L)
+      .orderBy("x", "y", "p").collect()
+    val want = ManagedTable.read(spark, dir)
+      .filter(col("x").between(0L, 63L)).orderBy("x", "y", "p").collect()
+    assert(got === want)
+  }
+
   test("merge schema evolution: a changeset with a new column widens the table; old segments null-fill") {
     import spark.implicits._
     val dir = Files.createTempDirectory("graft-mt13").toString
