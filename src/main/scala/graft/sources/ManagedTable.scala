@@ -286,13 +286,35 @@ object ManagedTable {
         f.makeQualified(manifestDir(dir)).toUri.getPath)
       val tmp = java.nio.file.Files.createTempFile(mdir, s".v$v-", ".tmp")
       try {
-        java.nio.file.Files.write(tmp, manifest.getBytes("UTF-8"))
-        try java.nio.file.Files.createLink(
-          mdir.resolve(s"v$v.json"), tmp)
-        catch {
+        // force(true) before the link: the link publishes the content,
+        // so the bytes must be durable first or a crash right after
+        // commit() returns can leave v<N>.json torn after reboot (the
+        // hsync the non-local branch has always had).
+        val ch = java.nio.channels.FileChannel.open(tmp,
+          java.nio.file.StandardOpenOption.WRITE)
+        try {
+          ch.write(java.nio.ByteBuffer.wrap(manifest.getBytes("UTF-8")))
+          ch.force(true)
+        } finally ch.close()
+        try {
+          java.nio.file.Files.createLink(mdir.resolve(s"v$v.json"), tmp)
+        } catch {
           case e: java.nio.file.FileAlreadyExistsException =>
             throw new java.io.IOException(
               s"ManagedTable: version $v already claimed", e)
+          case _: UnsupportedOperationException =>
+            // Filesystems without link(2) (some container/network
+            // mounts): fall back to CREATE_NEW, which is still
+            // O_EXCL-atomic for the claim; the content window it opens
+            // is the same one readManifest already spins through on
+            // non-local stores.
+            try {
+              java.nio.file.Files.copy(tmp, mdir.resolve(s"v$v.json"))
+            } catch {
+              case e: java.nio.file.FileAlreadyExistsException =>
+                throw new java.io.IOException(
+                  s"ManagedTable: version $v already claimed", e)
+            }
         }
       } finally java.nio.file.Files.deleteIfExists(tmp)
     } else {
