@@ -527,33 +527,48 @@ object AnalyticsQueries {
     * combinatorial-explosion-control pattern: raw per-basket pair
     * expansion is Σ C(k,2), quadratic in basket width, but by the
     * a-priori property a pair can only be frequent if BOTH items are,
-    * so baskets are first semi-joined down to frequent items
+    * so baskets are first filtered down to frequent items
     * ($MinItemSupport+ orders) and only then expanded. Lift is exact
     * integer fp6: support(a,b)·N·1e6 div (support(a)·support(b)).
-    * Scale shape: item supports are one hash-agg over distinct
-    * (order, item); the frequent-item filter is an equi-join on item
-    * (carrying the support along for the final lift math — no
-    * join-back later); the pair expansion is a within-order self-join
-    * keyed by the order — shuffle ∝ filtered baskets, never raw
-    * C(k,2); the 1-row order count broadcasts.
+    * Scale shape: the only corpus-wide shuffle is the basket build's
+    * groupBy(order) — collect_set fuses the (order,item) dedup into
+    * that same exchange. Supports come off the cached baskets by
+    * row-local explode + hash-agg (map-side partials shrink it to
+    * |items| per partition); the frequent-item filter+support carry is
+    * a BROADCAST join (the frequent set is support-thresholded, tiny
+    * by construction), never a shuffled join; the per-order re-collect
+    * after it exchanges only the a-priori-filtered (order, freq-item)
+    * rows. Pair expansion is row-local over each basket's sorted
+    * frequent-item array (transform×slice, codegen'd collection ops),
+    * so the pair agg's shuffle is ∝ surviving pairs, never raw C(k,2);
+    * the 1-row order count broadcasts. Plan-guarded: one parquet scan,
+    * no SortMergeJoin, no CartesianProduct.
     */
   val q124FrequentPairs = NamedQuery(
     "q124_frequent_pairs",
     s"A-priori market-basket pairs: items in >=$MinItemSupport orders, " +
       s"pairs co-occurring in >=$MinPairSupport; support + exact fp6 lift.",
     (s, d) => {
-      val op = Tables.lineitem(s, d)
+      val baskets = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-        .distinct()
-        .cache() // supports, the basket filter, and N all read it
-      val nOrders = op.agg(countDistinct(col("o")).as("n_orders"))
-      val sup = op.groupBy("p").agg(count(lit(1)).as("s"))
+        .groupBy("o").agg(collect_set(col("p")).as("items"))
+        .cache() // N, supports and the frequent-filter all read it
+      val nOrders = baskets.agg(count(lit(1)).as("n_orders"))
+      val sup = baskets.select(explode(col("items")).as("p"))
+        .groupBy("p").agg(count(lit(1)).as("s"))
         .filter(col("s") >= MinItemSupport)
-      val fop = op.join(sup, "p")
-      fop.select(col("o"), col("p").as("pa"), col("s").as("sa"))
-        .join(fop.select(col("o"), col("p").as("pb"), col("s").as("sb")),
-          "o")
-        .filter(col("pa") < col("pb"))
+      val fb = baskets
+        .select(col("o"), explode(col("items")).as("p"))
+        .join(broadcast(sup), "p")
+        .groupBy("o") // narrow: reuses the baskets exchange
+        .agg(sort_array(collect_list(struct(col("p"), col("s")))).as("ia"))
+      fb.select(explode(expr(
+          """flatten(transform(ia, (x, i) ->
+            |  transform(slice(ia, i + 2, size(ia)), y ->
+            |    struct(x.p AS pa, y.p AS pb, x.s AS sa, y.s AS sb))))"""
+            .stripMargin)).as("pr"))
+        .select(col("pr.pa").as("pa"), col("pr.pb").as("pb"),
+          col("pr.sa").as("sa"), col("pr.sb").as("sb"))
         .groupBy("pa", "pb")
         .agg(count(lit(1)).as("sp"),
           min(col("sa")).as("sa"), min(col("sb")).as("sb"))

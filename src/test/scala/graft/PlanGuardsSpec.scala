@@ -219,12 +219,14 @@ class PlanGuardsSpec extends SparkSpec {
       "only 1-row broadcast const joins are allowed")
   }
 
-  test("q124 frequent pairs: one scan; a-priori filter before the pair expansion") {
+  test("q124 frequent pairs: one scan; broadcast a-priori filter; row-local expansion") {
     val p = plan("q124_frequent_pairs")
     assert(p.split("\\) Scan parquet").length - 1 == 1,
-      "supports, basket filter and order count must share the cached (o,p) scan")
+      "supports, basket filter and order count must share the cached basket scan")
     assert(!p.contains("CartesianProduct"),
-      "pair expansion must be the within-order equi self-join")
+      "pair expansion must be row-local over per-basket arrays")
+    assert(!p.contains("SortMergeJoin"),
+      "the frequent-item filter must broadcast, never shuffle-join the baskets")
   }
 
   test("q125 JL projection is row-local: no shuffle before the output sort") {
