@@ -495,8 +495,78 @@ object LayoutQueries {
            |FROM orders WHERE o_custkey BETWEEN 0 AND 511
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q152: CHANGE DATA FEED — Delta's `table_changes` on the manifest
+    * log: the row-level difference between two committed versions of a
+    * merge-maintained table (insert / delete / update_preimage /
+    * update_postimage), here across merge batches 2→4 of the q130-style
+    * CDC history. The oracle recomputes both snapshots independently
+    * (latest-per-key windows at the two sequence cutoffs) and derives
+    * the same feed with a FULL OUTER JOIN — so the feed's exact row
+    * set, including the preimage/postimage pairing, is hash-checked
+    * cross-engine.
+    * At 100 TB: [[graft.sources.ManagedTable.changes]] diffs ONLY the
+    * files the two manifests don't share (untouched segments move
+    * between versions by reference and can't contribute a change), so
+    * the feed costs O(changed data) — the oracle's recompute-both-
+    * snapshots join is exactly the full-scan plan this avoids.
+    */
+  val q152ChangeDataFeed = NamedQuery(
+    "q152_change_data_feed",
+    "Row-level change feed (insert/delete/update pre+post) between two " +
+      "merge versions, planned from manifest file diffs only; oracle " +
+      "re-derives it from independent snapshot recomputes.",
+    (s, d) => {
+      val dir = "/tmp/graft-cdf/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select((col("doc_id") % 150L).as("k"), col("doc_id").as("seq"),
+          col("lang"), col("n_chars"),
+          when(col("doc_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+      (0 until 4).foreach { i =>
+        M.merge(hist.filter(
+            col("seq") >= i * 100 && col("seq") < (i + 1) * 100),
+          dir, keys = Seq("k"), sequenceBy = Seq(col("seq")), tag = s"m$i")
+      }
+      M.changes(s, dir, 2, 4, Seq("k"),
+          deleteExpr = col("op") === "d", exceptColumns = Seq("seq", "op"))
+        .orderBy("k", "_change_type")
+        .select("_change_type", "k", "lang", "n_chars")
+    },
+    Some("""WITH h AS (SELECT doc_id % 150 AS k, doc_id AS seq, lang,
+           |    n_chars, CASE WHEN doc_id % 7 = 0 THEN 'd' ELSE 'u' END op
+           |  FROM documents WHERE doc_id < 400),
+           |s1 AS (SELECT k, lang, n_chars FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY k
+           |      ORDER BY seq DESC) rn FROM h WHERE seq < 200)
+           |  WHERE rn = 1 AND op <> 'd'),
+           |s2 AS (SELECT k, lang, n_chars FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY k
+           |      ORDER BY seq DESC) rn FROM h WHERE seq < 400)
+           |  WHERE rn = 1 AND op <> 'd'),
+           |j AS (SELECT coalesce(s1.k, s2.k) AS k,
+           |    s1.lang AS l1, s1.n_chars AS c1,
+           |    s2.lang AS l2, s2.n_chars AS c2,
+           |    s1.k IS NOT NULL AS has1, s2.k IS NOT NULL AS has2
+           |  FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k),
+           |ch AS (
+           |  SELECT 'insert' AS _change_type, k, l2 AS lang, c2 AS n_chars
+           |    FROM j WHERE NOT has1
+           |  UNION ALL SELECT 'delete', k, l1, c1 FROM j WHERE NOT has2
+           |  UNION ALL SELECT 'update_preimage', k, l1, c1 FROM j
+           |    WHERE has1 AND has2 AND (l1 IS DISTINCT FROM l2
+           |      OR c1 IS DISTINCT FROM c2)
+           |  UNION ALL SELECT 'update_postimage', k, l2, c2 FROM j
+           |    WHERE has1 AND has2 AND (l1 IS DISTINCT FROM l2
+           |      OR c1 IS DISTINCT FROM c2))
+           |SELECT _change_type, k, lang, n_chars FROM ch
+           |ORDER BY k, _change_type""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
-      q130IncrementalView, q146BucketedJoin, q151ZorderCompaction)
+      q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
+      q152ChangeDataFeed)
 }

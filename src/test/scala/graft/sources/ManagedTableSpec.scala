@@ -395,6 +395,99 @@ class ManagedTableSpec extends SparkSpec {
     assert(state == Seq((1L, "a2", 3L), (3L, "c", 5L)))
   }
 
+  test("change data feed: insert/delete/update rows between merge versions") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdf1").toString
+    val base = Seq((1L, 1L, "a", "u"), (2L, 1L, "b", "u"), (3L, 1L, "c", "u"))
+      .toDF("k", "seq", "v", "op")
+    ManagedTable.merge(base, dir, Seq("k"), Seq(col("seq")))
+    val batch = Seq(
+      (2L, 2L, "B", "u"),  // update
+      (3L, 2L, "c", "d"),  // delete
+      (4L, 2L, "d", "u"))  // insert
+      .toDF("k", "seq", "v", "op")
+    ManagedTable.merge(batch, dir, Seq("k"), Seq(col("seq")))
+    val cdf = ManagedTable.changes(spark, dir, 1, 2, Seq("k"),
+        deleteExpr = col("op") === "d", exceptColumns = Seq("seq", "op"))
+      .orderBy("k", "_change_type")
+      .select("_change_type", "k", "v").as[(String, Long, String)].collect()
+    assert(cdf === Array(
+      ("update_postimage", 2L, "B"), ("update_preimage", 2L, "b"),
+      ("delete", 3L, "c"), ("insert", 4L, "d")))
+    // key 1 untouched: no row. from == to: empty feed.
+    assert(ManagedTable.changes(spark, dir, 2, 2, Seq("k")).isEmpty)
+  }
+
+  test("change data feed property: snapshot(i) + changes(i,j) reconstructs snapshot(j)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdf2").toString
+    val rnd = new scala.util.Random(20260813)
+    (0 until 5).foreach { b =>
+      val batch = Seq.fill(12) {
+        val k = rnd.nextInt(20).toLong
+        (k, b.toLong, s"v$b-${rnd.nextInt(100)}",
+          if (rnd.nextInt(4) == 0) "d" else "u")
+      }.toDF("k", "seq", "v", "op")
+      ManagedTable.merge(batch, dir, Seq("k"), Seq(col("seq"), col("v")))
+    }
+    def snap(v: Int): Map[Long, String] =
+      ManagedTable.readCurrent(spark, dir, col("op") === "d",
+          Seq("seq", "op"), Some(v))
+        .as[(Long, String)].collect().toMap
+    val vs = ManagedTable.versions(spark, dir)
+    for (i <- vs; j <- vs if i <= j) {
+      val cdf = ManagedTable.changes(spark, dir, i, j, Seq("k"),
+          deleteExpr = col("op") === "d", exceptColumns = Seq("seq", "op"))
+        .select("_change_type", "k", "v").as[(String, Long, String)]
+        .collect()
+      val gone = cdf.collect {
+        case (t, k, _) if t == "delete" || t == "update_preimage" => k
+      }.toSet
+      val added = cdf.collect {
+        case (t, k, v) if t == "insert" || t == "update_postimage" => k -> v
+      }.toMap
+      val rec = (snap(i) -- gone) ++ added
+      assert(rec === snap(j), s"reconstruction failed for v$i -> v$j")
+      // and the feed never reports a spurious change
+      cdf.groupBy(_._2).foreach { case (k, rows) =>
+        assert(rows.length <= 2, s"key $k reported ${rows.toSeq}")
+      }
+    }
+  }
+
+  test("change data feed: compaction's byte-moves produce an empty feed") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdf3").toString
+    (0 until 3).foreach { b =>
+      ManagedTable.merge(
+        Seq((b.toLong, b.toLong, s"v$b", "u")).toDF("k", "seq", "v", "op"),
+        dir, Seq("k"), Seq(col("seq")))
+    }
+    val before = ManagedTable.versions(spark, dir).last
+    val after = ManagedTable.compact(spark, dir)
+    assert(after > before, "compact should have binned the small segments")
+    assert(ManagedTable.changes(spark, dir, before, after, Seq("k"),
+      deleteExpr = col("op") === "d").isEmpty)
+  }
+
+  test("change data feed: preimages from a pre-evolution schema null-fill added columns") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-cdf4").toString
+    ManagedTable.merge(Seq((1L, 1L, "a", "u")).toDF("k", "seq", "v", "op"),
+      dir, Seq("k"), Seq(col("seq")))
+    ManagedTable.merge(
+      Seq((1L, 2L, "A", "fresh", "u")).toDF("k", "seq", "v", "extra", "op"),
+      dir, Seq("k"), Seq(col("seq")))
+    val cdf = ManagedTable.changes(spark, dir, 1, 2, Seq("k"),
+        deleteExpr = col("op") === "d", exceptColumns = Seq("seq", "op"))
+      .orderBy("_change_type")
+      .select("_change_type", "k", "v", "extra")
+      .as[(String, Long, String, Option[String])].collect()
+    assert(cdf === Array(
+      ("update_postimage", 1L, "A", Some("fresh")),
+      ("update_preimage", 1L, "a", None)))
+  }
+
   test("concurrent committers conflict on the version file instead of interleaving") {
     val dir = Files.createTempDirectory("graft-mt3").toString
     ManagedTable.commit(docs.limit(5), dir)
