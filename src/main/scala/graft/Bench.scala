@@ -54,14 +54,24 @@ object Bench {
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
-    // keyed by the short qNN prefix and rounded to 3 decimals so the whole
-    // line fits in a 2000-char log tail and stays machine-parseable
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + f3(v) }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    val line =
-      s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
-    println(line)
+    def f2(v: Double): String = String.format(Locale.ROOT, "%.2f", v)
+    def qmap(fmt: Double => String): String =
+      results.map { case (k, v) =>
+        "\"" + k.takeWhile(_ != '_') + "\":" + (if (v < 0) "-1" else fmt(v))
+      }.mkString("{", ",", "}")
+    // total = wall time of the queries that RAN; failed queries are -1 in the
+    // map and excluded from the total (summing the sentinel would understate
+    // the run — the declared value must always equal the sum of the positive
+    // per-query entries)
+    val total = results.values.filter(_ >= 0).sum
+    def jsonLine(value: String, qs: String): String =
+      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // stdout keeps the whole line under ~1800 chars (2-decimal values, bare
+    // -1): the driver records only a 2000-char log tail and parses the JSON
+    // out of it — a longer line gets its head truncated and parses as null
+    // (this exact failure shipped in rounds 1-6)
+    println(jsonLine(f2(total), qmap(f2)))
+    val line = jsonLine(f3(total), qmap(f3))
     // also land the line as a committed artifact: the driver keeps only a
     // 2000-char log tail, which has truncated (unparseable) past rounds'
     // per-query maps — the file is the machine-readable record. An

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the harness parquet tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -25,11 +25,19 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
 
-  /** `events.parquet` stores `ts` as parquet INT64 TIMESTAMP(NANOS), which
-    * Spark cannot read as a timestamp (only DuckDB/arrow can). We read it as
-    * a raw long (`nanosAsLong`) and expose two normalized columns:
-    *   - `ts`:    TimestampType truncated to microseconds (Spark's native
-    *              precision) — use for event-time semantics (watermarks).
+  /** Loads `events.parquet` and normalizes its timestamp column to a single
+    * contract regardless of how the harness encoded it. Observed encodings
+    * across testdata regenerations:
+    *   - parquet INT64 TIMESTAMP(NANOS)  → Spark reads as raw long under
+    *     `nanosAsLong` (Spark has no nanosecond timestamp type);
+    *   - parquet timestamp[us] with isAdjustedToUTC=false → Spark reads as
+    *     TIMESTAMP_NTZ;
+    *   - parquet timestamp[us] UTC-adjusted → Spark reads as TIMESTAMP.
+    * All three normalize to:
+    *   - `ts`:    TimestampType at microsecond precision — use for
+    *              event-time semantics (watermarks, `window(ts, …)`, as-of
+    *              ordering). The NTZ→Timestamp cast is instant-preserving
+    *              because the session timezone is pinned to UTC.
     *   - `ts_us`: epoch microseconds as a long — use in query OUTPUT columns
     *              so the DuckDB oracle (`epoch_us(ts)`, also a floor to µs)
     *              hash-matches bit-for-bit.
@@ -42,6 +50,10 @@ object Tables {
         raw
           .withColumn("ts_us", expr("ts div 1000"))
           .withColumn("ts", timestamp_micros(col("ts_us")))
+      case TimestampNTZType =>
+        raw
+          .withColumn("ts", col("ts").cast(TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
       case _ =>
         raw.withColumn("ts_us", unix_micros(col("ts")))
     }

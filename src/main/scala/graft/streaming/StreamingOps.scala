@@ -294,8 +294,10 @@ object StreamingOps {
       ()
     } catch { case scala.util.control.NonFatal(_) => () }
 
-  /** Streaming read of the harness events table: same nanos→µs
-    * normalization as [[graft.Tables.events]], via an explicit schema.
+  /** Streaming read of the harness events table: same encoding
+    * normalization as [[graft.Tables.events]] (INT64-nanos, µs-NTZ, or
+    * TIMESTAMP), via an explicit schema — the file stream source cannot
+    * infer one.
     */
   def eventsStream(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -305,8 +307,17 @@ object StreamingOps {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    raw
-      .withColumn("ts_us", expr("ts div 1000"))
-      .withColumn("ts", timestamp_micros(col("ts_us")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw
+          .withColumn("ts_us", expr("ts div 1000"))
+          .withColumn("ts", timestamp_micros(col("ts_us")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw
+          .withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+          .withColumn("ts_us", unix_micros(col("ts")))
+      case _ =>
+        raw.withColumn("ts_us", unix_micros(col("ts")))
+    }
   }
 }
