@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{StructType, TimestampType}
+import org.apache.spark.sql.types.{StructType, TimestampNTZType, TimestampType}
 
 /** AS-OF join — for each left row, the LATEST right row with
   * `right.ts <= left.ts` on the same key. Spark has no built-in for
@@ -39,9 +39,12 @@ object AsOfJoin {
 
     // µs-exact ordering key: a bare cast("long") would truncate
     // TimestampType to whole SECONDS, letting a right row up to 999ms
-    // AFTER the left row pass as "at-or-before"
+    // AFTER the left row pass as "at-or-before"; NTZ routes through
+    // TimestampType (instant-preserving — session TZ is pinned UTC)
+    // because unix_micros rejects it directly
     def tsKey(df: DataFrame, ts: String): Column = df.schema(ts).dataType match {
       case TimestampType => unix_micros(col(ts))
+      case TimestampNTZType => unix_micros(col(ts).cast(TimestampType))
       case _ => col(ts).cast("long")
     }
 
@@ -102,6 +105,11 @@ object AsOfJoin {
       a.dataType match {
         case TimestampType =>
           org.apache.spark.sql.catalyst.expressions.UnixMicros(a)
+        case TimestampNTZType =>
+          // NTZ → TIMESTAMP → µs: unix_micros rejects NTZ directly; the
+          // cast is instant-preserving under the pinned UTC session TZ
+          org.apache.spark.sql.catalyst.expressions.UnixMicros(
+            org.apache.spark.sql.catalyst.expressions.Cast(a, TimestampType))
         case org.apache.spark.sql.types.LongType => a
         case _ => org.apache.spark.sql.catalyst.expressions.Cast(a,
           org.apache.spark.sql.types.LongType)

@@ -25,15 +25,27 @@ import org.apache.spark.sql.functions._
 object IntervalJoin {
 
   /** a(aId, aStart, aEnd) ⋈overlap b(bId, bStart, bEnd) →
-    * (aId, bId, aStart, aEnd, bStart, bEnd); bounds are inclusive
-    * longs (e.g. epoch-µs).
+    * (aId, bId, aStart, aEnd, bStart, bEnd); bounds are inclusive and
+    * any orderable time type: epoch-µs longs pass through, TIMESTAMP /
+    * TIMESTAMP_NTZ bucket at µs precision (a bare long cast would
+    * truncate timestamps to whole seconds; NTZ routes through
+    * TimestampType — instant-preserving under the pinned UTC session TZ).
     */
   def overlapJoin(a: DataFrame, b: DataFrame, bucketUs: Long): DataFrame = {
-    // `div` = integer floor division (Column./ would be double division)
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    def us(df: DataFrame, c: String): Column = df.schema(c).dataType match {
+      case TimestampType => unix_micros(col(c))
+      case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
+      case _ => col(c).cast("long")
+    }
+    // `div` = integer floor division (Column./ would be double division,
+    // whose rounding could shift an exact bucket boundary)
     def bucketed(df: DataFrame, s: String, e: String) =
-      df.withColumn("__bucket",
-        explode(sequence(expr(s"CAST($s AS BIGINT) div $bucketUs"),
-          expr(s"CAST($e AS BIGINT) div $bucketUs"))))
+      df.withColumn("__s_us", us(df, s)).withColumn("__e_us", us(df, e))
+        .withColumn("__bucket",
+          explode(sequence(expr(s"__s_us div $bucketUs"),
+            expr(s"__e_us div $bucketUs"))))
+        .drop("__s_us", "__e_us")
     bucketed(a, "a_start", "a_end").as("a")
       .join(bucketed(b, "b_start", "b_end").as("b"), Seq("__bucket"))
       .filter(col("a_start") <= col("b_end") && col("b_start") <= col("a_end"))

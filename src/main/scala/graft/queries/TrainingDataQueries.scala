@@ -1192,6 +1192,78 @@ object TrainingDataQueries {
            |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
            |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q153: PII detect + redact ([[graft.operators.PiiScrub]]) — the
+    * scrub pass a corpus runs before text leaves the trust boundary.
+    * The harness corpus is synthetic word soup with no PII, so the
+    * fixture builds deterministic contact cards from customer×nation
+    * (email present for 2/3 of keys, phone for 1/2, an IP always —
+    * counts VARY per row, so the oracle checks detection, not a
+    * constant), then counts each PII class on the raw text and
+    * substitutes typed placeholders. Scale shape: one broadcast dim
+    * join + row-local codegen'd regex work — no shuffle beyond the
+    * output sort, embarrassingly parallel at 100 TB. Patterns are the
+    * Java-regex ∩ RE2 common subset so redacted text hash-matches
+    * DuckDB byte-for-byte.
+    */
+  val q153PiiRedact = NamedQuery(
+    "q153_pii_redact",
+    "PII scrub: per-row email/phone/IP counts on raw text + typed " +
+      "placeholder redaction (regex common subset, hash-exact).",
+    (s, d) => {
+      import graft.operators.PiiScrub
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      val recs = cust.join(broadcast(nat),
+          cust("c_nationkey") === nat("n_nationkey"))
+        .select(col("c_custkey"), concat_ws(" ",
+          lit("contact"), col("c_name"),
+          when(col("c_custkey") % 3 =!= 0,
+            concat(lower(regexp_replace(col("c_name"), "[^A-Za-z0-9]", ".")),
+              lit("@"),
+              regexp_replace(lower(col("n_name")), "[^a-z0-9]", ""),
+              lit(".example.com")))
+            .otherwise(lit("no-email")),
+          when(col("c_custkey") % 2 === 0,
+            concat(lit("+1-"),
+              lpad((col("c_custkey") % 900 + 100).cast("string"), 3, "0"),
+              lit("-"),
+              lpad((col("c_custkey") * 7 % 10000).cast("string"), 4, "0")))
+            .otherwise(lit("no-phone")),
+          concat(lit("10."), (col("c_custkey") % 200).cast("string"),
+            lit("."), (col("c_custkey") * 3 % 250).cast("string"),
+            lit("."), (col("c_custkey") % 100 + 1).cast("string"))).as("text"))
+      recs.select(col("c_custkey"),
+          PiiScrub.countEmails(col("text")).cast("long").as("n_emails"),
+          PiiScrub.countPhones(col("text")).cast("long").as("n_phones"),
+          PiiScrub.countIps(col("text")).cast("long").as("n_ips"),
+          PiiScrub.redact(col("text")).as("redacted"))
+        .orderBy("c_custkey")
+    },
+    Some("""WITH recs AS (SELECT c_custkey, concat_ws(' ',
+           |    'contact', c_name,
+           |    CASE WHEN c_custkey % 3 <> 0 THEN
+           |      lower(regexp_replace(c_name, '[^A-Za-z0-9]', '.', 'g'))
+           |        || '@' || regexp_replace(lower(n_name), '[^a-z0-9]', '', 'g')
+           |        || '.example.com'
+           |    ELSE 'no-email' END,
+           |    CASE WHEN c_custkey % 2 = 0 THEN
+           |      '+1-' || lpad(CAST(c_custkey % 900 + 100 AS VARCHAR), 3, '0')
+           |        || '-' || lpad(CAST(c_custkey * 7 % 10000 AS VARCHAR), 4, '0')
+           |    ELSE 'no-phone' END,
+           |    '10.' || CAST(c_custkey % 200 AS VARCHAR)
+           |      || '.' || CAST(c_custkey * 3 % 250 AS VARCHAR)
+           |      || '.' || CAST(c_custkey % 100 + 1 AS VARCHAR)) AS text
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+           |SELECT c_custkey,
+           |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9.]+@[A-Za-z0-9.]+')) AS BIGINT) AS n_emails,
+           |  CAST(len(regexp_extract_all(text, '[+]1-[0-9]{3}-[0-9]{4}')) AS BIGINT) AS n_phones,
+           |  CAST(len(regexp_extract_all(text, '([0-9]{1,3}[.]){3}[0-9]{1,3}')) AS BIGINT) AS n_ips,
+           |  regexp_replace(regexp_replace(regexp_replace(text,
+           |    '[A-Za-z0-9.]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+           |    '[+]1-[0-9]{3}-[0-9]{4}', '[PHONE]', 'g'),
+           |    '([0-9]{1,3}[.]){3}[0-9]{1,3}', '[IP]', 'g') AS redacted
+           |FROM recs ORDER BY c_custkey""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1199,5 +1271,6 @@ object TrainingDataQueries {
     q64KmvDistinct, q65CmsHeavyHitters, q87CorpusMixture,
     q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
     q117ExactKSample, q122DsirImportance, q126WeightedSample,
-    q135TokenBudget, q136DistributionDrift, q147ShardAssignment)
+    q135TokenBudget, q136DistributionDrift, q147ShardAssignment,
+    q153PiiRedact)
 }

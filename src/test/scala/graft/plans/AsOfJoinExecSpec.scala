@@ -76,6 +76,34 @@ class AsOfJoinExecSpec extends SparkSpec {
       .columns.toSeq === Seq("user_id", "buy_id", "ts", "click_id"))
   }
 
+  test("exec is time-type-agnostic: NTZ, TIMESTAMP and epoch-long frames agree") {
+    // The harness has shipped events.ts as INT64-nanos and as µs-NTZ across
+    // regenerations; the exec declares ordering/distribution over the time
+    // column and must work for ANY orderable time type, not just what
+    // Tables.events happens to normalize to today.
+    val ev = graft.Tables.events(spark, sf("sf0.001"))
+    def run(cast: String): Seq[(Long, Long, Long)] = {
+      val clicks = ev.filter(col("event_type") === "click")
+        .groupBy(col("user_id"), col("ts").cast(cast).as("c_ts"))
+        .agg(max("event_id").as("click_id"))
+      val buys = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("buy_id"),
+          col("ts").cast(cast).as("t"))
+      val got = AsOfJoin.asOfExec(buys, clicks, Seq("user_id"), "t", "c_ts")
+      val expect = AsOfJoin.asOf(buys, clicks, Seq("user_id"), "t", "c_ts")
+      assert(got.orderBy("buy_id").drop("t").collect().toSeq ===
+        expect.orderBy("buy_id").drop("t").collect().toSeq, s"cast=$cast")
+      got.orderBy("buy_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    }
+    val ntz = run("timestamp_ntz")
+    val tz = run("timestamp")
+    val lng = run("long") // epoch-seconds: coarser, still must self-agree
+    assert(ntz === tz, "NTZ and TIMESTAMP frames must join identically (UTC session)")
+    assert(ntz.nonEmpty && lng.nonEmpty)
+  }
+
   test("plan is AsOfJoinExec: no Union, no Window, sorted-merge shape") {
     val (buys, clicks) = buysClicks
     val df = AsOfJoin.asOfExec(buys, clicks, Seq("user_id"), "ts_us", "c_ts")
