@@ -1815,6 +1815,91 @@ object TextQueries {
             |FROM exact e LEFT JOIN pairs p
             |  ON p.id_a = e.id_a AND p.id_b = e.id_b""".stripMargin))
 
+  /** q154: LSH BANDING S-CURVE SWEEP — the tuning harness that picks
+    * (bands, rows-per-band) for a 100 TB dedup deployment. One shared
+    * 16-hash signature table (cached — the expensive stage runs ONCE)
+    * is re-banded at b ∈ {2, 4, 8, 16}; per config the sweep measures
+    * the three numbers the S-curve trades: candidate count (join cost),
+    * recall vs the exact Jaccard ≥ 0.5 reference, and candidate
+    * precision. More bands / fewer rows ⇒ recall↑, candidates↑,
+    * precision↓ — this query turns that curve from a formula into
+    * hash-checked MEASUREMENTS on the actual corpus. Scale shape: each
+    * config is one banded self-join + one left join to the (tiny)
+    * exact pair set + a global agg; the quadratic exact reference is
+    * harness-only (same status as q13/q148).
+    */
+  val q154LshBandSweep = NamedQuery(
+    "q154_lsh_band_sweep",
+    "LSH band-config sweep over one shared MinHash table: candidates, " +
+      "recall and precision vs exact Jaccard (>=0.5) for bands in " +
+      "{2,4,8,16} x 16 hashes — the dedup tuning S-curve, measured.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val grams = TextDedup.docGramArrays(docs, "doc_id", "text", 3).cache()
+      val sigs = TextDedup.signaturesFromGrams(grams, NumHashes).cache()
+      val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+        .select(col("id_a"), col("id_b"), lit(1L).as("hit")).cache()
+      val nExact = exact.agg(count(lit(1)).as("n_exact"))
+      Seq(2, 4, 8, 16).map { b =>
+        TextDedup.lshCandidates(sigs, NumHashes, b)
+          .join(exact, Seq("id_a", "id_b"), "left")
+          .agg(count(lit(1)).as("n_candidates"),
+            count(col("hit")).as("n_true"))
+          .withColumn("bands", lit(b.toLong))
+          .withColumn("rows_per_band", lit((NumHashes / b).toLong))
+      }.reduce(_ unionByName _)
+        .crossJoin(broadcast(nExact))
+        .select(col("bands"), col("rows_per_band"), col("n_candidates"),
+          col("n_true"), col("n_exact"),
+          expr("CAST((n_true * 1000000) div n_exact AS BIGINT)")
+            .as("recall_fp6"),
+          expr("CAST((n_true * 1000000) div n_candidates AS BIGINT)")
+            .as("precision_fp6"))
+        .orderBy("bands")
+    },
+    Some {
+      val sigCols = (0 until NumHashes)
+        .map(i => s"min(${h60(s"'$i:'||g")}) AS h$i").mkString(", ")
+      val perConfig = Seq(2, 4, 8, 16).map { b =>
+        val rows = NumHashes / b
+        val bandSel = (0 until b).map { bi =>
+          val hs = (0 until rows).map(r => s"h${bi * rows + r}").mkString(", ")
+          s"SELECT doc_id, $bi AS band, md5(concat_ws(',', $hs)) AS band_key FROM sig"
+        }.mkString(" UNION ALL ")
+        s"""cands_$b AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           |  FROM ($bandSel) a JOIN ($bandSel) b
+           |    ON a.band = b.band AND a.band_key = b.band_key
+           |    AND a.doc_id < b.doc_id),
+           |row_$b AS (SELECT $b AS bands, $rows AS rows_per_band,
+           |    CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           |    CAST(COUNT(e.id_a) AS BIGINT) AS n_true
+           |  FROM cands_$b c LEFT JOIN exact e
+           |    ON e.id_a = c.id_a AND e.id_b = c.id_b)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH $gramsCte,
+         |sig AS (SELECT doc_id, $sigCols FROM grams GROUP BY doc_id),
+         |sizes AS (SELECT doc_id, COUNT(*) AS n FROM grams GROUP BY doc_id),
+         |inter_all AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    COUNT(*) AS n_inter
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |exact AS (SELECT id_a, id_b
+         |  FROM inter_all JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE CAST(floor(n_inter/(sa.n+sb.n-n_inter)*1000000.0) AS BIGINT) >= 500000),
+         |$perConfig,
+         |allrows AS (SELECT * FROM row_2 UNION ALL SELECT * FROM row_4
+         |  UNION ALL SELECT * FROM row_8 UNION ALL SELECT * FROM row_16)
+         |SELECT CAST(bands AS BIGINT) AS bands,
+         |  CAST(rows_per_band AS BIGINT) AS rows_per_band,
+         |  n_candidates, n_true,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM exact) AS n_exact,
+         |  CAST(n_true * 1000000 // (SELECT COUNT(*) FROM exact) AS BIGINT)
+         |    AS recall_fp6,
+         |  CAST(n_true * 1000000 // n_candidates AS BIGINT) AS precision_fp6
+         |FROM allrows ORDER BY bands""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -1825,5 +1910,6 @@ object TextQueries {
     q103Boilerplate, q104CollapseRuns, q105ClusterSplit,
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
-    q131EntityResolution, q134FilterCascade, q148LshRecall)
+    q131EntityResolution, q134FilterCascade, q148LshRecall,
+    q154LshBandSweep)
 }

@@ -370,6 +370,31 @@ class PlanGuardsSpec extends SparkSpec {
       "fusion is a full-outer join of the two modality rankings")
   }
 
+  test("q153 PII scrub is row-local codegen'd regex: no exchange except the output sort, no UDF") {
+    val p = plan("q153_pii_redact")
+    assert(p.contains("BroadcastHashJoin"),
+      "the nation dim must broadcast, never shuffle")
+    // exactly ONE data exchange: the rangepartitioning for the final
+    // ORDER BY (counts + redaction are projections over the scan) plus
+    // the broadcast exchange of the dim. Count plan NODES — the
+    // formatted string repeats each node in its detail section.
+    val exchanges = """\(\d+\) (Exchange|BroadcastExchange)""".r
+      .findAllIn(p).size
+    assert(exchanges <= 2,
+      s"PII scrub must not introduce data shuffles beyond sort+broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      "no shuffle join, no aggregation — the scrub is pure projection")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      "regex scrub must stay codegen'd — no UDF fallback")
+  }
+
+  test("q154 band sweep: signature table cached once, reused by every config") {
+    val p = plan("q154_lsh_band_sweep")
+    assert(p.contains("InMemoryTableScan"),
+      "the 16-hash signature table must be cached: 4 band configs share one " +
+        "signature computation — recomputing it per config is the scale bug")
+  }
+
   test("q146 bucketed join: co-located scans, no exchange below the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
