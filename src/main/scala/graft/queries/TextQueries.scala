@@ -1900,6 +1900,63 @@ object TextQueries {
          |FROM allrows ORDER BY bands""".stripMargin
     })
 
+  /** q155: CROSS-SOURCE DUPLICATION MATRIX — corpus governance at
+    * ingest: which sources copy each other, before any of them is
+    * admitted. Per doc, the q18 fingerprint (min word-3-gram hash60 —
+    * a 1-hash MinHash, so a shared fingerprint ⇒ likely near-dup);
+    * per ordered source pair, the count of DISTINCT shared
+    * fingerprints plus both directional containments (shared/|a|,
+    * shared/|b| — asymmetric on purpose: a small source wholly
+    * contained in a big one is the governance signal symmetric overlap
+    * dilutes; same rationale as q80 at doc level). Scale shape: the
+    * fingerprint is row-local, the pair table is an equi-join KEYED BY
+    * FINGERPRINT (never sources × sources over docs), and the
+    * per-source size table is tiny — at 100 TB this is one scan + one
+    * hash-keyed join, and the output is |sources|² small.
+    */
+  val q155SourceOverlap = NamedQuery(
+    "q155_source_overlap",
+    "Cross-source duplication matrix: distinct shared q18 fingerprints " +
+      "per source pair + directional containments (fp6) — which " +
+      "sources copy each other, measured at ingest.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val fp = docs.select(col("source"),
+          fingerprint(col("text")).as("h")).distinct().cache()
+      val sizes = fp.groupBy("source").agg(count(lit(1)).as("n"))
+      fp.as("a").join(fp.as("b"),
+          col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+        .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+        .agg(countDistinct(col("a.h")).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("src_a"),
+          col("n").as("na"))), "src_a")
+        .join(broadcast(sizes.select(col("source").as("src_b"),
+          col("n").as("nb"))), "src_b")
+        .select(col("src_a"), col("src_b"), col("n_shared"),
+          expr("CAST((n_shared * 1000000) div na AS BIGINT)")
+            .as("containment_a_fp6"),
+          expr("CAST((n_shared * 1000000) div nb AS BIGINT)")
+            .as("containment_b_fp6"))
+        .orderBy("src_a", "src_b")
+    },
+    Some(s"""WITH $gramsCte,
+            |mins AS (SELECT doc_id, min(${h60("g")}) AS mg FROM grams GROUP BY doc_id),
+            |fpd AS (SELECT d.source, COALESCE(m.mg, ${h60("lower(d.text)")}) AS h
+            |  FROM documents d LEFT JOIN mins m ON d.doc_id = m.doc_id),
+            |fp AS (SELECT DISTINCT source, h FROM fpd),
+            |sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+            |  FROM fp GROUP BY source),
+            |shared AS (SELECT a.source AS src_a, b.source AS src_b,
+            |    CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared
+            |  FROM fp a JOIN fp b ON a.h = b.h AND a.source < b.source
+            |  GROUP BY 1, 2)
+            |SELECT src_a, src_b, n_shared,
+            |  CAST(n_shared * 1000000 // sa.n AS BIGINT) AS containment_a_fp6,
+            |  CAST(n_shared * 1000000 // sb.n AS BIGINT) AS containment_b_fp6
+            |FROM shared JOIN sizes sa ON sa.source = src_a
+            |JOIN sizes sb ON sb.source = src_b
+            |ORDER BY src_a, src_b""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -1911,5 +1968,5 @@ object TextQueries {
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
     q131EntityResolution, q134FilterCascade, q148LshRecall,
-    q154LshBandSweep)
+    q154LshBandSweep, q155SourceOverlap)
 }
