@@ -1957,6 +1957,64 @@ object TextQueries {
             |JOIN sizes sb ON sb.source = src_b
             |ORDER BY src_a, src_b""".stripMargin))
 
+  /** q156: DEDUP-AWARE REWEIGHTING (soft dedup) — instead of dropping
+    * near-dup docs (q96's survivor pick), keep them all but weight each
+    * doc 1/|its dedup cluster| so every near-dup FAMILY contributes one
+    * unit of training mass. This is the curation move when dropping is
+    * too blunt (the family's variants may differ in useful ways) and
+    * the metric that quantifies how inflated each source is: per
+    * source, raw doc count vs effective (weighted) doc count — a
+    * source that copy-pastes heavily shrinks. All integer math:
+    * weight_fp6 = 1e6 div cluster_size, summed exactly. Scale shape:
+    * the q53 CC runs on the (tiny) near-dup subgraph, the weight table
+    * is one hash-agg over components, and the per-source rollup is one
+    * more — the corpus is scanned once.
+    */
+  val q156DedupReweight = NamedQuery(
+    "q156_dedup_reweight",
+    "Soft dedup: weight each doc 1e6 div |near-dup cluster| (q53 " +
+      "components); per source, raw vs effective doc mass + docs in " +
+      "multi-member clusters — how inflated each source is.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = TextDedup.minhashNearDups(docs, "doc_id", "text",
+        n = 3, numHashes = NumHashes, bands = Bands, minJaccard = 0.5)
+      val comp = graft.operators.GraphOps.connectedComponentsStar(
+        docs.select(col("doc_id").as("id")),
+        pairs.select(col("id_a").as("src"), col("id_b").as("dst")))
+      val weights = comp
+        .join(comp.groupBy("component").agg(count(lit(1)).as("csize")),
+          "component")
+        .select(col("id").as("doc_id"), col("csize"),
+          expr("CAST(1000000 div csize AS BIGINT)").as("weight_fp6"))
+      docs.select(col("doc_id"), col("source"))
+        .join(weights, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("csize") >= 2, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum(col("weight_fp6")).as("effective_docs_fp6"))
+        .orderBy("source")
+    },
+    Some(s"""WITH RECURSIVE $minhashPairsCtes,
+            |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+            |  UNION ALL SELECT id_b, id_a FROM pairs),
+            |reach(id, label) AS (
+            |  SELECT doc_id, doc_id FROM documents
+            |  UNION
+            |  SELECT e.dst, r.label FROM reach r JOIN edges e ON e.src = r.id),
+            |comp AS (SELECT id, MIN(label) AS component FROM reach GROUP BY id),
+            |csizes AS (SELECT component, CAST(COUNT(*) AS BIGINT) AS csize
+            |  FROM comp GROUP BY component),
+            |w AS (SELECT comp.id AS doc_id, csize,
+            |    CAST(1000000 // csize AS BIGINT) AS weight_fp6
+            |  FROM comp JOIN csizes ON comp.component = csizes.component)
+            |SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+            |  CAST(SUM(CASE WHEN csize >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_dup_docs,
+            |  CAST(SUM(weight_fp6) AS BIGINT) AS effective_docs_fp6
+            |FROM documents d JOIN w ON w.doc_id = d.doc_id
+            |GROUP BY d.source ORDER BY d.source""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -1968,5 +2026,5 @@ object TextQueries {
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
     q131EntityResolution, q134FilterCascade, q148LshRecall,
-    q154LshBandSweep, q155SourceOverlap)
+    q154LshBandSweep, q155SourceOverlap, q156DedupReweight)
 }

@@ -1226,11 +1226,68 @@ object VectorQueries {
             |FROM fused QUALIFY fused_rank <= 5
             |ORDER BY query_id, fused_rank""".stripMargin))
 
+  /** q157: EMBEDDING TRUNCATION ABLATION (matryoshka-style) — the dim
+    * budget sweep that decides how many leading components an index
+    * actually needs to store: for every adjacent vector pair, cosine at
+    * dim ∈ {8,16,32,64} vs the full-dim cosine, aggregated as exact
+    * integer SUMS (no division — engine-exact regardless of sign).
+    * Reading the curve: sum_abs_err falls toward 0 as dim → 64; the
+    * knee is the storage budget. The q154 analogue for ANN storage:
+    * cost/quality measured, not assumed. Scale shape: pairs are a
+    * 1-off self equi-join on vec_id, everything after is row-local
+    * sliced-fold arithmetic, one global agg per budget over ONE scan.
+    */
+  val q157TruncationAblation = NamedQuery(
+    "q157_truncation_ablation",
+    "Matryoshka sweep: per dim budget {8,16,32,64}, exact integer sums " +
+      "of truncated-vs-full cosine and |error| over adjacent vector " +
+      "pairs — the measured storage/quality curve for ANN indexes.",
+    (s, d) => {
+      import graft.functions.VectorFunctions.cosineFp6
+      val emb = Tables.embeddings(s, d)
+      val a = emb.select(col("vec_id").as("pid"), col("embedding").as("va"))
+      val b = emb.select((col("vec_id") - 1).as("pid"),
+        col("embedding").as("vb"))
+      val pairs = a.join(b, "pid")
+        .select(cosineFp6(col("va"), col("vb")).as("cf"),
+          col("va"), col("vb"))
+        .cache() // one scan feeds all four budgets
+      Seq(8, 16, 32, 64).map { m =>
+        pairs.select(col("cf"),
+            cosineFp6(slice(col("va"), 1, m), slice(col("vb"), 1, m)).as("c"))
+          .agg(count(lit(1)).as("n_pairs"),
+            sum(col("c")).as("sum_cos_fp6"),
+            sum(abs(col("c") - col("cf"))).as("sum_abs_err_fp6"))
+          .withColumn("dim_budget", lit(m.toLong))
+      }.reduce(_ unionByName _)
+        .select("dim_budget", "n_pairs", "sum_cos_fp6", "sum_abs_err_fp6")
+        .orderBy("dim_budget")
+    },
+    Some {
+      val budgets = Seq(8, 16, 32, 64)
+      val cols = budgets.map(m =>
+        s"${cosFpSql(s"va[1:$m]", s"vb[1:$m]")} AS c$m").mkString(",\n")
+      val rows = budgets.map(m =>
+        s"""SELECT $m AS dim_budget, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           |  CAST(SUM(c$m) AS BIGINT) AS sum_cos_fp6,
+           |  CAST(SUM(ABS(c$m - cf)) AS BIGINT) AS sum_abs_err_fp6
+           |FROM c""".stripMargin).mkString("\nUNION ALL\n")
+      s"""WITH p AS (SELECT a.embedding AS va, b.embedding AS vb
+         |  FROM embeddings a JOIN embeddings b ON b.vec_id = a.vec_id + 1),
+         |c AS (SELECT ${cosFpSql("va", "vb")} AS cf,
+         |$cols
+         |FROM p)
+         |SELECT CAST(dim_budget AS BIGINT) AS dim_budget, n_pairs,
+         |  sum_cos_fp6, sum_abs_err_fp6
+         |FROM ($rows) ORDER BY dim_budget""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
     q42AnnLshMultiTable, q57AnnLshMultiProbe2, q75LabelCentroids,
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
-    q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf)
+    q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
+    q157TruncationAblation)
 }
