@@ -2015,6 +2015,72 @@ object TextQueries {
             |FROM documents d JOIN w ON w.doc_id = d.doc_id
             |GROUP BY d.source ORDER BY d.source""".stripMargin))
 
+  /** q158: PER-SOURCE QUALITY-THRESHOLD CALIBRATION — a single global
+    * quality cutoff over-filters some sources and under-filters others
+    * (their score distributions differ); the calibrated move is a
+    * per-source cutoff chosen to hit a target acceptance rate. Per doc,
+    * quality = distinct-token ratio in exact integer fp6; per source,
+    * the cutoff is the discrete 20th-percentile value (ascending rank
+    * ⌈n/5⌉ with doc_id tie-break — a window pick, NOT an engine
+    * `percentile_disc`, whose index conventions differ across engines)
+    * and the acceptance that cutoff actually yields (≥ cutoff keeps
+    * ~80%, more when the cutoff value is tied). Scale shape: quality is
+    * row-local; the rank is ONE window sort per source (sources
+    * parallelize across executors, per-key cost linear); the rollup
+    * reuses the same partitioning.
+    */
+  val q158QualityCalibration = NamedQuery(
+    "q158_quality_calibration",
+    "Per-source quality cutoff at the discrete 20th percentile " +
+      "(integer fp6, window pick) + the acceptance it yields — " +
+      "calibrated filtering instead of one global threshold.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val q = docs
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("ts"))
+        .filter(size(col("ts")) > 0)
+        .select(col("doc_id"), col("source"),
+          expr("CAST(CAST(size(array_distinct(ts)) AS BIGINT) * 1000000 " +
+            "div size(ts) AS BIGINT)").as("q_fp6"))
+      val w = Window.partitionBy("source")
+        .orderBy(col("q_fp6").asc, col("doc_id").asc)
+      val ranked = q
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy("source")).cast("long"))
+      val cutoff = ranked
+        .filter(col("rn") === expr("(n + 4) div 5"))
+        .select(col("source"), col("q_fp6").as("cutoff_fp6"))
+      q.join(broadcast(cutoff), "source")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          first(col("cutoff_fp6")).as("cutoff_fp6"),
+          sum(when(col("q_fp6") >= col("cutoff_fp6"), 1L).otherwise(0L))
+            .as("n_accepted"))
+        .withColumn("accept_fp6",
+          expr("CAST(n_accepted * 1000000 div n_docs AS BIGINT)"))
+        .orderBy("source")
+    },
+    Some("""WITH q AS (SELECT doc_id, source,
+           |    CAST(len(list_distinct(ts)) * 1000000 // len(ts) AS BIGINT) AS q_fp6
+           |  FROM (SELECT doc_id, source, string_split(lower(text),' ') AS ts
+           |        FROM documents) WHERE len(ts) > 0),
+           |ranked AS (SELECT source, q_fp6,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY q_fp6 ASC, doc_id ASC) AS rn,
+           |    COUNT(*) OVER (PARTITION BY source) AS n
+           |  FROM q),
+           |cutoff AS (SELECT source, q_fp6 AS cutoff_fp6 FROM ranked
+           |  WHERE rn = (n + 4) // 5)
+           |SELECT q.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           |  MIN(cutoff_fp6) AS cutoff_fp6,
+           |  CAST(SUM(CASE WHEN q_fp6 >= cutoff_fp6 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_accepted,
+           |  CAST(SUM(CASE WHEN q_fp6 >= cutoff_fp6 THEN 1 ELSE 0 END) * 1000000
+           |    // COUNT(*) AS BIGINT) AS accept_fp6
+           |FROM q JOIN cutoff ON q.source = cutoff.source
+           |GROUP BY q.source ORDER BY q.source""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -2026,5 +2092,6 @@ object TextQueries {
     q108NgramGenerator, q118GroupedQuantiles, q119InvertedIndex,
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
     q131EntityResolution, q134FilterCascade, q148LshRecall,
-    q154LshBandSweep, q155SourceOverlap, q156DedupReweight)
+    q154LshBandSweep, q155SourceOverlap, q156DedupReweight,
+    q158QualityCalibration)
 }
