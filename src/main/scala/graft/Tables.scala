@@ -44,6 +44,12 @@ object Tables {
     */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The NTZ→Timestamp cast below is instant-preserving ONLY under a UTC
+    // session timezone; a caller-supplied session (Bench, the driver's
+    // SparkEntry harness) may carry the host zone, which would silently
+    // shift ts_us and break the DuckDB hash-match for every NTZ-encoded
+    // regeneration of this table. Pin it here, where the cast lives.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     val raw = table(spark, dir, "events")
     raw.schema("ts").dataType match {
       case LongType =>

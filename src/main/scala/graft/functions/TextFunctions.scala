@@ -50,6 +50,13 @@ object TextFunctions {
   /** PII patterns — a conservative, RE2-compatible subset (no lookarounds,
     * no backreferences) so the same patterns run under Spark's java.util
     * .regex AND RE2-based engines (DuckDB, Go scrubbers) identically.
+    *
+    * This is the QUALITY-SCORING variant: broad patterns, `<TYPE>`
+    * placeholders, counts reconciled with [[redactPii]]'s output. For
+    * oracle-grade scrubbing whose redacted TEXT must hash-match a
+    * RE2 engine byte-for-byte, use [[graft.operators.PiiScrub]]
+    * (narrower Java∩RE2 patterns, `[TYPE]` placeholders, raw-text
+    * counts) — see its Scaladoc for the full contrast.
     */
   val EmailRe: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9-]+(\\.[A-Za-z0-9-]+)+"
   val Ipv4Re: String  = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"

@@ -38,8 +38,11 @@ object IntervalJoin {
       case TimestampNTZType => unix_micros(col(c).cast(TimestampType))
       case _ => col(c).cast("long")
     }
-    // `div` = integer floor division (Column./ would be double division,
-    // whose rounding could shift an exact bucket boundary)
+    // `div` = integral division truncating toward zero (NOT floor: for
+    // negative pre-1970 epoch-µs the bucket ids differ from a floor).
+    // Correctness only needs monotonicity — truncation is monotonic, so
+    // overlapping intervals always share at least one bucket; Column./
+    // would be double division, whose rounding could shift a boundary.
     def bucketed(df: DataFrame, s: String, e: String) =
       df.withColumn("__s_us", us(df, s)).withColumn("__e_us", us(df, e))
         .withColumn("__bucket",

@@ -16,6 +16,18 @@ import org.apache.spark.sql.functions._
   * RAW text, then placeholders substitute in fixed order (email →
   * phone → IP); placeholders contain no digits so later passes cannot
   * re-match inside earlier substitutions.
+  *
+  * ==Which PII module to use==
+  * This is the ORACLE-GRADE scrub: patterns restricted to the Java∩RE2
+  * subset so redacted text hash-matches DuckDB bit-for-bit, counts on
+  * RAW text (an IP inside an email counts as both), `[TYPE]`
+  * placeholders. [[graft.functions.TextFunctions]] carries the
+  * QUALITY-SCORING variant: broader patterns (`\b`, `+`-prefixed
+  * phones), `<TYPE>` placeholders, and counts taken AFTER each prior
+  * redaction so they reconcile exactly with its redacted output. Use
+  * PiiScrub when output text must be cross-engine verifiable; use
+  * TextFunctions.piiCounts when counts must sum to the number of
+  * replacements actually made.
   */
 object PiiScrub {
 

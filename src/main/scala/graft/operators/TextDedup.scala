@@ -69,8 +69,20 @@ object TextDedup {
     * Output: (id_a, id_b, jaccard_fp) with jaccard_fp = floor(j*1e6).
     */
   def jaccardPairs(df: DataFrame, idCol: String, textCol: String, n: Int,
+      minJaccard: Double): DataFrame =
+    jaccardPairsFromGrams(docGramArrays(df, idCol, textCol, n), minJaccard)
+
+  /** [[jaccardPairs]] over a pre-computed (dg_id, grams) table — the
+    * overload a pipeline that ALSO feeds [[signaturesFromGrams]] from the
+    * same (cached) gram arrays should use, so tokenize+n-gram runs once
+    * for both the exact reference and the LSH path instead of once per
+    * consumer (q154's sweep previously re-grammed the corpus here).
+    */
+  def jaccardPairsFromGrams(gramArrays: DataFrame,
       minJaccard: Double): DataFrame = {
-    val grams = gramSets(df, idCol, textCol, n).cache()
+    val grams = gramArrays
+      .select(col("dg_id").as("gs_id"), explode(col("grams")).as("gram"))
+      .cache()
     val sizes = grams.groupBy("gs_id").agg(count(lit(1)).as("n_grams"))
     val inter = grams.as("a")
       .join(grams.as("b"),
@@ -146,6 +158,39 @@ object TextDedup {
         col("a.band") === col("b.band") && col("a.band_key") === col("b.band_key") &&
           col("a.mh_id") < col("b.mh_id"))
       .select(col("a.mh_id").as("id_a"), col("b.mh_id").as("id_b"))
+      .distinct()
+  }
+
+  /** Candidate pairs for SEVERAL band configurations in ONE self-join.
+    * All configs' band keys posexplode into a single (bands, band,
+    * band_key) stream off the shared signature table — the same
+    * one-array-instead-of-a-union move [[simhashNearDups]] documents as
+    * a measured 12× win — so an S-curve sweep over k configs costs one
+    * shuffled join instead of k sequential jobs. Output:
+    * (bands, id_a, id_b), distinct per config (id_a < id_b).
+    */
+  def lshCandidatesMulti(sigs: DataFrame, numHashes: Int,
+      bandConfigs: Seq[Int]): DataFrame = {
+    val entries = bandConfigs.flatMap { b =>
+      val rows = numHashes / b
+      (0 until b).map { bi =>
+        struct(lit(b.toLong).as("bands"), lit(bi).as("band"),
+          md5(concat_ws(",",
+            (0 until rows).map(r => col(s"h${bi * rows + r}")): _*))
+            .as("band_key"))
+      }
+    }
+    val banded = sigs
+      .select(col("mh_id"), explode(array(entries: _*)).as("e"))
+      .select(col("mh_id"), col("e.bands").as("bands"),
+        col("e.band").as("band"), col("e.band_key").as("band_key"))
+      .cache()
+    banded.as("a").join(banded.as("b"),
+        col("a.bands") === col("b.bands") && col("a.band") === col("b.band") &&
+          col("a.band_key") === col("b.band_key") &&
+          col("a.mh_id") < col("b.mh_id"))
+      .select(col("a.bands").as("bands"),
+        col("a.mh_id").as("id_a"), col("b.mh_id").as("id_b"))
       .distinct()
   }
 

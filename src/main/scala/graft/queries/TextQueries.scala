@@ -1823,10 +1823,16 @@ object TextQueries {
     * recall vs the exact Jaccard ≥ 0.5 reference, and candidate
     * precision. More bands / fewer rows ⇒ recall↑, candidates↑,
     * precision↓ — this query turns that curve from a formula into
-    * hash-checked MEASUREMENTS on the actual corpus. Scale shape: each
-    * config is one banded self-join + one left join to the (tiny)
-    * exact pair set + a global agg; the quadratic exact reference is
-    * harness-only (same status as q13/q148).
+    * hash-checked MEASUREMENTS on the actual corpus. Scale shape: ALL
+    * four configs band in ONE posexploded (bands, band, band_key) pass
+    * over the cached signature table and resolve in ONE self-join
+    * ([[TextDedup.lshCandidatesMulti]] — the same one-array move the
+    * SimHash chunk join documents as a 12× win), then one left join to
+    * the (tiny) exact pair set + one grouped agg. The exact reference
+    * shares the SAME cached gram arrays as the signatures
+    * ([[TextDedup.jaccardPairsFromGrams]]) so tokenize+gram runs once;
+    * its quadratic gram self-join is harness-only (same status as
+    * q13/q148 — at 100 TB you'd score recall on a sample).
     */
   val q154LshBandSweep = NamedQuery(
     "q154_lsh_band_sweep",
@@ -1834,20 +1840,27 @@ object TextQueries {
       "recall and precision vs exact Jaccard (>=0.5) for bands in " +
       "{2,4,8,16} x 16 hashes — the dedup tuning S-curve, measured.",
     (s, d) => {
+      import s.implicits._
       val docs = Tables.documents(s, d)
       val grams = TextDedup.docGramArrays(docs, "doc_id", "text", 3).cache()
       val sigs = TextDedup.signaturesFromGrams(grams, NumHashes).cache()
-      val exact = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      val exact = TextDedup.jaccardPairsFromGrams(grams, 0.5)
         .select(col("id_a"), col("id_b"), lit(1L).as("hit")).cache()
       val nExact = exact.agg(count(lit(1)).as("n_exact"))
-      Seq(2, 4, 8, 16).map { b =>
-        TextDedup.lshCandidates(sigs, NumHashes, b)
-          .join(exact, Seq("id_a", "id_b"), "left")
-          .agg(count(lit(1)).as("n_candidates"),
-            count(col("hit")).as("n_true"))
-          .withColumn("bands", lit(b.toLong))
-          .withColumn("rows_per_band", lit((NumHashes / b).toLong))
-      }.reduce(_ unionByName _)
+      // a config that produced zero candidates must still emit its row
+      // (the per-config agg used to guarantee that); left-join the agg
+      // back onto the literal config list
+      val configs = Seq(2L, 4L, 8L, 16L).toDF("bands")
+      val perConfig = TextDedup
+        .lshCandidatesMulti(sigs, NumHashes, Seq(2, 4, 8, 16))
+        .join(exact, Seq("id_a", "id_b"), "left")
+        .groupBy("bands")
+        .agg(count(lit(1)).as("n_candidates"), count(col("hit")).as("n_true"))
+      configs.join(broadcast(perConfig), Seq("bands"), "left")
+        .withColumn("n_candidates", coalesce(col("n_candidates"), lit(0L)))
+        .withColumn("n_true", coalesce(col("n_true"), lit(0L)))
+        .withColumn("rows_per_band",
+          expr(s"CAST($NumHashes div bands AS BIGINT)"))
         .crossJoin(broadcast(nExact))
         .select(col("bands"), col("rows_per_band"), col("n_candidates"),
           col("n_true"), col("n_exact"),

@@ -388,11 +388,24 @@ class PlanGuardsSpec extends SparkSpec {
       "regex scrub must stay codegen'd — no UDF fallback")
   }
 
-  test("q154 band sweep: signature table cached once, reused by every config") {
+  test("q154 band sweep: one posexploded banding pass, shared cached stages") {
     val p = plan("q154_lsh_band_sweep")
     assert(p.contains("InMemoryTableScan"),
       "the 16-hash signature table must be cached: 4 band configs share one " +
         "signature computation — recomputing it per config is the scale bug")
+    // all 4 band configs flow through ONE (bands, band, band_key) explode
+    // and ONE self-join (lshCandidatesMulti) — a per-config union would
+    // show 4 candidate joins. The plan has exactly: 1 banded self-join,
+    // 1 exact-pair gram self-join, 2 size joins, 1 left join to exact,
+    // 1 configs join, 1 nExact cross join ⇒ well under the 4-way fan-out's
+    // 4+ candidate joins alone.
+    // count operator headers only — the formatted detail section repeats
+    // each node name (same trick as the PII guard above)
+    val joins = """\(\d+\) (SortMergeJoin|BroadcastHashJoin|ShuffledHashJoin)""".r
+      .findAllIn(p).size
+    assert(joins <= 8,
+      s"band sweep must be ONE multi-config self-join, not 4 sequential " +
+        s"per-config jobs (found $joins joins):\n${p.take(2000)}")
   }
 
   test("q146 bucketed join: co-located scans, no exchange below the join") {
