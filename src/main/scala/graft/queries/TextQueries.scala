@@ -2094,6 +2094,38 @@ object TextQueries {
            |FROM q JOIN cutoff ON q.source = cutoff.source
            |GROUP BY q.source ORDER BY q.source""".stripMargin))
 
+  /** q159: DOCUMENT CHUNKING — the missing primitive between q38's
+    * sequence packing and the ANN tier: split every document into
+    * 64-token windows overlapping by 16 (stride 48), with provenance
+    * (doc_id, chunk_idx, first_token_offset) so chunks map back to
+    * source spans. The last chunk is short, never dropped. Scale
+    * shape: entirely row-local (tokenize → sequence of starts →
+    * posexplode → slice), NO shuffle below the generate (plan-guarded)
+    * — chunking 100 TB is a single scan-bandwidth pass. Chunk text is
+    * hash-checked byte-for-byte against the oracle's list-slice
+    * rendering.
+    */
+  val q159DocChunks = NamedQuery(
+    "q159_doc_chunks",
+    "Overlapping token-window chunking (64 tokens, overlap 16) with " +
+      "provenance — row-local posexplode+slice, zero shuffle; the " +
+      "RAG/pretraining chunk table.",
+    (s, d) =>
+      graft.operators.Chunker
+        .chunk(Tables.documents(s, d), "doc_id", "text",
+          chunkTokens = 64, overlapTokens = 16)
+        .orderBy("doc_id", "chunk_idx"),
+    Some("""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts
+           |  FROM documents),
+           |starts AS (SELECT doc_id, ts, len(ts) AS n,
+           |    unnest(range(0, ((len(ts)-1)//48)+1)) AS k
+           |  FROM toks WHERE len(ts) > 0)
+           |SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+           |  CAST(k*48 AS BIGINT) AS first_token_offset,
+           |  CAST(least(64, n - k*48) AS BIGINT) AS n_chunk_tokens,
+           |  array_to_string(ts[k*48+1 : k*48+64], ' ') AS chunk_text
+           |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -2106,5 +2138,5 @@ object TextQueries {
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
     q131EntityResolution, q134FilterCascade, q148LshRecall,
     q154LshBandSweep, q155SourceOverlap, q156DedupReweight,
-    q158QualityCalibration)
+    q158QualityCalibration, q159DocChunks)
 }

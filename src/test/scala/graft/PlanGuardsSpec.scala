@@ -408,6 +408,19 @@ class PlanGuardsSpec extends SparkSpec {
         s"per-config jobs (found $joins joins):\n${p.take(2000)}")
   }
 
+  test("q159 chunking: row-local generate, no exchange below it") {
+    val p = plan("q159_doc_chunks")
+    assert(p.contains("Generate"), "chunking is a posexplode Generate")
+    // the ONLY exchange is the final presentation sort's range
+    // partitioning — tokenize/sequence/posexplode/slice all run inside
+    // the scan's partitions (chunking 100 TB = one scan-bandwidth pass)
+    val exchanges = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(exchanges <= 1,
+      s"chunking must not shuffle below the generate:\n${p.take(1500)}")
+    assert(!p.contains("SortMergeJoin") && !p.contains("HashAggregate"),
+      "no join, no aggregation — chunking is pure per-row expansion")
+  }
+
   test("q146 bucketed join: co-located scans, no exchange below the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
