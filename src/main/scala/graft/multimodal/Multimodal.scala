@@ -79,6 +79,30 @@ object Multimodal {
     }
   }
 
+  /** 60-bit perceptual signature over a binary payload, CODEC-FREE:
+    * SimHash of overlapping byte windows (window `window`, stride
+    * `stride`). A localized byte edit touches only the ⌈window/stride⌉
+    * windows covering it, so near-identical blobs land within a few
+    * Hamming bits while unrelated blobs scatter — the
+    * perceptual-hash property, derived from bytes alone (no decoder).
+    * Pair with [[graft.operators.TextDedup.hammingNearDups]] for the
+    * banded near-dup join. Row-local (one HOF pass per blob), NULL for
+    * blobs shorter than one window (callers filter or accept the
+    * null-drop). At 100 TB: signature extraction rides the scan;
+    * only 8-byte signatures ever shuffle.
+    */
+  def byteSimhash(blob: org.apache.spark.sql.Column, window: Int,
+      stride: Int): org.apache.spark.sql.Column = {
+    require(window > 0 && stride > 0, "window and stride must be positive")
+    when(octet_length(blob) >= window,
+      graft.functions.NativeExpressions.simhash60(
+        transform(
+          sequence(lit(0),
+            ((octet_length(blob) - lit(window)) / lit(stride)).cast("int")),
+          i => blob.substr(i * lit(stride) + lit(1), lit(window))
+            .cast("string"))))
+  }
+
   /** Deterministic "frame sampling" stub: pick every strideth byte window
     * as a frame key — the real thing would seek keyframes; the plumbing
     * (explode to one row per frame, frame index column) is identical.

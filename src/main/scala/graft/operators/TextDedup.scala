@@ -271,10 +271,22 @@ object TextDedup {
     * Output: (id_a, id_b, hamming).
     */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int): DataFrame =
+    hammingNearDups(
+      df.select(col(idCol).as("sh_id"), simhash(col(textCol)).as("sh")),
+      "sh_id", "sh", maxHamming)
+
+  /** Banded Hamming self-join over ANY precomputed 60-bit signature
+    * column — the generic tail of [[simhashNearDups]], reused by the
+    * codec-free multimodal near-dup (byte-window signatures,
+    * [[graft.multimodal.Multimodal.byteSimhash]]). Pigeonhole: two
+    * signatures with hamming ≤ k agree on ≥1 of the k+1 chunks.
+    */
+  def hammingNearDups(sigs: DataFrame, idCol: String, sigCol: String,
       maxHamming: Int): DataFrame = {
     val chunks = maxHamming + 1
     val bitsPer = 60 / chunks // requires chunks | 60 for full coverage of low bits
-    val sh = df.select(col(idCol).as("sh_id"), simhash(col(textCol)).as("sh"))
+    val sh = sigs.select(col(idCol).as("sh_id"), col(sigCol).as("sh"))
     // posexplode ONE array of chunk values instead of a union of per-chunk
     // branches — a union would re-evaluate the whole simhash subtree once
     // per chunk per join side (measured 12× overcomputation)

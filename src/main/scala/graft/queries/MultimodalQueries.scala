@@ -75,5 +75,66 @@ object MultimodalQueries {
             |    AS t(i)
             |ORDER BY doc_id, frame_idx""".stripMargin))
 
-  val all: Seq[NamedQuery] = Seq(q25BinaryFeatures, q97FrameSample)
+  /** DuckDB rendering of hash60(expr) (same as TextQueries.h60). */
+  private def h60(e: String): String =
+    s"('0x'||substring(md5($e),1,15))::BIGINT"
+
+  private val Win = 8 // signature byte-window width
+  private val Stp = 4 // window stride (overlapping: each byte in 2 windows)
+
+  /** q160: CODEC-FREE MULTIMODAL NEAR-DUP — perceptual-hash-style
+    * dedup over the binary payload ITSELF, no decoder: 60-bit SimHash
+    * of overlapping byte windows ([[graft.multimodal.Multimodal
+    * .byteSimhash]], window 8 stride 4 — a localized byte edit
+    * perturbs ≤2 windows, so re-encoded/trivially-edited media stays
+    * within a few Hamming bits), then the SAME banded Hamming join the
+    * text tier uses ([[graft.operators.TextDedup.hammingNearDups]],
+    * 6 chunks × 10 bits ⇒ all pairs with hamming ≤ 5 by pigeonhole).
+    * Scale shape: signature extraction is row-local on the scan; the
+    * join shuffles only (chunk, chunk_val) longs — the blobs
+    * themselves never shuffle. Blobs are ASCII text bytes here so the
+    * oracle replays the identical windows as string slices (q97's
+    * convention).
+    */
+  val q160MediaNearDup = NamedQuery(
+    "q160_media_neardup",
+    "Codec-free media near-dup: byte-window SimHash signature + banded " +
+      "Hamming self-join (≤5 bits) over opaque binary blobs — " +
+      "perceptual dedup with no decoder dependency.",
+    (s, d) => {
+      val sigs = Tables.documents(s, d)
+        .withColumn("blob", col("text").cast("binary"))
+        .filter(octet_length(col("blob")) >= Win)
+        .select(col("doc_id"),
+          graft.multimodal.Multimodal.byteSimhash(col("blob"), Win, Stp)
+            .as("sig"))
+      graft.operators.TextDedup.hammingNearDups(sigs, "doc_id", "sig", 5)
+        .withColumn("hamming", col("hamming").cast("long"))
+        .orderBy("id_a", "id_b")
+    },
+    Some(s"""WITH wins AS (SELECT doc_id,
+            |    substring(text, CAST(i*$Stp+1 AS INT), $Win) AS tok
+            |  FROM (SELECT doc_id, text,
+            |      CAST(octet_length(text::BLOB) AS BIGINT) AS n
+            |    FROM documents WHERE octet_length(text::BLOB) >= $Win),
+            |    unnest(range(0, (n-$Win)//$Stp + 1)) AS t(i)),
+            |bits AS (SELECT doc_id, b,
+            |    sum(CASE WHEN (${h60("tok")} >> b) & 1 = 1
+            |      THEN 1 ELSE -1 END) AS s
+            |  FROM wins, unnest(range(0,60)) AS t(b) GROUP BY doc_id, b),
+            |sim AS (SELECT doc_id,
+            |    CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)
+            |      AS BIGINT) AS sh
+            |  FROM bits GROUP BY doc_id),
+            |chunks AS (SELECT doc_id, sh, c, (sh >> (c*10)) & 1023 AS cv
+            |  FROM sim, unnest(range(0,6)) AS t(c)),
+            |pairs AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+            |    CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            |  FROM chunks a JOIN chunks b
+            |    ON a.c = b.c AND a.cv = b.cv AND a.doc_id < b.doc_id)
+            |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 5
+            |ORDER BY id_a, id_b""".stripMargin))
+
+  val all: Seq[NamedQuery] =
+    Seq(q25BinaryFeatures, q97FrameSample, q160MediaNearDup)
 }
