@@ -46,14 +46,25 @@ object Medallion {
     * arriving beyond it can re-emit (O26), which the gold read backstops
     * exactly like the reference's batch current-inventory recompute.
     */
-  def runSilver(spark: SparkSession, root: String): Unit = {
+  def runSilver(spark: SparkSession, root: String,
+      scrubColumns: Seq[String] = Nil): Unit = {
     val bronzeSchema = spark.read.parquet(s"$root/bronze").schema
     val parsed = PosPipeline.parseEvents(
       spark.readStream.schema(bronzeSchema).parquet(s"$root/bronze")
         .withColumn("value", col("value").cast("string")))
-    val q = parsed
+    val deduped = parsed
       .withWatermark("date_time", "1 hour")
       .dropDuplicates("trans_id", "item_id")
+    // The trust-boundary scrub point: before rows land in the silver
+    // table, PII in the named string columns is redacted to typed
+    // placeholders. The scrub composes freely with the watermarked
+    // stateful dedup above because it is a pure row-local projection —
+    // no state, no event-time semantics, no shuffle
+    // ([[graft.operators.PiiScrub]]; StreamingOpsSpec proves the
+    // composition).
+    val q = scrubColumns
+      .foldLeft(deduped)((df, c) =>
+        df.withColumn(c, graft.operators.PiiScrub.redact(col(c))))
       .writeStream.format("parquet")
       .option("path", s"$root/silver")
       .option("checkpointLocation", s"$root/ckpt/silver")

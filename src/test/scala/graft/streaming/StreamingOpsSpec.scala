@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
 import graft.SparkSpec
 import graft.operators.ApplyChanges
+import graft.pos.Medallion
 import graft.streaming.StreamingOps.{EventRow, LatestOut}
 
 /** Streaming semantics under out-of-order and duplicate input
@@ -250,5 +251,28 @@ class StreamingOpsSpec extends SparkSpec {
       .select(col("user_id"), col("event_type"), col("last_event_id"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(streamed == batch)
+  }
+
+  test("PII scrub composes with the watermarked medallion silver stage") {
+    // the trust-boundary placement: scrub INSIDE the checkpointed
+    // silver stream, downstream of the watermark + stateful dedup —
+    // a pure row-local projection must not disturb either
+    val root = java.nio.file.Files.createTempDirectory("graft-scrub").toString
+    def rec(trans: String, item: Int) =
+      s"""{"trans_id":"$trans","store_id":1,""" +
+        s""""date_time":"2024-01-01 10:00:00","change_type_id":1,""" +
+        s""""items":[{"item_id":$item,"quantity":5}]}"""
+    val pii1 = "t1 reach alice@example.com"
+    val pii2 = "t2 from 10.0.0.1"
+    val pii3 = "t3 call +1-555-1234"
+    Seq(rec(pii1, 1), rec(pii1, 1), // duplicate: dedup state must drop it
+      rec(pii2, 2), rec(pii3, 3))
+      .toDF("value").write.parquet(s"$root/bronze")
+    Medallion.runSilver(spark, root, scrubColumns = Seq("trans_id"))
+    val silver = spark.read.parquet(s"$root/silver")
+    val ids = silver.select("trans_id").collect().map(_.getString(0)).toSet
+    assert(silver.count() == 3, "watermarked dedup dropped the duplicate")
+    assert(ids == Set("t1 reach [EMAIL]", "t2 from [IP]", "t3 call [PHONE]"),
+      s"typed placeholders expected, got $ids")
   }
 }
