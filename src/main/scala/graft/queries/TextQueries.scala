@@ -2126,6 +2126,94 @@ object TextQueries {
            |  array_to_string(ts[k*48+1 : k*48+64], ' ') AS chunk_text
            |FROM starts ORDER BY doc_id, chunk_idx""".stripMargin))
 
+  /** q161: CHUNK-GRANULARITY RETRIEVAL — the RAG read path composed
+    * end-to-end from this round's chunker: chunk every document
+    * (64/16, q159's table), score CHUNKS (not docs) against the q86
+    * query with the same all-integer rational BM25, and return the
+    * top-10 chunks WITH PROVENANCE (doc_id, chunk_idx,
+    * first_token_offset) — what a RAG system actually feeds a context
+    * window, and the offsets let it cite the source span. Chunk-level
+    * dl/df make short focused chunks beat long diluted documents —
+    * the reason RAG indexes chunk, not docs. Scale shape: chunking is
+    * row-local on the scan; tf/df are two hash-aggs over (chunk, term)
+    * pairs FILTERED to query terms before any shuffle; the top-k is
+    * TakeOrderedAndProject (no global sort), with rank assigned by a
+    * 10-row window after the take.
+    */
+  val q161ChunkRetrieval = NamedQuery(
+    "q161_chunk_retrieval",
+    "RAG retrieval: BM25 top-10 over 64/16 token chunks with " +
+      "(doc_id, chunk_idx, offset) provenance — chunk-level dl/df, " +
+      "integer rational scoring, TakeOrderedAndProject top-k.",
+    (s, d) => {
+      val chunks = graft.operators.Chunker
+        .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
+      val stats = chunks.agg(count(lit(1)).as("n_chunks"),
+        sum("n_chunk_tokens").as("t_total"))
+      val tf = chunks
+        .select(col("doc_id"), col("chunk_idx"), col("first_token_offset"),
+          col("n_chunk_tokens").as("dl"),
+          explode(tokens(col("chunk_text"))).as("term"))
+        .filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "chunk_idx", "first_token_offset", "dl", "term")
+        .agg(count(lit(1)).as("tf"))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+        .crossJoin(broadcast(stats))
+        .select(col("term"), expr("(1000 * n_chunks) div df").as("idf_fp3"))
+      tf.join(broadcast(idf), "term")
+        .crossJoin(broadcast(stats))
+        .withColumn("contrib", expr(
+          "(idf_fp3 * 44 * tf * t_total) div " +
+            "(20 * tf * t_total + 6 * t_total + 18 * n_chunks * dl)"))
+        .groupBy("doc_id", "chunk_idx", "first_token_offset", "dl")
+        .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_fp"))
+        .orderBy(col("score_fp").desc, col("doc_id").asc,
+          col("chunk_idx").asc)
+        .limit(10)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score_fp").desc, col("doc_id").asc,
+            col("chunk_idx").asc)).cast("long"))
+        .select("doc_id", "chunk_idx", "first_token_offset", "dl",
+          "n_terms", "score_fp", "rank")
+    },
+    Some {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts
+         |  FROM documents),
+         |chunks AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+         |    CAST(k*48 AS BIGINT) AS first_token_offset,
+         |    CAST(least(64, n - k*48) AS BIGINT) AS dl,
+         |    ts[k*48+1 : k*48+64] AS ct
+         |  FROM (SELECT doc_id, ts, len(ts) AS n,
+         |      unnest(range(0, ((len(ts)-1)//48)+1)) AS k
+         |    FROM toks WHERE len(ts) > 0)),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+         |    CAST(SUM(dl) AS BIGINT) AS t_total FROM chunks),
+         |tf AS (SELECT doc_id, chunk_idx, first_token_offset, dl, term,
+         |    CAST(COUNT(*) AS BIGINT) AS tf FROM
+         |    (SELECT doc_id, chunk_idx, first_token_offset, dl,
+         |       unnest(ct) AS term FROM chunks)
+         |  WHERE term IN ($terms)
+         |  GROUP BY doc_id, chunk_idx, first_token_offset, dl, term),
+         |idf AS (SELECT term, (1000 * n_chunks) // df AS idf_fp3 FROM
+         |    (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+         |     GROUP BY term), stats),
+         |scored AS (SELECT tf.doc_id, tf.chunk_idx,
+         |    tf.first_token_offset, tf.dl,
+         |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM((idf_fp3 * 44 * tf * t_total) //
+         |      (20 * tf * t_total + 6 * t_total + 18 * n_chunks * dl))
+         |      AS BIGINT) AS score_fp
+         |  FROM tf JOIN idf USING (term), stats
+         |  GROUP BY tf.doc_id, tf.chunk_idx, tf.first_token_offset, tf.dl)
+         |SELECT doc_id, chunk_idx, first_token_offset, dl, n_terms,
+         |  score_fp,
+         |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC,
+         |    chunk_idx ASC) AS BIGINT) AS rank
+         |FROM scored
+         |ORDER BY score_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -2138,5 +2226,5 @@ object TextQueries {
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
     q131EntityResolution, q134FilterCascade, q148LshRecall,
     q154LshBandSweep, q155SourceOverlap, q156DedupReweight,
-    q158QualityCalibration, q159DocChunks)
+    q158QualityCalibration, q159DocChunks, q161ChunkRetrieval)
 }

@@ -421,6 +421,18 @@ class PlanGuardsSpec extends SparkSpec {
       "no join, no aggregation — chunking is pure per-row expansion")
   }
 
+  test("q161 chunk retrieval: top-k is TakeOrderedAndProject, rank window is post-limit") {
+    val p = plan("q161_chunk_retrieval")
+    assert(p.contains("TakeOrderedAndProject"),
+      "chunk top-10 must be a bounded-heap take, not a global sort")
+    // the rank window runs AFTER the limit (10 rows) — a pre-limit
+    // global window would move the whole scored chunk table to one task
+    val winIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && winIdx < takeIdx,
+      s"rank window must sit above the take in the plan:\n${p.take(1200)}")
+  }
+
   test("q146 bucketed join: co-located scans, no exchange below the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
