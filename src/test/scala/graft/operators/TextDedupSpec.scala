@@ -41,6 +41,34 @@ class TextDedupSpec extends SparkSpec {
       s"recall $recall: missed ${(exact -- sim).size} of ${exact.size}")
   }
 
+  test("multi-config LSH candidates equal the per-config candidate sets") {
+    val grams = TextDedup.docGramArrays(docs, "doc_id", "text", 3)
+    val sigs = TextDedup.signaturesFromGrams(grams, 16).cache()
+    val multi = TextDedup.lshCandidatesMulti(sigs, 16, Seq(2, 4, 8))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1).map { case (b, rows) =>
+        b -> rows.map(r => (r._2, r._3)).toSet
+      }
+    Seq(2, 4, 8).foreach { b =>
+      val single = TextDedup.lshCandidates(sigs, 16, b)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(multi.getOrElse(b.toLong, Set.empty) == single,
+        s"bands=$b: one-pass sweep diverged from the per-config join")
+    }
+    // more bands (fewer rows per band) can only ADD collisions
+    assert(multi(2L).subsetOf(multi(4L)) && multi(4L).subsetOf(multi(8L)),
+      "candidate sets must be monotone in band count")
+  }
+
+  test("jaccardPairsFromGrams equals the from-text formulation") {
+    val viaText = TextDedup.jaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val viaGrams = TextDedup.jaccardPairsFromGrams(
+        TextDedup.docGramArrays(docs, "doc_id", "text", 3), 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(viaText == viaGrams)
+  }
+
   test("simhash is deterministic and within 60 bits") {
     val twice = (1 to 2).map { _ =>
       docs.select(col("doc_id"), TextDedup.simhash(col("text")).as("sh"))
