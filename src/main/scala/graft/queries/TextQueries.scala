@@ -2214,6 +2214,50 @@ object TextQueries {
          |ORDER BY score_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin
     })
 
+  /** q162: N-GRAM NOVELTY CURVE — how much genuinely new content each
+    * document adds when the corpus is ingested in doc_id order: a
+    * gram is NOVEL in the first (min-doc_id) document containing it;
+    * per doc, the fraction of its distinct 3-grams that are novel.
+    * The declining tail of this curve is THE diminishing-returns
+    * signal data curation watches (near-zero novelty ⇒ the source is
+    * exhausted / duplicative — deduplicate or stop ingesting).
+    * Scale shape: one shuffle keyed by gram hash where a
+    * whole-partition min window marks first-containers (two longs of
+    * state per gram, same discipline as [[TextDedup.spanFlags]] —
+    * hot boilerplate grams cost no more than rare ones), then one
+    * per-doc hash-agg. Output is per-doc (doc_id-ordered), exact
+    * integer fp6.
+    */
+  val q162NoveltyCurve = NamedQuery(
+    "q162_novelty_curve",
+    "Per-doc novel-gram fraction in doc_id ingest order (gram is novel " +
+      "in its min-doc_id container): the diminishing-returns curve — " +
+      "one gram-keyed window shuffle + one per-doc agg.",
+    (s, d) => {
+      val wGk = Window.partitionBy("gk")
+      TextDedup.gramSets(Tables.documents(s, d), "doc_id", "text", 3)
+        .select(col("gs_id").as("doc_id"), hash60(col("gram")).as("gk"))
+        .withColumn("novel",
+          (min("doc_id").over(wGk) === col("doc_id")).cast("long"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"), sum("novel").as("n_novel"))
+        .select(col("doc_id"), col("n_grams"), col("n_novel"),
+          expr("CAST((n_novel * 1000000) div n_grams AS BIGINT)")
+            .as("novelty_fp6"))
+        .orderBy("doc_id")
+    },
+    Some(s"""WITH $gramsCte,
+            |gk AS (SELECT doc_id, ${h60("g")} AS gk FROM grams),
+            |flagged AS (SELECT doc_id,
+            |    CASE WHEN MIN(doc_id) OVER (PARTITION BY gk) = doc_id
+            |      THEN 1 ELSE 0 END AS novel
+            |  FROM gk)
+            |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+            |  CAST(SUM(novel) AS BIGINT) AS n_novel,
+            |  CAST((SUM(novel) * 1000000) // COUNT(*) AS BIGINT)
+            |    AS novelty_fp6
+            |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -2226,5 +2270,6 @@ object TextQueries {
     q121RepeatedSpans, q123PageRank, q129SpanStrip,
     q131EntityResolution, q134FilterCascade, q148LshRecall,
     q154LshBandSweep, q155SourceOverlap, q156DedupReweight,
-    q158QualityCalibration, q159DocChunks, q161ChunkRetrieval)
+    q158QualityCalibration, q159DocChunks, q161ChunkRetrieval,
+    q162NoveltyCurve)
 }
