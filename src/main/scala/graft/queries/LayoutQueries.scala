@@ -564,9 +564,59 @@ object LayoutQueries {
            |SELECT _change_type, k, lang, n_chars FROM ch
            |ORDER BY k, _change_type""".stripMargin))
 
+  /** q163: DELETION VECTORS — row-level delete that rewrites NO data
+    * segment (Delta deletion vectors / Iceberg position deletes on the
+    * open manifest log): two successive `deleteWhere` commits lay
+    * (file, row-position) tombstones next to the data, every read path
+    * anti-joins them, and the output PINS the layout invariants the
+    * oracle cannot see: the data file list is IDENTICAL across all
+    * three versions (`no_rewrite` — the 100 TB point: GDPR-deleting a
+    * few rows from multi-GB segments costs O(deleted rows), not a
+    * rewrite), time travel to v1 still sees every row, and the version
+    * count shows two pure-DV commits. The per-lang aggregate over the
+    * live view is the data-level check: it must BIT-EQUAL the oracle's
+    * recompute of `documents` minus both delete predicates.
+    */
+  val q163DeletionVectors = NamedQuery(
+    "q163_deletion_vectors",
+    "Deletion-vector lifecycle: 2 deleteWhere commits rewrite zero " +
+      "data segments (manifest-pinned), reads/time-travel DV-aware; " +
+      "live per-lang aggregate ≡ recompute minus deletes.",
+    (s, d) => {
+      val dir = "/tmp/graft-dv/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val nBase = docs.count()
+      M.commit(docs.repartition(4), dir)
+      val minLang = docs.agg(min("lang")).head.getString(0)
+      M.deleteWhere(s, dir, col("doc_id") % 5 === 0, tag = "gdpr-1")
+      M.deleteWhere(s, dir, col("lang") === minLang, tag = "gdpr-2")
+      def dataFiles(v: Int) = M.planFiles(s, dir, "doc_id",
+        Long.MinValue, Long.MaxValue, Some(v))._2
+      val noRewrite = dataFiles(1) == dataFiles(3) &&
+        M.versions(s, dir) == Seq(1, 2, 3)
+      val timeTravelOk = M.read(s, dir, Some(1)).count() == nBase
+      M.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .orderBy("lang")
+    },
+    Some("""WITH ml AS (SELECT min(lang) AS v FROM documents)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS no_rewrite, true AS time_travel_ok
+           |FROM documents, ml
+           |WHERE doc_id % 5 <> 0 AND lang <> v
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
       q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
-      q152ChangeDataFeed)
+      q152ChangeDataFeed, q163DeletionVectors)
 }

@@ -70,7 +70,12 @@ object ManagedTable {
 
   /** Manifest content, one field per line:
     *   1. committer tag (may be empty);
-    *   2. JSON file list;
+    *   2. JSON file list — data segment files, plus DELETION-VECTOR
+    *      files carried with a `dv:` prefix (see [[deleteWhere]]): DV
+    *      entries ride inside the same validated line, so a torn read
+    *      can never drop the DV list while keeping the data list (the
+    *      resurrection hazard a separate trailing line would create);
+    *      manifests predating DVs simply have no `dv:` entries;
     *   3. the version's schema as Spark DataType JSON — what lets an
     *      EMPTY version read back as a typed empty DataFrame instead
     *      of failing parquet schema inference, and what every scan
@@ -82,6 +87,14 @@ object ManagedTable {
     * INSIDE the file — the manifest NAME is always `v<N>.json`, so
     * create-if-absent arbitrates every committer regardless of tag.
     */
+  /** Split a manifest file list into (data files, deletion-vector
+    * files) — DV entries are marked by the `dv:` prefix.
+    */
+  private def splitDv(all: Seq[String]): (Seq[String], Seq[String]) = {
+    val (dv, data) = all.partition(_.startsWith("dv:"))
+    (data, dv.map(_.stripPrefix("dv:")))
+  }
+
   private def readManifest(spark: SparkSession, dir: String,
       v: Int): (String, Seq[String], Option[String], FileStats) = {
     val f = fs(spark, dir)
@@ -365,15 +378,105 @@ object ManagedTable {
     require(vs.nonEmpty, s"ManagedTable.read: no committed versions in $dir")
     val v = version.getOrElse(vs.last)
     require(vs.contains(v), s"ManagedTable.read: version $v not in $vs")
-    val (_, files, schemaJson, _) = readManifest(spark, dir, v)
+    val (_, all, schemaJson, _) = readManifest(spark, dir, v)
+    val (files, dvFiles) = splitDv(all)
     val schema = schemaJson.map(schemaOf).getOrElse(
       throw new IllegalStateException(
         s"ManagedTable.read: version $v of $dir has no recorded schema"))
-    if (files.nonEmpty)
-      spark.read.schema(schema).parquet(files.map(p => s"$dir/$p"): _*)
+    if (files.nonEmpty) scanMinusDv(spark, dir, files, schema, dvFiles)
     else
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+  }
+
+  /** The relative `data/<segment>/<file>` form of the scanned file's
+    * `_metadata.file_path` — the file identity deletion vectors key on
+    * (stable across mounts/URI schemes, unlike the absolute path).
+    */
+  private def relPathCol: org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    concat(lit("data/"),
+      substring_index(col("_metadata.file_path"), "/data/", -1))
+  }
+
+  /** The (file, pos) rows of a version's deletion vector. */
+  private def dvRows(spark: SparkSession, dir: String,
+      dvFiles: Seq[String]): DataFrame =
+    spark.read.parquet(dvFiles.map(p => s"$dir/$p"): _*)
+      .select("__file", "__pos")
+
+  /** Scan `files` under the recorded `schema`, minus any rows the
+    * deletion vector lists — the DV-aware primitive every read path
+    * routes through. Zero overhead when `dvFiles` is empty; otherwise
+    * one anti-join keyed (relative file, row position), where the DV
+    * side is deleted-rows-sized (broadcast by Spark's own size
+    * heuristics when small — the common case).
+    */
+  private def scanMinusDv(spark: SparkSession, dir: String,
+      files: Seq[String], schema: org.apache.spark.sql.types.StructType,
+      dvFiles: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val base = spark.read.schema(schema).parquet(files.map(p => s"$dir/$p"): _*)
+    if (dvFiles.isEmpty) base
+    else base
+      .withColumn("__file", relPathCol)
+      .withColumn("__pos", col("_metadata.row_index"))
+      .join(dvRows(spark, dir, dvFiles), Seq("__file", "__pos"), "left_anti")
+      .drop("__file", "__pos")
+  }
+
+  /** DELETE WHERE, by DELETION VECTOR — row-level delete that rewrites
+    * NO data segment (Delta's deletion vectors / Iceberg's position
+    * deletes): the matching rows' (file, position) pairs land as a
+    * small DV parquet segment, the new manifest carries the SAME data
+    * files plus the DV reference, and every read path
+    * ([[read]]/[[readCurrent]]/[[readWhere]]/[[merge]]/[[compact]]/
+    * [[changes]]) anti-joins the DV. THE point at 100 TB: deleting a
+    * few rows (GDPR erasure, bad-record retraction) from a table of
+    * multi-GB segments costs O(deleted rows) + one manifest write —
+    * not a segment rewrite; [[compact]] later folds DVs into real
+    * bytes. The DV is CUMULATIVE: each delete commit writes the union
+    * of all live (file, pos) tombstones as one fresh segment and
+    * references only that, so readers always apply exactly one DV set
+    * and old DV segments age out with their manifests ([[vacuum]]).
+    * Per-file stats stay as written — a DV only removes rows, so
+    * min/max stay sound for pruning (possibly wide, never wrong).
+    * Time travel to pre-delete versions still sees the rows.
+    * Returns the new version, or the current one when nothing
+    * matched (no empty commits).
+    */
+  def deleteWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, tag: String = ""): Int = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.deleteWhere: no versions in $dir")
+    val current = vs.last
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val (files, dvFiles) = splitDv(all)
+    if (files.isEmpty) return current
+    val schema = schemaJson.map(schemaOf).getOrElse(
+      throw new IllegalStateException(
+        s"ManagedTable.deleteWhere: version $current of $dir has no schema"))
+    val tagged = spark.read.schema(schema)
+      .parquet(files.map(p => s"$dir/$p"): _*)
+      .withColumn("__file", relPathCol)
+      .withColumn("__pos", col("_metadata.row_index"))
+    val live =
+      if (dvFiles.isEmpty) tagged
+      else tagged.join(dvRows(spark, dir, dvFiles),
+        Seq("__file", "__pos"), "left_anti")
+    val fresh = live.filter(predicate).select("__file", "__pos")
+    if (fresh.isEmpty) return current
+    val union =
+      if (dvFiles.isEmpty) fresh
+      else dvRows(spark, dir, dvFiles).unionByName(fresh)
+    val next = current + 1
+    // one small file: the DV is deleted-rows-sized by construction (at
+    // real scale you'd bin per data file; the read side is identical)
+    val dvSeg = writeSegment(union.coalesce(1), dir, next)
+    writeManifest(spark, dir, next, tag,
+      files ++ dvSeg.map("dv:" + _), schema.json, stats)
+    next
   }
 
   /** Default [[vacuum]] retention: long enough that a writer whose data
@@ -397,8 +500,11 @@ object ManagedTable {
     val f = fs(spark, dir)
     val dataDir = new Path(dir, "data")
     if (!f.exists(dataDir)) return Seq.empty
+    // DV segments are referenced files too — sweeping one would
+    // silently resurrect its deleted rows
     val referenced = versions(spark, dir).flatMap { v =>
-      readManifest(spark, dir, v)._2.map(_.split("/")(1))
+      readManifest(spark, dir, v)._2
+        .map(_.stripPrefix("dv:").split("/")(1))
     }.toSet
     val cutoff = System.currentTimeMillis() - retentionMs
     val orphans = f.listStatus(dataDir).toSeq
@@ -481,21 +587,33 @@ object ManagedTable {
         graft.operators.ApplyChanges.latestByKey(changes, keys, sequenceBy),
         dir, tag)
     val current = versions(spark, dir).last
-    val (_, currentFiles, _, currentStats) = readManifest(spark, dir, current)
+    val (_, currentAll, _, currentStats) = readManifest(spark, dir, current)
+    val (currentFiles, currentDv) = splitDv(currentAll)
     val base = read(spark, dir, Some(current))
     // step 1: which files contain a changed key? (file paths only —
-    // driver-side metadata, same scale as the manifest itself)
+    // driver-side metadata, same scale as the manifest itself).
+    // _metadata must be tagged ON the scan, before any DV anti-join
+    // (metadata columns don't resolve through derived plans), and the
+    // DV applied after: a file whose only changed-key rows are all
+    // tombstoned needs no rewrite.
     val changeKeys = changes.select(keys.map(col): _*).distinct()
     val affectedPaths =
       if (currentFiles.isEmpty) Set.empty[String]
-      else base
-        .select((keys.map(col) :+
-          col("_metadata.file_path").as("__file")): _*)
-        .join(broadcast(changeKeys), keys, "left_semi")
-        .select("__file").distinct()
-        .collect().map(_.getString(0)).toSet
-    val affected = currentFiles.filter(rel =>
-      affectedPaths.exists(_.endsWith(rel)))
+      else {
+        val tagged = spark.read.schema(base.schema)
+          .parquet(currentFiles.map(p => s"$dir/$p"): _*)
+          .withColumn("__file", relPathCol)
+          .withColumn("__pos", col("_metadata.row_index"))
+        val live =
+          if (currentDv.isEmpty) tagged
+          else tagged.join(dvRows(spark, dir, currentDv),
+            Seq("__file", "__pos"), "left_anti")
+        live.select((keys.map(col) :+ col("__file")): _*)
+          .join(broadcast(changeKeys), keys, "left_semi")
+          .select("__file").distinct()
+          .collect().map(_.getString(0)).toSet
+      }
+    val affected = currentFiles.filter(affectedPaths.contains)
     val untouched = currentFiles.diff(affected)
     // steps 2+3: rewrite ONLY affected rows ∪ changes; reuse the rest.
     // unionByName(allowMissingColumns) is the SCHEMA EVOLUTION seam
@@ -508,15 +626,19 @@ object ManagedTable {
       if (affected.isEmpty)
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
-      else spark.read.schema(base.schema)
-        .parquet(affected.map(p => s"$dir/$p"): _*)
+      // DV-aware: rewriting an affected file must not resurrect its
+      // deletion-vectored rows
+      else scanMinusDv(spark, dir, affected, base.schema, currentDv)
     val merged = graft.operators.ApplyChanges.latestByKey(
       affectedRows.unionByName(changes, allowMissingColumns = true),
       keys, sequenceBy)
     val newFiles = writeSegment(merged, dir, next)
-    // untouched files keep their recorded stats; only the fresh segment
-    // is scanned for new ones
-    writeManifest(spark, dir, next, tag, untouched ++ newFiles,
+    // untouched files keep their recorded stats (and their DV entries —
+    // tombstones naming rewritten files match nothing and age out);
+    // only the fresh segment is scanned for new ones
+    writeManifest(spark, dir, next, tag,
+      untouched ++ newFiles ++
+        (if (untouched.isEmpty) Nil else currentDv.map("dv:" + _)),
       merged.schema.json,
       currentStats.view.filterKeys(untouched.contains).toMap ++
         segmentStats(spark, dir, newFiles))
@@ -573,8 +695,35 @@ object ManagedTable {
       s"ManagedTable.changes: versions ($fromVersion, $toVersion) not in $vs")
     require(fromVersion <= toVersion,
       s"ManagedTable.changes: fromVersion $fromVersion > toVersion $toVersion")
-    val (_, fromFiles, fromSchemaJ, _) = readManifest(spark, dir, fromVersion)
-    val (_, toFiles, toSchemaJ, _) = readManifest(spark, dir, toVersion)
+    val (_, fromAll, fromSchemaJ, _) = readManifest(spark, dir, fromVersion)
+    val (_, toAll, toSchemaJ, _) = readManifest(spark, dir, toVersion)
+    val (fromFiles0, fromDv) = splitDv(fromAll)
+    val (toFiles0, toDv) = splitDv(toAll)
+    // DV-aware identity: a file shared by both manifests is only truly
+    // unchanged if its DELETION state is also identical — a deleteWhere
+    // commit shares every data file and differs only in the DV. Files
+    // whose tombstone set changed re-enter both sides' scans (each side
+    // under its own DV), and the key-level value diff below reports
+    // exactly the newly-deleted rows as deletes. The diff runs over DV
+    // rows (deleted-rows-scale, never table-scale).
+    val dvChanged: Set[String] =
+      if (fromDv == toDv) Set.empty
+      else {
+        val a = if (fromDv.isEmpty) None else Some(dvRows(spark, dir, fromDv))
+        val b = if (toDv.isEmpty) None else Some(dvRows(spark, dir, toDv))
+        val sym = (a, b) match {
+          case (Some(x), Some(y)) => x.exceptAll(y).unionAll(y.exceptAll(x))
+          case (Some(x), None) => x
+          case (None, Some(y)) => y
+          case (None, None) => null
+        }
+        if (sym == null) Set.empty
+        else sym.select("__file").distinct().collect()
+          .map(_.getString(0)).toSet
+      }
+    val dvTouched = fromFiles0.intersect(toFiles0).filter(dvChanged)
+    val fromFiles = fromFiles0.diff(toFiles0) ++ dvTouched
+    val toFiles = toFiles0.diff(fromFiles0) ++ dvTouched
     val toSchema = toSchemaJ.map(schemaOf).getOrElse(
       throw new IllegalStateException(
         s"ManagedTable.changes: version $toVersion of $dir has no schema"))
@@ -584,22 +733,23 @@ object ManagedTable {
     val valCols = outCols.map(_.name).filterNot(keys.contains)
     // live state restricted to one side's non-shared files, aligned to
     // the to-schema (nulls where a pre-evolution schema lacks a column)
-    def side(files: Seq[String], schemaJ: Option[String]): DataFrame = {
+    def side(files: Seq[String], schemaJ: Option[String],
+        dv: Seq[String]): DataFrame = {
       val schema = schemaJ.map(schemaOf).getOrElse(toSchema)
       val df =
         if (files.isEmpty)
           spark.createDataFrame(
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-        else spark.read.schema(schema).parquet(files.map(p => s"$dir/$p"): _*)
+        else scanMinusDv(spark, dir, files, schema, dv)
       val have = schema.map(_.name).toSet
       df.filter(!coalesce(deleteExpr, lit(false)))
         .select(outCols.map(f =>
           (if (have(f.name)) col(f.name) else lit(null).cast(f.dataType))
             .as(f.name)): _*)
     }
-    val f = side(fromFiles.diff(toFiles), fromSchemaJ)
+    val f = side(fromFiles, fromSchemaJ, fromDv)
       .withColumn("__pre", lit(true))
-    val t = side(toFiles.diff(fromFiles), toSchemaJ)
+    val t = side(toFiles, toSchemaJ, toDv)
       .withColumn("__post", lit(true))
     def img(src: String): org.apache.spark.sql.Column = struct(
       outCols.map(c => col(s"$src.${c.name}").as(c.name)): _*)
@@ -665,7 +815,8 @@ object ManagedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"ManagedTable.compact: no versions in $dir")
     val current = vs.last
-    val (_, files, schemaJson, stats) = readManifest(spark, dir, current)
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val (files, dvFiles) = splitDv(all)
     val f = fs(spark, dir)
     val sized = files.map(p => p -> f.getFileStatus(new Path(s"$dir/$p")).getLen)
     val small = sized.filter(_._2 < smallFileBytes).map(_._1)
@@ -684,8 +835,12 @@ object ManagedTable {
       throw new IllegalStateException(
         s"ManagedTable.compact: version $current of $dir has no " +
           "recorded schema"))
-    val packed0 = spark.read.schema(schema)
-      .parquet(small.map(p => s"$dir/$p"): _*)
+    // DV-aware: compaction MATERIALIZES deletes for the files it
+    // rewrites (the rows simply don't land in the packed segment) —
+    // this is how DVs eventually become real bytes. Kept files carry
+    // their DV entries forward; when nothing is kept the DV reference
+    // is dropped entirely (all tombstones were materialized).
+    val packed0 = scanMinusDv(spark, dir, small, schema, dvFiles)
     // clusterBy = Delta's OPTIMIZE ZORDER BY: instead of packing small
     // files in arrival order, GLOBALLY range-partition the packed rows
     // on the cluster key (pass a Morton-interleave expression for
@@ -700,7 +855,10 @@ object ManagedTable {
       else packed0.repartitionByRange(outFiles, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*)
     val newFiles = writeSegment(packed, dir, next)
-    writeManifest(spark, dir, next, tag, keep ++ newFiles, schema.json,
+    writeManifest(spark, dir, next, tag,
+      keep ++ newFiles ++
+        (if (keep.isEmpty) Nil else dvFiles.map("dv:" + _)),
+      schema.json,
       stats.view.filterKeys(keep.contains).toMap ++
         segmentStats(spark, dir, newFiles))
     next
@@ -723,7 +881,10 @@ object ManagedTable {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"ManagedTable.planFiles: no versions in $dir")
     val v = version.getOrElse(vs.last)
-    val (_, files, schemaJson, stats) = readManifest(spark, dir, v)
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, v)
+    // plan over DATA files only (a DV can only remove rows, so stats
+    // stay sound and DV presence never changes which files can match)
+    val (files, _) = splitDv(all)
     val isString = schemaJson.exists(sj =>
       schemaOf(sj).fields.exists(f => f.name == column &&
         f.dataType == org.apache.spark.sql.types.StringType))
@@ -759,8 +920,9 @@ object ManagedTable {
     import org.apache.spark.sql.functions.{col, lit}
     val (kept, _) = planFiles(spark, dir, column, lower, upper, version)
     val pred = col(column) >= lit(lower) && col(column) <= lit(upper)
-    val (_, _, schemaJson, _) =
+    val (_, all, schemaJson, _) =
       readManifest(spark, dir, version.getOrElse(versions(spark, dir).last))
+    val (_, dvFiles) = splitDv(all)
     val schema = schemaJson.map(schemaOf).getOrElse(
       org.apache.spark.sql.types.StructType(Nil))
     if (kept.isEmpty)
@@ -771,8 +933,7 @@ object ManagedTable {
       // manifest schema, never footer inference — same evolved-segment
       // rule as [[read]]: a pruned scan of a schema-evolved version
       // must null-fill the old segments' missing columns, not adopt
-      // one file's footer
-      spark.read.schema(schema).parquet(kept.map(p => s"$dir/$p"): _*)
-        .filter(pred)
+      // one file's footer. DV applied like every read path.
+      scanMinusDv(spark, dir, kept, schema, dvFiles).filter(pred)
   }
 }
