@@ -1264,6 +1264,60 @@ object TrainingDataQueries {
            |    '([0-9]{1,3}[.]){3}[0-9]{1,3}', '[IP]', 'g') AS redacted
            |FROM recs ORDER BY c_custkey""".stripMargin))
 
+  /** q164: DATA-QUALITY EXPECTATIONS — the DLT `expect_or_drop` gate
+    * as a first-class operator ([[graft.operators.Expectations]]):
+    * three named row-local rules over the corpus (token floor, char
+    * ceiling, distinct-token-ratio floor), reported in the DLT
+    * event-log shape — one row per rule (n_failed / n_passed /
+    * pass_fp6) plus the all-pass row — computed in ONE aggregate pass.
+    * The operator's production surface publishes the same counts over
+    * Spark's `observe` channel (batch `Observation` / streaming
+    * per-micro-batch metrics, ExpectationsSpec) so gating a 100 TB
+    * table audits itself with zero extra scans; this query pins the
+    * counting semantics cross-engine.
+    */
+  val q164QualityGate = NamedQuery(
+    "q164_quality_gate",
+    "DLT-style expectations over documents: per-rule pass/fail counts " +
+      "+ all-pass row in one aggregate pass (min_tokens>=24, " +
+      "n_chars<=480, distinct_ratio>=0.3).",
+    (s, d) => {
+      import graft.operators.Expectations.{Rule, ruleReport}
+      val toks = tokens(col("text"))
+      ruleReport(Tables.documents(s, d), Seq(
+        Rule("min_tokens", size(toks) >= 24),
+        Rule("max_chars", col("n_chars") <= 480),
+        Rule("distinct_ratio",
+          graft.functions.TextFunctions.fp6(
+            size(array_distinct(toks)).cast("double") / size(toks))
+            >= 300000L)))
+    },
+    Some("""WITH t AS (SELECT n_chars,
+           |    string_split(lower(text),' ') AS ts FROM documents),
+           |f AS (SELECT
+           |    CASE WHEN len(ts) >= 24 THEN 1 ELSE 0 END AS ok_min,
+           |    CASE WHEN n_chars <= 480 THEN 1 ELSE 0 END AS ok_max,
+           |    CASE WHEN floor(CAST(len(list_distinct(ts)) AS DOUBLE)
+           |        / len(ts) * 1000000.0) >= 300000 THEN 1 ELSE 0 END
+           |      AS ok_dr
+           |  FROM t),
+           |a AS (SELECT COUNT(*) AS n,
+           |    SUM(ok_min) AS ok_min, SUM(ok_max) AS ok_max,
+           |    SUM(ok_dr) AS ok_dr,
+           |    SUM(CASE WHEN ok_min + ok_max + ok_dr = 3 THEN 1 ELSE 0 END)
+           |      AS all_ok
+           |  FROM f)
+           |SELECT rule, CAST(n_failed AS BIGINT) AS n_failed,
+           |  CAST(n_passed AS BIGINT) AS n_passed,
+           |  CAST((n_passed * 1000000) // n AS BIGINT) AS pass_fp6
+           |FROM (
+           |  SELECT 'min_tokens' AS rule, n - ok_min AS n_failed,
+           |    ok_min AS n_passed, n FROM a
+           |  UNION ALL SELECT 'max_chars', n - ok_max, ok_max, n FROM a
+           |  UNION ALL SELECT 'distinct_ratio', n - ok_dr, ok_dr, n FROM a
+           |  UNION ALL SELECT 'zz_all_pass', n - all_ok, all_ok, n FROM a)
+           |ORDER BY rule""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1272,5 +1326,5 @@ object TrainingDataQueries {
     q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
     q117ExactKSample, q122DsirImportance, q126WeightedSample,
     q135TokenBudget, q136DistributionDrift, q147ShardAssignment,
-    q153PiiRedact)
+    q153PiiRedact, q164QualityGate)
 }
