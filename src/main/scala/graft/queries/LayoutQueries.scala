@@ -614,9 +614,61 @@ object LayoutQueries {
            |WHERE doc_id % 5 <> 0 AND lang <> v
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q165: RESTORE — Delta's `RESTORE TABLE … TO VERSION AS OF` as a
+    * METADATA-ONLY commit: after two deleteWhere versions put the
+    * table in a "bad" state, `restore(1)` re-publishes v1's exact file
+    * list as v4 without reading, copying or rewriting any data
+    * segment — the 100 TB undo costs one manifest write. The output
+    * pins the invariants the oracle cannot see: v4's planned data
+    * files are IDENTICAL to v1's (`no_rewrite`), v4 carries no
+    * deletion vectors (the restore target had none), and history is
+    * PRESERVED — time travel to v3 still sees the deleted state
+    * (`history_preserved`), because restore adds a version rather than
+    * truncating the log. The per-lang aggregate over the restored
+    * latest view is the data-level check: it must bit-equal the
+    * oracle's plain recompute over ALL of `documents`, deletes undone.
+    */
+  val q165Restore = NamedQuery(
+    "q165_restore",
+    "RESTORE lifecycle: metadata-only rollback re-publishes v1's file " +
+      "list as v4 (no segment rewritten), history stays " +
+      "time-travelable; restored per-lang aggregate ≡ full recompute.",
+    (s, d) => {
+      val dir = "/tmp/graft-restore/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      val nBase = docs.count()
+      M.commit(docs.repartition(4), dir)
+      M.deleteWhere(s, dir, col("doc_id") % 7 === 0, tag = "bad-1")
+      M.deleteWhere(s, dir, col("n_chars") < 60, tag = "bad-2")
+      val nBad = M.read(s, dir).count() // v3 = the state being undone
+      M.restore(s, dir, 1)
+      def dataFiles(v: Int) = M.planFiles(s, dir, "doc_id",
+        Long.MinValue, Long.MaxValue, Some(v))._2
+      val noRewrite = dataFiles(1) == dataFiles(4) &&
+        M.versions(s, dir) == Seq(1, 2, 3, 4) &&
+        M.tags(s, dir).last._2 == "restore:v1"
+      val historyPreserved = M.read(s, dir, Some(3)).count() == nBad &&
+        nBad < nBase
+      M.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("history_preserved", lit(historyPreserved))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS no_rewrite, true AS history_preserved
+           |FROM documents
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
       q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
-      q152ChangeDataFeed, q163DeletionVectors)
+      q152ChangeDataFeed, q163DeletionVectors, q165Restore)
 }

@@ -479,6 +479,27 @@ object ManagedTable {
     next
   }
 
+  /** RESTORE to an earlier version (Delta's `RESTORE TABLE … TO VERSION
+    * AS OF`): re-publish version `toVersion`'s exact manifest — file
+    * list (data segments AND deletion vectors), schema, per-file
+    * stats — as a NEW version. Metadata-only: no data segment is read,
+    * copied or rewritten, so undoing a bad write on a 100 TB table
+    * costs one manifest write. History is preserved — the undone
+    * versions stay time-travelable — and because the restored manifest
+    * references the old segments again, [[vacuum]] keeps protecting
+    * them for as long as the restore is live. Returns the new version.
+    */
+  def restore(spark: SparkSession, dir: String, toVersion: Int): Int = {
+    val vs = versions(spark, dir)
+    require(vs.contains(toVersion),
+      s"ManagedTable.restore: version $toVersion not in $vs of $dir")
+    val (_, files, schemaJson, stats) = readManifest(spark, dir, toVersion)
+    val next = vs.last + 1
+    writeManifest(spark, dir, next, s"restore:v$toVersion", files,
+      schemaJson.getOrElse(""), stats)
+    next
+  }
+
   /** Default [[vacuum]] retention: long enough that a writer whose data
     * segment has landed can finish writing its manifest (segment-then-
     * manifest is the commit order — a zero-retention vacuum racing that
