@@ -1318,6 +1318,138 @@ object TrainingDataQueries {
            |  UNION ALL SELECT 'zz_all_pass', n - all_ok, all_ok, n FROM a)
            |ORDER BY rule""".stripMargin))
 
+  /** q166: FIXED-VOCABULARY COVERAGE / OOV RATE — the tokenizer-QA
+    * number a training pipeline checks per source before committing to
+    * a vocab: build the top-512 corpus vocabulary (frequency desc,
+    * token asc tie-break — a TOTAL order, so the cut is deterministic)
+    * and measure, per source, the fraction of token OCCURRENCES that
+    * fall outside it. Scale shape: ONE (source, token) hash-agg over
+    * the exploded corpus (map-side combined — the only corpus-sized
+    * shuffle), the global vocab derived by RE-AGGREGATING that table
+    * (q95's discipline: never a second corpus scan), its top-512 via
+    * orderBy+limit (TakeOrderedAndProject — bounded heaps, NOT a
+    * single-partition rank window), broadcast back, and a |sources|-row
+    * final agg. OOV fraction is integer fp6 — hash-exact cross-engine.
+    */
+  val q166VocabCoverage = NamedQuery(
+    "q166_vocab_coverage",
+    "Per-source OOV rate under the deterministic top-512 corpus " +
+      "vocabulary: occurrence coverage via one (source,token) " +
+      "hash-agg re-aggregated for the vocab cut, fp6-exact.",
+    (s, d) => {
+      val st = Tables.documents(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+        .cache() // vocab cut + coverage both read it: one corpus scan
+      val vocab = st.groupBy("tok").agg(sum("c").as("cnt"))
+        .orderBy(col("cnt").desc, col("tok")).limit(512)
+        .select(col("tok"), lit(1).as("in_vocab"))
+      st.join(broadcast(vocab), Seq("tok"), "left")
+        .groupBy("source")
+        .agg(sum("c").cast("long").as("n_occurrences"),
+          sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L)))
+            .cast("long").as("n_oov"))
+        .withColumn("oov_fp",
+          expr("(n_oov * 1000000) div n_occurrences"))
+        .orderBy("source")
+    },
+    Some("""WITH st AS (SELECT source, u AS tok FROM
+           |    (SELECT source, string_split(lower(text),' ') AS ts
+           |     FROM documents), unnest(ts) AS t(u)),
+           |sc AS (SELECT source, tok, COUNT(*) AS c FROM st GROUP BY 1, 2),
+           |vocab AS (SELECT tok FROM
+           |    (SELECT tok, SUM(c) AS cnt FROM sc GROUP BY 1)
+           |  ORDER BY cnt DESC, tok LIMIT 512)
+           |SELECT source, CAST(SUM(c) AS BIGINT) AS n_occurrences,
+           |  CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END)
+           |    AS BIGINT) AS n_oov,
+           |  CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) * 1000000
+           |    // SUM(c) AS BIGINT) AS oov_fp
+           |FROM sc LEFT JOIN vocab v USING (tok)
+           |GROUP BY source ORDER BY source""".stripMargin))
+
+  /** q167: TEMPERATURE-SCALED SOURCE MIXING (α = 1/2) — the standard
+    * multilingual/multi-source rebalancing (mT5/XLM-R style): sampling
+    * weight w_i = n_i^α flattens the natural size distribution so small
+    * sources are up-sampled without letting any source dominate. α=1/2
+    * is computed EXACTLY as isqrt: `floor(sqrt(x))` of a BIGINT that
+    * fits in a double's 52-bit mantissa is bit-identical in any
+    * IEEE-754 engine (sqrt is correctly rounded; perfect squares hit
+    * exact doubles), so the whole schedule stays hash-checkable —
+    * p_fp6 (share of the mix) and rel_rate_fp6 (up/down-sampling factor
+    * vs natural share, >1e6 = up-sampled) are integer div chains
+    * evaluated in the SAME association in both engines. Scale shape:
+    * one |sources|-row agg off the documents scan, a 1-row totals
+    * broadcast — the corpus shuffles zero times.
+    */
+  val q167TemperatureMix = NamedQuery(
+    "q167_temperature_mix",
+    "Temperature-scaled mixing schedule (alpha=1/2 via exact isqrt): " +
+      "per-source sampling share + up/down-sampling factor vs natural " +
+      "share, integer-exact off one keyed agg.",
+    (s, d) => {
+      val per = Tables.documents(s, d)
+        .groupBy("source")
+        .agg(sum("n_chars").cast("long").as("n_chars_total"))
+        .withColumn("w", floor(sqrt(col("n_chars_total"))).cast("long"))
+      val tot = per.agg(sum("w").as("w_total"),
+        sum("n_chars_total").as("c_total"))
+      per.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_chars_total"), col("w"),
+          expr("(w * 1000000) div w_total").as("p_fp"),
+          expr("((w * 1000000) div w_total * c_total) div n_chars_total")
+            .as("rel_rate_fp"))
+        .orderBy("source")
+    },
+    Some("""WITH per AS (SELECT source,
+           |    CAST(SUM(n_chars) AS BIGINT) AS n_chars_total,
+           |    CAST(floor(sqrt(CAST(SUM(n_chars) AS BIGINT))) AS BIGINT)
+           |      AS w
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(w) AS BIGINT) AS w_total,
+           |    CAST(SUM(n_chars_total) AS BIGINT) AS c_total FROM per)
+           |SELECT source, n_chars_total, w,
+           |  CAST((w * 1000000) // w_total AS BIGINT) AS p_fp,
+           |  CAST(((w * 1000000) // w_total * c_total) // n_chars_total
+           |    AS BIGINT) AS rel_rate_fp
+           |FROM per, tot ORDER BY source""".stripMargin))
+
+  /** q169: BPE FIRST-MERGE PAIR STATISTICS — the inner loop of
+    * byte-pair-encoding tokenizer training, iteration one: over the
+    * initial character vocabulary, count every ADJACENT SYMBOL PAIR
+    * occurrence inside tokens (occurrence-weighted, which is exactly
+    * BPE's word-frequency weighting) and rank the merge candidates.
+    * Scale shape: pair generation is a row-local nested generate
+    * (token explode, then a transform/sequence slide over each token —
+    * no join, no pre-shuffle blowup materialized), followed by ONE
+    * (pair) hash-agg and a TakeOrderedAndProject top-20; ties broken
+    * by pair text so the cut is total-ordered and hash-exact. At
+    * 100 TB each BPE iteration stays one keyed shuffle of (pair,count)
+    * partials — the property that makes distributed tokenizer
+    * training feasible.
+    */
+  val q169BpePairStats = NamedQuery(
+    "q169_bpe_pair_stats",
+    "BPE merge-candidate statistics: occurrence-weighted adjacent " +
+      "character-pair counts via row-local slide + one hash-agg; " +
+      "top-20 by (count desc, pair).",
+    (s, d) =>
+      Tables.documents(s, d)
+        .select(explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(tok) - 1)," +
+            " i -> substring(tok, i, 2))")).as("pair"))
+        .groupBy("pair").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20),
+    Some("""WITH toks AS (SELECT u AS tok FROM
+           |    (SELECT string_split(lower(text),' ') AS ts FROM documents),
+           |    unnest(ts) AS t(u) WHERE length(u) >= 2),
+           |pairs AS (SELECT substring(tok, CAST(i AS INT), 2) AS pair
+           |  FROM toks, unnest(range(1, length(tok))) AS r(i))
+           |SELECT pair, COUNT(*) AS cnt FROM pairs
+           |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1326,5 +1458,6 @@ object TrainingDataQueries {
     q88NgramDecontaminate, q92KmvSketchAgg, q98KmvOverlap,
     q117ExactKSample, q122DsirImportance, q126WeightedSample,
     q135TokenBudget, q136DistributionDrift, q147ShardAssignment,
-    q153PiiRedact, q164QualityGate)
+    q153PiiRedact, q164QualityGate, q166VocabCoverage,
+    q167TemperatureMix, q169BpePairStats)
 }
