@@ -84,6 +84,32 @@ object Expectations {
           bad.map { case (n, c) => s"$n ($c rows)" }.mkString(", "))
   }
 
+  /** Rule-violation provenance column: the sorted array of FAILED rule
+    * names for each row (empty array = row passes every rule).
+    * Row-local — array_sort over a handful of rule literals fuses into
+    * codegen with the predicates themselves.
+    */
+  def violationsCol(rules: Seq[Rule]): Column =
+    array_sort(filter(
+      array(rules.map(r =>
+        when(!r.passes, lit(r.name)).otherwise(lit(null))): _*),
+      _.isNotNull))
+
+  /** expect-or-quarantine: split into (passing, quarantined) frames —
+    * quarantined rows carry `_violations`, the sorted failed-rule
+    * names, so the quarantine table is debuggable without re-running
+    * the rules. Both frames derive from one annotated plan; like DLT's
+    * own quarantine pattern the two SINKS are two actions, so a caller
+    * writing both should persist `df` (or route via foreachBatch) —
+    * the split itself adds no shuffle.
+    */
+  def quarantine(df: DataFrame,
+      rules: Seq[Rule]): (DataFrame, DataFrame) = {
+    val annotated = df.withColumn("_violations", violationsCol(rules))
+    (annotated.filter(size(col("_violations")) === 0).drop("_violations"),
+      annotated.filter(size(col("_violations")) > 0))
+  }
+
   /** Hash-checkable audit report, ONE aggregate pass: a row per rule
     * (n_failed / n_passed / pass_fp6) plus the `zz_all_pass` row
     * counting rows passing every rule (named to sort last). The

@@ -596,9 +596,79 @@ object AnalyticsQueries {
             |    AS lift_fp6
             |FROM pairs, n ORDER BY pa, pb""".stripMargin))
 
+  /** q168: JOIN-SIZE ESTIMATION BY COORDINATED KEY SAMPLING — the
+    * planning-time question "how big would this self-join blow up?"
+    * answered WITHOUT running it. |events ⋈ events on user_id| =
+    * Σ_u c_u² (the second frequency moment — the skew/blow-up number).
+    * The estimator samples KEYS, not rows (row sampling biases joins:
+    * it thins both sides of every group quadratically; key sampling
+    * keeps each sampled group's multiplicity INTACT): a key is in the
+    * 1/16 sample iff the first hex char of md5('jse1:'‖user_id) is
+    * '0', and in the nested 1/256 sample iff the first TWO chars are
+    * '00' — coordinated (nested) samples, both engines md5 the same
+    * decimal string (q147's discipline), so the estimate is
+    * hash-exact, not just statistically close. Scale shape: ONE
+    * per-key hash-agg over events feeds exact AND both estimates; at
+    * 100 TB the estimate path alone filters the scan by the row-local
+    * hash prefix FIRST and aggregates 1/16 (1/256) of the keys — scan
+    * cost, no join executed. Output pins both estimates against the
+    * exact F2 with an unsigned fp6 relative error plus its sign
+    * (Spark `div` truncates, DuckDB `//` floors — they agree only on
+    * non-negative numerators).
+    */
+  val q168JoinSizeEstimate = NamedQuery(
+    "q168_join_size_estimate",
+    "Self-join size (F2) estimation by coordinated md5 key sampling " +
+      "at 1/16 and 1/256: scaled estimates vs exact, fp6 relative " +
+      "error, one per-key hash-agg.",
+    (s, d) => {
+      val perKey = Tables.events(s, d)
+        .groupBy("user_id").agg(count(lit(1)).as("c"))
+        .withColumn("hx", md5(concat(lit("jse1:"),
+          col("user_id").cast("string"))))
+        .cache() // exact + both sampled estimates: one events scan
+      def f2(df: org.apache.spark.sql.DataFrame) =
+        df.agg(coalesce(sum(col("c") * col("c")), lit(0L)).as("f2"))
+      val exact = f2(perKey).select(col("f2").as("exact_f2"))
+      val e16 = f2(perKey.filter(substring(col("hx"), 1, 1) === "0"))
+        .select((col("f2") * 16).as("est_f2"), lit(16L).as("rate_denom"))
+      val e256 = f2(perKey.filter(substring(col("hx"), 1, 2) === "00"))
+        .select((col("f2") * 256).as("est_f2"), lit(256L).as("rate_denom"))
+      // abs + explicit sign: Spark's `div` truncates toward zero while
+      // DuckDB's `//` floors, so a SIGNED fp ratio would hash-diverge
+      // on negative errors — the unsigned magnitude is engine-identical
+      e16.unionByName(e256)
+        .crossJoin(broadcast(exact))
+        .select(col("rate_denom"), col("exact_f2"), col("est_f2"),
+          expr("(abs(est_f2 - exact_f2) * 1000000) div exact_f2")
+            .as("abs_rel_err_fp"),
+          signum((col("est_f2") - col("exact_f2")).cast("double"))
+            .cast("long").as("err_sign"))
+        .orderBy("rate_denom")
+    },
+    Some("""WITH pk AS (SELECT user_id, COUNT(*) AS c,
+           |    md5('jse1:' || CAST(user_id AS VARCHAR)) AS hx
+           |  FROM events GROUP BY 1),
+           |ex AS (SELECT CAST(SUM(c * c) AS BIGINT) AS exact_f2 FROM pk),
+           |est AS (
+           |  SELECT 16 AS rate_denom,
+           |    CAST(COALESCE(SUM(c * c), 0) * 16 AS BIGINT) AS est_f2
+           |  FROM pk WHERE substring(hx, 1, 1) = '0'
+           |  UNION ALL
+           |  SELECT 256,
+           |    CAST(COALESCE(SUM(c * c), 0) * 256 AS BIGINT)
+           |  FROM pk WHERE substring(hx, 1, 2) = '00')
+           |SELECT CAST(rate_denom AS BIGINT) AS rate_denom, exact_f2,
+           |  est_f2,
+           |  CAST((abs(est_f2 - exact_f2) * 1000000) // exact_f2
+           |    AS BIGINT) AS abs_rel_err_fp,
+           |  CAST(sign(est_f2 - exact_f2) AS BIGINT) AS err_sign
+           |FROM est, ex ORDER BY rate_denom""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q29DistinctAggs, q30Rollup, q31SemiAnti, q32Percentiles,
     q44HistogramQuantiles, q47SaltedAgg, q48Pivot, q49SetAlgebra,
     q50ScalarSubquery, q70NtileQuartiles, q73Cube, q74RankingSuite,
-    q106PropsMap, q107UnpivotMelt, q111MadOutliers, q124FrequentPairs)
+    q106PropsMap, q107UnpivotMelt, q111MadOutliers, q124FrequentPairs,
+    q168JoinSizeEstimate)
 }

@@ -63,6 +63,26 @@ class ExpectationsSpec extends SparkSpec {
       docs.filter(size(split(lower(col("text")), " ")) < 24).count())
   }
 
+  test("quarantine splits losslessly and names every failed rule") {
+    val (valid, quarantined) = Expectations.quarantine(docs, rules)
+    assert(valid.count() + quarantined.count() == docs.count(),
+      "the split must be a partition of the input")
+    assert(valid.columns.toSeq == docs.columns.toSeq,
+      "valid rows keep the caller's schema")
+    val kept = Expectations.dropFailed(docs, rules)
+    assert(valid.exceptAll(kept).isEmpty && kept.exceptAll(valid).isEmpty)
+    // every quarantined row names exactly its failing rules, sorted
+    val both = quarantined.filter(
+      size(split(lower(col("text")), " ")) < 24 && col("n_chars") > 480)
+    if (both.count() > 0)
+      assert(both.select("_violations").head.getSeq[String](0) ==
+        Seq("max_chars", "min_tokens"))
+    val onlyLen = quarantined.filter(
+      size(split(lower(col("text")), " ")) >= 24)
+    assert(onlyLen.filter(col("_violations") =!=
+      array(lit("max_chars"))).count() == 0)
+  }
+
   test("null predicate results are violations, not passes") {
     val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(900L)))
       .toDF("id", "v")
