@@ -1282,6 +1282,95 @@ object VectorQueries {
          |FROM ($rows) ORDER BY dim_budget""".stripMargin
     })
 
+  /** q170: k-NN LABEL TRANSFER through the IVF index — the
+    * weak-supervision/auto-labeling step of a training pipeline:
+    * propagate labels from a labeled store to an unlabeled batch by
+    * majority vote over each point's 5 nearest LABELED neighbors,
+    * where "nearest" is resolved through the SAME IVF index the
+    * retrieval tier uses (q26's cells, nprobe=2) — at 100 TB the
+    * labeled store is indexed ONCE and every unlabeled batch probes 2
+    * cells, so the scoring join is cell-keyed and the candidate
+    * shuffle shrinks ~|cells|/nprobe vs brute force; the vote is a
+    * per-query `max_by` partial agg (no window sort), total-ordered by
+    * (votes desc, label asc) so the prediction is hash-exact. Holdout
+    * = vec_id % 5 == 0 (labels masked), base = the rest; centroids =
+    * the base's 16 smallest ids. Output: per true label, n / correct /
+    * accuracy fp6 — the harness number that catches an index or vote
+    * regression as a hash mismatch.
+    */
+  val q170KnnLabelTransfer = NamedQuery(
+    "q170_knn_label_transfer",
+    "ANN-index label transfer: 5-NN majority vote through IVF " +
+      "(nprobe=2) from labeled base to masked holdout; per-label " +
+      "accuracy fp6, vote via max_by partial agg.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val holdout = emb.filter(col("vec_id") % 5 === 0)
+      val base = emb.filter(col("vec_id") % 5 =!= 0)
+      val ranked = Similarity.ivfTopK(
+        holdout.select(col("vec_id").as("query_id"),
+          col("embedding").as("qv")),
+        base.select(col("vec_id").as("neighbor_id"),
+          col("embedding").as("cv")),
+        base.filter(col("vec_id") < 20)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        nprobe = NProbe, k = 5)
+      val votes = ranked
+        .join(base.select(col("vec_id").as("neighbor_id"), col("label")),
+          Seq("neighbor_id"))
+        .groupBy("query_id", "label").agg(count(lit(1)).as("c"))
+      val pred = votes.groupBy("query_id")
+        .agg(max_by(col("label"),
+          struct(col("c"), -col("label"))).as("pred_label"))
+      pred.join(holdout.select(col("vec_id").as("query_id"),
+          col("label").as("true_label")), Seq("query_id"))
+        .groupBy("true_label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct"))
+        .withColumn("acc_fp", expr("(n_correct * 1000000) div n"))
+        .orderBy("true_label")
+    },
+    Some(s"""WITH base AS (SELECT vec_id, embedding, label FROM embeddings
+            |  WHERE vec_id % 5 <> 0),
+            |holdout AS (SELECT vec_id AS query_id, embedding AS qv, label
+            |  FROM embeddings WHERE vec_id % 5 = 0),
+            |cent AS (SELECT vec_id AS cid, embedding AS cv FROM base
+            |  WHERE vec_id < 20),
+            |assigned AS (SELECT vec_id AS neighbor_id, embedding AS ncv,
+            |    label, cid FROM (
+            |  SELECT b.vec_id, b.embedding, b.label, c.cid,
+            |    row_number() OVER (PARTITION BY b.vec_id
+            |      ORDER BY ${cosFpSql("b.embedding", "c.cv")} DESC,
+            |        c.cid ASC) AS rn
+            |  FROM base b, cent c) WHERE rn = 1),
+            |probes AS (SELECT query_id, qv, cid FROM (
+            |  SELECT h.query_id, h.qv, c.cid,
+            |    row_number() OVER (PARTITION BY h.query_id
+            |      ORDER BY ${cosFpSql("h.qv", "c.cv")} DESC, c.cid ASC)
+            |      AS prn
+            |  FROM holdout h, cent c) WHERE prn <= $NProbe),
+            |ranked AS (SELECT query_id, neighbor_id, label FROM (
+            |  SELECT p.query_id, a.neighbor_id, a.label,
+            |    row_number() OVER (PARTITION BY p.query_id
+            |      ORDER BY ${cosFpSql("p.qv", "a.ncv")} DESC,
+            |        a.neighbor_id ASC) AS rank
+            |  FROM probes p JOIN assigned a ON p.cid = a.cid
+            |  WHERE p.query_id <> a.neighbor_id) WHERE rank <= 5),
+            |votes AS (SELECT query_id, label, COUNT(*) AS c
+            |  FROM ranked GROUP BY 1, 2),
+            |pred AS (SELECT query_id, label AS pred_label FROM (
+            |  SELECT *, row_number() OVER (PARTITION BY query_id
+            |    ORDER BY c DESC, label ASC) AS vr FROM votes)
+            |  WHERE vr = 1)
+            |SELECT h.label AS true_label, COUNT(*) AS n,
+            |  CAST(SUM(CASE WHEN p.pred_label = h.label THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_correct,
+            |  CAST(SUM(CASE WHEN p.pred_label = h.label THEN 1 ELSE 0 END)
+            |    * 1000000 // COUNT(*) AS BIGINT) AS acc_fp
+            |FROM pred p JOIN holdout h USING (query_id)
+            |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -1289,5 +1378,5 @@ object VectorQueries {
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
     q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
-    q157TruncationAblation)
+    q157TruncationAblation, q170KnnLabelTransfer)
 }
