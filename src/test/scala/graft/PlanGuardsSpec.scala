@@ -433,6 +433,42 @@ class PlanGuardsSpec extends SparkSpec {
       s"rank window must sit above the take in the plan:\n${p.take(1200)}")
   }
 
+  test("q166 vocab cut is a bounded-heap take; coverage join broadcasts the vocab") {
+    val p = plan("q166_vocab_coverage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-512 vocabulary cut must be a bounded-heap take, " +
+        "never a single-partition rank window")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 512-row vocab must broadcast back onto the (source,token) table")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q168 estimate path: hash filters are row-local, no join is executed") {
+    val p = plan("q168_join_size_estimate")
+    assert(!p.contains("SortMergeJoin"),
+      "F2 estimation must never execute the join it is sizing")
+    assert(p.contains("partial_sum"),
+      "per-key counts and c^2 sums must partial-aggregate map-side")
+  }
+
+  test("q169 BPE pairs: row-local generate into one hash-agg and a bounded take") {
+    val p = plan("q169_bpe_pair_stats")
+    assert(p.contains("Generate"), "pair slide is a row-local generate")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 merge candidates via bounded heaps, not a global sort")
+    assert(!p.contains("SortMergeJoin") && !p.contains("WindowExec"),
+      "no join, no window — one keyed shuffle of (pair,count) partials")
+  }
+
+  test("q170 label transfer: vote is max_by partial agg, centroids broadcast") {
+    val p = plan("q170_knn_label_transfer")
+    assert(p.contains("partial_max_by"),
+      "the majority vote must partial-aggregate, not window-sort")
+    assert(p.contains("BroadcastHashJoin") ||
+      p.contains("BroadcastNestedLoopJoin"),
+      "the 16-row centroid table must broadcast")
+  }
+
   test("q146 bucketed join: co-located scans, no exchange below the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
