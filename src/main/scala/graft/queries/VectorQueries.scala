@@ -1371,6 +1371,65 @@ object VectorQueries {
             |FROM pred p JOIN holdout h USING (query_id)
             |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q171: DETERMINISTIC NEGATIVE SAMPLING — the contrastive-training
+    * batch-construction primitive: for each anchor, draw 4 uniform
+    * negatives as `hash60('neg1:'‖anchor‖':'‖j) mod N` (q55's
+    * hash-mod discipline — reprocessing-stable, no RNG state to
+    * shard), drop the rare self-collision rather than resample
+    * (deterministic in one pass), fetch the negative vectors by
+    * equi-join, and report per anchor the drawn count, the summed and
+    * the max negative cosine — the "are my negatives accidentally
+    * positives" QA numbers. Scale shape: the draw is a row-local
+    * 4-way generate off the anchor scan (the corpus is never crossed),
+    * the only corpus-sized move is the id-keyed fetch join, and the
+    * stats are partial aggs. Exact longs end-to-end, so the sampled
+    * batch is hash-identical across engines and re-runs.
+    */
+  val q171NegativeSampling = NamedQuery(
+    "q171_negative_sampling",
+    "Contrastive negative sampling: 4 hash-mod uniform negatives per " +
+      "anchor, self-collisions dropped, id-keyed vector fetch; " +
+      "count/sum/max negative cosine per anchor, exact fp6.",
+    (s, d) => {
+      import graft.functions.TextFunctions.hash60
+      import graft.functions.VectorFunctions.cosineFp6
+      val emb = Tables.embeddings(s, d)
+      val n = emb.agg(count(lit(1)).as("n_total"))
+      val draws = emb.filter(col("vec_id") < 64)
+        .select(col("vec_id").as("anchor_id"), col("embedding").as("av"))
+        .crossJoin(broadcast(n))
+        .select(col("anchor_id"), col("av"),
+          explode(expr("sequence(1, 4)")).as("j"), col("n_total"))
+        .withColumn("neg_id",
+          hash60(concat(lit("neg1:"), col("anchor_id").cast("string"),
+            lit(":"), col("j").cast("string"))) % col("n_total"))
+        .filter(col("neg_id") =!= col("anchor_id"))
+      draws
+        .join(emb.select(col("vec_id").as("neg_id"),
+          col("embedding").as("nv")), Seq("neg_id"))
+        .withColumn("cos_fp", cosineFp6(col("av"), col("nv")))
+        .groupBy("anchor_id")
+        .agg(count(lit(1)).as("n_negs"),
+          sum("cos_fp").as("sum_neg_cos_fp"),
+          max("cos_fp").as("max_neg_cos_fp"))
+        .orderBy("anchor_id")
+    },
+    Some(s"""WITH n AS (SELECT COUNT(*) AS n_total FROM embeddings),
+            |draws AS (SELECT a.vec_id AS anchor_id, a.embedding AS av,
+            |    ('0x'||substring(md5('neg1:'||CAST(a.vec_id AS VARCHAR)
+            |      ||':'||CAST(j AS VARCHAR)),1,15))::BIGINT % n_total
+            |      AS neg_id
+            |  FROM embeddings a, n, unnest(range(1, 5)) AS r(j)
+            |  WHERE a.vec_id < 64),
+            |fetched AS (SELECT d.anchor_id,
+            |    ${cosFpSql("d.av", "e.embedding")} AS cos_fp
+            |  FROM draws d JOIN embeddings e ON d.neg_id = e.vec_id
+            |  WHERE d.neg_id <> d.anchor_id)
+            |SELECT anchor_id, COUNT(*) AS n_negs,
+            |  CAST(SUM(cos_fp) AS BIGINT) AS sum_neg_cos_fp,
+            |  CAST(MAX(cos_fp) AS BIGINT) AS max_neg_cos_fp
+            |FROM fetched GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -1378,5 +1437,5 @@ object VectorQueries {
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
     q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
-    q157TruncationAblation, q170KnnLabelTransfer)
+    q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling)
 }
