@@ -786,7 +786,65 @@ object EventQueries {
            |FROM v WHERE NOT is_del
            |ORDER BY user_id, start_ts_us, start_event_id""".stripMargin))
 
+  /** q172: RECENCY-DECAYED AGGREGATES — half-life weighting of
+    * interaction data (the "recent data matters more" curation rule
+    * for behavioral training corpora), kept EXACT: weight =
+    * 2^20 >> (age_days div halflife), i.e. the decay curve is stepped
+    * per half-life and each step is an exact power-of-two fixed-point
+    * long (`1048576 >> k` is bit-identical in any engine — no
+    * pow/exp double whose rounding could hash-diverge). Age anchors to
+    * the corpus max timestamp (1-row broadcast), the weight is
+    * row-local arithmetic on ts_us, and the per-type decayed mass is
+    * one hash-agg — so the whole recency profile costs a scan.
+    * `share_fp6` ranks types by decayed mass; comparing it with the
+    * unweighted share exposes which event types are fading vs fresh.
+    */
+  val q172RecencyDecay = NamedQuery(
+    "q172_recency_decay",
+    "Half-life-decayed event mass per type: exact power-of-two fp20 " +
+      "weights (1048576 >> age div halflife), anchored to max ts; " +
+      "decayed vs raw share fp6, one scan + one hash-agg.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val anchor = ev.agg(max("ts_us").as("max_ts_us"))
+      val weighted = ev.crossJoin(broadcast(anchor))
+        .withColumn("k", least(
+          expr("(max_ts_us - ts_us) div 86400000000 div 7"), lit(20L)))
+        .withColumn("w_fp20",
+          expr("shiftright(1048576L, cast(k as int))"))
+      val perType = weighted.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("w_fp20").as("decayed_mass_fp20"))
+      val tot = perType.agg(sum("n_events").as("n_tot"),
+        sum("decayed_mass_fp20").as("m_tot"))
+      perType.crossJoin(broadcast(tot))
+        .select(col("event_type"), col("n_events"),
+          col("decayed_mass_fp20"),
+          expr("(n_events * 1000000) div n_tot").as("raw_share_fp6"),
+          expr("(decayed_mass_fp20 * 1000000) div m_tot")
+            .as("decayed_share_fp6"))
+        .orderBy("event_type")
+    },
+    Some("""WITH a AS (SELECT MAX(epoch_us(ts)) AS max_ts_us FROM events),
+           |w AS (SELECT event_type,
+           |    1048576 >> CAST(LEAST(
+           |      (a.max_ts_us - epoch_us(ts)) // 86400000000 // 7, 20)
+           |      AS INT) AS w_fp20
+           |  FROM events, a),
+           |pt AS (SELECT event_type, COUNT(*) AS n_events,
+           |    CAST(SUM(w_fp20) AS BIGINT) AS decayed_mass_fp20
+           |  FROM w GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_events) AS BIGINT) AS n_tot,
+           |    CAST(SUM(decayed_mass_fp20) AS BIGINT) AS m_tot FROM pt)
+           |SELECT event_type, n_events, decayed_mass_fp20,
+           |  CAST((n_events * 1000000) // n_tot AS BIGINT)
+           |    AS raw_share_fp6,
+           |  CAST((decayed_mass_fp20 * 1000000) // m_tot AS BIGINT)
+           |    AS decayed_share_fp6
+           |FROM pt, tot ORDER BY event_type""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
+    q172RecencyDecay,
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin, q99AsOfExec,
     q59RollingFeatures, q66GapfillLocf, q71HoppingWindow,
