@@ -110,6 +110,39 @@ object Expectations {
       annotated.filter(size(col("_violations")) > 0))
   }
 
+  /** Streaming expect-or-quarantine: every micro-batch is split once
+    * ([[quarantine]]) and routed to TWO managed tables — passing rows
+    * to `validDir` (caller's schema), violating rows to
+    * `quarantineDir` WITH the `_violations` provenance column. Each
+    * table gets its own `b<batchId>` idempotence tag (the
+    * [[graft.sources.ManagedTable.streamingSink]] two-ledger design),
+    * so a replayed batch after a crash — even one that died BETWEEN
+    * the two commits — lands exactly once per table. The batch is
+    * persisted across the two routed writes: the split is two filters
+    * over one cached annotation pass, not two source re-reads.
+    * Start with `.option("checkpointLocation", …)` and any trigger.
+    */
+  def quarantineStreamingSink(stream: DataFrame, rules: Seq[Rule],
+      validDir: String, quarantineDir: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val M = graft.sources.ManagedTable
+        val annotated = batch
+          .withColumn("_violations", violationsCol(rules)).persist()
+        try {
+          def put(df: DataFrame, dir: String): Unit = {
+            val done = M.tags(spark, dir).exists(_._2 == s"b$batchId")
+            if (!done) { M.commit(df, dir, s"b$batchId"); () }
+          }
+          put(annotated.filter(size(col("_violations")) === 0)
+            .drop("_violations"), validDir)
+          put(annotated.filter(size(col("_violations")) > 0),
+            quarantineDir)
+        } finally { annotated.unpersist(); () }
+    }
+
   /** Hash-checkable audit report, ONE aggregate pass: a row per rule
     * (n_failed / n_passed / pass_fp6) plus the `zz_all_pass` row
     * counting rows passing every rule (named to sort last). The

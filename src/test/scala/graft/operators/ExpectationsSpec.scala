@@ -83,6 +83,32 @@ class ExpectationsSpec extends SparkSpec {
       array(lit("max_chars"))).count() == 0)
   }
 
+  test("streaming quarantine routes each batch exactly once per table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-expq").toString
+    docs.write.parquet(s"$dir/in")
+    val M = graft.sources.ManagedTable
+    def run(): Unit = {
+      val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+      val q = Expectations
+        .quarantineStreamingSink(stream, rules, s"$dir/valid", s"$dir/quar")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val nValid = M.read(spark, s"$dir/valid").count()
+    val nQuar = M.read(spark, s"$dir/quar").count()
+    assert(nValid == Expectations.dropFailed(docs, rules).count())
+    assert(nValid + nQuar == docs.count(), "split must be lossless")
+    assert(M.read(spark, s"$dir/quar").columns.contains("_violations"),
+      "quarantined rows must carry provenance")
+    // restart replays nothing: the b<id> tags make both sinks idempotent
+    run()
+    assert(M.read(spark, s"$dir/valid").count() == nValid)
+    assert(M.read(spark, s"$dir/quar").count() == nQuar)
+  }
+
   test("null predicate results are violations, not passes") {
     val df = Seq((1L, Some(10L)), (2L, None), (3L, Some(900L)))
       .toDF("id", "v")
