@@ -135,6 +135,96 @@ object MultimodalQueries {
             |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 5
             |ORDER BY id_a, id_b""".stripMargin))
 
+  /** q173: MEDIA INTEGRITY AUDIT — the ingest-time QA sweep a media
+    * corpus runs before any decode is attempted: sniff the container
+    * MAGIC BYTES against the declared format and reconcile payload
+    * size against the manifest's declared size, emitting a per-(format,
+    * status) census. The fixture synthesizes a deterministic manifest
+    * from `documents` (declared format = doc_id mod 3; every 17th doc
+    * gets the WRONG container's header — a transcoding mixup; every
+    * 23rd a size drift — a truncated upload), so statuses VARY and the
+    * oracle checks detection, not a constant. All checks are row-local
+    * codegen'd byte/string ops on the blob head (`hex` + prefix
+    * compare — the blob itself is never shuffled, and at 100 TB the
+    * magic check reads only parquet pages of the head slice);
+    * the census is one hash-agg. `bad_magic` outranks `bad_size`
+    * (a mislabeled container makes its size reconciliation moot).
+    */
+  val q173MediaIntegrity = NamedQuery(
+    "q173_media_integrity",
+    "Media integrity audit: magic-byte sniff vs declared format + " +
+      "size reconciliation over opaque blobs, per-(format,status) " +
+      "census — row-local checks, one hash-agg.",
+    (s, d) => {
+      val hdr = Map(0 -> "89504e470d0a1a0a", 1 -> "ffd8ffe0",
+        2 -> "52494646") // png / jpeg / riff-wav container magics
+      val name = Map(0 -> "png", 1 -> "jpeg", 2 -> "wav")
+      val m = Tables.documents(s, d)
+        .withColumn("fmt_id", (col("doc_id") % 3).cast("int"))
+        .withColumn("written_id", // every 17th doc: wrong container
+          when(col("doc_id") % 17 === 0, (col("fmt_id") + 1) % 3)
+            .otherwise(col("fmt_id")))
+        .withColumn("declared_format",
+          element_at(map(name.flatMap { case (k, v) =>
+            Seq(lit(k), lit(v)) }.toSeq: _*), col("fmt_id")))
+        .withColumn("hdr_hex",
+          element_at(map(hdr.flatMap { case (k, v) =>
+            Seq(lit(k), lit(v)) }.toSeq: _*), col("written_id")))
+        .withColumn("expected_hex",
+          element_at(map(hdr.flatMap { case (k, v) =>
+            Seq(lit(k), lit(v)) }.toSeq: _*), col("fmt_id")))
+        .withColumn("blob",
+          concat(unhex(col("hdr_hex")), col("text").cast("binary")))
+        .withColumn("declared_bytes", // every 23rd doc: size drift
+          octet_length(col("blob")).cast("long") +
+            when(col("doc_id") % 23 === 0, 7L).otherwise(0L))
+      m.withColumn("status",
+          when(substring(lower(hex(col("blob"))), lit(1),
+            length(col("expected_hex")).cast("int")) =!=
+            col("expected_hex"), "bad_magic")
+            .when(octet_length(col("blob")).cast("long") =!=
+              col("declared_bytes"), "bad_size")
+            .otherwise("ok"))
+        .groupBy("declared_format", "status")
+        .agg(count(lit(1)).as("n"),
+          sum(octet_length(col("blob")).cast("long")).as("sum_bytes"))
+        .orderBy("declared_format", "status")
+    },
+    Some("""WITH m AS (SELECT doc_id, text,
+           |    CAST(doc_id % 3 AS INT) AS fmt_id,
+           |    CAST(CASE WHEN doc_id % 17 = 0 THEN (doc_id % 3 + 1) % 3
+           |      ELSE doc_id % 3 END AS INT) AS written_id
+           |  FROM documents),
+           |h AS (SELECT *,
+           |    CASE fmt_id WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg'
+           |      ELSE 'wav' END AS declared_format,
+           |    CASE written_id WHEN 0 THEN '89504e470d0a1a0a'
+           |      WHEN 1 THEN 'ffd8ffe0' ELSE '52494646' END AS hdr_hex,
+           |    CASE fmt_id WHEN 0 THEN '89504e470d0a1a0a'
+           |      WHEN 1 THEN 'ffd8ffe0' ELSE '52494646' END
+           |      AS expected_hex
+           |  FROM m),
+           |b AS (SELECT *, unhex(hdr_hex) || text::BLOB AS blob FROM h),
+           |c AS (SELECT *,
+           |    CAST(octet_length(blob) AS BIGINT) +
+           |      CASE WHEN doc_id % 23 = 0 THEN 7 ELSE 0 END
+           |      AS declared_bytes
+           |  FROM b),
+           |st AS (SELECT declared_format,
+           |    CASE
+           |      WHEN substring(lower(hex(blob)), 1,
+           |        CAST(length(expected_hex) AS INT)) <> expected_hex
+           |        THEN 'bad_magic'
+           |      WHEN CAST(octet_length(blob) AS BIGINT) <> declared_bytes
+           |        THEN 'bad_size'
+           |      ELSE 'ok' END AS status,
+           |    CAST(octet_length(blob) AS BIGINT) AS nb
+           |  FROM c)
+           |SELECT declared_format, status, COUNT(*) AS n,
+           |  CAST(SUM(nb) AS BIGINT) AS sum_bytes
+           |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[NamedQuery] =
-    Seq(q25BinaryFeatures, q97FrameSample, q160MediaNearDup)
+    Seq(q25BinaryFeatures, q97FrameSample, q160MediaNearDup,
+      q173MediaIntegrity)
 }
