@@ -1450,6 +1450,86 @@ object TrainingDataQueries {
            |SELECT pair, COUNT(*) AS cnt FROM pairs
            |GROUP BY 1 ORDER BY cnt DESC, pair LIMIT 20""".stripMargin))
 
+  /** q174: DETERMINISTIC BOOTSTRAP CONFIDENCE INTERVAL — the error bar
+    * a corpus metric needs before a go/no-go call (is source A's
+    * quality REALLY above source B's, or is that noise?): 32 bootstrap
+    * replicas of the mean distinct-token-ratio, each resample drawn
+    * with PSEUDO-POISSON(1) weights from `hash60(doc_id‖replica) mod
+    * 1000` thresholded at the e^-1 ladder (368/736/920 ⇒ w ∈
+    * {0,1,2,3} with Poisson-approximate mass) — the classic
+    * Poisson-bootstrap surrogate that needs NO per-replica global
+    * count, which is exactly what makes bootstrap distributable: at
+    * 100 TB each row emits its 32 (replica, w) contributions row-local
+    * and ONE (replica)-keyed agg of 32 rows computes every replica
+    * mean; no resample is ever materialized. CI = 2nd/31st order
+    * statistic of the 32 replica means (≈94% coverage), reduced via a
+    * tiny sort of a 32-row table. Integer fp6 end-to-end.
+    */
+  val q174BootstrapCi = NamedQuery(
+    "q174_bootstrap_ci",
+    "Poisson-bootstrap CI for mean distinct-token ratio: 32 replicas " +
+      "via hash-thresholded row-local weights, replica means from one " +
+      "keyed agg, CI = 2nd/31st order statistics, fp6-exact.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.functions.TextFunctions.fp6(
+            size(array_distinct(tokens(col("text")))).cast("double") /
+              size(tokens(col("text")))).as("m_fp6"))
+      val contrib = docs
+        .select(col("doc_id"), col("m_fp6"),
+          explode(expr("sequence(0, 31)")).as("b"))
+        .withColumn("hm", hash60(concat(lit("boot1:"),
+          col("doc_id").cast("string"), lit(":"),
+          col("b").cast("string"))) % 1000L)
+        .withColumn("w",
+          when(col("hm") < 368, 0L).when(col("hm") < 736, 1L)
+            .when(col("hm") < 920, 2L).otherwise(3L))
+      // integer div both sides: DuckDB CAST(double AS BIGINT) ROUNDS
+      // while Spark's truncates — a float mean could hash-diverge
+      val replicas = contrib.groupBy("b")
+        .agg(sum(col("w") * col("m_fp6")).as("swm"), sum("w").as("sw"))
+        .select(col("b"), expr("swm div sw").as("rep_mean_fp6"))
+      // 32-row table: the unpartitioned rank window is a deliberate
+      // single-task reduce of replica-count (not data-sized) input
+      val ranked = replicas
+        .select(col("rep_mean_fp6"),
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("rep_mean_fp6"), col("b"))).as("r"))
+      val point = docs
+        .agg(sum("m_fp6").as("sm"), count(lit(1)).as("n"))
+        .select(expr("sm div n").as("point_fp6"))
+      ranked.filter(col("r") === 2 || col("r") === 31)
+        .groupBy()
+        .agg(min("rep_mean_fp6").as("ci_lo_fp6"),
+          max("rep_mean_fp6").as("ci_hi_fp6"))
+        .crossJoin(broadcast(point))
+        .select("point_fp6", "ci_lo_fp6", "ci_hi_fp6")
+    },
+    Some("""WITH docs AS (SELECT doc_id,
+           |    CAST(floor(CAST(len(list_distinct(string_split(lower(text),
+           |      ' '))) AS DOUBLE) / len(string_split(lower(text), ' '))
+           |      * 1000000.0) AS BIGINT) AS m_fp6
+           |  FROM documents),
+           |contrib AS (SELECT doc_id, m_fp6, b,
+           |    ('0x'||substring(md5('boot1:'||CAST(doc_id AS VARCHAR)
+           |      ||':'||CAST(b AS VARCHAR)),1,15))::BIGINT % 1000 AS hm
+           |  FROM docs, unnest(range(0, 32)) AS t(b)),
+           |wts AS (SELECT *, CASE WHEN hm < 368 THEN 0
+           |    WHEN hm < 736 THEN 1 WHEN hm < 920 THEN 2 ELSE 3 END AS w
+           |  FROM contrib),
+           |reps AS (SELECT b, CAST(SUM(w * m_fp6) // SUM(w) AS BIGINT)
+           |    AS rep_mean_fp6 FROM wts GROUP BY b),
+           |ranked AS (SELECT rep_mean_fp6, row_number()
+           |    OVER (ORDER BY rep_mean_fp6, b) AS r FROM reps),
+           |pt AS (SELECT CAST(SUM(m_fp6) // COUNT(*) AS BIGINT)
+           |    AS point_fp6 FROM docs)
+           |SELECT point_fp6,
+           |  MIN(rep_mean_fp6) AS ci_lo_fp6,
+           |  MAX(rep_mean_fp6) AS ci_hi_fp6
+           |FROM ranked, pt WHERE r = 2 OR r = 31
+           |GROUP BY point_fp6""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1459,5 +1539,5 @@ object TrainingDataQueries {
     q117ExactKSample, q122DsirImportance, q126WeightedSample,
     q135TokenBudget, q136DistributionDrift, q147ShardAssignment,
     q153PiiRedact, q164QualityGate, q166VocabCoverage,
-    q167TemperatureMix, q169BpePairStats)
+    q167TemperatureMix, q169BpePairStats, q174BootstrapCi)
 }
