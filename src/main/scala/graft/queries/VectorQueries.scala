@@ -1430,6 +1430,57 @@ object VectorQueries {
             |  CAST(MAX(cos_fp) AS BIGINT) AS max_neg_cos_fp
             |FROM fetched GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q175: IVF CELL-BALANCE CENSUS — the index-health number that
+    * decides when to re-cluster: IVF probe latency is gated by the
+    * LARGEST probed cell (a 10× hot cell = 10× tail latency and a
+    * 10× shuffle skew in every batched ANN job), so the census
+    * reports each cell's population, its share, and its imbalance
+    * ratio vs the uniform mean (fp6; 1e6 = perfectly balanced). Runs
+    * on the same assignment the search tier uses ([[Similarity
+    * .ivfAssign]] — broadcast centroids + partial-agg argmax), one
+    * |cells|-row agg on top; at 100 TB this is a scan-cost health
+    * check on a structure that serves every retrieval query.
+    */
+  val q175IvfCellBalance = NamedQuery(
+    "q175_ivf_cell_balance",
+    "IVF index health: per-cell population, share, and imbalance vs " +
+      "uniform (fp6) from the same broadcast-argmax assignment the " +
+      "search path uses.",
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cent = emb.filter(col("vec_id") < NCentroids)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val cells = Similarity.ivfAssign(
+          emb.select(col("vec_id").as("id"), col("embedding").as("v")),
+          cent)
+        .groupBy("cid").agg(count(lit(1)).as("n_vecs"))
+      val tot = cells.agg(sum("n_vecs").as("n_tot"),
+        count(lit(1)).as("n_cells"))
+      cells.crossJoin(broadcast(tot))
+        .select(col("cid"), col("n_vecs"),
+          expr("(n_vecs * 1000000) div n_tot").as("share_fp6"),
+          expr("(n_vecs * n_cells * 1000000) div n_tot")
+            .as("imbalance_fp6"))
+        .orderBy("cid")
+    },
+    Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+            |  FROM embeddings WHERE vec_id < $NCentroids),
+            |assigned AS (SELECT vec_id, cid FROM (
+            |  SELECT e.vec_id, c.cid,
+            |    row_number() OVER (PARTITION BY e.vec_id
+            |      ORDER BY ${cosFpSql("e.embedding", "c.cv")} DESC,
+            |        c.cid ASC) AS rn
+            |  FROM embeddings e, cent c) WHERE rn = 1),
+            |cells AS (SELECT cid, COUNT(*) AS n_vecs FROM assigned
+            |  GROUP BY 1),
+            |tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_tot,
+            |    COUNT(*) AS n_cells FROM cells)
+            |SELECT cid, n_vecs,
+            |  CAST((n_vecs * 1000000) // n_tot AS BIGINT) AS share_fp6,
+            |  CAST((n_vecs * n_cells * 1000000) // n_tot AS BIGINT)
+            |    AS imbalance_fp6
+            |FROM cells, tot ORDER BY cid""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -1437,5 +1488,6 @@ object VectorQueries {
     q83ProductQuantization, q85SemanticDedup, q93IvfPqSearch,
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
     q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
-    q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling)
+    q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling,
+    q175IvfCellBalance)
 }
