@@ -1530,6 +1530,89 @@ object TrainingDataQueries {
            |FROM ranked, pt WHERE r = 2 OR r = 31
            |GROUP BY point_fp6""".stripMargin))
 
+  /** q176: DATASET CARD — the per-source one-row summary a curation
+    * team publishes with a corpus release (HuggingFace dataset-card
+    * numbers), composed from the suite's own primitives in ONE doc
+    * scan: volume (docs, tokens, mean chars), quality (mean
+    * distinct-token ratio, integer-div fp6), exact-duplicate exposure
+    * (docs whose text digest repeats — q12's digest discipline), and
+    * the dominant language with its share. Scale shape: per-doc
+    * features are row-local off the cached scan; the dup mark is one
+    * (digest) hash-agg joined back by digest; language dominance is a
+    * (source, lang) hash-agg reduced by min_by (partial agg — no
+    * window sort); the final card is a 3-way join of |sources|-row
+    * tables. At 100 TB: one corpus scan + three keyed shuffles, and
+    * the output is |sources| rows.
+    */
+  val q176DatasetCard = NamedQuery(
+    "q176_dataset_card",
+    "Per-source dataset card: docs/tokens/mean-chars, mean quality " +
+      "fp6, exact-dup docs, dominant lang + share — one cached scan, " +
+      "three keyed aggs, |sources| output rows.",
+    (s, d) => {
+      val feat = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(tokens(col("text"))).cast("long").as("n_toks"),
+          graft.functions.TextFunctions.fp6(
+            size(array_distinct(tokens(col("text")))).cast("double") /
+              size(tokens(col("text")))).as("q_fp6"),
+          md5(col("text")).as("digest"))
+        .cache() // volume/quality/dup/lang panels: one corpus scan
+      val dupDigests = feat.groupBy("digest")
+        .agg(count(lit(1)).as("dc")).filter(col("dc") > 1)
+      val vol = feat.join(dupDigests, Seq("digest"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_toks").as("n_tokens"),
+          sum("n_chars").as("sum_chars"),
+          sum("q_fp6").as("sum_q"),
+          sum(when(col("dc").isNotNull, 1L).otherwise(0L))
+            .as("n_exact_dup"))
+      val langTop = feat.groupBy("source", "lang")
+        .agg(count(lit(1)).as("lc"))
+        .groupBy("source")
+        .agg(min_by(col("lang"), struct(-col("lc"), col("lang")))
+          .as("top_lang"),
+          max("lc").as("top_lang_docs"))
+      vol.join(langTop, Seq("source"))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          expr("sum_chars div n_docs").as("mean_chars"),
+          expr("sum_q div n_docs").as("mean_quality_fp6"),
+          col("n_exact_dup"), col("top_lang"),
+          expr("(top_lang_docs * 1000000) div n_docs")
+            .as("top_lang_share_fp6"))
+        .orderBy("source")
+    },
+    Some("""WITH feat AS (SELECT source, lang, n_chars,
+           |    CAST(len(string_split(lower(text),' ')) AS BIGINT)
+           |      AS n_toks,
+           |    CAST(floor(CAST(len(list_distinct(string_split(lower(text),
+           |      ' '))) AS DOUBLE) / len(string_split(lower(text), ' '))
+           |      * 1000000.0) AS BIGINT) AS q_fp6,
+           |    md5(text) AS digest
+           |  FROM documents),
+           |dupd AS (SELECT digest, COUNT(*) AS dc FROM feat
+           |  GROUP BY 1 HAVING COUNT(*) > 1),
+           |vol AS (SELECT source, COUNT(*) AS n_docs,
+           |    CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+           |    CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |    CAST(SUM(q_fp6) AS BIGINT) AS sum_q,
+           |    CAST(SUM(CASE WHEN dc IS NOT NULL THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_exact_dup
+           |  FROM feat LEFT JOIN dupd USING (digest) GROUP BY 1),
+           |lt AS (SELECT source, lang AS top_lang, lc AS top_lang_docs
+           |  FROM (SELECT source, lang, COUNT(*) AS lc,
+           |      row_number() OVER (PARTITION BY source
+           |        ORDER BY COUNT(*) DESC, lang ASC) AS rn
+           |    FROM feat GROUP BY 1, 2) WHERE rn = 1)
+           |SELECT source, n_docs, n_tokens,
+           |  CAST(sum_chars // n_docs AS BIGINT) AS mean_chars,
+           |  CAST(sum_q // n_docs AS BIGINT) AS mean_quality_fp6,
+           |  n_exact_dup, top_lang,
+           |  CAST((top_lang_docs * 1000000) // n_docs AS BIGINT)
+           |    AS top_lang_share_fp6
+           |FROM vol JOIN lt USING (source) ORDER BY source""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1539,5 +1622,6 @@ object TrainingDataQueries {
     q117ExactKSample, q122DsirImportance, q126WeightedSample,
     q135TokenBudget, q136DistributionDrift, q147ShardAssignment,
     q153PiiRedact, q164QualityGate, q166VocabCoverage,
-    q167TemperatureMix, q169BpePairStats, q174BootstrapCi)
+    q167TemperatureMix, q169BpePairStats, q174BootstrapCi,
+    q176DatasetCard)
 }
