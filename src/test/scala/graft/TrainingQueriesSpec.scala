@@ -75,4 +75,73 @@ class TrainingQueriesSpec extends SparkSpec {
     assert(exact.subsetOf(flagged),
       s"under-flagged docs: ${exact -- flagged}")
   }
+
+  test("q166: OOV is zero when the vocab cut covers every distinct token") {
+    // run the query shape with K >= |vocabulary|: every occurrence is
+    // in-vocab, so n_oov and oov_fp must be identically 0
+    val docs = Tables.documents(spark, d)
+    val st = docs
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val nVocab = st.select("tok").distinct().count().toInt
+    val vocab = st.groupBy("tok").agg(sum("c").as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(nVocab)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    val oov = st.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy("source")
+      .agg(sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L)))
+        .as("n_oov"))
+    assert(oov.agg(sum("n_oov")).head.getLong(0) == 0L)
+  }
+
+  test("q169: pair-count mass equals the token-length identity") {
+    // every token of length L >= 2 contributes exactly L-1 adjacent
+    // pairs, so sum(cnt) over ALL pairs must equal sum(L-1)
+    val toks = Tables.documents(spark, d)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) >= 2)
+    val expected = toks
+      .agg(sum(length(col("tok")) - 1)).head.getLong(0)
+    val pairMass = toks
+      .select(explode(expr(
+        "transform(sequence(1, length(tok) - 1)," +
+          " i -> substring(tok, i, 2))")).as("pair"))
+      .groupBy("pair").agg(count(lit(1)).as("cnt"))
+      .agg(sum("cnt")).head.getLong(0)
+    assert(pairMass == expected)
+  }
+
+  test("q174: bootstrap weights hit the Poisson ladder and means stay bracketed") {
+    val docs = Tables.documents(spark, d)
+      .select(col("doc_id"),
+        graft.functions.TextFunctions.fp6(
+          size(array_distinct(tokens(col("text")))).cast("double") /
+            size(tokens(col("text")))).as("m_fp6"))
+    val contrib = docs
+      .select(col("doc_id"), col("m_fp6"),
+        explode(expr("sequence(0, 31)")).as("b"))
+      .withColumn("hm", hash60(concat(lit("boot1:"),
+        col("doc_id").cast("string"), lit(":"),
+        col("b").cast("string"))) % 1000L)
+      .withColumn("w",
+        when(col("hm") < 368, 0L).when(col("hm") < 736, 1L)
+          .when(col("hm") < 920, 2L).otherwise(3L))
+    // weight distribution ≈ Poisson(1) mass on {0,1,2,3+}: each class
+    // within a loose band of its ladder share
+    val n = contrib.count().toDouble
+    val byW = contrib.groupBy("w").agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(math.abs(byW(0L) / n - 0.368) < 0.03, byW)
+    assert(math.abs(byW(1L) / n - 0.368) < 0.03, byW)
+    assert(math.abs(byW(2L) / n - 0.184) < 0.03, byW)
+    // every replica mean must sit inside the metric's [min, max]
+    val (lo, hi) = {
+      val r = docs.agg(min("m_fp6"), max("m_fp6")).head
+      (r.getLong(0), r.getLong(1))
+    }
+    val reps = contrib.groupBy("b")
+      .agg(sum(col("w") * col("m_fp6")).as("swm"), sum("w").as("sw"))
+      .select(expr("swm div sw").as("m")).collect().map(_.getLong(0))
+    assert(reps.length == 32 && reps.forall(m => m >= lo && m <= hi))
+  }
 }

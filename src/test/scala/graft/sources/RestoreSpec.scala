@@ -67,6 +67,18 @@ class RestoreSpec extends SparkSpec {
     assert(ManagedTable.read(spark, dir).count() == 20)
   }
 
+  test("CDF across a restore boundary reports the resurrections as inserts") {
+    val dir = Files.createTempDirectory("graft-restore-cdf").toString
+    ManagedTable.commit(docs.filter(col("doc_id") < 20), dir)
+    ManagedTable.deleteWhere(spark, dir, col("doc_id") >= 17) // v2
+    ManagedTable.restore(spark, dir, 1) // v3: 17,18,19 come back
+    val got = ManagedTable.changes(spark, dir, 2, 3, keys = Seq("doc_id"))
+      .select("_change_type", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("insert", 17L), ("insert", 18L), ("insert", 19L)),
+      s"restore must read as inserts of the resurrected keys, got $got")
+  }
+
   test("vacuum never sweeps restored-referenced segments; bad version rejected") {
     val dir = Files.createTempDirectory("graft-restore-v").toString
     ManagedTable.commit(docs.filter(col("doc_id") < 10), dir)
