@@ -2258,6 +2258,143 @@ object TextQueries {
             |    AS novelty_fp6
             |FROM flagged GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  /** q177: PSEUDO-RELEVANCE-FEEDBACK QUERY EXPANSION — the classic
+    * query-side retrieval upgrade (Rocchio/RM-style, the "expand the
+    * query from its own top hits" trick RAG pipelines use when the
+    * user query undershoots the corpus vocabulary): (1) score the
+    * 3-term seed query with q86's all-integer BM25, (2) take its top-3
+    * docs as the feedback set, (3) mine expansion candidates from ONLY
+    * those docs (a 3-doc-bounded term table), weight each candidate by
+    * feedback-tf × the q56 integer idf surrogate (df computed via a
+    * candidate-semi-joined distinct — the corpus-wide df table never
+    * materializes), keep the top-5, and (4) rescore the corpus with
+    * seed ∪ expansion (8 terms), flagging which top-10 docs the seed
+    * query alone would NOT have surfaced. Scale shape: the (doc,term)
+    * explode is ONE cached pass feeding all four stages; every term
+    * table is semi-join-filtered BEFORE its shuffle (seed: 3 terms,
+    * feedback: 3 docs, candidates: their vocabulary, round 2: 8
+    * terms); doc selections are orderBy+limit bounded heaps; the same
+    * integer-rational BM25 keeps every score an exact long, so the
+    * whole feedback loop is hash-stable.
+    */
+  val q177PrfExpansion = NamedQuery(
+    "q177_prf_expansion",
+    "Pseudo-relevance feedback: BM25 seed round, top-3 feedback docs, " +
+      "top-5 fb_tf*idf expansion terms, rescore with seed+expansion; " +
+      "top-10 with in_seed_top10 flags, all-integer.",
+    (s, d) => {
+      import s.implicits._
+      val docs = Tables.documents(s, d)
+      val toks = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .cache() // seed tf, feedback mining, candidate df, rescoring
+      val dl = docs.select(col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("t_total"))
+      def score(tf: org.apache.spark.sql.DataFrame) = {
+        val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+          .crossJoin(broadcast(stats))
+          .select(col("term"), expr("(1000 * n_docs) div df").as("idf_fp3"))
+        tf.join(broadcast(idf), "term")
+          .join(dl, "doc_id")
+          .crossJoin(broadcast(stats))
+          .withColumn("contrib", expr(
+            "(idf_fp3 * 44 * tf * t_total) div " +
+              "(20 * tf * t_total + 6 * t_total + 18 * n_docs * dl)"))
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_fp"))
+      }
+      val tf1 = toks.filter(col("term").isin(Bm25Terms: _*))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val r1 = score(tf1).cache() // feedback set + seed top-10 both read it
+      val fbDocs = r1.orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(3).select("doc_id")
+      val seedTop = r1.orderBy(col("score_fp").desc, col("doc_id"))
+        .limit(10).select(col("doc_id"), lit(true).as("in_seed_top10"))
+      val fbTf = toks.join(broadcast(fbDocs), "doc_id")
+        .filter(!col("term").isin(Bm25Terms: _*))
+        .groupBy("term").agg(count(lit(1)).as("fb_tf"))
+      val dfCand = toks.join(broadcast(fbTf.select("term")), "term")
+        .select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val expTerms = fbTf.join(dfCand, "term")
+        .crossJoin(broadcast(stats))
+        .select(col("term"),
+          (col("fb_tf") * expr("(1000 * n_docs) div df")).as("es"))
+        .orderBy(col("es").desc, col("term")).limit(5).select("term")
+      val allTerms = expTerms
+        .unionByName(Bm25Terms.toDF("term")).distinct()
+      val tf2 = toks.join(broadcast(allTerms), "term")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val w = Window.orderBy(col("score_fp").desc, col("doc_id").asc)
+      score(tf2)
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 10)
+        .join(seedTop, Seq("doc_id"), "left")
+        .select(col("rank"), col("doc_id"), col("n_terms"),
+          col("score_fp"),
+          coalesce(col("in_seed_top10"), lit(false)).as("in_seed_top10"))
+        .orderBy("rank")
+    },
+    Some {
+      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      val termList = Bm25Terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      def contrib =
+        """(idf_fp3 * 44 * tf * t_total) //
+          |      (20 * tf * t_total + 6 * t_total + 18 * n_docs * dl)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id,
+         |    unnest(string_split(lower(text),' ')) AS term FROM documents),
+         |dl AS (SELECT doc_id,
+         |    CAST(len(string_split(lower(text),' ')) AS BIGINT) AS dl
+         |  FROM documents),
+         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         |    CAST(SUM(dl) AS BIGINT) AS t_total FROM dl),
+         |tf1 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term IN ($terms) GROUP BY 1, 2),
+         |idf1 AS (SELECT term, (1000 * n_docs) // df AS idf_fp3 FROM
+         |    (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf1
+         |     GROUP BY 1), stats),
+         |r1 AS (SELECT tf1.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM($contrib) AS BIGINT) AS score_fp
+         |  FROM tf1 JOIN idf1 USING (term)
+         |    JOIN dl ON tf1.doc_id = dl.doc_id, stats
+         |  GROUP BY tf1.doc_id),
+         |fb AS (SELECT doc_id FROM r1
+         |  ORDER BY score_fp DESC, doc_id LIMIT 3),
+         |seedtop AS (SELECT doc_id FROM r1
+         |  ORDER BY score_fp DESC, doc_id LIMIT 10),
+         |fbtf AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS fb_tf
+         |  FROM toks JOIN fb USING (doc_id)
+         |  WHERE term NOT IN ($terms) GROUP BY 1),
+         |dfc AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM
+         |    (SELECT DISTINCT doc_id, term FROM toks
+         |     WHERE term IN (SELECT term FROM fbtf)) GROUP BY 1),
+         |exp AS (SELECT fbtf.term FROM fbtf JOIN dfc USING (term), stats
+         |  ORDER BY fb_tf * ((1000 * n_docs) // df) DESC, fbtf.term
+         |  LIMIT 5),
+         |allt AS (SELECT DISTINCT term FROM
+         |    (SELECT term FROM exp
+         |     UNION ALL SELECT unnest($termList) AS term)),
+         |tf2 AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+         |  FROM toks WHERE term IN (SELECT term FROM allt) GROUP BY 1, 2),
+         |idf2 AS (SELECT term, (1000 * n_docs) // df AS idf_fp3 FROM
+         |    (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf2
+         |     GROUP BY 1), stats),
+         |r2 AS (SELECT tf2.doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+         |    CAST(SUM($contrib) AS BIGINT) AS score_fp
+         |  FROM tf2 JOIN idf2 USING (term)
+         |    JOIN dl ON tf2.doc_id = dl.doc_id, stats
+         |  GROUP BY tf2.doc_id),
+         |ranked AS (SELECT doc_id, n_terms, score_fp,
+         |    CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC)
+         |      AS BIGINT) AS rank FROM r2)
+         |SELECT rank, r.doc_id, n_terms, score_fp,
+         |  (s.doc_id IS NOT NULL) AS in_seed_top10
+         |FROM ranked r LEFT JOIN seedtop s ON r.doc_id = s.doc_id
+         |WHERE rank <= 10 ORDER BY rank""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -2271,5 +2408,5 @@ object TextQueries {
     q131EntityResolution, q134FilterCascade, q148LshRecall,
     q154LshBandSweep, q155SourceOverlap, q156DedupReweight,
     q158QualityCalibration, q159DocChunks, q161ChunkRetrieval,
-    q162NoveltyCurve)
+    q162NoveltyCurve, q177PrfExpansion)
 }
