@@ -500,6 +500,44 @@ object ManagedTable {
     next
   }
 
+  /** DESCRIBE HISTORY: one row per version — version, committer tag,
+    * commit wall-clock (manifest mtime — informational, NOT an
+    * ordering key; the version number is the order), data-file and
+    * deletion-vector counts, and the schema's column count. Pure
+    * manifest metadata: |versions| rows, no data file touched.
+    */
+  def history(spark: SparkSession, dir: String): DataFrame = {
+    val f = fs(spark, dir)
+    val rows = versions(spark, dir).map { v =>
+      val (tag, all, schemaJ, _) = readManifest(spark, dir, v)
+      val (data, dv) = splitDv(all)
+      val mtime = f.getFileStatus(new Path(manifestDir(dir), s"v$v.json"))
+        .getModificationTime
+      (v, tag, mtime, data.size, dv.size,
+        schemaJ.map(schemaOf(_).size).getOrElse(0))
+    }
+    import spark.implicits._
+    rows.toDF("version", "tag", "commit_ms", "n_data_files",
+      "n_dv_files", "n_columns")
+  }
+
+  /** Time travel BY TIMESTAMP (Delta's `TIMESTAMP AS OF`): read the
+    * latest version whose manifest landed at or before `tsMs`
+    * (manifest mtime — on object stores, upload completion time).
+    * Version-number ordering breaks ties; a timestamp before the first
+    * commit is an error, mirroring Delta.
+    */
+  def readAsOf(spark: SparkSession, dir: String, tsMs: Long): DataFrame = {
+    val f = fs(spark, dir)
+    val eligible = versions(spark, dir).filter { v =>
+      f.getFileStatus(new Path(manifestDir(dir), s"v$v.json"))
+        .getModificationTime <= tsMs
+    }
+    require(eligible.nonEmpty,
+      s"ManagedTable.readAsOf: no version of $dir committed at or before $tsMs")
+    read(spark, dir, Some(eligible.max))
+  }
+
   /** Default [[vacuum]] retention: long enough that a writer whose data
     * segment has landed can finish writing its manifest (segment-then-
     * manifest is the commit order — a zero-retention vacuum racing that

@@ -79,6 +79,29 @@ class RestoreSpec extends SparkSpec {
       s"restore must read as inserts of the resurrected keys, got $got")
   }
 
+  test("history and timestamp time travel read pure manifest metadata") {
+    val dir = Files.createTempDirectory("graft-hist").toString
+    ManagedTable.commit(docs.filter(col("doc_id") < 10), dir, tag = "base")
+    Thread.sleep(20) // distinct manifest mtimes
+    val tMid = System.currentTimeMillis()
+    Thread.sleep(20)
+    ManagedTable.deleteWhere(spark, dir, col("doc_id") < 3, tag = "gdpr")
+    val h = ManagedTable.history(spark, dir)
+      .orderBy("version").collect()
+    assert(h.map(_.getInt(0)).toSeq == Seq(1, 2))
+    assert(h.map(_.getString(1)).toSeq == Seq("base", "gdpr"))
+    assert(h(0).getInt(4) == 0 && h(1).getInt(4) == 1,
+      "v2 must show exactly the DV segment file")
+    assert(h.forall(_.getInt(5) == docs.columns.length))
+    // timestamp between the two commits resolves to v1
+    assert(ManagedTable.readAsOf(spark, dir, tMid).count() == 10)
+    assert(ManagedTable
+      .readAsOf(spark, dir, System.currentTimeMillis()).count() == 7)
+    intercept[IllegalArgumentException] {
+      ManagedTable.readAsOf(spark, dir, 0L)
+    }
+  }
+
   test("vacuum never sweeps restored-referenced segments; bad version rejected") {
     val dir = Files.createTempDirectory("graft-restore-v").toString
     ManagedTable.commit(docs.filter(col("doc_id") < 10), dir)
