@@ -1481,6 +1481,93 @@ object VectorQueries {
             |    AS imbalance_fp6
             |FROM cells, tot ORDER BY cid""".stripMargin))
 
+  /** q178: FEATURE-HASHING EMBEDDINGS (the hashing trick) — vectorize
+    * text with NO model: each term deterministically owns a dimension
+    * `hash60('fh:'‖term) mod 16` and a sign (next hash bit), a doc's
+    * vector is the signed tf sum per dimension — the classic
+    * Weinberger et al. feature-hashing construction, which at 100 TB
+    * is just ONE (doc, dim) hash-agg over the token scan (no
+    * vocabulary table, no model service, reprocessing-stable). The
+    * harness then runs the retrieval tier over these vectors: top-3
+    * cosine neighbors for the first 5 docs, scored COMPONENTWISE (the
+    * 16-dim query components broadcast, dot products accumulate via
+    * the dim-keyed join — vectors are never materialized as arrays),
+    * norms exact integer, cosine the one fp6 double step in the
+    * identical op order both engines. Completes the pipeline story:
+    * docs → chunks → hash-embeddings → ANN without leaving the engine.
+    */
+  val q178HashEmbedding = NamedQuery(
+    "q178_hash_embedding",
+    "Feature-hashing 16-dim embeddings (signed tf per hashed dim, no " +
+      "model), then top-3 cosine neighbors for 5 query docs via " +
+      "dim-keyed dot products; integer norms, fp6 cosine.",
+    (s, d) => {
+      import graft.functions.TextFunctions.{hash60, tokens}
+      import org.apache.spark.sql.expressions.Window
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .withColumn("h", hash60(concat(lit("fh:"), col("term"))))
+        .withColumn("j", col("h") % 16)
+        .withColumn("s",
+          when(expr("(h div 16) % 2") === 0, 1L).otherwise(-1L))
+      val comp = tf.groupBy("doc_id", "j")
+        .agg(sum(col("s") * col("tf")).as("v"))
+        .filter(col("v") =!= 0)
+      val norms = comp.groupBy("doc_id")
+        .agg(sum(col("v") * col("v")).as("nn"))
+      val q = comp.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("j"),
+          col("v").as("qv"))
+      val qn = norms.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("nn").as("nq"))
+      val dots = comp.join(broadcast(q), Seq("j"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id")
+        .agg(sum(col("v") * col("qv")).as("dot"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("cos_fp").desc, col("doc_id").asc)
+      dots.join(norms, "doc_id").join(broadcast(qn), "query_id")
+        .withColumn("cos_fp", expr(
+          "CAST(floor(dot / (sqrt(CAST(nq AS DOUBLE)) * " +
+            "sqrt(CAST(nn AS DOUBLE))) * 1000000.0) AS LONG)"))
+        .withColumn("rank", row_number().over(w).cast("long"))
+        .filter(col("rank") <= 3)
+        .select(col("query_id"), col("doc_id").as("neighbor_id"),
+          col("cos_fp"), col("rank"))
+        .orderBy("query_id", "rank")
+    },
+    Some("""WITH tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM
+           |    (SELECT doc_id, unnest(string_split(lower(text),' '))
+           |       AS term FROM documents) GROUP BY 1, 2),
+           |hx AS (SELECT doc_id, tf,
+           |    ('0x'||substring(md5('fh:'||term),1,15))::BIGINT AS h
+           |  FROM tf),
+           |comp AS (SELECT doc_id, h % 16 AS j,
+           |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN tf
+           |      ELSE -tf END) AS BIGINT) AS v
+           |  FROM hx GROUP BY 1, 2 HAVING SUM(CASE WHEN (h // 16) % 2 = 0
+           |    THEN tf ELSE -tf END) <> 0),
+           |norms AS (SELECT doc_id, CAST(SUM(v*v) AS BIGINT) AS nn
+           |  FROM comp GROUP BY 1),
+           |dots AS (SELECT q.doc_id AS query_id, c.doc_id,
+           |    CAST(SUM(c.v * q.v) AS BIGINT) AS dot
+           |  FROM comp c JOIN comp q ON c.j = q.j
+           |  WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id
+           |  GROUP BY 1, 2),
+           |scored AS (SELECT query_id, d.doc_id AS neighbor_id,
+           |    CAST(floor(dot / (sqrt(CAST(nq.nn AS DOUBLE)) *
+           |      sqrt(CAST(nc.nn AS DOUBLE))) * 1000000.0) AS BIGINT)
+           |      AS cos_fp
+           |  FROM dots d JOIN norms nc ON d.doc_id = nc.doc_id
+           |    JOIN norms nq ON d.query_id = nq.doc_id),
+           |ranked AS (SELECT *, CAST(row_number() OVER (
+           |    PARTITION BY query_id
+           |    ORDER BY cos_fp DESC, neighbor_id ASC) AS BIGINT) AS rank
+           |  FROM scored)
+           |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
+           |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -1489,5 +1576,5 @@ object VectorQueries {
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
     q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
     q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling,
-    q175IvfCellBalance)
+    q175IvfCellBalance, q178HashEmbedding)
 }
