@@ -666,9 +666,67 @@ object LayoutQueries {
            |FROM documents
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q179: BACKFILL via replaceWhere — the partition-correction
+    * lifecycle every batch pipeline runs (reprocess one slice, swap it
+    * atomically): the minimum-lang slice of the table is replaced with
+    * corrected rows (n_chars + 1000) in ONE committed version —
+    * matching rows tombstoned by deletion vector, replacement landing
+    * as a fresh segment in the SAME manifest, so no reader ever sees
+    * half a backfill. The output pins what the oracle cannot see:
+    * exactly one new version (`atomic`), every pre-backfill data
+    * segment still referenced (`no_rewrite` — correcting one slice of
+    * a 100 TB table costs O(slice), not a rewrite), and time travel
+    * to v1 still reads the uncorrected bytes. The per-lang aggregate
+    * over the live view must bit-equal the oracle's recompute with
+    * the correction applied to the same slice.
+    */
+  val q179Backfill = NamedQuery(
+    "q179_backfill",
+    "replaceWhere backfill lifecycle: one-version atomic slice swap " +
+      "(DV tombstones + fresh segment in the same manifest), zero " +
+      "data segments rewritten; per-lang aggregate ≡ corrected " +
+      "recompute.",
+    (s, d) => {
+      val dir = "/tmp/graft-backfill/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      M.commit(docs.repartition(4), dir)
+      val minLang = docs.agg(min("lang")).head.getString(0)
+      def dataFiles(v: Int) = M.planFiles(s, dir, "doc_id",
+        Long.MinValue, Long.MaxValue, Some(v))._2
+      val v1Files = dataFiles(1)
+      val corrected = docs.filter(col("lang") === minLang)
+        .withColumn("n_chars", col("n_chars") + 1000L)
+      M.replaceWhere(s, dir, col("lang") === minLang, corrected,
+        tag = "backfill")
+      val atomic = M.versions(s, dir) == Seq(1, 2)
+      val noRewrite = v1Files.forall(dataFiles(2).contains)
+      val timeTravelOk = M.read(s, dir, Some(1))
+        .filter(col("n_chars") > 1000).count() == 0
+      M.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .withColumn("atomic", lit(atomic))
+        .withColumn("no_rewrite", lit(noRewrite))
+        .withColumn("time_travel_ok", lit(timeTravelOk))
+        .orderBy("lang")
+    },
+    Some("""WITH ml AS (SELECT min(lang) AS v FROM documents)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars +
+           |    CASE WHEN lang = ml.v THEN 1000 ELSE 0 END) AS BIGINT)
+           |    AS sum_chars,
+           |  true AS atomic, true AS no_rewrite, true AS time_travel_ok
+           |FROM documents, ml
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
       q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
-      q152ChangeDataFeed, q163DeletionVectors, q165Restore)
+      q152ChangeDataFeed, q163DeletionVectors, q165Restore,
+      q179Backfill)
 }

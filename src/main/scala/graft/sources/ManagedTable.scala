@@ -479,6 +479,69 @@ object ManagedTable {
     next
   }
 
+  /** replaceWhere — Delta's idempotent BACKFILL primitive: atomically
+    * replace ALL rows matching `predicate` with the rows of
+    * `replacement`, as ONE committed version — matching live rows are
+    * tombstoned by deletion vector (no data segment rewritten: the
+    * 100 TB property shared with [[deleteWhere]]) and the replacement
+    * lands as a fresh segment in the SAME manifest, so readers see
+    * either the old partition or the new one, never a mix. Like
+    * Delta, every replacement row must itself satisfy the predicate —
+    * which is what makes a backfill re-run replace exactly its own
+    * previous output (idempotent by construction). An empty
+    * `replacement` degrades to a delete; a predicate matching no live
+    * rows degrades to a constrained append.
+    */
+  def replaceWhere(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, replacement: DataFrame,
+      tag: String = ""): Int = {
+    import org.apache.spark.sql.functions._
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.replaceWhere: no versions in $dir")
+    val current = vs.last
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val (files, dvFiles) = splitDv(all)
+    val schema = schemaJson.map(schemaOf).getOrElse(
+      throw new IllegalStateException(
+        s"ManagedTable.replaceWhere: version $current of $dir has no schema"))
+    require(replacement.columns.sorted.sameElements(
+      schema.fieldNames.sorted),
+      s"ManagedTable.replaceWhere: replacement columns " +
+        s"${replacement.columns.toSeq} must match the table schema " +
+        s"${schema.fieldNames.toSeq}")
+    require(replacement
+      .filter(!coalesce(predicate, lit(false))).isEmpty,
+      "ManagedTable.replaceWhere: every replacement row must satisfy " +
+        "the predicate (Delta's replaceWhere constraint — it is what " +
+        "makes the backfill idempotent)")
+    val next = current + 1
+    // tombstone the live rows the predicate selects (deleteWhere's scan)
+    val dvSeg: Seq[String] = if (files.isEmpty) Seq.empty else {
+      val tagged = spark.read.schema(schema)
+        .parquet(files.map(p => s"$dir/$p"): _*)
+        .withColumn("__file", relPathCol)
+        .withColumn("__pos", col("_metadata.row_index"))
+      val live =
+        if (dvFiles.isEmpty) tagged
+        else tagged.join(dvRows(spark, dir, dvFiles),
+          Seq("__file", "__pos"), "left_anti")
+      val fresh = live.filter(predicate).select("__file", "__pos")
+      val union =
+        if (dvFiles.isEmpty) fresh
+        else dvRows(spark, dir, dvFiles).unionByName(fresh)
+      if (union.isEmpty) Seq.empty
+      else writeSegment(union.coalesce(1), dir, next)
+    }
+    val newData =
+      if (replacement.isEmpty) Seq.empty
+      else writeSegment(
+        replacement.select(schema.fieldNames.map(col): _*), dir, next)
+    writeManifest(spark, dir, next, tag,
+      files ++ newData ++ dvSeg.map("dv:" + _), schema.json,
+      stats ++ segmentStats(spark, dir, newData))
+    next
+  }
+
   /** RESTORE to an earlier version (Delta's `RESTORE TABLE … TO VERSION
     * AS OF`): re-publish version `toVersion`'s exact manifest — file
     * list (data segments AND deletion vectors), schema, per-file
