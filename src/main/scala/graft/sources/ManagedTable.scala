@@ -494,7 +494,29 @@ object ManagedTable {
     */
   def replaceWhere(spark: SparkSession, dir: String,
       predicate: org.apache.spark.sql.Column, replacement: DataFrame,
-      tag: String = ""): Int = {
+      tag: String = "", maxAttempts: Int = 3): Int = {
+    // same optimistic-concurrency shape as [[merge]]: losing the
+    // version claim re-plans against the winner's state — safe here
+    // because the tombstone set is recomputed from the NEW current
+    // version (a re-run replaces whatever now matches the predicate)
+    @annotation.tailrec
+    def attemptLoop(attempt: Int): Int = {
+      val r =
+        try Some(replaceWhereOnce(spark, dir, predicate, replacement, tag))
+        catch {
+          case _: java.io.IOException if attempt < maxAttempts => None
+        }
+      r match {
+        case Some(v) => v
+        case None => attemptLoop(attempt + 1)
+      }
+    }
+    attemptLoop(1)
+  }
+
+  private def replaceWhereOnce(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, replacement: DataFrame,
+      tag: String): Int = {
     import org.apache.spark.sql.functions._
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"ManagedTable.replaceWhere: no versions in $dir")

@@ -58,6 +58,32 @@ class ReplaceWhereSpec extends SparkSpec {
     assert(twice === once, "backfill must replace its own output")
   }
 
+  test("concurrent disjoint backfills: the race loser retries and both land") {
+    val dir = Files.createTempDirectory("graft-rw-race").toString
+    ManagedTable.commit(docs.filter(col("doc_id") < 20), dir)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val barrier = new java.util.concurrent.CyclicBarrier(2)
+    val futures = (0 until 2).map { i =>
+      pool.submit(new java.util.concurrent.Callable[Int] {
+        def call(): Int = {
+          val pred = col("doc_id") % 2 === i
+          val fix = docs.filter(col("doc_id") < 20 && pred)
+            .withColumn("n_chars", col("n_chars") + (1000L * (i + 1)))
+          barrier.await() // both plan against the same current version
+          ManagedTable.replaceWhere(spark, dir, pred, fix)
+        }
+      })
+    }
+    val claimed = futures.map(_.get())
+    pool.shutdown()
+    assert(claimed.toSet.size == 2, "loser must retry onto a new version")
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2, 3))
+    val live = ManagedTable.read(spark, dir)
+    assert(live.count() == 20)
+    assert(live.filter(col("n_chars") <= 1000).count() == 0,
+      "neither backfill's correction may be lost to the race")
+  }
+
   test("replacement rows outside the predicate are rejected") {
     val dir = Files.createTempDirectory("graft-rw-c").toString
     ManagedTable.commit(docs.filter(col("doc_id") < 10), dir)
