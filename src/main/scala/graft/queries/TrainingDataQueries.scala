@@ -1613,6 +1613,62 @@ object TrainingDataQueries {
            |    AS top_lang_share_fp6
            |FROM vol JOIN lt USING (source) ORDER BY source""".stripMargin))
 
+  /** q180: K-ANONYMITY AUDIT — the re-identification check a corpus
+    * runs before release (the governance sibling of q153's PII scrub):
+    * under the quasi-identifier projection (source, lang,
+    * length-decile), is every equivalence class at least k=5 strong?
+    * Classes smaller than k are re-identification risk — the audit
+    * reports, per class SIZE BAND, how many classes and how many rows
+    * sit there, plus the overall at-risk row share. The
+    * generalization (length → decile) is row-local integer math;
+    * the class census is ONE (qid) hash-agg re-aggregated to the
+    * band histogram — at 100 TB the audit is a scan plus two keyed
+    * shuffles, and the output is a handful of rows. The k threshold
+    * and the band edges are the release policy, pinned hash-exact.
+    */
+  val q180KAnonymity = NamedQuery(
+    "q180_k_anonymity",
+    "k-anonymity audit over (source, lang, length-decile): class-size " +
+      "band histogram (classes + rows + at-risk share fp6, k=5) from " +
+      "one hash-agg re-aggregated.",
+    (s, d) => {
+      val classes = Tables.documents(s, d)
+        .select(col("source"), col("lang"),
+          least(expr("n_chars div 60"), lit(9L)).as("len_decile"))
+        .groupBy("source", "lang", "len_decile")
+        .agg(count(lit(1)).as("class_size"))
+      val banded = classes
+        .withColumn("band",
+          when(col("class_size") < 5, "a_lt_k")
+            .when(col("class_size") < 20, "b_k_to_20")
+            .otherwise("c_ge_20"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_classes"),
+          sum("class_size").as("n_rows"))
+      val tot = banded.agg(sum("n_rows").as("n_total"))
+      banded.crossJoin(broadcast(tot))
+        .select(col("band"), col("n_classes"), col("n_rows"),
+          expr("(n_rows * 1000000) div n_total").as("row_share_fp6"))
+        .orderBy("band")
+    },
+    Some("""WITH classes AS (SELECT source, lang,
+           |    LEAST(n_chars // 60, 9) AS len_decile,
+           |    COUNT(*) AS class_size
+           |  FROM documents GROUP BY 1, 2, 3),
+           |banded AS (SELECT
+           |    CASE WHEN class_size < 5 THEN 'a_lt_k'
+           |      WHEN class_size < 20 THEN 'b_k_to_20'
+           |      ELSE 'c_ge_20' END AS band,
+           |    COUNT(*) AS n_classes,
+           |    CAST(SUM(class_size) AS BIGINT) AS n_rows
+           |  FROM classes GROUP BY 1),
+           |tot AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS n_total
+           |  FROM banded)
+           |SELECT band, n_classes, n_rows,
+           |  CAST((n_rows * 1000000) // n_total AS BIGINT)
+           |    AS row_share_fp6
+           |FROM banded, tot ORDER BY band""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1623,5 +1679,5 @@ object TrainingDataQueries {
     q135TokenBudget, q136DistributionDrift, q147ShardAssignment,
     q153PiiRedact, q164QualityGate, q166VocabCoverage,
     q167TemperatureMix, q169BpePairStats, q174BootstrapCi,
-    q176DatasetCard)
+    q176DatasetCard, q180KAnonymity)
 }
