@@ -254,6 +254,37 @@ object ManagedTable {
     next
   }
 
+  /** APPEND `df` as a new version: the previous version's full file
+    * list (deletion vectors included, unchanged) plus the fresh
+    * segment — Delta's append mode, vs [[commit]]'s full-snapshot
+    * replace. Column order is normalized to the table schema so mixed
+    * writers can't interleave incompatible parquet layouts.
+    */
+  def appendCommit(df: DataFrame, dir: String, tag: String = ""): Int = {
+    val spark = df.sparkSession
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return commit(df, dir, tag)
+    val current = vs.last
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val schema = schemaJson.map(schemaOf)
+    schema.foreach { sch =>
+      require(df.columns.sorted.sameElements(sch.fieldNames.sorted),
+        s"ManagedTable.appendCommit: columns ${df.columns.toSeq} must " +
+          s"match the table schema ${sch.fieldNames.toSeq}")
+    }
+    val (files, dvFiles) = splitDv(all)
+    val next = current + 1
+    val ordered = schema.map(sch =>
+      df.select(sch.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+      .getOrElse(df)
+    val newData = writeSegment(ordered, dir, next)
+    writeManifest(spark, dir, next, tag,
+      files ++ newData ++ dvFiles.map("dv:" + _),
+      schema.map(_.json).getOrElse(df.schema.json),
+      stats ++ segmentStats(spark, dir, newData))
+    next
+  }
+
   /** Write `df` as version `v`'s fresh data segment; returns the
     * segment-relative parquet paths (empty for a no-row write).
     */
