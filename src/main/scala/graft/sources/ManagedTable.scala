@@ -654,6 +654,46 @@ object ManagedTable {
     read(spark, dir, Some(eligible.max))
   }
 
+  /** Export a version's data file list for EXTERNAL readers (Delta's
+    * `GENERATE symlink_format_manifest`): one absolute path per line,
+    * written atomically next to the table. Engines with no knowledge
+    * of the manifest log (DuckDB, Trino/Presto via symlink input
+    * format, plain `read_parquet([...])`) scan exactly the exported
+    * version — never a torn directory listing that catches an
+    * in-flight writer's half-landed segment. REFUSES versions with
+    * deletion vectors: a path list cannot express row-level
+    * tombstones, and exporting one would silently resurrect deleted
+    * rows in every external engine — run [[compact]] first to
+    * materialize the deletes. Returns the exported absolute paths.
+    */
+  def exportManifest(spark: SparkSession, dir: String,
+      outFile: String, version: Option[Int] = None): Seq[String] = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.exportManifest: no versions in $dir")
+    val v = version.getOrElse(vs.last)
+    require(vs.contains(v),
+      s"ManagedTable.exportManifest: version $v not in $vs")
+    val (_, all, _, _) = readManifest(spark, dir, v)
+    val (files, dvFiles) = splitDv(all)
+    require(dvFiles.isEmpty,
+      s"ManagedTable.exportManifest: version $v of $dir carries " +
+        "deletion vectors — a symlink manifest would resurrect the " +
+        "deleted rows in external engines; compact() first")
+    val f = fs(spark, dir)
+    val abs = files.map(p =>
+      f.makeQualified(new Path(s"$dir/$p")).toString)
+    val out = new Path(outFile)
+    val tmp = new Path(out.getParent, s".${out.getName}.tmp")
+    val os = f.create(tmp, true)
+    try { os.write((abs.mkString("\n") + "\n").getBytes("UTF-8")) }
+    finally os.close()
+    if (!f.rename(tmp, out)) { // e.g. target exists on local FS
+      f.delete(out, false); require(f.rename(tmp, out),
+        s"ManagedTable.exportManifest: cannot publish $outFile")
+    }
+    abs
+  }
+
   /** Default [[vacuum]] retention: long enough that a writer whose data
     * segment has landed can finish writing its manifest (segment-then-
     * manifest is the commit order — a zero-retention vacuum racing that

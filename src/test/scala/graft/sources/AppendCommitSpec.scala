@@ -39,4 +39,32 @@ class AppendCommitSpec extends SparkSpec {
         docs.withColumnRenamed("lang", "language"), dir)
     }
   }
+
+  test("exportManifest pins a version for external readers; refuses DVs") {
+    val dir = Files.createTempDirectory("graft-em").toString
+    ManagedTable.commit(docs.filter(col("doc_id") < 10).repartition(2), dir)
+    ManagedTable.appendCommit(
+      docs.filter(col("doc_id") >= 10 && col("doc_id") < 15), dir)
+    val mf = s"$dir/_export/manifest.txt"
+    // exporting v1 pins the OLD version even after v2 landed
+    val v1Paths = ManagedTable.exportManifest(spark, dir, mf, Some(1))
+    val external = spark.read.parquet(v1Paths: _*)
+    assert(external.count() == 10, "external scan must see exactly v1")
+    // the file on disk holds the same list, newline-separated
+    val lines = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(mf)), "UTF-8").trim.split("\n").toSeq
+    assert(lines.sorted == v1Paths.sorted)
+    // latest export sees both segments
+    assert(spark.read.parquet(
+      ManagedTable.exportManifest(spark, dir, mf): _*).count() == 15)
+    // a DV version must be refused, not silently resurrected
+    ManagedTable.deleteWhere(spark, dir, col("doc_id") === 0)
+    intercept[IllegalArgumentException] {
+      ManagedTable.exportManifest(spark, dir, mf)
+    }
+    // compaction materializes the delete; export works again
+    ManagedTable.compact(spark, dir, smallFileBytes = 64L * 1024 * 1024)
+    assert(spark.read.parquet(
+      ManagedTable.exportManifest(spark, dir, mf): _*).count() == 14)
+  }
 }
