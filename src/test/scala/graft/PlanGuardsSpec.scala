@@ -469,6 +469,23 @@ class PlanGuardsSpec extends SparkSpec {
       "the 16-row centroid table must broadcast")
   }
 
+  test("q177 PRF: cached token pass reused, doc cuts are bounded heaps") {
+    val p = plan("q177_prf_expansion")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "the (doc,term) explode must be cached, not recomputed per stage")
+    assert(p.contains("TakeOrderedAndProject"),
+      "feedback-doc and expansion-term cuts must be bounded-heap takes")
+  }
+
+  test("q178 hash embeddings: query components broadcast into the dot join") {
+    val p = plan("q178_hash_embedding")
+    assert(p.contains("BroadcastHashJoin"),
+      "the 16-dim query components must broadcast — the corpus side " +
+        "never shuffles for the dot products")
+    assert(p.contains("partial_sum"),
+      "dot products and norms must partial-aggregate map-side")
+  }
+
   test("q146 bucketed join: co-located scans, no exchange below the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
