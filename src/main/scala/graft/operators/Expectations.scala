@@ -113,13 +113,14 @@ object Expectations {
   /** Streaming expect-or-quarantine: every micro-batch is split once
     * ([[quarantine]]) and routed to TWO managed tables — passing rows
     * to `validDir` (caller's schema), violating rows to
-    * `quarantineDir` WITH the `_violations` provenance column. Each
-    * table gets its own `b<batchId>` idempotence tag (the
-    * [[graft.sources.ManagedTable.streamingSink]] two-ledger design),
-    * so a replayed batch after a crash — even one that died BETWEEN
-    * the two commits — lands exactly once per table. The batch is
-    * persisted across the two routed writes: the split is two filters
-    * over one cached annotation pass, not two source re-reads.
+    * `quarantineDir` WITH the `_violations` provenance column. Both
+    * tables ACCUMULATE across batches
+    * ([[graft.sources.ManagedTable.idempotentAppend]]: append mode
+    * under a per-table `b<batchId>` tag), so a replayed batch after a
+    * crash — even one that died BETWEEN the two commits — lands
+    * exactly once per table. The batch is persisted across the two
+    * routed writes: the split is two filters over one cached
+    * annotation pass, not two source re-reads.
     * Start with `.option("checkpointLocation", …)` and any trigger.
     */
   def quarantineStreamingSink(stream: DataFrame, rules: Seq[Rule],
@@ -127,19 +128,16 @@ object Expectations {
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
-        val spark = batch.sparkSession
         val M = graft.sources.ManagedTable
         val annotated = batch
           .withColumn("_violations", violationsCol(rules)).persist()
         try {
-          def put(df: DataFrame, dir: String): Unit = {
-            val done = M.tags(spark, dir).exists(_._2 == s"b$batchId")
-            if (!done) { M.commit(df, dir, s"b$batchId"); () }
-          }
-          put(annotated.filter(size(col("_violations")) === 0)
-            .drop("_violations"), validDir)
-          put(annotated.filter(size(col("_violations")) > 0),
-            quarantineDir)
+          M.idempotentAppend(annotated
+            .filter(size(col("_violations")) === 0)
+            .drop("_violations"), validDir, batchId)
+          M.idempotentAppend(annotated
+            .filter(size(col("_violations")) > 0), quarantineDir, batchId)
+          ()
         } finally { annotated.unpersist(); () }
     }
 

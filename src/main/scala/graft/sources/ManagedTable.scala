@@ -254,11 +254,27 @@ object ManagedTable {
     next
   }
 
+  /** Name AND type compatibility against the table schema —
+    * column-name equality alone would let a writer land e.g. an int32
+    * segment into a long column and break every subsequent read of
+    * the table (the failure would surface far from the faulty
+    * writer). Nullability is not part of the contract.
+    */
+  private def requireSchemaCompatible(op: String, df: DataFrame,
+      table: org.apache.spark.sql.types.StructType): Unit = {
+    def norm(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => f.name -> f.dataType).sortBy(_._1).toSeq
+    require(norm(df.schema) == norm(table),
+      s"ManagedTable.$op: frame schema ${norm(df.schema)} must match " +
+        s"the table schema ${norm(table)} (names AND types)")
+  }
+
   /** APPEND `df` as a new version: the previous version's full file
     * list (deletion vectors included, unchanged) plus the fresh
     * segment — Delta's append mode, vs [[commit]]'s full-snapshot
-    * replace. Column order is normalized to the table schema so mixed
-    * writers can't interleave incompatible parquet layouts.
+    * replace. Column order is normalized and names AND types are
+    * checked against the table schema so mixed writers can't
+    * interleave incompatible parquet layouts.
     */
   def appendCommit(df: DataFrame, dir: String, tag: String = ""): Int = {
     val spark = df.sparkSession
@@ -267,11 +283,7 @@ object ManagedTable {
     val current = vs.last
     val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
     val schema = schemaJson.map(schemaOf)
-    schema.foreach { sch =>
-      require(df.columns.sorted.sameElements(sch.fieldNames.sorted),
-        s"ManagedTable.appendCommit: columns ${df.columns.toSeq} must " +
-          s"match the table schema ${sch.fieldNames.toSeq}")
-    }
+    schema.foreach(requireSchemaCompatible("appendCommit", df, _))
     val (files, dvFiles) = splitDv(all)
     val next = current + 1
     val ordered = schema.map(sch =>
@@ -283,6 +295,23 @@ object ManagedTable {
       schema.map(_.json).getOrElse(df.schema.json),
       stats ++ segmentStats(spark, dir, newData))
     next
+  }
+
+  /** Commit exactly once per streaming micro-batch: append under the
+    * `b<batchId>` idempotence tag, skipping if ANY prior attempt
+    * already landed it — the shared foreachBatch tail of
+    * `Expectations.quarantineStreamingSink` and
+    * `StreamingOps.dedupAgainstStore` ([[streamingSink]] keeps its
+    * original one-version-per-batch REPLACE semantics, which its
+    * readers consume version-by-version). Returns true when this
+    * call committed (false = replay of an already-landed batch).
+    */
+  def idempotentAppend(df: DataFrame, dir: String,
+      batchId: Long): Boolean = {
+    val spark = df.sparkSession
+    val done = tags(spark, dir).exists(_._2 == s"b$batchId")
+    if (!done) appendCommit(df, dir, s"b$batchId")
+    !done
   }
 
   /** Write `df` as version `v`'s fresh data segment; returns the
@@ -557,11 +586,7 @@ object ManagedTable {
     val schema = schemaJson.map(schemaOf).getOrElse(
       throw new IllegalStateException(
         s"ManagedTable.replaceWhere: version $current of $dir has no schema"))
-    require(replacement.columns.sorted.sameElements(
-      schema.fieldNames.sorted),
-      s"ManagedTable.replaceWhere: replacement columns " +
-        s"${replacement.columns.toSeq} must match the table schema " +
-        s"${schema.fieldNames.toSeq}")
+    requireSchemaCompatible("replaceWhere", replacement, schema)
     require(replacement
       .filter(!coalesce(predicate, lit(false))).isEmpty,
       "ManagedTable.replaceWhere: every replacement row must satisfy " +
@@ -656,7 +681,9 @@ object ManagedTable {
 
   /** Export a version's data file list for EXTERNAL readers (Delta's
     * `GENERATE symlink_format_manifest`): one absolute path per line,
-    * written atomically next to the table. Engines with no knowledge
+    * published atomically (ATOMIC_MOVE on local filesystems; on
+    * stores without atomic rename-over-existing, export to a new
+    * name per version — see the inline note). Engines with no knowledge
     * of the manifest log (DuckDB, Trino/Presto via symlink input
     * format, plain `read_parquet([...])`) scan exactly the exported
     * version — never a torn directory listing that catches an
@@ -683,13 +710,31 @@ object ManagedTable {
     val abs = files.map(p =>
       f.makeQualified(new Path(s"$dir/$p")).toString)
     val out = new Path(outFile)
-    val tmp = new Path(out.getParent, s".${out.getName}.tmp")
+    // unique tmp name: concurrent exports never clobber each other's
+    // in-flight content
+    val tmp = new Path(out.getParent,
+      s".${out.getName}.${java.util.UUID.randomUUID()}.tmp")
     val os = f.create(tmp, true)
     try { os.write((abs.mkString("\n") + "\n").getBytes("UTF-8")) }
     finally os.close()
-    if (!f.rename(tmp, out)) { // e.g. target exists on local FS
-      f.delete(out, false); require(f.rename(tmp, out),
-        s"ManagedTable.exportManifest: cannot publish $outFile")
+    if (f.getUri.getScheme == "file") {
+      // local FS: ATOMIC_MOVE + REPLACE_EXISTING — external readers
+      // see the old export or the new one, never a missing/torn file
+      def local(p: Path) = java.nio.file.Paths.get(
+        f.makeQualified(p).toUri.getPath)
+      java.nio.file.Files.move(local(tmp), local(out),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    } else {
+      // HDFS rename replaces atomically only when the target is
+      // absent; on re-export fall back to delete+rename and accept
+      // the store's own visibility window (object stores without
+      // atomic rename-over should export to a NEW name per version)
+      if (!f.rename(tmp, out)) {
+        f.delete(out, false)
+        require(f.rename(tmp, out),
+          s"ManagedTable.exportManifest: cannot publish $outFile")
+      }
     }
     abs
   }

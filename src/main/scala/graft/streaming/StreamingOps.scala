@@ -259,58 +259,6 @@ object StreamingOps {
     * captured by the new checkpoint at start; the surrounding batch
     * session is untouched afterwards).
     */
-  /** Streaming dedup AGAINST A PERSISTENT STORE — the production
-    * at-ingest architecture: each micro-batch is deduplicated (a)
-    * within itself (smallest id per fingerprint survives —
-    * deterministic, so a replay re-picks the same survivors) and (b)
-    * against EVERY fingerprint any earlier batch committed, via an
-    * anti-join with the fingerprint ManagedTable. Novel rows land in
-    * `outDir` and their fingerprints in `storeDir`, each commit under
-    * its `b<batchId>` idempotence tag — a crash between the two
-    * commits replays the batch and each table independently skips or
-    * lands exactly once. Unlike watermark dedup (bounded state, in-
-    * stream), the store is UNBOUNDED history at rest: the anti-join's
-    * build side is a manifest-planned parquet scan keyed by
-    * fingerprint, which at 100 TB is the standard
-    * shuffle-by-fingerprint join, not executor state. `idCol` must be
-    * unique per row (survivor tie-break).
-    */
-  def dedupAgainstStore(stream: DataFrame,
-      fingerprint: org.apache.spark.sql.Column, idCol: String,
-      storeDir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import org.apache.spark.sql.functions._
-    val M = graft.sources.ManagedTable
-    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
-      val spark = batch.sparkSession
-      val withFp = batch.withColumn("__fp", fingerprint)
-      // (a) in-batch: deterministic survivor = smallest id per fp
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("__fp").orderBy(col(idCol))
-      val survivors = withFp
-        .withColumn("__rn", row_number().over(w))
-        .filter(col("__rn") === 1).drop("__rn")
-      // (b) cross-batch: anti-join the persistent fingerprint store
-      val seen =
-        if (M.versions(spark, storeDir).isEmpty) null
-        else M.read(spark, storeDir)
-      val novel =
-        if (seen == null) survivors
-        else survivors.join(seen, Seq("__fp"), "left_anti")
-      def put(df: DataFrame, dir: String): Unit = {
-        val done = M.tags(spark, dir).exists(_._2 == s"b$batchId")
-        if (!done) { M.appendCommit(df, dir, s"b$batchId"); () }
-      }
-      // ORDER MATTERS: data before fingerprints. A crash between the
-      // two commits then replays with the store still lacking this
-      // batch's fps, so `novel` recomputes identically and only the
-      // missing fp commit lands. Fps-first would poison the replay's
-      // anti-join with the batch's own fingerprints and silently drop
-      // every row of the batch.
-      put(novel.drop("__fp"), outDir)
-      put(novel.select(col("__fp")), storeDir)
-    }
-  }
-
   def runToMemory(spark: SparkSession, out: DataFrame, queryName: String,
       mode: OutputMode): DataFrame = {
     val ckpt = s"/tmp/graft-ckpt/$queryName-${System.nanoTime()}"
@@ -335,6 +283,61 @@ object StreamingOps {
     // (measured to inflate later stateful-query times on the shared disk).
     deleteCheckpoint(spark, ckpt)
     spark.table(queryName)
+  }
+
+  /** Streaming dedup AGAINST A PERSISTENT STORE — the production
+    * at-ingest architecture: each micro-batch is deduplicated (a)
+    * within itself (smallest id per fingerprint survives —
+    * deterministic, so a replay re-picks the same survivors) and (b)
+    * against EVERY fingerprint any earlier batch committed, via an
+    * anti-join with the fingerprint ManagedTable. Novel rows land in
+    * `outDir` and their fingerprints in `storeDir`
+    * ([[graft.sources.ManagedTable.idempotentAppend]] per table) — a
+    * crash between the two commits replays the batch and each table
+    * independently skips or lands exactly once. Unlike watermark
+    * dedup (bounded state, in-stream), the store is UNBOUNDED history
+    * at rest: the anti-join's build side is a manifest-planned
+    * parquet scan keyed by fingerprint, which at 100 TB is the
+    * standard shuffle-by-fingerprint join, not executor state.
+    * `idCol` must be unique per row (survivor tie-break).
+    */
+  def dedupAgainstStore(stream: DataFrame,
+      fingerprint: org.apache.spark.sql.Column, idCol: String,
+      storeDir: String, outDir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import org.apache.spark.sql.functions._
+    val M = graft.sources.ManagedTable
+    stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val spark = batch.sparkSession
+      val withFp = batch.withColumn("__fp", fingerprint)
+      // (a) in-batch: deterministic survivor = smallest id per fp
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("__fp").orderBy(col(idCol))
+      val survivors = withFp
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      // (b) cross-batch: anti-join the persistent fingerprint store
+      val seen =
+        if (M.versions(spark, storeDir).isEmpty) null
+        else M.read(spark, storeDir)
+      // persisted: the two routed writes below are two actions, and
+      // without the cache each would re-run the batch scan, the
+      // survivor window AND the full-store anti-join — doubling the
+      // dominant cost of the sink
+      val novel = (
+        if (seen == null) survivors
+        else survivors.join(seen, Seq("__fp"), "left_anti")).persist()
+      try {
+        // ORDER MATTERS: data before fingerprints. A crash between the
+        // two commits then replays with the store still lacking this
+        // batch's fps, so `novel` recomputes identically and only the
+        // missing fp commit lands. Fps-first would poison the replay's
+        // anti-join with the batch's own fingerprints and silently
+        // drop every row of the batch.
+        M.idempotentAppend(novel.drop("__fp"), outDir, batchId)
+        M.idempotentAppend(novel.select(col("__fp")), storeDir, batchId)
+        ()
+      } finally { novel.unpersist(); () }
+    }
   }
 
   /** Best-effort recursive delete of a finished query's checkpoint dir. */

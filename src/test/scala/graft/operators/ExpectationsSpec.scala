@@ -85,10 +85,13 @@ class ExpectationsSpec extends SparkSpec {
 
   test("streaming quarantine routes each batch exactly once per table") {
     val dir = java.nio.file.Files.createTempDirectory("graft-expq").toString
-    docs.write.parquet(s"$dir/in")
+    // several input files + maxFilesPerTrigger=1 => several micro-batches:
+    // the tables must ACCUMULATE across batches (append, not replace)
+    docs.repartition(3).write.parquet(s"$dir/in")
     val M = graft.sources.ManagedTable
     def run(): Unit = {
-      val stream = spark.readStream.schema(docs.schema).parquet(s"$dir/in")
+      val stream = spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$dir/in")
       val q = Expectations
         .quarantineStreamingSink(stream, rules, s"$dir/valid", s"$dir/quar")
         .option("checkpointLocation", s"$dir/ckpt")
