@@ -27,15 +27,26 @@ object AsOfJoin {
 
   /** left(keys…, leftTs, …) ⟕asof right(keys…, rightTs, payload…) →
     * left.* + right payload columns.
+    *
+    * `direction` (pandas `merge_asof` surface, all inclusive):
+    *   - `"backward"` (default): latest right with ts <= left.ts;
+    *   - `"forward"`: earliest right with ts >= left.ts — the SAME
+    *     single-shuffle union+fill, with the window ordered
+    *     descending (among "preceding" rows in a descending stream,
+    *     the last right row seen is the smallest ts >= left.ts);
+    *   - `"nearest"`: whichever of the two candidates has the smaller
+    *     |ts gap|, ties → backward (both fills run over the one
+    *     sorted union — still one shuffle).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
-      leftTs: String, rightTs: String): DataFrame = {
+      leftTs: String, rightTs: String,
+      direction: String = "backward"): DataFrame = {
+    require(Set("backward", "forward", "nearest")(direction),
+      s"AsOfJoin.asOf: unknown direction '$direction'")
     val lCols = left.columns.toSeq
     val rPayload = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == rightTs)
     val lpType = StructType(left.schema.fields.toSeq)
-    val rpType = StructType(
-      right.schema.fields.filter(f => rPayload.contains(f.name)).toSeq)
 
     // µs-exact ordering key: a bare cast("long") would truncate
     // TimestampType to whole SECONDS, letting a right row up to 999ms
@@ -48,6 +59,13 @@ object AsOfJoin {
       case _ => col(ts).cast("long")
     }
 
+    // the right payload struct carries its own ts (`__rts`) so
+    // `nearest` can compare gap sizes after the fills
+    val rpType = StructType(
+      org.apache.spark.sql.types.StructField("__rts",
+        org.apache.spark.sql.types.LongType) +:
+      right.schema.fields.filter(f => rPayload.contains(f.name)).toSeq)
+
     def side(df: DataFrame, ts: String, tag: Int, lp: Column, rp: Column) =
       df.select((keys.map(col) :+
         tsKey(df, ts).as("__ts") :+
@@ -56,16 +74,38 @@ object AsOfJoin {
 
     val lU = side(left, leftTs, 1,
       struct(lCols.map(col): _*), lit(null).cast(rpType))
-    // tag 0 < 1: a right row at exactly left.ts sorts FIRST and is
-    // therefore visible to the fill — the inclusive (<=) semantics
+    // tag 0 < 1: a right row at exactly left.ts sorts FIRST under
+    // EITHER time ordering and is therefore visible to its fill — the
+    // inclusive (<= / >=) semantics
     val rU = side(right, rightTs, 0,
-      lit(null).cast(lpType), struct(rPayload.map(col): _*))
+      lit(null).cast(lpType),
+      struct((tsKey(right, rightTs).as("__rts") +:
+        rPayload.map(col)): _*))
 
-    val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col("__ts").asc, col("__side").asc)
+    def w(o: Column) = Window.partitionBy(keys.map(col): _*)
+      .orderBy(o, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    lU.unionByName(rU)
-      .withColumn("__filled", last(col("__rp"), ignoreNulls = true).over(w))
+    val u = lU.unionByName(rU)
+    val filled = direction match {
+      case "backward" =>
+        u.withColumn("__filled",
+          last(col("__rp"), ignoreNulls = true).over(w(col("__ts").asc)))
+      case "forward" =>
+        u.withColumn("__filled",
+          last(col("__rp"), ignoreNulls = true).over(w(col("__ts").desc)))
+      case "nearest" =>
+        u.withColumn("__fb",
+            last(col("__rp"), ignoreNulls = true).over(w(col("__ts").asc)))
+          .withColumn("__ff",
+            last(col("__rp"), ignoreNulls = true).over(w(col("__ts").desc)))
+          .withColumn("__filled",
+            when(col("__fb").isNull, col("__ff"))
+              .when(col("__ff").isNull, col("__fb"))
+              .when(col("__ts") - col("__fb.__rts") <=
+                col("__ff.__rts") - col("__ts"), col("__fb"))
+              .otherwise(col("__ff")))
+    }
+    filled
       .filter(col("__side") === 1)
       .select((lCols.map(c => col(s"__lp.$c").as(c)) ++
         rPayload.map(c => col(s"__filled.$c").as(c))): _*)

@@ -843,7 +843,95 @@ object EventQueries {
            |    AS decayed_share_fp6
            |FROM pt, tot ORDER BY event_type""".stripMargin))
 
+  /** q181: AS-OF JOIN DIRECTIONS — the full pandas `merge_asof`
+    * surface on the single-shuffle union+fill operator
+    * ([[graft.operators.AsOfJoin.asOf]]): for each min-type event,
+    * match the max-type event stream per user backward (latest ≤),
+    * forward (earliest ≥ — the same fill under a descending window
+    * order) and nearest (smaller |gap|, ties → backward). One summary
+    * row per direction pins n_matched, the total |ts gap| and the
+    * matched-value checksum — numbers that flip if inclusivity, tie
+    * order, or either fill direction regresses. Scale shape per
+    * direction: ONE keyed sort-shuffle of |L|+|R| rows (nearest runs
+    * two sorts over the one exchange); no pairwise range-join blowup.
+    * The right side is pre-aggregated per (user, ts) — the operator's
+    * uniqueness contract.
+    */
+  val q181AsOfDirections = NamedQuery(
+    "q181_asof_directions",
+    "merge_asof backward/forward/nearest on one union+fill shuffle: " +
+      "per direction, matches, total |gap| and matched-value " +
+      "checksum (cents, exact).",
+    (s, d) => {
+      import graft.operators.AsOfJoin
+      val ev = Tables.events(s, d)
+      val tb = ev.agg(min("event_type").as("lt"),
+        max("event_type").as("rt")).head
+      val (lt, rt) = (tb.getString(0), tb.getString(1))
+      val left = ev.filter(col("event_type") === lt)
+        .select(col("user_id"), col("ts_us").as("l_ts"), col("event_id"))
+      val right = ev.filter(col("event_type") === rt)
+        .groupBy(col("user_id"), col("ts_us").as("r_ts"))
+        .agg(expr("CAST(max(floor(value * 100)) AS LONG)").as("cents"))
+        .withColumn("matched_ts", col("r_ts"))
+      val frames = Seq("backward", "forward", "nearest").map { dir =>
+        AsOfJoin.asOf(left, right, Seq("user_id"), "l_ts", "r_ts", dir)
+          .agg(count(lit(1)).as("n_left"),
+            count(col("cents")).as("n_matched"),
+            coalesce(sum(abs(col("l_ts") - col("matched_ts"))), lit(0L))
+              .as("sum_gap_us"),
+            coalesce(sum(col("cents")), lit(0L)).as("sum_cents"))
+          .select(lit(dir).as("direction"), col("n_left"),
+            col("n_matched"), col("sum_gap_us"), col("sum_cents"))
+      }
+      frames.reduce(_ unionByName _).orderBy("direction")
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) AS ts_us,
+           |    event_type, value FROM events),
+           |tb AS (SELECT min(event_type) AS lt, max(event_type) AS rt
+           |  FROM ev),
+           |l AS (SELECT user_id, ts_us AS l_ts FROM ev, tb
+           |  WHERE event_type = lt),
+           |r AS (SELECT user_id, ts_us AS r_ts,
+           |    CAST(max(floor(value * 100)) AS BIGINT) AS cents
+           |  FROM ev, tb WHERE event_type = rt GROUP BY 1, 2),
+           |u AS (SELECT user_id, l_ts AS ts, 1 AS side,
+           |    NULL::BIGINT AS rts, NULL::BIGINT AS cents FROM l
+           |  UNION ALL SELECT user_id, r_ts, 0, r_ts, cents FROM r),
+           |f AS (SELECT *,
+           |    last_value(rts IGNORE NULLS) OVER wb AS b_ts,
+           |    last_value(cents IGNORE NULLS) OVER wb AS b_cents,
+           |    last_value(rts IGNORE NULLS) OVER wf AS f_ts,
+           |    last_value(cents IGNORE NULLS) OVER wf AS f_cents
+           |  FROM u WINDOW
+           |    wb AS (PARTITION BY user_id ORDER BY ts ASC, side ASC
+           |      ROWS UNBOUNDED PRECEDING),
+           |    wf AS (PARTITION BY user_id ORDER BY ts DESC, side ASC
+           |      ROWS UNBOUNDED PRECEDING)),
+           |lf AS (SELECT *,
+           |    CASE WHEN b_ts IS NULL THEN f_ts WHEN f_ts IS NULL
+           |      THEN b_ts WHEN ts - b_ts <= f_ts - ts THEN b_ts
+           |      ELSE f_ts END AS n_ts,
+           |    CASE WHEN b_ts IS NULL THEN f_cents WHEN f_ts IS NULL
+           |      THEN b_cents WHEN ts - b_ts <= f_ts - ts THEN b_cents
+           |      ELSE f_cents END AS n_cents
+           |  FROM f WHERE side = 1)
+           |SELECT 'backward' AS direction, COUNT(*) AS n_left,
+           |  COUNT(b_cents) AS n_matched,
+           |  CAST(COALESCE(SUM(abs(ts - b_ts)), 0) AS BIGINT)
+           |    AS sum_gap_us,
+           |  CAST(COALESCE(SUM(b_cents), 0) AS BIGINT) AS sum_cents
+           |FROM lf
+           |UNION ALL SELECT 'forward', COUNT(*), COUNT(f_cents),
+           |  CAST(COALESCE(SUM(abs(ts - f_ts)), 0) AS BIGINT),
+           |  CAST(COALESCE(SUM(f_cents), 0) AS BIGINT) FROM lf
+           |UNION ALL SELECT 'nearest', COUNT(*), COUNT(n_cents),
+           |  CAST(COALESCE(SUM(abs(ts - n_ts)), 0) AS BIGINT),
+           |  CAST(COALESCE(SUM(n_cents), 0) AS BIGINT) FROM lf
+           |ORDER BY direction""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
+    q181AsOfDirections,
     q172RecencyDecay,
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin, q99AsOfExec,
