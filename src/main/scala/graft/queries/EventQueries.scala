@@ -930,8 +930,88 @@ object EventQueries {
            |  CAST(COALESCE(SUM(n_cents), 0) AS BIGINT) FROM lf
            |ORDER BY direction""".stripMargin))
 
+  /** q182: ALLEN-RELATION CENSUS — temporal-logic classification of
+    * every overlapping interval pair from q51's fixture (per-user-day
+    * activity × daily incident windows): one bucketed candidate join
+    * ([[graft.operators.IntervalJoin.overlapJoin]] — every
+    * non-`disjoint` Allen relation implies overlap, so ONE candidate
+    * pass serves all classes), then a row-local CASE ladder assigns
+    * the pair its relation — equal / a-contains-b (`contains`) /
+    * b-contains-a (`during`) / boundary touch (`meets`/`met_by`) /
+    * proper overlap (`overlaps`/`overlapped_by`). The census (n pairs
+    * + summed overlap length per class, µs-exact) is the shape
+    * temporal QA runs at scale: bucket equi-join + hash-agg, no
+    * nested-loop range join, and a classification change (an off-by-
+    * one on any boundary) flips a hash-checked count.
+    */
+  val q182AllenRelations = NamedQuery(
+    "q182_allen_relations",
+    "Allen-relation census over interval pairs: one bucketed overlap " +
+      "join feeds a row-local relation ladder; pairs + overlap-µs per " +
+      "class, exact.",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts_us"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      val activity = ev.groupBy("user_id", "day")
+        .agg(min("ts_us").as("a_start"), max("ts_us").as("a_end"))
+        .select(concat_ws("#", col("user_id"), col("day")).as("a_id"),
+          col("a_start"), col("a_end"))
+      val incidents = ev.filter(col("event_type") === "error")
+        .groupBy("day")
+        .agg(min("ts_us").as("b_start"), max("ts_us").as("b_end"))
+        .select(col("day").as("b_id"), col("b_start"), col("b_end"))
+      graft.operators.IntervalJoin
+        .overlapJoin(activity, incidents, bucketUs = 3600L * 1000000L)
+        .withColumn("relation",
+          when(col("a_start") === col("b_start") &&
+            col("a_end") === col("b_end"), "equal")
+            .when(col("a_start") <= col("b_start") &&
+              col("b_end") <= col("a_end"), "contains")
+            .when(col("b_start") <= col("a_start") &&
+              col("a_end") <= col("b_end"), "during")
+            .when(col("a_end") === col("b_start"), "meets")
+            .when(col("b_end") === col("a_start"), "met_by")
+            .when(col("a_start") < col("b_start"), "overlaps")
+            .otherwise("overlapped_by"))
+        .withColumn("overlap_us",
+          least(col("a_end"), col("b_end")) -
+            greatest(col("a_start"), col("b_start")))
+        .groupBy("relation")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("overlap_us").as("sum_overlap_us"))
+        .orderBy("relation")
+    },
+    Some("""WITH ev AS (SELECT user_id, event_type, epoch_us(ts) AS ts_us,
+           |    strftime(ts, '%Y-%m-%d') AS day FROM events),
+           |activity AS (SELECT CAST(user_id AS VARCHAR) || '#' || day
+           |      AS a_id,
+           |    MIN(ts_us) AS a_start, MAX(ts_us) AS a_end
+           |  FROM ev GROUP BY user_id, day),
+           |incidents AS (SELECT day AS b_id,
+           |    MIN(ts_us) AS b_start, MAX(ts_us) AS b_end
+           |  FROM ev WHERE event_type = 'error' GROUP BY day),
+           |pairs AS (SELECT a_start, a_end, b_start, b_end
+           |  FROM activity a JOIN incidents b
+           |    ON a.a_start <= b.b_end AND b.b_start <= a.a_end),
+           |cls AS (SELECT
+           |    CASE WHEN a_start = b_start AND a_end = b_end THEN 'equal'
+           |      WHEN a_start <= b_start AND b_end <= a_end
+           |        THEN 'contains'
+           |      WHEN b_start <= a_start AND a_end <= b_end THEN 'during'
+           |      WHEN a_end = b_start THEN 'meets'
+           |      WHEN b_end = a_start THEN 'met_by'
+           |      WHEN a_start < b_start THEN 'overlaps'
+           |      ELSE 'overlapped_by' END AS relation,
+           |    LEAST(a_end, b_end) - GREATEST(a_start, b_start)
+           |      AS overlap_us
+           |  FROM pairs)
+           |SELECT relation, COUNT(*) AS n_pairs,
+           |  CAST(SUM(overlap_us) AS BIGINT) AS sum_overlap_us
+           |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
-    q181AsOfDirections,
+    q181AsOfDirections, q182AllenRelations,
     q172RecencyDecay,
     q05LatestPerKey, q06ApplyChanges, q07RenestExplode, q08WindowRunning,
     q11JsonExtract, q28Sessionize, q46AsOfJoin, q51IntervalJoin, q99AsOfExec,
