@@ -37,12 +37,21 @@ object AsOfJoin {
     *   - `"nearest"`: whichever of the two candidates has the smaller
     *     |ts gap|, ties → backward (both fills run over the one
     *     sorted union — still one shuffle).
+    *
+    * `toleranceUs` (pandas `tolerance`): when set, the selected match
+    * is rejected (NULL payload) if its |ts gap| exceeds the bound —
+    * applied AFTER direction selection, row-local, so under `nearest`
+    * a too-far nearest candidate does not fall back to the farther
+    * side (pandas semantics).
     */
   def asOf(left: DataFrame, right: DataFrame, keys: Seq[String],
       leftTs: String, rightTs: String,
-      direction: String = "backward"): DataFrame = {
+      direction: String = "backward",
+      toleranceUs: Option[Long] = None): DataFrame = {
     require(Set("backward", "forward", "nearest")(direction),
       s"AsOfJoin.asOf: unknown direction '$direction'")
+    toleranceUs.foreach(t => require(t >= 0,
+      s"AsOfJoin.asOf: negative tolerance $t"))
     val lCols = left.columns.toSeq
     val rPayload = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == rightTs)
@@ -105,7 +114,16 @@ object AsOfJoin {
                 col("__ff.__rts") - col("__ts"), col("__fb"))
               .otherwise(col("__ff")))
     }
-    filled
+    // tolerance (pandas merge_asof `tolerance`): a candidate farther
+    // than `toleranceUs` from the left row is no match at all — the
+    // fill picked it, the row-local gap check rejects it
+    val bounded = toleranceUs match {
+      case None => filled
+      case Some(t) => filled.withColumn("__filled",
+        when(abs(col("__ts") - col("__filled.__rts")) <= t,
+          col("__filled")))
+    }
+    bounded
       .filter(col("__side") === 1)
       .select((lCols.map(c => col(s"__lp.$c").as(c)) ++
         rPayload.map(c => col(s"__filled.$c").as(c))): _*)

@@ -69,6 +69,28 @@ class AsOfJoinSpec extends SparkSpec {
       7 -> 100, 8 -> 200, 9 -> 100, 10 -> 100, 11 -> 200))
   }
 
+  test("tolerance rejects too-far matches after direction selection") {
+    val quotes = Seq((1L, 10L, 100), (1L, 50L, 500))
+      .toDF("k", "q_ts", "px")
+    val trades = Seq(
+      (1L, 12L, 7), // backward gap 2 ≤ 5 → 100
+      (1L, 30L, 8), // backward gap 20 > 5 → null (no fallback)
+      (1L, 48L, 9) // nearest picks 50 (gap 2) → 500
+    ).toDF("k", "t_ts", "id")
+    def got(dir: String) =
+      AsOfJoin.asOf(trades, quotes, Seq("k"), "t_ts", "q_ts", dir,
+          toleranceUs = Some(5L))
+        .collect()
+        .map(r => r.getAs[Int]("id") ->
+          (if (r.isNullAt(r.fieldIndex("px"))) None
+           else Some(r.getAs[Int]("px")))).toMap
+    assert(got("backward") ==
+      Map(7 -> Some(100), 8 -> None, 9 -> None))
+    assert(got("nearest") ==
+      Map(7 -> Some(100), 8 -> None, 9 -> Some(500)),
+      "a too-far nearest candidate must NOT fall back to the far side")
+  }
+
   test("forward is backward's time-mirror (property on random data)") {
     val rnd = new scala.util.Random(7)
     val quotes = (1 to 60).map(i =>
