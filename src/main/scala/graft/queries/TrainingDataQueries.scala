@@ -1669,6 +1669,103 @@ object TrainingDataQueries {
            |    AS row_share_fp6
            |FROM banded, tot ORDER BY band""".stripMargin))
 
+  /** q183: HEAPS-LAW VOCABULARY GROWTH — the corpus-level "does more
+    * data still buy new vocabulary" diagnostic (q162's novelty curve
+    * is per-doc and 3-gram; THIS is the cumulative token-type curve
+    * data-acquisition decisions read): V(n) at the 25/50/75/100%
+    * checkpoints of ingest order, where "position" is the doc_id
+    * VALUE inside [min, max] (ids are assigned sequentially at
+    * ingest; value-quartiles need only a 1-row min/max broadcast —
+    * NO global rank window, which would single-partition the corpus).
+    * Scale shape: each token type's first-seen position is one
+    * (token) hash-agg over the exploded corpus (`min(doc_id)`); the
+    * four checkpoints are then ONE conditional agg over the
+    * |vocabulary|-row table — the corpus is scanned once no matter
+    * how many checkpoints. Output per checkpoint: docs and cumulative
+    * vocab at the edge, NEW types in the quarter, and the marginal
+    * rate (new types per 1e6 docs-worth of id span, fp) whose decay
+    * is the Heaps-law signal.
+    */
+  val q183VocabGrowth = NamedQuery(
+    "q183_vocab_growth",
+    "Heaps-law curve: cumulative vocabulary at 25/50/75/100% of " +
+      "ingest order from one (token)->first-seen-rank hash-agg; new " +
+      "types + marginal types-per-1000-docs per quarter, exact.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val b = docs.agg(min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val firstSeen = docs
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy("tok").agg(min("doc_id").as("first_id"))
+      // one conditional agg over the |vocab|-row table + one over docs,
+      // both against the broadcast [lo, hi] edges; edge_q = lo +
+      // (hi-lo+1)*q div 4, checkpoint = ids in [lo, edge_q)
+      def edge(q: Int) = expr(s"lo + ((hi - lo + 1) * $q) div 4")
+      val vAggs = (1 to 4).map(q =>
+        sum(when(col("first_id") < edge(q), 1L).otherwise(0L))
+          .as(s"v$q"))
+      val dAggs = (1 to 4).map(q =>
+        sum(when(col("doc_id") < edge(q), 1L).otherwise(0L))
+          .as(s"n$q"))
+      val vRow = firstSeen.crossJoin(broadcast(b))
+        .agg(vAggs.head, vAggs.tail: _*)
+      val dRow = docs.crossJoin(broadcast(b))
+        .agg(dAggs.head, dAggs.tail: _*)
+      val parts = (1 to 4).map { q =>
+        vRow.crossJoin(dRow)
+          .select(lit(q.toLong).as("quarter"),
+            col(s"n$q").as("n_docs"), col(s"v$q").as("vocab"),
+            (col(s"v$q") -
+              (if (q == 1) lit(0L) else col(s"v${q - 1}")))
+              .as("new_types"),
+            (col(s"n$q") -
+              (if (q == 1) lit(0L) else col(s"n${q - 1}")))
+              .as("docs_in_quarter"))
+          .withColumn("rate_fp",
+            expr("(new_types * 1000000) div " +
+              "(CASE WHEN docs_in_quarter < 1 THEN 1 " +
+              "ELSE docs_in_quarter END)"))
+      }
+      parts.reduce(_ unionByName _).orderBy("quarter")
+    },
+    Some("""WITH b AS (SELECT MIN(doc_id) AS lo, MAX(doc_id) AS hi
+           |  FROM documents),
+           |fs AS (SELECT tok, MIN(doc_id) AS first_id FROM
+           |    (SELECT doc_id, unnest(string_split(lower(text),' '))
+           |       AS tok FROM documents) GROUP BY 1),
+           |v AS (SELECT
+           |    CAST(SUM(CASE WHEN first_id < lo + ((hi-lo+1) * 1) // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+           |    CAST(SUM(CASE WHEN first_id < lo + ((hi-lo+1) * 2) // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+           |    CAST(SUM(CASE WHEN first_id < lo + ((hi-lo+1) * 3) // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+           |    CAST(SUM(CASE WHEN first_id < lo + ((hi-lo+1) * 4) // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS v4
+           |  FROM fs, b),
+           |dn AS (SELECT
+           |    CAST(SUM(CASE WHEN doc_id < lo + ((hi-lo+1) * 1) // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           |    CAST(SUM(CASE WHEN doc_id < lo + ((hi-lo+1) * 2) // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+           |    CAST(SUM(CASE WHEN doc_id < lo + ((hi-lo+1) * 3) // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+           |    CAST(SUM(CASE WHEN doc_id < lo + ((hi-lo+1) * 4) // 4
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n4
+           |  FROM documents, b),
+           |rows0 AS (
+           |  SELECT 1 AS quarter, n1 AS n_docs, v1 AS vocab,
+           |    v1 AS new_types, n1 AS docs_in_quarter FROM v, dn
+           |  UNION ALL SELECT 2, n2, v2, v2 - v1, n2 - n1 FROM v, dn
+           |  UNION ALL SELECT 3, n3, v3, v3 - v2, n3 - n2 FROM v, dn
+           |  UNION ALL SELECT 4, n4, v4, v4 - v3, n4 - n3 FROM v, dn)
+           |SELECT CAST(quarter AS BIGINT) AS quarter, n_docs, vocab,
+           |  new_types, docs_in_quarter,
+           |  CAST((new_types * 1000000) //
+           |    (CASE WHEN docs_in_quarter < 1 THEN 1
+           |     ELSE docs_in_quarter END) AS BIGINT) AS rate_fp
+           |FROM rows0 ORDER BY quarter""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q37ApproxDistinct, q38SequencePacking, q39DatasetSplit,
     q40QuantizeEmbeddings, q43Contamination, q52VocabTopK,
@@ -1679,5 +1776,5 @@ object TrainingDataQueries {
     q135TokenBudget, q136DistributionDrift, q147ShardAssignment,
     q153PiiRedact, q164QualityGate, q166VocabCoverage,
     q167TemperatureMix, q169BpePairStats, q174BootstrapCi,
-    q176DatasetCard, q180KAnonymity)
+    q176DatasetCard, q180KAnonymity, q183VocabGrowth)
 }
