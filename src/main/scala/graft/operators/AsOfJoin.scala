@@ -55,6 +55,17 @@ object AsOfJoin {
     val lCols = left.columns.toSeq
     val rPayload = right.columns.toSeq
       .filterNot(c => keys.contains(c) || c == rightTs)
+    // the union plan owns these names: keys surface alongside them in
+    // the tagged select, and the right payload struct injects __rts —
+    // a user column named __rts would duplicate the struct field and
+    // fail far away as an ambiguous col("__filled.__rts") reference
+    val reserved = Set("__ts", "__side", "__lp", "__rp",
+      "__filled", "__fb", "__ff", "__rts")
+    val clash = (keys ++ rPayload).filter(reserved)
+    require(clash.isEmpty,
+      s"AsOfJoin.asOf: column name(s) ${clash.mkString(", ")} collide " +
+        s"with reserved internal names (${reserved.toSeq.sorted.mkString(", ")})" +
+        " — rename them before the as-of join")
     val lpType = StructType(left.schema.fields.toSeq)
 
     // µs-exact ordering key: a bare cast("long") would truncate

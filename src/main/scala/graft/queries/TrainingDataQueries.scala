@@ -1378,9 +1378,15 @@ object TrainingDataQueries {
     * exact doubles), so the whole schedule stays hash-checkable —
     * p_fp6 (share of the mix) and rel_rate_fp6 (up/down-sampling factor
     * vs natural share, >1e6 = up-sampled) are integer div chains
-    * evaluated in the SAME association in both engines. Scale shape:
-    * one |sources|-row agg off the documents scan, a 1-row totals
-    * broadcast — the corpus shuffles zero times.
+    * evaluated in the SAME association in both engines. rel_rate's
+    * numerator (w·1e6·c_total) would overflow BIGINT once corpus chars
+    * exceed ~9.2e12 — i.e. exactly at the claimed scale — so it runs
+    * through a 128-bit intermediate (Spark DECIMAL(38,0) `div` ≡ DuckDB
+    * HUGEINT `//`, both floor for non-negative operands): headroom to
+    * 1e38, one division instead of two (strictly more precise than the
+    * old early-truncating chain). Scale shape: one |sources|-row agg
+    * off the documents scan, a 1-row totals broadcast — the corpus
+    * shuffles zero times.
     */
   val q167TemperatureMix = NamedQuery(
     "q167_temperature_mix",
@@ -1397,7 +1403,8 @@ object TrainingDataQueries {
       per.crossJoin(broadcast(tot))
         .select(col("source"), col("n_chars_total"), col("w"),
           expr("(w * 1000000) div w_total").as("p_fp"),
-          expr("((w * 1000000) div w_total * c_total) div n_chars_total")
+          expr("CAST((CAST(w AS DECIMAL(38,0)) * 1000000 * c_total) div " +
+            "(CAST(w_total AS DECIMAL(38,0)) * n_chars_total) AS BIGINT)")
             .as("rel_rate_fp"))
         .orderBy("source")
     },
@@ -1410,8 +1417,8 @@ object TrainingDataQueries {
            |    CAST(SUM(n_chars_total) AS BIGINT) AS c_total FROM per)
            |SELECT source, n_chars_total, w,
            |  CAST((w * 1000000) // w_total AS BIGINT) AS p_fp,
-           |  CAST(((w * 1000000) // w_total * c_total) // n_chars_total
-           |    AS BIGINT) AS rel_rate_fp
+           |  CAST((w::HUGEINT * 1000000 * c_total) //
+           |    (w_total::HUGEINT * n_chars_total) AS BIGINT) AS rel_rate_fp
            |FROM per, tot ORDER BY source""".stripMargin))
 
   /** q169: BPE FIRST-MERGE PAIR STATISTICS — the inner loop of

@@ -309,7 +309,7 @@ object ManagedTable {
   def idempotentAppend(df: DataFrame, dir: String,
       batchId: Long): Boolean = {
     val spark = df.sparkSession
-    val done = tags(spark, dir).exists(_._2 == s"b$batchId")
+    val done = committedTags(spark, dir).contains(s"b$batchId")
     if (!done) appendCommit(df, dir, s"b$batchId")
     !done
   }
@@ -406,6 +406,39 @@ object ManagedTable {
   def tags(spark: SparkSession, dir: String): Seq[(Int, String)] =
     versions(spark, dir).map(v => v -> readManifest(spark, dir, v)._1)
 
+  /** Per-table (version → tag) cache for the streaming sinks' replay
+    * check: a full `tags()` on every micro-batch reads EVERY version's
+    * manifest, which over a stream's lifetime is O(batches²) reads and
+    * per-batch latency growing with table history. Manifests are
+    * immutable once claimed, so the index only ever extends — each
+    * batch reads the manifests of versions it hasn't seen plus ONE
+    * validity probe (the cached newest version's tag must still match,
+    * which catches a table deleted and re-created at the same path
+    * mid-session; version regression catches the rest). Driver-local
+    * state only: a fresh driver rebuilds it from the manifest log, so
+    * crash-replay idempotence never depends on the cache.
+    */
+  private val tagIndex =
+    new java.util.concurrent.ConcurrentHashMap[String, (Int, Seq[String])]()
+
+  private def committedTags(spark: SparkSession, dir: String): Set[String] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) { tagIndex.remove(dir); return Set.empty }
+    val cached = Option(tagIndex.get(dir)).filter { case (maxV, ts) =>
+      vs.contains(maxV) &&
+        readManifest(spark, dir, maxV)._1 == ts.last
+    }
+    val entry = cached match {
+      case Some((maxV, ts)) =>
+        (vs.last, ts ++ vs.filter(_ > maxV)
+          .map(v => readManifest(spark, dir, v)._1))
+      case None =>
+        (vs.last, vs.map(v => readManifest(spark, dir, v)._1))
+    }
+    tagIndex.put(dir, entry)
+    entry._2.toSet
+  }
+
   /** Streaming append sink: each micro-batch commits as one table
     * version tagged `b<batchId>`. EXACTLY-ONCE across restarts by
     * idempotence: foreachBatch can replay a batch after a crash, but a
@@ -418,7 +451,7 @@ object ManagedTable {
   def streamingSink(stream: DataFrame, dir: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val done = tags(spark, dir).exists(_._2 == s"b$batchId")
+      val done = committedTags(spark, dir).contains(s"b$batchId")
       if (!done) { commit(batch, dir, s"b$batchId"); () }
     }
 
@@ -587,12 +620,42 @@ object ManagedTable {
       throw new IllegalStateException(
         s"ManagedTable.replaceWhere: version $current of $dir has no schema"))
     requireSchemaCompatible("replaceWhere", replacement, schema)
-    require(replacement
-      .filter(!coalesce(predicate, lit(false))).isEmpty,
-      "ManagedTable.replaceWhere: every replacement row must satisfy " +
-        "the predicate (Delta's replaceWhere constraint — it is what " +
-        "makes the backfill idempotent)")
     val next = current + 1
+    // Write the replacement FIRST and run the predicate constraint on
+    // the rows actually written: evaluating `replacement` once for the
+    // check and again for the segment would let a non-deterministic
+    // frame (rand/uuid, or one re-reading a concurrently-changing
+    // source) pass the check yet commit different rows that violate
+    // the predicate — silently breaking the idempotent-backfill
+    // invariant. Delta enforces the constraint on the written files for
+    // the same reason. A constraint failure deletes the orphan segment
+    // before throwing (a crash between write and manifest leaves the
+    // same unreferenced files [[vacuum]] already handles).
+    val newDataAll = writeSegment(
+      replacement.select(schema.fieldNames.map(col): _*), dir, next)
+    val written =
+      if (newDataAll.isEmpty) spark.emptyDataFrame
+      else spark.read.schema(schema)
+        .parquet(newDataAll.map(p => s"$dir/$p"): _*)
+    val writtenEmpty = newDataAll.isEmpty || written.isEmpty
+    val constraintOk = writtenEmpty ||
+      written.filter(!coalesce(predicate, lit(false))).isEmpty
+    // file paths are "data/v<N>-<uuid>/<part>.parquet" — the segment
+    // directory is everything before the final path component
+    def dropSegments(): Unit =
+      newDataAll.map(p => p.substring(0, p.lastIndexOf('/'))).distinct
+        .foreach(seg => fs(spark, dir).delete(new Path(s"$dir/$seg"), true))
+    if (!constraintOk) {
+      dropSegments()
+      throw new IllegalArgumentException(
+        "ManagedTable.replaceWhere: every replacement row must satisfy " +
+          "the predicate (Delta's replaceWhere constraint — it is what " +
+          "makes the backfill idempotent)")
+    }
+    val newData =
+      if (!writtenEmpty) newDataAll
+      else { // empty replacement degrades to a delete: drop the empty segment
+        dropSegments(); Seq.empty }
     // tombstone the live rows the predicate selects (deleteWhere's scan)
     val dvSeg: Seq[String] = if (files.isEmpty) Seq.empty else {
       val tagged = spark.read.schema(schema)
@@ -610,10 +673,6 @@ object ManagedTable {
       if (union.isEmpty) Seq.empty
       else writeSegment(union.coalesce(1), dir, next)
     }
-    val newData =
-      if (replacement.isEmpty) Seq.empty
-      else writeSegment(
-        replacement.select(schema.fieldNames.map(col): _*), dir, next)
     writeManifest(spark, dir, next, tag,
       files ++ newData ++ dvSeg.map("dv:" + _), schema.json,
       stats ++ segmentStats(spark, dir, newData))
@@ -1048,7 +1107,7 @@ object ManagedTable {
       sequenceBy: Seq[org.apache.spark.sql.Column]): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
       val spark = batch.sparkSession
-      val done = tags(spark, dir).exists(_._2 == s"m$batchId")
+      val done = committedTags(spark, dir).contains(s"m$batchId")
       if (!done && !batch.isEmpty) {
         merge(batch, dir, keys, sequenceBy, s"m$batchId"); ()
       }
