@@ -1568,6 +1568,198 @@ object VectorQueries {
            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
+  // the dense twin of q161's lexical query: same three terms, so the
+  // two RAG read paths are directly comparable on the same corpus
+  private val DenseQueryTerms = Seq("dup", "vector", "join")
+
+  /** floor(dot/(‖a‖·‖b‖)·1e6) with integer dot and integer squared
+    * norms — the one double step, in the identical op order as q178's
+    * oracle (divide, then scale, then floor).
+    */
+  private def intCosFp(dot: org.apache.spark.sql.Column,
+      nn1: org.apache.spark.sql.Column,
+      nn2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    floor(dot.cast("double") /
+      (sqrt(nn1.cast("double")) * sqrt(nn2.cast("double"))) *
+      lit(1000000.0)).cast("long")
+
+  private def intCosFpSql(dot: String, nn1: String, nn2: String): String =
+    s"CAST(floor($dot / (sqrt(CAST($nn1 AS DOUBLE)) * " +
+      s"sqrt(CAST($nn2 AS DOUBLE))) * 1000000.0) AS BIGINT)"
+
+  /** q184: DENSE CHUNK RETRIEVAL — the dense sibling of q161's BM25
+    * chunk read path, composed end-to-end from shipped pieces: chunk
+    * every document (64/16, [[graft.operators.Chunker]] = q159's
+    * table), hash-embed each CHUNK into 16 dims (q178's
+    * feature-hashing construction at chunk granularity), assign chunks
+    * to frozen coarse centroids (doc-level hash embeddings of docs
+    * 0-7 — [[Similarity.ivfAssign]]'s broadcast-argmax shape on
+    * dim-keyed components), probe the query's best 2 cells, and score
+    * ONLY chunks in probed cells against the query — top-10 WITH
+    * PROVENANCE (doc_id, chunk_idx, first_token_offset), what a RAG
+    * system feeds a context window when the index is dense rather
+    * than lexical. Query vector = hash-embedding of the same three
+    * q161 terms, so the lexical and dense paths are comparable.
+    * Scale shape: chunking + hashing are row-local on the scan; the
+    * component table is ONE (chunk, dim) hash-agg, cached (assignment
+    * and scoring both read it — one corpus scan); centroid components
+    * (≤128 rows), probes (2 rows) and query components (≤16 rows) are
+    * all broadcast, so nothing quadratic ever shuffles; candidate
+    * scoring touches only probed cells (the IVF point — ~nprobe/cells
+    * of the corpus); the top-10 is TakeOrderedAndProject with the
+    * rank window AFTER the take (plan-guarded).
+    */
+  val q184DenseChunkRetrieval = NamedQuery(
+    "q184_dense_chunk_retrieval",
+    "Dense RAG read path: 64/16 chunks -> 16-dim hash embeddings -> " +
+      "IVF assign to doc-centroids -> probe 2 cells -> cosine top-10 " +
+      "chunks with provenance; integer components, fp6 cosine.",
+    (s, d) => {
+      import graft.functions.TextFunctions.{hash60, tokens}
+      import org.apache.spark.sql.expressions.Window
+      val signedOne = when(expr("(h div 16) % 2") === 0, 1L).otherwise(-1L)
+      // chunk-level feature-hash components: one (chunk, dim) hash-agg,
+      // cached — cell assignment AND query scoring both read it
+      val ccomp = graft.operators.Chunker
+        .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
+        .select(col("doc_id"), col("chunk_idx"), col("first_token_offset"),
+          explode(tokens(col("chunk_text"))).as("term"))
+        .withColumn("h", hash60(concat(lit("fh:"), col("term"))))
+        .groupBy(col("doc_id"), col("chunk_idx"),
+          col("first_token_offset"), (col("h") % 16).as("j"))
+        .agg(sum(signedOne).as("v"))
+        .filter(col("v") =!= 0)
+        .cache()
+      val cnorm = ccomp.groupBy("doc_id", "chunk_idx")
+        .agg(sum(col("v") * col("v")).as("nn"))
+      // frozen coarse centroids: doc-level hash embeddings of docs 0-7
+      val dcomp = Tables.documents(s, d).filter(col("doc_id") < 8)
+        .select(col("doc_id").as("cid"), explode(tokens(col("text"))).as("term"))
+        .withColumn("h", hash60(concat(lit("fh:"), col("term"))))
+        .groupBy(col("cid"), (col("h") % 16).as("j"))
+        .agg(sum(signedOne).as("cv"))
+        .filter(col("cv") =!= 0)
+      val dnorm = dcomp.groupBy("cid").agg(sum(col("cv") * col("cv")).as("ncc"))
+      // query components: md5-derived on the driver (the oracle replays
+      // the same derivation in SQL), shipped as a <=16-row literal frame
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def h60(x: String): Long = java.lang.Long.parseLong(
+        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+      val qcomp0 = DenseQueryTerms.map(t => h60("fh:" + t))
+        .groupBy(_ % 16).view
+        .mapValues(_.map(h => if ((h / 16) % 2 == 0) 1L else -1L).sum)
+        .toSeq.filter(_._2 != 0L)
+      val nq = qcomp0.map { case (_, v) => v * v }.sum
+      import s.implicits._
+      val qcomp = qcomp0.toDF("j", "qv")
+      // cell assignment: broadcast centroid components, dim-keyed dots,
+      // argmax per chunk by (cos_fp desc, cid asc) — ivfAssign's shape
+      val pairdot = ccomp.join(broadcast(dcomp), Seq("j"))
+        .groupBy("doc_id", "chunk_idx", "cid")
+        .agg(sum(col("v") * col("cv")).as("dot"))
+      val assigned = pairdot
+        .join(cnorm, Seq("doc_id", "chunk_idx"))
+        .join(broadcast(dnorm), Seq("cid"))
+        .withColumn("cos_fp", intCosFp(col("dot"), col("nn"), col("ncc")))
+        .groupBy("doc_id", "chunk_idx")
+        .agg(max_by(col("cid"), struct(col("cos_fp"), -col("cid"))).as("cid"))
+      // the query probes its 2 best cells (8 centroids — driver-scale)
+      val probes = dcomp.join(broadcast(qcomp), Seq("j"))
+        .groupBy("cid").agg(sum(col("cv") * col("qv")).as("dot"))
+        .join(dnorm, Seq("cid"))
+        .withColumn("cos_fp", intCosFp(col("dot"), lit(nq), col("ncc")))
+        .orderBy(col("cos_fp").desc, col("cid").asc).limit(2)
+        .select("cid")
+      // score ONLY chunks assigned to probed cells; rank after the take
+      val cand = assigned.join(broadcast(probes), Seq("cid"))
+        .select("doc_id", "chunk_idx")
+      val wRank = Window.orderBy(col("cos_fp").desc, col("doc_id").asc,
+        col("chunk_idx").asc)
+      ccomp.join(cand, Seq("doc_id", "chunk_idx"), "left_semi")
+        .join(broadcast(qcomp), Seq("j"))
+        .groupBy("doc_id", "chunk_idx", "first_token_offset")
+        .agg(sum(col("v") * col("qv")).as("dot"))
+        .join(cnorm, Seq("doc_id", "chunk_idx"))
+        .withColumn("cos_fp", intCosFp(col("dot"), lit(nq), col("nn")))
+        .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
+        .limit(10)
+        .withColumn("rank", row_number().over(wRank).cast("long"))
+        .select("doc_id", "chunk_idx", "first_token_offset", "cos_fp", "rank")
+    },
+    Some {
+      val values = DenseQueryTerms.map(t => s"('$t')").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts
+         |  FROM documents),
+         |chunks AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+         |    CAST(k*48 AS BIGINT) AS first_token_offset,
+         |    ts[k*48+1 : k*48+64] AS ct
+         |  FROM (SELECT doc_id, ts, len(ts) AS n,
+         |      unnest(range(0, ((len(ts)-1)//48)+1)) AS k
+         |    FROM toks WHERE len(ts) > 0)),
+         |chx AS (SELECT doc_id, chunk_idx, first_token_offset,
+         |    ('0x'||substring(md5('fh:'||term),1,15))::BIGINT AS h
+         |  FROM (SELECT doc_id, chunk_idx, first_token_offset,
+         |        unnest(ct) AS term FROM chunks)),
+         |ccomp AS (SELECT doc_id, chunk_idx, first_token_offset,
+         |    h % 16 AS j,
+         |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS BIGINT) AS v
+         |  FROM chx GROUP BY 1, 2, 3, 4
+         |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+         |cnorm AS (SELECT doc_id, chunk_idx, CAST(SUM(v*v) AS BIGINT) AS nn
+         |  FROM ccomp GROUP BY 1, 2),
+         |dhx AS (SELECT doc_id AS cid,
+         |    ('0x'||substring(md5('fh:'||term),1,15))::BIGINT AS h
+         |  FROM (SELECT doc_id, unnest(string_split(lower(text),' '))
+         |        AS term FROM documents WHERE doc_id < 8)),
+         |dcomp AS (SELECT cid, h % 16 AS j,
+         |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS BIGINT) AS cv
+         |  FROM dhx GROUP BY 1, 2
+         |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+         |dnorm AS (SELECT cid, CAST(SUM(cv*cv) AS BIGINT) AS ncc
+         |  FROM dcomp GROUP BY 1),
+         |qhx AS (SELECT ('0x'||substring(md5('fh:'||t),1,15))::BIGINT AS h
+         |  FROM (VALUES $values) AS v(t)),
+         |qcomp AS (SELECT h % 16 AS j,
+         |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+         |      AS BIGINT) AS qv
+         |  FROM qhx GROUP BY 1
+         |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+         |qnorm AS (SELECT CAST(SUM(qv*qv) AS BIGINT) AS nq FROM qcomp),
+         |pairdot AS (SELECT c.doc_id, c.chunk_idx, d.cid,
+         |    CAST(SUM(c.v * d.cv) AS BIGINT) AS dot
+         |  FROM ccomp c JOIN dcomp d USING (j) GROUP BY 1, 2, 3),
+         |assigned AS (SELECT doc_id, chunk_idx, cid FROM (
+         |    SELECT p.doc_id, p.chunk_idx, p.cid,
+         |      row_number() OVER (PARTITION BY p.doc_id, p.chunk_idx
+         |        ORDER BY ${intCosFpSql("p.dot", "n.nn", "dn.ncc")} DESC,
+         |          p.cid ASC) AS rn
+         |    FROM pairdot p JOIN cnorm n USING (doc_id, chunk_idx)
+         |      JOIN dnorm dn USING (cid)) WHERE rn = 1),
+         |qcdot AS (SELECT d.cid, CAST(SUM(d.cv * q.qv) AS BIGINT) AS dot
+         |  FROM dcomp d JOIN qcomp q USING (j) GROUP BY 1),
+         |probes AS (SELECT cid FROM (SELECT c.cid,
+         |      ${intCosFpSql("c.dot", "qn.nq", "dn.ncc")} AS cos_fp
+         |    FROM qcdot c JOIN dnorm dn USING (cid), qnorm qn)
+         |  ORDER BY cos_fp DESC, cid ASC LIMIT 2),
+         |cand AS (SELECT a.doc_id, a.chunk_idx FROM assigned a
+         |  JOIN probes USING (cid)),
+         |cdot AS (SELECT c.doc_id, c.chunk_idx, c.first_token_offset,
+         |    CAST(SUM(c.v * q.qv) AS BIGINT) AS dot
+         |  FROM ccomp c JOIN qcomp q USING (j)
+         |    JOIN cand USING (doc_id, chunk_idx)
+         |  GROUP BY 1, 2, 3),
+         |scored AS (SELECT s.doc_id, s.chunk_idx, s.first_token_offset,
+         |    ${intCosFpSql("s.dot", "qn.nq", "n.nn")} AS cos_fp
+         |  FROM cdot s JOIN cnorm n USING (doc_id, chunk_idx), qnorm qn)
+         |SELECT doc_id, chunk_idx, first_token_offset, cos_fp,
+         |  CAST(row_number() OVER (ORDER BY cos_fp DESC, doc_id ASC,
+         |    chunk_idx ASC) AS BIGINT) AS rank
+         |FROM scored
+         |ORDER BY cos_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -1576,5 +1768,5 @@ object VectorQueries {
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
     q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
     q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling,
-    q175IvfCellBalance, q178HashEmbedding)
+    q175IvfCellBalance, q178HashEmbedding, q184DenseChunkRetrieval)
 }

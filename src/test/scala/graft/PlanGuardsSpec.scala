@@ -486,6 +486,24 @@ class PlanGuardsSpec extends SparkSpec {
       "dot products and norms must partial-aggregate map-side")
   }
 
+  test("q184 dense retrieval: cached components, broadcast probes, post-limit rank") {
+    val p = plan("q184_dense_chunk_retrieval")
+    assert(p.contains("InMemoryTableScan") || p.contains("TableCacheQueryStage"),
+      "the (chunk,dim) component table must be cached: assignment and " +
+        "query scoring both read it — twice would be two corpus scans")
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid components, probes and query components are all tiny " +
+        "and must broadcast — the chunk side never shuffles for them")
+    assert(p.contains("TakeOrderedAndProject"),
+      "the top-10 must be a bounded-heap take, not a global sort")
+    // the rank window runs AFTER the 10-row limit (q161's discipline) —
+    // a pre-limit global window would single-task the scored candidates
+    val winIdx = p.indexOf("Window")
+    val takeIdx = p.indexOf("TakeOrderedAndProject")
+    assert(winIdx >= 0 && winIdx < takeIdx,
+      s"rank window must sit above the take in the plan:\n${p.take(1200)}")
+  }
+
   test("q146 bucketed join: co-located scans, no exchange below the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
