@@ -1760,6 +1760,144 @@ object VectorQueries {
          |ORDER BY cos_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin
     })
 
+  /** q185: CHANGE-FEED-DRIVEN INDEX MAINTENANCE — the 100 TB answer to
+    * "my corpus got a backfill, now fix the ANN index without
+    * rebuilding it": a merge-maintained vector table commits two
+    * versions; [[graft.sources.ManagedTable.changes]] derives the
+    * row-level feed BETWEEN them (planned from manifest file diffs —
+    * O(changed data), never a table scan); and the IVF index is
+    * updated INCREMENTALLY from the feed alone — delete/update_preimage
+    * rows retract their cell postings, insert/update_postimage rows
+    * add theirs, each via the same frozen-centroid broadcast argmax as
+    * [[Similarity.ivfAssign]], cost O(|changeset|). The query PROVES
+    * the invariant production relies on: per cell,
+    * `n_v1 − removed + added == full rebuild at v2` (`agree` = 1) —
+    * assignment is functional on the vector and the centroids are
+    * frozen, so the incremental index is exact, not approximate. The
+    * in-query v1/v2 rebuild branches exist as the oracle; production
+    * keeps only the stored postings and the feed. Composes q152 (CDF)
+    * with q110 (incremental IVF); the deleteWhere/replaceWhere
+    * round-trip is spec-covered (CdfIndexMaintenanceSpec).
+    */
+  val q185CdfIndexMaintenance = NamedQuery(
+    "q185_cdf_index_maintenance",
+    "Incremental IVF from the change feed: merge v1->v2 CDF retracts/" +
+      "adds exactly the changed keys' postings (frozen-centroid " +
+      "argmax, O(changeset)); per-cell proof vs full rebuild.",
+    (s, d) => {
+      val dir = "/tmp/graft-cdfivf/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val emb = Tables.embeddings(s, d)
+      // CDC history over a small key space: every key updated across
+      // the two batches, some tombstoned ('d'), some resurrected
+      val hist = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") % 15L).as("k"), col("vec_id").as("seq"),
+          col("embedding"),
+          when(col("vec_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+      (0 until 2).foreach { i =>
+        M.merge(hist.filter(
+            col("seq") >= i * 20 && col("seq") < (i + 1) * 20),
+          dir, keys = Seq("k"), sequenceBy = Seq(col("seq")), tag = s"m$i")
+      }
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      def counts(df: org.apache.spark.sql.DataFrame, name: String) =
+        Similarity.ivfAssign(
+            df.select(col("k").as("id"), col("embedding").as("v")), cent)
+          .groupBy("cid").agg(count(lit(1)).as(name))
+      val del = col("op") === "d"
+      val drop = Seq("seq", "op")
+      val cdf = M.changes(s, dir, 1, 2, Seq("k"),
+        deleteExpr = del, exceptColumns = drop)
+      val nV1 = counts(M.readCurrent(s, dir, del, drop, Some(1)), "n_v1")
+      val nRem = counts(cdf.filter(
+        col("_change_type").isin("delete", "update_preimage")), "n_removed")
+      val nAdd = counts(cdf.filter(
+        col("_change_type").isin("insert", "update_postimage")), "n_added")
+      val nV2 = counts(M.readCurrent(s, dir, del, drop, Some(2)), "n_v2")
+      nV1.join(nRem, Seq("cid"), "full_outer")
+        .join(nAdd, Seq("cid"), "full_outer")
+        .join(nV2, Seq("cid"), "full_outer")
+        .select(col("cid"),
+          coalesce(col("n_v1"), lit(0L)).as("n_v1"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+          coalesce(col("n_added"), lit(0L)).as("n_added"),
+          coalesce(col("n_v2"), lit(0L)).as("n_v2"))
+        .withColumn("n_incr",
+          col("n_v1") - col("n_removed") + col("n_added"))
+        .withColumn("agree",
+          when(col("n_incr") === col("n_v2"), 1L).otherwise(0L))
+        .select("cid", "n_v1", "n_removed", "n_added", "n_incr",
+          "n_v2", "agree")
+        .orderBy("cid")
+    },
+    Some(s"""WITH h AS (SELECT vec_id % 15 AS k, vec_id AS seq, embedding,
+            |    CASE WHEN vec_id % 7 = 0 THEN 'd' ELSE 'u' END op
+            |  FROM embeddings WHERE vec_id < 40),
+            |s1 AS (SELECT k, embedding FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY k
+            |      ORDER BY seq DESC) rn FROM h WHERE seq < 20)
+            |  WHERE rn = 1 AND op <> 'd'),
+            |s2 AS (SELECT k, embedding FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY k
+            |      ORDER BY seq DESC) rn FROM h WHERE seq < 40)
+            |  WHERE rn = 1 AND op <> 'd'),
+            |cent AS (SELECT vec_id AS cid, embedding AS cv
+            |  FROM embeddings WHERE vec_id < 8),
+            |j AS (SELECT coalesce(s1.k, s2.k) AS k,
+            |    s1.embedding AS e1, s2.embedding AS e2,
+            |    s1.k IS NOT NULL AS has1, s2.k IS NOT NULL AS has2
+            |  FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k),
+            |rem0 AS (SELECT k, e1 AS embedding FROM j
+            |  WHERE has1 AND (NOT has2 OR e1 IS DISTINCT FROM e2)),
+            |add0 AS (SELECT k, e2 AS embedding FROM j
+            |  WHERE has2 AND (NOT has1 OR e1 IS DISTINCT FROM e2)),
+            |a1 AS (SELECT k, cid FROM (SELECT s.k, c.cid,
+            |    row_number() OVER (PARTITION BY s.k
+            |      ORDER BY ${cosFpSql("s.embedding", "c.cv")} DESC,
+            |        c.cid ASC) rn FROM s1 s, cent c) WHERE rn = 1),
+            |a2 AS (SELECT k, cid FROM (SELECT s.k, c.cid,
+            |    row_number() OVER (PARTITION BY s.k
+            |      ORDER BY ${cosFpSql("s.embedding", "c.cv")} DESC,
+            |        c.cid ASC) rn FROM s2 s, cent c) WHERE rn = 1),
+            |ar AS (SELECT k, cid FROM (SELECT s.k, c.cid,
+            |    row_number() OVER (PARTITION BY s.k
+            |      ORDER BY ${cosFpSql("s.embedding", "c.cv")} DESC,
+            |        c.cid ASC) rn FROM rem0 s, cent c) WHERE rn = 1),
+            |aa AS (SELECT k, cid FROM (SELECT s.k, c.cid,
+            |    row_number() OVER (PARTITION BY s.k
+            |      ORDER BY ${cosFpSql("s.embedding", "c.cv")} DESC,
+            |        c.cid ASC) rn FROM add0 s, cent c) WHERE rn = 1),
+            |n1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_v1
+            |  FROM a1 GROUP BY 1),
+            |nr AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_removed
+            |  FROM ar GROUP BY 1),
+            |na AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_added
+            |  FROM aa GROUP BY 1),
+            |n2 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS n_v2
+            |  FROM a2 GROUP BY 1),
+            |cells AS (SELECT cid FROM n1 UNION SELECT cid FROM nr
+            |  UNION SELECT cid FROM na UNION SELECT cid FROM n2)
+            |SELECT c.cid, coalesce(n1.n_v1, 0) AS n_v1,
+            |  coalesce(nr.n_removed, 0) AS n_removed,
+            |  coalesce(na.n_added, 0) AS n_added,
+            |  coalesce(n1.n_v1, 0) - coalesce(nr.n_removed, 0)
+            |    + coalesce(na.n_added, 0) AS n_incr,
+            |  coalesce(n2.n_v2, 0) AS n_v2,
+            |  CAST(CASE WHEN coalesce(n1.n_v1, 0)
+            |      - coalesce(nr.n_removed, 0) + coalesce(na.n_added, 0)
+            |      = coalesce(n2.n_v2, 0) THEN 1 ELSE 0 END AS BIGINT)
+            |    AS agree
+            |FROM cells c
+            |LEFT JOIN n1 ON n1.cid = c.cid
+            |LEFT JOIN nr ON nr.cid = c.cid
+            |LEFT JOIN na ON na.cid = c.cid
+            |LEFT JOIN n2 ON n2.cid = c.cid
+            |ORDER BY c.cid""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -1768,5 +1906,6 @@ object VectorQueries {
     q94KnnTopKAgg, q102CrossLabelPairs, q109RetrievalMetrics,
     q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
     q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling,
-    q175IvfCellBalance, q178HashEmbedding, q184DenseChunkRetrieval)
+    q175IvfCellBalance, q178HashEmbedding, q184DenseChunkRetrieval,
+    q185CdfIndexMaintenance)
 }
