@@ -45,9 +45,22 @@ object Medallion {
     * checkpointed. The 1h watermark mirrors the reference; duplicates
     * arriving beyond it can re-emit (O26), which the gold read backstops
     * exactly like the reference's batch current-inventory recompute.
+    *
+    * `expectations` composes the DLT expect_or_drop gate INTO the
+    * checkpointed stream ([[graft.operators.Expectations
+    * .streamingGate]]), downstream of the watermark + stateful dedup
+    * and the PII scrub — gating what would otherwise LAND in silver,
+    * DLT's placement. Violation metrics ride the stream's own named
+    * observe channel (no second scan, no extra state); the return
+    * value sums them across micro-batches (`n_input`, `viol_<rule>`;
+    * empty when no rules). StreamingOpsSpec proves the streamed counts
+    * equal a batch [[graft.operators.Expectations.observedGate]] over
+    * the same replay.
     */
   def runSilver(spark: SparkSession, root: String,
-      scrubColumns: Seq[String] = Nil): Unit = {
+      scrubColumns: Seq[String] = Nil,
+      expectations: Seq[graft.operators.Expectations.Rule] = Nil,
+      observeName: String = "silver_expectations"): Map[String, Long] = {
     val bronzeSchema = spark.read.parquet(s"$root/bronze").schema
     val parsed = PosPipeline.parseEvents(
       spark.readStream.schema(bronzeSchema).parquet(s"$root/bronze")
@@ -62,15 +75,30 @@ object Medallion {
     // no state, no event-time semantics, no shuffle
     // ([[graft.operators.PiiScrub]]; StreamingOpsSpec proves the
     // composition).
-    val q = scrubColumns
+    val scrubbed = scrubColumns
       .foldLeft(deduped)((df, c) =>
         df.withColumn(c, graft.operators.PiiScrub.redact(col(c))))
+    val gated =
+      if (expectations.isEmpty) scrubbed
+      else graft.operators.Expectations
+        .streamingGate(scrubbed, expectations, observeName)
+    val q = gated
       .writeStream.format("parquet")
       .option("path", s"$root/silver")
       .option("checkpointLocation", s"$root/ckpt/silver")
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
+    if (expectations.isEmpty) Map.empty
+    else q.recentProgress.toSeq
+      .flatMap(p => Option(p.observedMetrics.get(observeName)))
+      .flatMap { row =>
+        row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
+          // sum() over an empty micro-batch observes null — count as 0
+          f -> Option(row.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+        }
+      }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
   }
 
   /** Gold: the current-inventory recompute over the silver table + the

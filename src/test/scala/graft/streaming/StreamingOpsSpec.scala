@@ -275,4 +275,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(ids == Set("t1 reach [EMAIL]", "t2 from [IP]", "t3 call [PHONE]"),
       s"typed placeholders expected, got $ids")
   }
+
+  test("streamed expectation metrics equal the batch observe numbers on the same replay") {
+    // expect_or_drop composed INTO the checkpointed silver stream:
+    // the per-micro-batch named-observe violation counts, summed,
+    // must equal one batch observedGate pass over the same bronze
+    // replay — and only all-rules-passing rows may land in silver
+    import graft.operators.Expectations
+    import graft.pos.PosPipeline
+    val root = java.nio.file.Files.createTempDirectory("graft-expect").toString
+    def rec(trans: String, item: Int, qty: String) =
+      s"""{"trans_id":"$trans","store_id":1,""" +
+        s""""date_time":"2024-01-01 10:00:00","change_type_id":1,""" +
+        s""""items":[{"item_id":$item,"quantity":$qty}]}"""
+    Seq(rec("t1", 1, "5"), rec("t1", 1, "5"), // duplicate: not an input twice
+      rec("t2", 2, "-3"), // violates qty_positive
+      rec("t3", 3, "null"), // violates qty_present
+      rec("t4", 4, "2"))
+      .toDF("value").write.parquet(s"$root/bronze")
+    val rules = Seq(
+      Expectations.Rule("qty_present", col("quantity").isNotNull),
+      Expectations.Rule("qty_positive", col("quantity") > 0))
+    val streamed = Medallion.runSilver(spark, root, expectations = rules)
+    val batch = PosPipeline.parseEvents(
+      spark.read.parquet(s"$root/bronze")
+        .withColumn("value", col("value").cast("string")))
+      .dropDuplicates("trans_id", "item_id")
+    val (gated, obs) = Expectations.observedGate(batch, rules)
+    val nPass = gated.count()
+    val expected = obs.get.map { case (k, v) => k -> v.asInstanceOf[Long] }
+    assert(streamed == expected,
+      s"streamed metrics $streamed must equal batch observe $expected")
+    // a null quantity fails BOTH rules (a rule that cannot evaluate
+    // did not pass — DLT semantics), so qty_positive counts t2 and t3
+    assert(streamed("n_input") == 4 && streamed("viol_qty_present") == 1 &&
+      streamed("viol_qty_positive") == 2)
+    val silver = spark.read.parquet(s"$root/silver")
+    assert(silver.count() == nPass,
+      "only all-rules-passing rows may land in silver")
+    assert(silver.select("trans_id").collect().map(_.getString(0)).toSet
+      == Set("t1", "t4"), "gated rows are exactly the passing ones")
+  }
 }
