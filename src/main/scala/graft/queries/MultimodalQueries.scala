@@ -79,6 +79,94 @@ object MultimodalQueries {
   private def h60(e: String): String =
     s"('0x'||substring(md5($e),1,15))::BIGINT"
 
+  private val CdcWin = 8 // rolling-window width for boundary detection
+  private val CdcMod = 64 // boundary divisor ⇒ ~64-byte expected chunks
+
+  /** q188: CONTENT-DEFINED CHUNKING + storage dedup — the rsync/LBFS
+    * primitive object stores and artifact caches use to deduplicate
+    * binary payloads WITHOUT any format knowledge: a chunk boundary
+    * falls after byte `e` whenever hash60 of the $CdcWin-byte window
+    * ending at `e` ≡ 0 (mod $CdcMod), so boundaries are a pure
+    * function of LOCAL content — an insertion re-chunks only its
+    * neighborhood while every downstream chunk's identity survives
+    * (fixed-size blocks would shift-invalidate all of them; Muthitacharoen
+    * et al., LBFS SOSP'01). The query chunks every blob, then audits
+    * the corpus-level dedup win: distinct-chunk bytes vs total bytes.
+    * Scale shape: the per-byte rolling hash and the chunk slicing are
+    * entirely row-local (transform/filter HOFs + one posexplode — the
+    * blob never leaves its scan task); only (chunk_md5, len) pairs
+    * shuffle into the two keyed aggs, so network cost is metadata-
+    * scale, never payload-scale. Blobs are the documents' text bytes
+    * (q97's convention) so the oracle replays identical windows as
+    * string slices.
+    */
+  val q188ContentChunks = NamedQuery(
+    "q188_content_chunks",
+    s"Content-defined chunking (hash60 of $CdcWin-byte windows mod " +
+      s"$CdcMod) + corpus dedup audit: distinct-chunk bytes vs total, " +
+      "row-local boundaries, metadata-scale shuffles.",
+    (s, d) => {
+      val h = s"CAST(conv(substring(md5(substring(text, " +
+        s"CAST(e - ${CdcWin - 1} AS INT), $CdcWin)), 1, 15), 16, 10) AS BIGINT)"
+      val base = Tables.documents(s, d)
+        .withColumn("n", octet_length(col("text").cast("binary")).cast("long"))
+        .filter(col("n") >= CdcWin)
+      val chunks = base.select(col("doc_id"), col("text"),
+          expr(s"""array_sort(array_distinct(concat(
+            filter(transform(sequence(CAST($CdcWin AS BIGINT), n),
+              e -> CASE WHEN $h % $CdcMod = 0 THEN e END),
+              x -> x IS NOT NULL),
+            array(n))))""").as("cuts"))
+        .select(col("doc_id"), col("text"), col("cuts"),
+          posexplode(col("cuts")).as(Seq("k", "cut")))
+        .withColumn("prev", expr(
+          "CASE WHEN k = 0 THEN CAST(0 AS BIGINT) ELSE element_at(cuts, k) END"))
+        .select((col("cut") - col("prev")).as("len"),
+          md5(expr("substring(text, CAST(prev + 1 AS INT), " +
+            "CAST(cut - prev AS INT))")).as("chunk_md5"))
+      val nm = base.agg(count(lit(1)).as("n_media"))
+      val tot = chunks.agg(count(lit(1)).as("n_chunks"),
+        sum("len").as("total_bytes"))
+      val dst = chunks.groupBy("chunk_md5").agg(max("len").as("len"))
+        .agg(count(lit(1)).as("n_distinct"),
+          sum("len").as("distinct_bytes"))
+      nm.crossJoin(broadcast(tot)).crossJoin(broadcast(dst))
+        .withColumn("dedup_fp",
+          expr("(distinct_bytes * 1000000) div total_bytes"))
+        .withColumn("mean_chunk_bytes", expr("total_bytes div n_chunks"))
+        .select("n_media", "n_chunks", "total_bytes", "n_distinct",
+          "distinct_bytes", "dedup_fp", "mean_chunk_bytes")
+    },
+    Some(s"""WITH base AS (SELECT doc_id, text,
+            |    CAST(octet_length(text::BLOB) AS BIGINT) AS n
+            |  FROM documents WHERE octet_length(text::BLOB) >= $CdcWin),
+            |bounds AS (SELECT doc_id, e FROM base,
+            |    unnest(range($CdcWin, n + 1)) AS t(e)
+            |  WHERE ${h60(s"substring(text, CAST(e - ${CdcWin - 1} AS INT), $CdcWin)")}
+            |    % $CdcMod = 0
+            |  UNION SELECT doc_id, n FROM base),
+            |cuts AS (SELECT doc_id,
+            |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+            |      AS prev, e AS cut
+            |  FROM bounds),
+            |payload AS (SELECT c.doc_id, cut - prev AS len,
+            |    md5(substring(t.text, CAST(prev + 1 AS INT),
+            |      CAST(cut - prev AS INT))) AS chunk_md5
+            |  FROM cuts c JOIN base t USING (doc_id)),
+            |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_media FROM base),
+            |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+            |    CAST(SUM(len) AS BIGINT) AS total_bytes FROM payload),
+            |dst AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_distinct,
+            |    CAST(SUM(len) AS BIGINT) AS distinct_bytes FROM
+            |    (SELECT chunk_md5, MAX(len) AS len FROM payload
+            |     GROUP BY 1))
+            |SELECT n_media, n_chunks, total_bytes, n_distinct,
+            |  distinct_bytes,
+            |  CAST((distinct_bytes * 1000000) // total_bytes AS BIGINT)
+            |    AS dedup_fp,
+            |  CAST(total_bytes // n_chunks AS BIGINT) AS mean_chunk_bytes
+            |FROM nm, tot, dst""".stripMargin))
+
   private val Win = 8 // signature byte-window width
   private val Stp = 4 // window stride (overlapping: each byte in 2 windows)
 
@@ -226,5 +314,5 @@ object MultimodalQueries {
 
   val all: Seq[NamedQuery] =
     Seq(q25BinaryFeatures, q97FrameSample, q160MediaNearDup,
-      q173MediaIntegrity)
+      q173MediaIntegrity, q188ContentChunks)
 }

@@ -1346,7 +1346,10 @@ object TextQueries {
            |WHERE len(ts) >= 3
            |GROUP BY g ORDER BY n DESC, gram ASC LIMIT 20""".stripMargin))
 
-  private val Bm25Terms = Seq("dup", "vector", "join")
+  // shared with VectorQueries' dense chunk tier (q184/q186/q187): the
+  // lexical and dense RAG read paths run the SAME query for direct
+  // comparison and fusion
+  private[queries] val Bm25Terms = Seq("dup", "vector", "join")
 
   /** q86: BM25 retrieval scoring, integer-exact. The BM25 term weight
     * with k1 = 6/5, b = 3/4 and avgdl = T/N reduces to pure integer
@@ -2140,33 +2143,84 @@ object TextQueries {
     * TakeOrderedAndProject (no global sort), with rank assigned by a
     * 10-row window after the take.
     */
+  /** BM25-scored 64/16 chunks against [[Bm25Terms]] (q161's pre-top-k
+    * derivation), shared with the hybrid fusion (q187): one row per
+    * query-term-matching chunk, `(doc_id, chunk_idx,
+    * first_token_offset, dl, n_terms, score_fp)`.
+    */
+  private[queries] def chunkBm25Scored(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val chunks = graft.operators.Chunker
+      .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
+    val stats = chunks.agg(count(lit(1)).as("n_chunks"),
+      sum("n_chunk_tokens").as("t_total"))
+    val tf = chunks
+      .select(col("doc_id"), col("chunk_idx"), col("first_token_offset"),
+        col("n_chunk_tokens").as("dl"),
+        explode(tokens(col("chunk_text"))).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy("doc_id", "chunk_idx", "first_token_offset", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+    val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("term"), expr("(1000 * n_chunks) div df").as("idf_fp3"))
+    tf.join(broadcast(idf), "term")
+      .crossJoin(broadcast(stats))
+      .withColumn("contrib", expr(
+        "(idf_fp3 * 44 * tf * t_total) div " +
+          "(20 * tf * t_total + 6 * t_total + 18 * n_chunks * dl)"))
+      .groupBy("doc_id", "chunk_idx", "first_token_offset", "dl")
+      .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_fp"))
+  }
+
+  /** DuckDB CTE bodies shared by the chunk-retrieval oracles
+    * (q161/q184/q186/q187): `ChunkCtesSql` derives the 64/16 chunk
+    * table (`chunks(doc_id, chunk_idx, first_token_offset, dl, ct)`);
+    * `chunkBm25CtesSql` scores it against [[Bm25Terms]] into
+    * `lscored` (q161's `scored`, renamed to coexist with the dense
+    * CTEs). Both are WITH-clause fragments, not full statements.
+    */
+  private[queries] val ChunkCtesSql: String =
+    """toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts
+      |  FROM documents),
+      |chunks AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
+      |    CAST(k*48 AS BIGINT) AS first_token_offset,
+      |    CAST(least(64, n - k*48) AS BIGINT) AS dl,
+      |    ts[k*48+1 : k*48+64] AS ct
+      |  FROM (SELECT doc_id, ts, len(ts) AS n,
+      |      unnest(range(0, ((len(ts)-1)//48)+1)) AS k
+      |    FROM toks WHERE len(ts) > 0))""".stripMargin
+
+  private[queries] def chunkBm25CtesSql: String = {
+    val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
+    s"""stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |    CAST(SUM(dl) AS BIGINT) AS t_total FROM chunks),
+       |tf AS (SELECT doc_id, chunk_idx, first_token_offset, dl, term,
+       |    CAST(COUNT(*) AS BIGINT) AS tf FROM
+       |    (SELECT doc_id, chunk_idx, first_token_offset, dl,
+       |       unnest(ct) AS term FROM chunks)
+       |  WHERE term IN ($terms)
+       |  GROUP BY doc_id, chunk_idx, first_token_offset, dl, term),
+       |idf AS (SELECT term, (1000 * n_chunks) // df AS idf_fp3 FROM
+       |    (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+       |     GROUP BY term), stats),
+       |lscored AS (SELECT tf.doc_id, tf.chunk_idx,
+       |    tf.first_token_offset, tf.dl,
+       |    CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |    CAST(SUM((idf_fp3 * 44 * tf * t_total) //
+       |      (20 * tf * t_total + 6 * t_total + 18 * n_chunks * dl))
+       |      AS BIGINT) AS score_fp
+       |  FROM tf JOIN idf USING (term), stats
+       |  GROUP BY tf.doc_id, tf.chunk_idx, tf.first_token_offset, tf.dl)""".stripMargin
+  }
+
   val q161ChunkRetrieval = NamedQuery(
     "q161_chunk_retrieval",
     "RAG retrieval: BM25 top-10 over 64/16 token chunks with " +
       "(doc_id, chunk_idx, offset) provenance — chunk-level dl/df, " +
       "integer rational scoring, TakeOrderedAndProject top-k.",
-    (s, d) => {
-      val chunks = graft.operators.Chunker
-        .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
-      val stats = chunks.agg(count(lit(1)).as("n_chunks"),
-        sum("n_chunk_tokens").as("t_total"))
-      val tf = chunks
-        .select(col("doc_id"), col("chunk_idx"), col("first_token_offset"),
-          col("n_chunk_tokens").as("dl"),
-          explode(tokens(col("chunk_text"))).as("term"))
-        .filter(col("term").isin(Bm25Terms: _*))
-        .groupBy("doc_id", "chunk_idx", "first_token_offset", "dl", "term")
-        .agg(count(lit(1)).as("tf"))
-      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
-        .crossJoin(broadcast(stats))
-        .select(col("term"), expr("(1000 * n_chunks) div df").as("idf_fp3"))
-      tf.join(broadcast(idf), "term")
-        .crossJoin(broadcast(stats))
-        .withColumn("contrib", expr(
-          "(idf_fp3 * 44 * tf * t_total) div " +
-            "(20 * tf * t_total + 6 * t_total + 18 * n_chunks * dl)"))
-        .groupBy("doc_id", "chunk_idx", "first_token_offset", "dl")
-        .agg(count(lit(1)).as("n_terms"), sum("contrib").as("score_fp"))
+    (s, d) =>
+      chunkBm25Scored(s, d)
         .orderBy(col("score_fp").desc, col("doc_id").asc,
           col("chunk_idx").asc)
         .limit(10)
@@ -2174,45 +2228,15 @@ object TextQueries {
           Window.orderBy(col("score_fp").desc, col("doc_id").asc,
             col("chunk_idx").asc)).cast("long"))
         .select("doc_id", "chunk_idx", "first_token_offset", "dl",
-          "n_terms", "score_fp", "rank")
-    },
-    Some {
-      val terms = Bm25Terms.map(t => s"'$t'").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts
-         |  FROM documents),
-         |chunks AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
-         |    CAST(k*48 AS BIGINT) AS first_token_offset,
-         |    CAST(least(64, n - k*48) AS BIGINT) AS dl,
-         |    ts[k*48+1 : k*48+64] AS ct
-         |  FROM (SELECT doc_id, ts, len(ts) AS n,
-         |      unnest(range(0, ((len(ts)-1)//48)+1)) AS k
-         |    FROM toks WHERE len(ts) > 0)),
-         |stats AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
-         |    CAST(SUM(dl) AS BIGINT) AS t_total FROM chunks),
-         |tf AS (SELECT doc_id, chunk_idx, first_token_offset, dl, term,
-         |    CAST(COUNT(*) AS BIGINT) AS tf FROM
-         |    (SELECT doc_id, chunk_idx, first_token_offset, dl,
-         |       unnest(ct) AS term FROM chunks)
-         |  WHERE term IN ($terms)
-         |  GROUP BY doc_id, chunk_idx, first_token_offset, dl, term),
-         |idf AS (SELECT term, (1000 * n_chunks) // df AS idf_fp3 FROM
-         |    (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf
-         |     GROUP BY term), stats),
-         |scored AS (SELECT tf.doc_id, tf.chunk_idx,
-         |    tf.first_token_offset, tf.dl,
-         |    CAST(COUNT(*) AS BIGINT) AS n_terms,
-         |    CAST(SUM((idf_fp3 * 44 * tf * t_total) //
-         |      (20 * tf * t_total + 6 * t_total + 18 * n_chunks * dl))
-         |      AS BIGINT) AS score_fp
-         |  FROM tf JOIN idf USING (term), stats
-         |  GROUP BY tf.doc_id, tf.chunk_idx, tf.first_token_offset, tf.dl)
-         |SELECT doc_id, chunk_idx, first_token_offset, dl, n_terms,
-         |  score_fp,
-         |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC,
-         |    chunk_idx ASC) AS BIGINT) AS rank
-         |FROM scored
-         |ORDER BY score_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin
-    })
+          "n_terms", "score_fp", "rank"),
+    Some(s"""WITH $ChunkCtesSql,
+            |$chunkBm25CtesSql
+            |SELECT doc_id, chunk_idx, first_token_offset, dl, n_terms,
+            |  score_fp,
+            |  CAST(row_number() OVER (ORDER BY score_fp DESC, doc_id ASC,
+            |    chunk_idx ASC) AS BIGINT) AS rank
+            |FROM lscored
+            |ORDER BY score_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin))
 
   /** q162: N-GRAM NOVELTY CURVE — how much genuinely new content each
     * document adds when the corpus is ingested in doc_id order: a

@@ -1568,25 +1568,6 @@ object VectorQueries {
            |SELECT query_id, neighbor_id, cos_fp, rank FROM ranked
            |WHERE rank <= 3 ORDER BY query_id, rank""".stripMargin))
 
-  // the dense twin of q161's lexical query: same three terms, so the
-  // two RAG read paths are directly comparable on the same corpus
-  private val DenseQueryTerms = Seq("dup", "vector", "join")
-
-  /** floor(dot/(‖a‖·‖b‖)·1e6) with integer dot and integer squared
-    * norms — the one double step, in the identical op order as q178's
-    * oracle (divide, then scale, then floor).
-    */
-  private def intCosFp(dot: org.apache.spark.sql.Column,
-      nn1: org.apache.spark.sql.Column,
-      nn2: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    floor(dot.cast("double") /
-      (sqrt(nn1.cast("double")) * sqrt(nn2.cast("double"))) *
-      lit(1000000.0)).cast("long")
-
-  private def intCosFpSql(dot: String, nn1: String, nn2: String): String =
-    s"CAST(floor($dot / (sqrt(CAST($nn1 AS DOUBLE)) * " +
-      s"sqrt(CAST($nn2 AS DOUBLE))) * 1000000.0) AS BIGINT)"
-
   /** q184: DENSE CHUNK RETRIEVAL — the dense sibling of q161's BM25
     * chunk read path, composed end-to-end from shipped pieces: chunk
     * every document (64/16, [[graft.operators.Chunker]] = q159's
@@ -1615,150 +1596,25 @@ object VectorQueries {
       "IVF assign to doc-centroids -> probe 2 cells -> cosine top-10 " +
       "chunks with provenance; integer components, fp6 cosine.",
     (s, d) => {
-      import graft.functions.TextFunctions.{hash60, tokens}
       import org.apache.spark.sql.expressions.Window
-      val signedOne = when(expr("(h div 16) % 2") === 0, 1L).otherwise(-1L)
-      // chunk-level feature-hash components: one (chunk, dim) hash-agg,
-      // cached — cell assignment AND query scoring both read it
-      val ccomp = graft.operators.Chunker
-        .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
-        .select(col("doc_id"), col("chunk_idx"), col("first_token_offset"),
-          explode(tokens(col("chunk_text"))).as("term"))
-        .withColumn("h", hash60(concat(lit("fh:"), col("term"))))
-        .groupBy(col("doc_id"), col("chunk_idx"),
-          col("first_token_offset"), (col("h") % 16).as("j"))
-        .agg(sum(signedOne).as("v"))
-        .filter(col("v") =!= 0)
-        .cache()
-      val cnorm = ccomp.groupBy("doc_id", "chunk_idx")
-        .agg(sum(col("v") * col("v")).as("nn"))
-      // frozen coarse centroids: doc-level hash embeddings of docs 0-7
-      val dcomp = Tables.documents(s, d).filter(col("doc_id") < 8)
-        .select(col("doc_id").as("cid"), explode(tokens(col("text"))).as("term"))
-        .withColumn("h", hash60(concat(lit("fh:"), col("term"))))
-        .groupBy(col("cid"), (col("h") % 16).as("j"))
-        .agg(sum(signedOne).as("cv"))
-        .filter(col("cv") =!= 0)
-      val dnorm = dcomp.groupBy("cid").agg(sum(col("cv") * col("cv")).as("ncc"))
-      // query components: md5-derived on the driver (the oracle replays
-      // the same derivation in SQL), shipped as a <=16-row literal frame
-      val md = java.security.MessageDigest.getInstance("MD5")
-      def h60(x: String): Long = java.lang.Long.parseLong(
-        md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
-      val qcomp0 = DenseQueryTerms.map(t => h60("fh:" + t))
-        .groupBy(_ % 16).view
-        .mapValues(_.map(h => if ((h / 16) % 2 == 0) 1L else -1L).sum)
-        .toSeq.filter(_._2 != 0L)
-      val nq = qcomp0.map { case (_, v) => v * v }.sum
-      import s.implicits._
-      val qcomp = qcomp0.toDF("j", "qv")
-      // cell assignment: broadcast centroid components, dim-keyed dots,
-      // argmax per chunk by (cos_fp desc, cid asc) — ivfAssign's shape
-      val pairdot = ccomp.join(broadcast(dcomp), Seq("j"))
-        .groupBy("doc_id", "chunk_idx", "cid")
-        .agg(sum(col("v") * col("cv")).as("dot"))
-      val assigned = pairdot
-        .join(cnorm, Seq("doc_id", "chunk_idx"))
-        .join(broadcast(dnorm), Seq("cid"))
-        .withColumn("cos_fp", intCosFp(col("dot"), col("nn"), col("ncc")))
-        .groupBy("doc_id", "chunk_idx")
-        .agg(max_by(col("cid"), struct(col("cos_fp"), -col("cid"))).as("cid"))
-      // the query probes its 2 best cells (8 centroids — driver-scale)
-      val probes = dcomp.join(broadcast(qcomp), Seq("j"))
-        .groupBy("cid").agg(sum(col("cv") * col("qv")).as("dot"))
-        .join(dnorm, Seq("cid"))
-        .withColumn("cos_fp", intCosFp(col("dot"), lit(nq), col("ncc")))
-        .orderBy(col("cos_fp").desc, col("cid").asc).limit(2)
-        .select("cid")
-      // score ONLY chunks assigned to probed cells; rank after the take
-      val cand = assigned.join(broadcast(probes), Seq("cid"))
-        .select("doc_id", "chunk_idx")
+      val p = DenseChunks.parts(s, d)
+      val cand = DenseChunks.probedCandidates(p, nprobe = 2)
       val wRank = Window.orderBy(col("cos_fp").desc, col("doc_id").asc,
         col("chunk_idx").asc)
-      ccomp.join(cand, Seq("doc_id", "chunk_idx"), "left_semi")
-        .join(broadcast(qcomp), Seq("j"))
-        .groupBy("doc_id", "chunk_idx", "first_token_offset")
-        .agg(sum(col("v") * col("qv")).as("dot"))
-        .join(cnorm, Seq("doc_id", "chunk_idx"))
-        .withColumn("cos_fp", intCosFp(col("dot"), lit(nq), col("nn")))
+      DenseChunks.scoredVsQuery(p, Some(cand))
         .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
         .limit(10)
         .withColumn("rank", row_number().over(wRank).cast("long"))
         .select("doc_id", "chunk_idx", "first_token_offset", "cos_fp", "rank")
     },
-    Some {
-      val values = DenseQueryTerms.map(t => s"('$t')").mkString(", ")
-      s"""WITH toks AS (SELECT doc_id, string_split(lower(text),' ') AS ts
-         |  FROM documents),
-         |chunks AS (SELECT doc_id, CAST(k AS BIGINT) AS chunk_idx,
-         |    CAST(k*48 AS BIGINT) AS first_token_offset,
-         |    ts[k*48+1 : k*48+64] AS ct
-         |  FROM (SELECT doc_id, ts, len(ts) AS n,
-         |      unnest(range(0, ((len(ts)-1)//48)+1)) AS k
-         |    FROM toks WHERE len(ts) > 0)),
-         |chx AS (SELECT doc_id, chunk_idx, first_token_offset,
-         |    ('0x'||substring(md5('fh:'||term),1,15))::BIGINT AS h
-         |  FROM (SELECT doc_id, chunk_idx, first_token_offset,
-         |        unnest(ct) AS term FROM chunks)),
-         |ccomp AS (SELECT doc_id, chunk_idx, first_token_offset,
-         |    h % 16 AS j,
-         |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
-         |      AS BIGINT) AS v
-         |  FROM chx GROUP BY 1, 2, 3, 4
-         |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
-         |cnorm AS (SELECT doc_id, chunk_idx, CAST(SUM(v*v) AS BIGINT) AS nn
-         |  FROM ccomp GROUP BY 1, 2),
-         |dhx AS (SELECT doc_id AS cid,
-         |    ('0x'||substring(md5('fh:'||term),1,15))::BIGINT AS h
-         |  FROM (SELECT doc_id, unnest(string_split(lower(text),' '))
-         |        AS term FROM documents WHERE doc_id < 8)),
-         |dcomp AS (SELECT cid, h % 16 AS j,
-         |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
-         |      AS BIGINT) AS cv
-         |  FROM dhx GROUP BY 1, 2
-         |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
-         |dnorm AS (SELECT cid, CAST(SUM(cv*cv) AS BIGINT) AS ncc
-         |  FROM dcomp GROUP BY 1),
-         |qhx AS (SELECT ('0x'||substring(md5('fh:'||t),1,15))::BIGINT AS h
-         |  FROM (VALUES $values) AS v(t)),
-         |qcomp AS (SELECT h % 16 AS j,
-         |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
-         |      AS BIGINT) AS qv
-         |  FROM qhx GROUP BY 1
-         |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
-         |qnorm AS (SELECT CAST(SUM(qv*qv) AS BIGINT) AS nq FROM qcomp),
-         |pairdot AS (SELECT c.doc_id, c.chunk_idx, d.cid,
-         |    CAST(SUM(c.v * d.cv) AS BIGINT) AS dot
-         |  FROM ccomp c JOIN dcomp d USING (j) GROUP BY 1, 2, 3),
-         |assigned AS (SELECT doc_id, chunk_idx, cid FROM (
-         |    SELECT p.doc_id, p.chunk_idx, p.cid,
-         |      row_number() OVER (PARTITION BY p.doc_id, p.chunk_idx
-         |        ORDER BY ${intCosFpSql("p.dot", "n.nn", "dn.ncc")} DESC,
-         |          p.cid ASC) AS rn
-         |    FROM pairdot p JOIN cnorm n USING (doc_id, chunk_idx)
-         |      JOIN dnorm dn USING (cid)) WHERE rn = 1),
-         |qcdot AS (SELECT d.cid, CAST(SUM(d.cv * q.qv) AS BIGINT) AS dot
-         |  FROM dcomp d JOIN qcomp q USING (j) GROUP BY 1),
-         |probes AS (SELECT cid FROM (SELECT c.cid,
-         |      ${intCosFpSql("c.dot", "qn.nq", "dn.ncc")} AS cos_fp
-         |    FROM qcdot c JOIN dnorm dn USING (cid), qnorm qn)
-         |  ORDER BY cos_fp DESC, cid ASC LIMIT 2),
-         |cand AS (SELECT a.doc_id, a.chunk_idx FROM assigned a
-         |  JOIN probes USING (cid)),
-         |cdot AS (SELECT c.doc_id, c.chunk_idx, c.first_token_offset,
-         |    CAST(SUM(c.v * q.qv) AS BIGINT) AS dot
-         |  FROM ccomp c JOIN qcomp q USING (j)
-         |    JOIN cand USING (doc_id, chunk_idx)
-         |  GROUP BY 1, 2, 3),
-         |scored AS (SELECT s.doc_id, s.chunk_idx, s.first_token_offset,
-         |    ${intCosFpSql("s.dot", "qn.nq", "n.nn")} AS cos_fp
-         |  FROM cdot s JOIN cnorm n USING (doc_id, chunk_idx), qnorm qn)
-         |SELECT doc_id, chunk_idx, first_token_offset, cos_fp,
-         |  CAST(row_number() OVER (ORDER BY cos_fp DESC, doc_id ASC,
-         |    chunk_idx ASC) AS BIGINT) AS rank
-         |FROM scored
-         |ORDER BY cos_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin
-    })
+    Some(s"""WITH ${TextQueries.ChunkCtesSql},
+            |${DenseChunks.ctesSql},
+            |${DenseChunks.candScoredCtesSql}
+            |SELECT doc_id, chunk_idx, first_token_offset, cos_fp,
+            |  CAST(row_number() OVER (ORDER BY cos_fp DESC, doc_id ASC,
+            |    chunk_idx ASC) AS BIGINT) AS rank
+            |FROM dscored
+            |ORDER BY cos_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin))
 
   /** q185: CHANGE-FEED-DRIVEN INDEX MAINTENANCE — the 100 TB answer to
     * "my corpus got a backfill, now fix the ANN index without
@@ -1898,6 +1754,147 @@ object VectorQueries {
             |LEFT JOIN n2 ON n2.cid = c.cid
             |ORDER BY c.cid""".stripMargin))
 
+  /** q186: DENSE-PATH RECALL EVALUATION — the q33-for-chunks: before a
+    * RAG system trusts the probed index (q184), it must know what the
+    * probe loses. Exact truth = brute-force cosine top-10 over ALL
+    * chunks in the same hash-embedding space; approx = q184's 2-of-8
+    * probed top-10; the output is the one row an index-tuning loop
+    * watches — recall@10 plus the candidate fraction the probe
+    * actually scanned (the cost side of the recall/cost trade; nprobe
+    * tuning moves both). Scale shape: everything reuses the cached
+    * (chunk, dim) component pass; the "brute force" side is still a
+    * dim-keyed hash-agg (never |chunks|² — brute force here means
+    * no candidate pruning, not pairwise blowup); both top-10s are
+    * bounded takes and the final row is a cross of four 1-row aggs.
+    */
+  val q186DenseRecall = NamedQuery(
+    "q186_dense_recall",
+    "recall@10 of the probed dense chunk path (q184) vs exact " +
+      "brute-force over all chunks, plus the scanned candidate " +
+      "fraction — the IVF recall/cost trade as one audit row.",
+    (s, d) => {
+      val p = DenseChunks.parts(s, d)
+      def top10(df: org.apache.spark.sql.DataFrame) = df
+        .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
+        .limit(10).select("doc_id", "chunk_idx")
+      val exact = top10(DenseChunks.scoredVsQuery(p, None)).cache()
+      val cand = DenseChunks.probedCandidates(p, nprobe = 2).cache()
+      val approx = top10(DenseChunks.scoredVsQuery(p, Some(cand)))
+      val tn = exact.agg(count(lit(1)).as("n_truth"))
+      val hn = exact.join(approx, Seq("doc_id", "chunk_idx"))
+        .agg(count(lit(1)).as("n_hit"))
+      val cn = cand.agg(count(lit(1)).as("n_candidates"))
+      val kn = p.cnorm.agg(count(lit(1)).as("n_chunks"))
+      tn.crossJoin(hn).crossJoin(cn).crossJoin(kn)
+        .withColumn("recall_fp", expr("(n_hit * 1000000) div n_truth"))
+        .withColumn("cand_frac_fp",
+          expr("(n_candidates * 1000000) div n_chunks"))
+        .select("n_truth", "n_hit", "recall_fp", "n_candidates",
+          "n_chunks", "cand_frac_fp")
+    },
+    Some(s"""WITH ${TextQueries.ChunkCtesSql},
+            |${DenseChunks.ctesSql},
+            |${DenseChunks.candScoredCtesSql},
+            |eall AS (SELECT c.doc_id, c.chunk_idx,
+            |    CAST(SUM(c.v * q.qv) AS BIGINT) AS dot
+            |  FROM ccomp c JOIN qcomp q USING (j) GROUP BY 1, 2),
+            |escored AS (SELECT e.doc_id, e.chunk_idx,
+            |    ${DenseChunks.intCosFpSql("e.dot", "qn.nq", "n.nn")} AS cos_fp
+            |  FROM eall e JOIN cnorm n USING (doc_id, chunk_idx), qnorm qn),
+            |exact AS (SELECT doc_id, chunk_idx FROM escored
+            |  ORDER BY cos_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10),
+            |approx AS (SELECT doc_id, chunk_idx FROM dscored
+            |  ORDER BY cos_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10),
+            |tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM exact),
+            |hn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_hit
+            |  FROM exact JOIN approx USING (doc_id, chunk_idx)),
+            |cn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+            |kn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks FROM cnorm)
+            |SELECT n_truth, n_hit,
+            |  CAST((n_hit * 1000000) // n_truth AS BIGINT) AS recall_fp,
+            |  n_candidates, n_chunks,
+            |  CAST((n_candidates * 1000000) // n_chunks AS BIGINT)
+            |    AS cand_frac_fp
+            |FROM tn, hn, cn, kn""".stripMargin))
+
+  /** q187: HYBRID CHUNK RETRIEVAL — reciprocal-rank fusion of the two
+    * RAG read paths over the SAME query and the SAME chunk table:
+    * q161's lexical BM25 top-10 and q184's probed dense top-10, fused
+    * by integer RRF (Σ 1e6 div (60 + rank), the q150 discipline at
+    * chunk granularity). Hybrid is what production retrieval actually
+    * ships — lexical nails exact-term matches, dense recalls
+    * paraphrases, and RRF needs no score calibration between the two
+    * scales (ranks only). Scale shape: both inputs are bounded
+    * 10-row takes over pipelines whose shapes are already guarded
+    * (q161/q184); the fusion is a full-outer join of two 10-row
+    * frames and every window runs post-limit.
+    */
+  val q187HybridChunkRrf = NamedQuery(
+    "q187_hybrid_chunk_rrf",
+    "Hybrid RAG: BM25 (q161) + probed dense (q184) chunk top-10s " +
+      "fused by integer reciprocal-rank fusion; ranks-only, no score " +
+      "calibration; top-10 with both source ranks.",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def rankW(sc: org.apache.spark.sql.Column) =
+        Window.orderBy(sc.desc, col("doc_id").asc, col("chunk_idx").asc)
+      val lex = TextQueries.chunkBm25Scored(s, d)
+        .orderBy(col("score_fp").desc, col("doc_id").asc,
+          col("chunk_idx").asc)
+        .limit(10)
+        .withColumn("lex_rank",
+          row_number().over(rankW(col("score_fp"))).cast("long"))
+        .select("doc_id", "chunk_idx", "lex_rank")
+      val p = DenseChunks.parts(s, d)
+      val den = DenseChunks
+        .scoredVsQuery(p, Some(DenseChunks.probedCandidates(p, nprobe = 2)))
+        .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
+        .limit(10)
+        .withColumn("den_rank",
+          row_number().over(rankW(col("cos_fp"))).cast("long"))
+        .select("doc_id", "chunk_idx", "den_rank")
+      lex.join(den, Seq("doc_id", "chunk_idx"), "full_outer")
+        .withColumn("rrf_fp6",
+          coalesce(expr("CAST(1000000 div (60 + lex_rank) AS BIGINT)"), lit(0L)) +
+            coalesce(expr("CAST(1000000 div (60 + den_rank) AS BIGINT)"), lit(0L)))
+        .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+        .withColumn("den_rank", coalesce(col("den_rank"), lit(0L)))
+        .orderBy(col("rrf_fp6").desc, col("doc_id").asc, col("chunk_idx").asc)
+        .limit(10)
+        .withColumn("fused_rank",
+          row_number().over(rankW(col("rrf_fp6"))).cast("long"))
+        .select("doc_id", "chunk_idx", "lex_rank", "den_rank",
+          "rrf_fp6", "fused_rank")
+    },
+    Some(s"""WITH ${TextQueries.ChunkCtesSql},
+            |${TextQueries.chunkBm25CtesSql},
+            |${DenseChunks.ctesSql},
+            |${DenseChunks.candScoredCtesSql},
+            |lex AS (SELECT doc_id, chunk_idx,
+            |    CAST(row_number() OVER (ORDER BY score_fp DESC,
+            |      doc_id ASC, chunk_idx ASC) AS BIGINT) AS lex_rank
+            |  FROM (SELECT * FROM lscored ORDER BY score_fp DESC,
+            |    doc_id ASC, chunk_idx ASC LIMIT 10)),
+            |den AS (SELECT doc_id, chunk_idx,
+            |    CAST(row_number() OVER (ORDER BY cos_fp DESC,
+            |      doc_id ASC, chunk_idx ASC) AS BIGINT) AS den_rank
+            |  FROM (SELECT * FROM dscored ORDER BY cos_fp DESC,
+            |    doc_id ASC, chunk_idx ASC LIMIT 10)),
+            |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+            |    COALESCE(l.chunk_idx, v.chunk_idx) AS chunk_idx,
+            |    COALESCE(l.lex_rank, 0) AS lex_rank,
+            |    COALESCE(v.den_rank, 0) AS den_rank,
+            |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+            |      + COALESCE(1000000 // (60 + v.den_rank), 0) AS BIGINT)
+            |      AS rrf_fp6
+            |  FROM lex l FULL OUTER JOIN den v
+            |    ON l.doc_id = v.doc_id AND l.chunk_idx = v.chunk_idx)
+            |SELECT doc_id, chunk_idx, lex_rank, den_rank, rrf_fp6,
+            |  CAST(row_number() OVER (ORDER BY rrf_fp6 DESC, doc_id ASC,
+            |    chunk_idx ASC) AS BIGINT) AS fused_rank
+            |FROM fused
+            |ORDER BY rrf_fp6 DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -1907,5 +1904,200 @@ object VectorQueries {
     q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
     q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling,
     q175IvfCellBalance, q178HashEmbedding, q184DenseChunkRetrieval,
-    q185CdfIndexMaintenance)
+    q185CdfIndexMaintenance, q186DenseRecall, q187HybridChunkRrf)
+}
+
+/** The dense chunk-retrieval tier shared by q184 (read path), q186
+  * (recall eval) and q187 (hybrid fusion): 64/16 token chunks
+  * ([[graft.operators.Chunker]]) hash-embedded into 16 integer dims
+  * (q178's feature-hashing construction at chunk granularity), with
+  * frozen doc-level coarse centroids and a driver-literal query vector
+  * over [[TextQueries.Bm25Terms]] — the same three terms as the
+  * lexical path, so the two read paths are directly comparable.
+  *
+  * Scale shape (the part every consumer inherits): the (chunk, dim)
+  * component table is ONE hash-agg over the chunk scan, cached because
+  * assignment and query scoring both read it; centroid components
+  * (≤128 rows), probes and query components are all broadcast; dot
+  * products accumulate through dim-keyed joins — vectors never
+  * materialize as arrays and nothing quadratic shuffles.
+  *
+  * SQL mirrors: [[ctesSql]] (components → assignment → probes) and
+  * [[candScoredCtesSql]] (probed-candidate scoring → `dscored`) are
+  * WITH-fragments over [[TextQueries.ChunkCtesSql]]'s `chunks` CTE.
+  */
+private[queries] object DenseChunks {
+  import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+  import org.apache.spark.sql.functions._
+  import graft.Tables
+  import graft.functions.TextFunctions.{hash60, tokens}
+
+  final case class Parts(ccomp: DataFrame, cnorm: DataFrame,
+    dcomp: DataFrame, dnorm: DataFrame, qcomp: DataFrame, nq: Long)
+
+  /** floor(dot/(‖a‖·‖b‖)·1e6) with integer dot and integer squared
+    * norms — the one double step, in the identical op order as q178's
+    * oracle (divide, then scale, then floor).
+    */
+  def intCosFp(dot: Column, nn1: Column, nn2: Column): Column =
+    floor(dot.cast("double") /
+      (sqrt(nn1.cast("double")) * sqrt(nn2.cast("double"))) *
+      lit(1000000.0)).cast("long")
+
+  def intCosFpSql(dot: String, nn1: String, nn2: String): String =
+    s"CAST(floor($dot / (sqrt(CAST($nn1 AS DOUBLE)) * " +
+      s"sqrt(CAST($nn2 AS DOUBLE))) * 1000000.0) AS BIGINT)"
+
+  private def signedOne: Column =
+    when(expr("(h div 16) % 2") === 0, 1L).otherwise(-1L)
+
+  def parts(s: SparkSession, d: String): Parts = {
+    // chunk-level feature-hash components: one (chunk, dim) hash-agg,
+    // cached — cell assignment AND query scoring both read it
+    val ccomp = graft.operators.Chunker
+      .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
+      .select(col("doc_id"), col("chunk_idx"), col("first_token_offset"),
+        explode(tokens(col("chunk_text"))).as("term"))
+      .withColumn("h", hash60(concat(lit("fh:"), col("term"))))
+      .groupBy(col("doc_id"), col("chunk_idx"),
+        col("first_token_offset"), (col("h") % 16).as("j"))
+      .agg(sum(signedOne).as("v"))
+      .filter(col("v") =!= 0)
+      .cache()
+    val cnorm = ccomp.groupBy("doc_id", "chunk_idx")
+      .agg(sum(col("v") * col("v")).as("nn"))
+    // frozen coarse centroids: doc-level hash embeddings of docs 0-7
+    val dcomp = Tables.documents(s, d).filter(col("doc_id") < 8)
+      .select(col("doc_id").as("cid"), explode(tokens(col("text"))).as("term"))
+      .withColumn("h", hash60(concat(lit("fh:"), col("term"))))
+      .groupBy(col("cid"), (col("h") % 16).as("j"))
+      .agg(sum(signedOne).as("cv"))
+      .filter(col("cv") =!= 0)
+    val dnorm = dcomp.groupBy("cid").agg(sum(col("cv") * col("cv")).as("ncc"))
+    // query components: md5-derived on the driver (the oracle replays
+    // the same derivation in SQL), shipped as a <=16-row literal frame
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def h60(x: String): Long = java.lang.Long.parseLong(
+      md.digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15), 16)
+    val qcomp0 = TextQueries.Bm25Terms.map(t => h60("fh:" + t))
+      .groupBy(_ % 16).view
+      .mapValues(_.map(h => if ((h / 16) % 2 == 0) 1L else -1L).sum)
+      .toSeq.filter(_._2 != 0L)
+    val nq = qcomp0.map { case (_, v) => v * v }.sum
+    import s.implicits._
+    Parts(ccomp, cnorm, dcomp, dnorm, qcomp0.toDF("j", "qv"), nq)
+  }
+
+  /** (doc_id, chunk_idx, cid): every chunk's best frozen centroid by
+    * (cos_fp desc, cid asc) — broadcast components, dim-keyed dots,
+    * partial-agg argmax ([[graft.operators.Similarity.ivfAssign]]'s
+    * shape on component tables).
+    */
+  def assigned(p: Parts): DataFrame =
+    p.ccomp.join(broadcast(p.dcomp), Seq("j"))
+      .groupBy("doc_id", "chunk_idx", "cid")
+      .agg(sum(col("v") * col("cv")).as("dot"))
+      .join(p.cnorm, Seq("doc_id", "chunk_idx"))
+      .join(broadcast(p.dnorm), Seq("cid"))
+      .withColumn("cos_fp", intCosFp(col("dot"), col("nn"), col("ncc")))
+      .groupBy("doc_id", "chunk_idx")
+      .agg(max_by(col("cid"), struct(col("cos_fp"), -col("cid"))).as("cid"))
+
+  /** The query's `nprobe` best cells (tiny — |centroids| rows in). */
+  def probes(p: Parts, nprobe: Int): DataFrame =
+    p.dcomp.join(broadcast(p.qcomp), Seq("j"))
+      .groupBy("cid").agg(sum(col("cv") * col("qv")).as("dot"))
+      .join(p.dnorm, Seq("cid"))
+      .withColumn("cos_fp", intCosFp(col("dot"), lit(p.nq), col("ncc")))
+      .orderBy(col("cos_fp").desc, col("cid").asc).limit(nprobe)
+      .select("cid")
+
+  /** (doc_id, chunk_idx) of every chunk assigned to a probed cell. */
+  def probedCandidates(p: Parts, nprobe: Int): DataFrame =
+    assigned(p).join(broadcast(probes(p, nprobe)), Seq("cid"))
+      .select("doc_id", "chunk_idx")
+
+  /** Chunks scored against the query vector — all of them, or only
+    * `only`'s (doc_id, chunk_idx) set (the IVF-probed path). Output:
+    * (doc_id, chunk_idx, first_token_offset, cos_fp).
+    */
+  def scoredVsQuery(p: Parts, only: Option[DataFrame]): DataFrame = {
+    val base = only match {
+      case Some(cand) => p.ccomp.join(cand, Seq("doc_id", "chunk_idx"), "left_semi")
+      case None => p.ccomp
+    }
+    base.join(broadcast(p.qcomp), Seq("j"))
+      .groupBy("doc_id", "chunk_idx", "first_token_offset")
+      .agg(sum(col("v") * col("qv")).as("dot"))
+      .join(p.cnorm, Seq("doc_id", "chunk_idx"))
+      .withColumn("cos_fp", intCosFp(col("dot"), lit(p.nq), col("nn")))
+      .select("doc_id", "chunk_idx", "first_token_offset", "cos_fp")
+  }
+
+  /** Components → assignment → probes, as DuckDB WITH-fragments over
+    * [[TextQueries.ChunkCtesSql]]'s `chunks`.
+    */
+  def ctesSql: String = {
+    val values = TextQueries.Bm25Terms.map(t => s"('$t')").mkString(", ")
+    s"""chx AS (SELECT doc_id, chunk_idx, first_token_offset,
+       |    ('0x'||substring(md5('fh:'||term),1,15))::BIGINT AS h
+       |  FROM (SELECT doc_id, chunk_idx, first_token_offset,
+       |        unnest(ct) AS term FROM chunks)),
+       |ccomp AS (SELECT doc_id, chunk_idx, first_token_offset,
+       |    h % 16 AS j,
+       |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+       |      AS BIGINT) AS v
+       |  FROM chx GROUP BY 1, 2, 3, 4
+       |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+       |cnorm AS (SELECT doc_id, chunk_idx, CAST(SUM(v*v) AS BIGINT) AS nn
+       |  FROM ccomp GROUP BY 1, 2),
+       |dhx AS (SELECT doc_id AS cid,
+       |    ('0x'||substring(md5('fh:'||term),1,15))::BIGINT AS h
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text),' '))
+       |        AS term FROM documents WHERE doc_id < 8)),
+       |dcomp AS (SELECT cid, h % 16 AS j,
+       |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+       |      AS BIGINT) AS cv
+       |  FROM dhx GROUP BY 1, 2
+       |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+       |dnorm AS (SELECT cid, CAST(SUM(cv*cv) AS BIGINT) AS ncc
+       |  FROM dcomp GROUP BY 1),
+       |qhx AS (SELECT ('0x'||substring(md5('fh:'||t),1,15))::BIGINT AS h
+       |  FROM (VALUES $values) AS v(t)),
+       |qcomp AS (SELECT h % 16 AS j,
+       |    CAST(SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END)
+       |      AS BIGINT) AS qv
+       |  FROM qhx GROUP BY 1
+       |  HAVING SUM(CASE WHEN (h // 16) % 2 = 0 THEN 1 ELSE -1 END) <> 0),
+       |qnorm AS (SELECT CAST(SUM(qv*qv) AS BIGINT) AS nq FROM qcomp),
+       |pairdot AS (SELECT c.doc_id, c.chunk_idx, d.cid,
+       |    CAST(SUM(c.v * d.cv) AS BIGINT) AS dot
+       |  FROM ccomp c JOIN dcomp d USING (j) GROUP BY 1, 2, 3),
+       |assigned AS (SELECT doc_id, chunk_idx, cid FROM (
+       |    SELECT p.doc_id, p.chunk_idx, p.cid,
+       |      row_number() OVER (PARTITION BY p.doc_id, p.chunk_idx
+       |        ORDER BY ${intCosFpSql("p.dot", "n.nn", "dn.ncc")} DESC,
+       |          p.cid ASC) AS rn
+       |    FROM pairdot p JOIN cnorm n USING (doc_id, chunk_idx)
+       |      JOIN dnorm dn USING (cid)) WHERE rn = 1),
+       |qcdot AS (SELECT d.cid, CAST(SUM(d.cv * q.qv) AS BIGINT) AS dot
+       |  FROM dcomp d JOIN qcomp q USING (j) GROUP BY 1),
+       |probes AS (SELECT cid FROM (SELECT c.cid,
+       |      ${intCosFpSql("c.dot", "qn.nq", "dn.ncc")} AS cos_fp
+       |    FROM qcdot c JOIN dnorm dn USING (cid), qnorm qn)
+       |  ORDER BY cos_fp DESC, cid ASC LIMIT 2)""".stripMargin
+  }
+
+  /** Probed-candidate scoring (`cand` → `cdot` → `dscored`). */
+  def candScoredCtesSql: String =
+    s"""cand AS (SELECT a.doc_id, a.chunk_idx FROM assigned a
+       |  JOIN probes USING (cid)),
+       |cdot AS (SELECT c.doc_id, c.chunk_idx, c.first_token_offset,
+       |    CAST(SUM(c.v * q.qv) AS BIGINT) AS dot
+       |  FROM ccomp c JOIN qcomp q USING (j)
+       |    JOIN cand USING (doc_id, chunk_idx)
+       |  GROUP BY 1, 2, 3),
+       |dscored AS (SELECT s.doc_id, s.chunk_idx, s.first_token_offset,
+       |    ${intCosFpSql("s.dot", "qn.nq", "n.nn")} AS cos_fp
+       |  FROM cdot s JOIN cnorm n USING (doc_id, chunk_idx), qnorm qn)""".stripMargin
 }
