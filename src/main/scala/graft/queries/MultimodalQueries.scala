@@ -82,6 +82,81 @@ object MultimodalQueries {
   private val CdcWin = 8 // rolling-window width for boundary detection
   private val CdcMod = 64 // boundary divisor ⇒ ~64-byte expected chunks
 
+  /** Content-defined chunk table of `df(doc_id, text, …)`: one row per
+    * chunk, `(len, chunk_md5)` — q188's derivation, shared with the
+    * q189 delta-sync experiment. Boundaries after byte `e` whenever
+    * hash60 of the [[CdcWin]]-byte window ending at `e` ≡ 0 mod
+    * [[CdcMod]]; entirely row-local (HOFs + one posexplode).
+    */
+  private def cdcChunkTable(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = s"CAST(conv(substring(md5(substring(text, " +
+      s"CAST(e - ${CdcWin - 1} AS INT), $CdcWin)), 1, 15), 16, 10) AS BIGINT)"
+    df.withColumn("n", octet_length(col("text").cast("binary")).cast("long"))
+      .filter(col("n") >= CdcWin)
+      .select(col("doc_id"), col("text"),
+        expr(s"""array_sort(array_distinct(concat(
+          filter(transform(sequence(CAST($CdcWin AS BIGINT), n),
+            e -> CASE WHEN $h % $CdcMod = 0 THEN e END),
+            x -> x IS NOT NULL),
+          array(n))))""").as("cuts"))
+      .select(col("doc_id"), col("text"), col("cuts"),
+        posexplode(col("cuts")).as(Seq("k", "cut")))
+      .withColumn("prev", expr(
+        "CASE WHEN k = 0 THEN CAST(0 AS BIGINT) ELSE element_at(cuts, k) END"))
+      .select((col("cut") - col("prev")).as("len"),
+        md5(expr("substring(text, CAST(prev + 1 AS INT), " +
+          "CAST(cut - prev AS INT))")).as("chunk_md5"))
+  }
+
+  /** Fixed-size chunk table (64-byte blocks) of `df(doc_id, text, …)`:
+    * the strawman q189 compares CDC against — block k covers bytes
+    * [k·64+1, k·64+64], last block short.
+    */
+  private def fixedChunkTable(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    df.withColumn("n", octet_length(col("text").cast("binary")).cast("long"))
+      .filter(col("n") >= CdcWin)
+      .select(col("text"),
+        posexplode(expr("sequence(CAST(0 AS BIGINT), (n - 1) div 64)"))
+          .as(Seq("p", "k")),
+        col("n"))
+      .select(least(lit(64L), col("n") - col("k") * 64).as("len"),
+        md5(expr("substring(text, CAST(k * 64 + 1 AS INT), 64)"))
+          .as("chunk_md5"))
+
+  /** DuckDB CTEs for [[cdcChunkTable]] over a source CTE
+    * `src(doc_id, text)`: emits `<p>base`, `<p>bounds`, `<p>cuts`,
+    * `<p>payload(doc_id, len, chunk_md5)` with the given prefix.
+    */
+  private def cdcCtesSql(src: String, p: String): String =
+    s"""${p}base AS (SELECT doc_id, text,
+       |    CAST(octet_length(text::BLOB) AS BIGINT) AS n
+       |  FROM $src WHERE octet_length(text::BLOB) >= $CdcWin),
+       |${p}bounds AS (SELECT doc_id, e FROM ${p}base,
+       |    unnest(range($CdcWin, n + 1)) AS t(e)
+       |  WHERE ${h60(s"substring(text, CAST(e - ${CdcWin - 1} AS INT), $CdcWin)")}
+       |    % $CdcMod = 0
+       |  UNION SELECT doc_id, n FROM ${p}base),
+       |${p}cuts AS (SELECT doc_id,
+       |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
+       |      AS prev, e AS cut
+       |  FROM ${p}bounds),
+       |${p}payload AS (SELECT c.doc_id, cut - prev AS len,
+       |    md5(substring(t.text, CAST(prev + 1 AS INT),
+       |      CAST(cut - prev AS INT))) AS chunk_md5
+       |  FROM ${p}cuts c JOIN ${p}base t USING (doc_id))""".stripMargin
+
+  /** DuckDB CTEs for [[fixedChunkTable]] over `src(doc_id, text)`. */
+  private def fixedCtesSql(src: String, p: String): String =
+    s"""${p}payload AS (SELECT doc_id,
+       |    CAST(least(64, n - k * 64) AS BIGINT) AS len,
+       |    md5(substring(text, CAST(k * 64 + 1 AS INT), 64)) AS chunk_md5
+       |  FROM (SELECT doc_id, text,
+       |      CAST(octet_length(text::BLOB) AS BIGINT) AS n
+       |    FROM $src WHERE octet_length(text::BLOB) >= $CdcWin),
+       |    unnest(range(0, (n - 1) // 64 + 1)) AS t(k))""".stripMargin
+
   /** q188: CONTENT-DEFINED CHUNKING + storage dedup — the rsync/LBFS
     * primitive object stores and artifact caches use to deduplicate
     * binary payloads WITHOUT any format knowledge: a chunk boundary
@@ -106,25 +181,11 @@ object MultimodalQueries {
       s"$CdcMod) + corpus dedup audit: distinct-chunk bytes vs total, " +
       "row-local boundaries, metadata-scale shuffles.",
     (s, d) => {
-      val h = s"CAST(conv(substring(md5(substring(text, " +
-        s"CAST(e - ${CdcWin - 1} AS INT), $CdcWin)), 1, 15), 16, 10) AS BIGINT)"
-      val base = Tables.documents(s, d)
-        .withColumn("n", octet_length(col("text").cast("binary")).cast("long"))
-        .filter(col("n") >= CdcWin)
-      val chunks = base.select(col("doc_id"), col("text"),
-          expr(s"""array_sort(array_distinct(concat(
-            filter(transform(sequence(CAST($CdcWin AS BIGINT), n),
-              e -> CASE WHEN $h % $CdcMod = 0 THEN e END),
-              x -> x IS NOT NULL),
-            array(n))))""").as("cuts"))
-        .select(col("doc_id"), col("text"), col("cuts"),
-          posexplode(col("cuts")).as(Seq("k", "cut")))
-        .withColumn("prev", expr(
-          "CASE WHEN k = 0 THEN CAST(0 AS BIGINT) ELSE element_at(cuts, k) END"))
-        .select((col("cut") - col("prev")).as("len"),
-          md5(expr("substring(text, CAST(prev + 1 AS INT), " +
-            "CAST(cut - prev AS INT))")).as("chunk_md5"))
-      val nm = base.agg(count(lit(1)).as("n_media"))
+      val docs = Tables.documents(s, d)
+      val chunks = cdcChunkTable(docs)
+      val nm = docs
+        .filter(octet_length(col("text").cast("binary")) >= CdcWin)
+        .agg(count(lit(1)).as("n_media"))
       val tot = chunks.agg(count(lit(1)).as("n_chunks"),
         sum("len").as("total_bytes"))
       val dst = chunks.groupBy("chunk_md5").agg(max("len").as("len"))
@@ -137,22 +198,7 @@ object MultimodalQueries {
         .select("n_media", "n_chunks", "total_bytes", "n_distinct",
           "distinct_bytes", "dedup_fp", "mean_chunk_bytes")
     },
-    Some(s"""WITH base AS (SELECT doc_id, text,
-            |    CAST(octet_length(text::BLOB) AS BIGINT) AS n
-            |  FROM documents WHERE octet_length(text::BLOB) >= $CdcWin),
-            |bounds AS (SELECT doc_id, e FROM base,
-            |    unnest(range($CdcWin, n + 1)) AS t(e)
-            |  WHERE ${h60(s"substring(text, CAST(e - ${CdcWin - 1} AS INT), $CdcWin)")}
-            |    % $CdcMod = 0
-            |  UNION SELECT doc_id, n FROM base),
-            |cuts AS (SELECT doc_id,
-            |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY e), 0)
-            |      AS prev, e AS cut
-            |  FROM bounds),
-            |payload AS (SELECT c.doc_id, cut - prev AS len,
-            |    md5(substring(t.text, CAST(prev + 1 AS INT),
-            |      CAST(cut - prev AS INT))) AS chunk_md5
-            |  FROM cuts c JOIN base t USING (doc_id)),
+    Some(s"""WITH ${cdcCtesSql("documents", "")},
             |nm AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_media FROM base),
             |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks,
             |    CAST(SUM(len) AS BIGINT) AS total_bytes FROM payload),
@@ -312,7 +358,74 @@ object MultimodalQueries {
            |  CAST(SUM(nb) AS BIGINT) AS sum_bytes
            |FROM st GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** q189: DELTA-SYNC EXPERIMENT — measures the property q188's
+    * chunker exists for: after a small INSERTION edit (5 bytes spliced
+    * into every 5th blob at offset 10), how many bytes must a chunk
+    * store actually ingest? Content-defined boundaries re-synchronize
+    * at the next boundary after the edit, so only the edited
+    * neighborhood's chunks are new; fixed 64-byte blocks shift-
+    * invalidate EVERY block downstream of the splice, so nearly the
+    * whole edited blob re-uploads. `advantage_fp` = fixed-delta bytes
+    * / CDC-delta bytes (fp6) — the rsync/LBFS win, quantified on this
+    * corpus. Scale shape: both chunkers are row-local; the old-store
+    * anti-joins are equi-joins on chunk_md5 carrying (md5, len) pairs
+    * only — at 100 TB this is exactly an incremental backup planner's
+    * shape (metadata joins, no payload movement).
+    */
+  val q189ChunkDeltaSync = NamedQuery(
+    "q189_chunk_delta_sync",
+    "Delta-sync audit: bytes a chunk store ingests after 5-byte " +
+      "insertions — content-defined boundaries resync (local damage) " +
+      "vs fixed blocks (shift-invalidated tails); advantage_fp wins.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val edited = docs.withColumn("text", expr(
+        "CASE WHEN doc_id % 5 = 0 THEN substring(text, 1, 10) || " +
+          "'edit ' || substring(text, 11) ELSE text END"))
+      def delta(neu: org.apache.spark.sql.DataFrame,
+          old: org.apache.spark.sql.DataFrame, p: String) =
+        neu.join(old.select("chunk_md5").distinct(),
+            Seq("chunk_md5"), "left_anti")
+          .agg(count(lit(1)).as(s"${p}_delta_chunks"),
+            coalesce(sum("len"), lit(0L)).as(s"${p}_delta_bytes"))
+      val cd = delta(cdcChunkTable(edited), cdcChunkTable(docs), "cdc")
+      val fd = delta(fixedChunkTable(edited), fixedChunkTable(docs), "fixed")
+      val ne = docs.filter(col("doc_id") % 5 === 0 &&
+          octet_length(col("text").cast("binary")) >= CdcWin)
+        .agg(count(lit(1)).as("n_edited"))
+      ne.crossJoin(broadcast(cd)).crossJoin(broadcast(fd))
+        .withColumn("advantage_fp", expr(
+          "(fixed_delta_bytes * 1000000) div greatest(cdc_delta_bytes, 1)"))
+        .select("n_edited", "cdc_delta_chunks", "cdc_delta_bytes",
+          "fixed_delta_chunks", "fixed_delta_bytes", "advantage_fp")
+    },
+    Some(s"""WITH ed AS (SELECT doc_id, CASE WHEN doc_id % 5 = 0
+            |    THEN substring(text, 1, 10) || 'edit ' || substring(text, 11)
+            |    ELSE text END AS text FROM documents),
+            |${cdcCtesSql("documents", "o")},
+            |${cdcCtesSql("ed", "e")},
+            |${fixedCtesSql("documents", "fo")},
+            |${fixedCtesSql("ed", "fe")},
+            |cd AS (SELECT CAST(COUNT(*) AS BIGINT) AS cdc_delta_chunks,
+            |    CAST(COALESCE(SUM(len), 0) AS BIGINT) AS cdc_delta_bytes
+            |  FROM epayload ep WHERE NOT EXISTS (SELECT 1 FROM
+            |    (SELECT DISTINCT chunk_md5 FROM opayload) o
+            |    WHERE o.chunk_md5 = ep.chunk_md5)),
+            |fd AS (SELECT CAST(COUNT(*) AS BIGINT) AS fixed_delta_chunks,
+            |    CAST(COALESCE(SUM(len), 0) AS BIGINT) AS fixed_delta_bytes
+            |  FROM fepayload fp WHERE NOT EXISTS (SELECT 1 FROM
+            |    (SELECT DISTINCT chunk_md5 FROM fopayload) o
+            |    WHERE o.chunk_md5 = fp.chunk_md5)),
+            |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edited
+            |  FROM documents WHERE doc_id % 5 = 0
+            |    AND octet_length(text::BLOB) >= $CdcWin)
+            |SELECT n_edited, cdc_delta_chunks, cdc_delta_bytes,
+            |  fixed_delta_chunks, fixed_delta_bytes,
+            |  CAST((fixed_delta_bytes * 1000000)
+            |    // greatest(cdc_delta_bytes, 1) AS BIGINT) AS advantage_fp
+            |FROM ne, cd, fd""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q25BinaryFeatures, q97FrameSample, q160MediaNearDup,
-      q173MediaIntegrity, q188ContentChunks)
+      q173MediaIntegrity, q188ContentChunks, q189ChunkDeltaSync)
 }

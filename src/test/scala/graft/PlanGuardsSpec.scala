@@ -504,6 +504,31 @@ class PlanGuardsSpec extends SparkSpec {
       s"rank window must sit above the take in the plan:\n${p.take(1200)}")
   }
 
+  test("q188 CDC chunking: row-local boundaries, metadata-scale shuffles only") {
+    val p = plan("q188_content_chunks")
+    assert(p.contains("Generate"),
+      "chunk slicing is a posexplode Generate inside the scan task")
+    assert(!p.contains("SortMergeJoin"),
+      "nothing payload-scale may join — only (md5,len) pairs aggregate")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "chunk stats must partial-aggregate map-side")
+  }
+
+  test("q189 delta-sync: chunk-store anti-joins carry hashes, blobs never shuffle") {
+    val p = plan("q189_chunk_delta_sync")
+    assert(p.contains("Generate"))
+    // the anti-joins key on chunk_md5 (32-char strings + a long) —
+    // whatever join strategy is picked, the blobs themselves must stay
+    // in their scan tasks: no exchange may carry the text column
+    val exchanges = """\(\d+\) Exchange hashpartitioning\(chunk_md5""".r
+      .findAllIn(p).size
+    val badExchange = """\(\d+\) Exchange[^\n]*\btext\b""".r.findAllIn(p).size
+    assert(badExchange == 0,
+      s"an exchange carries the raw blob column:\n${p.take(1500)}")
+    assert(exchanges > 0 || p.contains("BroadcastHashJoin"),
+      "store membership is an equi-join on chunk_md5")
+  }
+
   test("q146 bucketed join: co-located scans, no exchange below the join") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {
