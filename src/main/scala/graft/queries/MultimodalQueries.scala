@@ -104,7 +104,7 @@ object MultimodalQueries {
         posexplode(col("cuts")).as(Seq("k", "cut")))
       .withColumn("prev", expr(
         "CASE WHEN k = 0 THEN CAST(0 AS BIGINT) ELSE element_at(cuts, k) END"))
-      .select((col("cut") - col("prev")).as("len"),
+      .select(col("doc_id"), (col("cut") - col("prev")).as("len"),
         md5(expr("substring(text, CAST(prev + 1 AS INT), " +
           "CAST(cut - prev AS INT))")).as("chunk_md5"))
   }
@@ -425,7 +425,84 @@ object MultimodalQueries {
             |    // greatest(cdc_delta_bytes, 1) AS BIGINT) AS advantage_fp
             |FROM ne, cd, fd""".stripMargin))
 
+  private val MaxChunkDf = 16 // boilerplate cap: chunks in > this many docs don't pair
+
+  /** q191: CDC-CHUNK NEAR-DUP — a THIRD near-dup modality alongside
+    * token shingles (q14 MinHash) and byte SimHash (q160): two blobs
+    * are near-dups when they SHARE content-defined chunks — shared
+    * distinct-chunk bytes ≥ 50% of the smaller blob. Because CDC
+    * boundaries survive insertions (q189), an edited copy still
+    * shares most of its chunks with the original, so this catches
+    * appended/prepended/patched copies that fixed-offset methods
+    * miss — with NO tokenizer and NO signature tuning. Scale shape:
+    * the pair join is an equi-join on chunk_md5 carrying (md5, doc,
+    * len) triples; chunks appearing in > $MaxChunkDf docs are dropped
+    * first (the hot-key/boilerplate cap — same discipline as q13's
+    * common-gram filter), bounding per-chunk pair fan-out at
+    * $MaxChunkDf², so no boilerplate chunk can go quadratic.
+    */
+  val q191CdcNearDup = NamedQuery(
+    "q191_cdc_neardup",
+    "Near-dup via shared content-defined chunks (>=50% of the smaller " +
+      "blob's bytes): tokenizer-free, insertion-robust; boilerplate " +
+      s"chunks (df > $MaxChunkDf) capped out of the pair join.",
+    (s, d) => {
+      // distinct within doc: a chunk repeated inside one blob counts once
+      val pay = cdcChunkTable(Tables.documents(s, d))
+        .select("doc_id", "chunk_md5", "len").distinct().cache()
+      val docBytes = pay.groupBy("doc_id").agg(sum("len").as("bytes"))
+      val rare = pay.groupBy("chunk_md5")
+        .agg(countDistinct("doc_id").as("df"))
+        .filter(col("df") <= MaxChunkDf)
+        .select("chunk_md5")
+      val filtered = pay.join(rare, Seq("chunk_md5"))
+      val shared = filtered.select(col("chunk_md5"),
+          col("doc_id").as("doc_id_a"), col("len"))
+        .join(filtered.select(col("chunk_md5"),
+          col("doc_id").as("doc_id_b")), Seq("chunk_md5"))
+        .filter(col("doc_id_a") < col("doc_id_b"))
+        .groupBy("doc_id_a", "doc_id_b")
+        .agg(sum("len").as("shared_bytes"))
+      shared
+        .join(docBytes.select(col("doc_id").as("doc_id_a"),
+          col("bytes").as("ba")), Seq("doc_id_a"))
+        .join(docBytes.select(col("doc_id").as("doc_id_b"),
+          col("bytes").as("bb")), Seq("doc_id_b"))
+        .withColumn("frac_fp",
+          expr("(shared_bytes * 1000000) div least(ba, bb)"))
+        .filter(col("frac_fp") >= 500000)
+        .select("doc_id_a", "doc_id_b", "shared_bytes", "frac_fp")
+        .orderBy(col("frac_fp").desc, col("doc_id_a").asc,
+          col("doc_id_b").asc)
+        .limit(50)
+    },
+    Some(s"""WITH ${cdcCtesSql("documents", "")},
+            |pay AS (SELECT DISTINCT doc_id, chunk_md5, len FROM payload),
+            |db AS (SELECT doc_id, CAST(SUM(len) AS BIGINT) AS bytes
+            |  FROM pay GROUP BY 1),
+            |rare AS (SELECT chunk_md5 FROM
+            |    (SELECT chunk_md5, COUNT(DISTINCT doc_id) AS df
+            |     FROM pay GROUP BY 1)
+            |  WHERE df <= $MaxChunkDf),
+            |f AS (SELECT pay.* FROM pay JOIN rare USING (chunk_md5)),
+            |shared AS (SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+            |    CAST(SUM(a.len) AS BIGINT) AS shared_bytes
+            |  FROM f a JOIN f b ON a.chunk_md5 = b.chunk_md5
+            |    AND a.doc_id < b.doc_id
+            |  GROUP BY 1, 2)
+            |SELECT doc_id_a, doc_id_b, shared_bytes,
+            |  CAST((shared_bytes * 1000000) // least(da.bytes, db2.bytes)
+            |    AS BIGINT) AS frac_fp
+            |FROM shared
+            |JOIN db da ON da.doc_id = doc_id_a
+            |JOIN db db2 ON db2.doc_id = doc_id_b
+            |WHERE (shared_bytes * 1000000) // least(da.bytes, db2.bytes)
+            |  >= 500000
+            |ORDER BY frac_fp DESC, doc_id_a ASC, doc_id_b ASC
+            |LIMIT 50""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q25BinaryFeatures, q97FrameSample, q160MediaNearDup,
-      q173MediaIntegrity, q188ContentChunks, q189ChunkDeltaSync)
+      q173MediaIntegrity, q188ContentChunks, q189ChunkDeltaSync,
+      q191CdcNearDup)
 }

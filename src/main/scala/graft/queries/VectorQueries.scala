@@ -1817,6 +1817,73 @@ object VectorQueries {
             |    AS cand_frac_fp
             |FROM tn, hn, cn, kn""".stripMargin))
 
+  /** q187's fused top-10 (shared with q190's context packing):
+    * lexical (q161) and dense (q184) chunk top-10s RRF-fused, ranked.
+    */
+  private def hybridTop10(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def rankW(sc: org.apache.spark.sql.Column) =
+      Window.orderBy(sc.desc, col("doc_id").asc, col("chunk_idx").asc)
+    val lex = TextQueries.chunkBm25Scored(s, d)
+      .orderBy(col("score_fp").desc, col("doc_id").asc,
+        col("chunk_idx").asc)
+      .limit(10)
+      .withColumn("lex_rank",
+        row_number().over(rankW(col("score_fp"))).cast("long"))
+      .select("doc_id", "chunk_idx", "lex_rank")
+    val p = DenseChunks.parts(s, d)
+    val den = DenseChunks
+      .scoredVsQuery(p, Some(DenseChunks.probedCandidates(p, nprobe = 2)))
+      .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(10)
+      .withColumn("den_rank",
+        row_number().over(rankW(col("cos_fp"))).cast("long"))
+      .select("doc_id", "chunk_idx", "den_rank")
+    lex.join(den, Seq("doc_id", "chunk_idx"), "full_outer")
+      .withColumn("rrf_fp6",
+        coalesce(expr("CAST(1000000 div (60 + lex_rank) AS BIGINT)"), lit(0L)) +
+          coalesce(expr("CAST(1000000 div (60 + den_rank) AS BIGINT)"), lit(0L)))
+      .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
+      .withColumn("den_rank", coalesce(col("den_rank"), lit(0L)))
+      .orderBy(col("rrf_fp6").desc, col("doc_id").asc, col("chunk_idx").asc)
+      .limit(10)
+      .withColumn("fused_rank",
+        row_number().over(rankW(col("rrf_fp6"))).cast("long"))
+      .select("doc_id", "chunk_idx", "lex_rank", "den_rank",
+        "rrf_fp6", "fused_rank")
+  }
+
+  /** The DuckDB WITH-fragment for [[hybridTop10]] (`lex`, `den`,
+    * `fused`, `hybrid` CTEs) — assumes the chunk + BM25 + dense CTEs
+    * are already in scope.
+    */
+  private def hybridCtesSql: String =
+    s"""lex AS (SELECT doc_id, chunk_idx,
+       |    CAST(row_number() OVER (ORDER BY score_fp DESC,
+       |      doc_id ASC, chunk_idx ASC) AS BIGINT) AS lex_rank
+       |  FROM (SELECT * FROM lscored ORDER BY score_fp DESC,
+       |    doc_id ASC, chunk_idx ASC LIMIT 10)),
+       |den AS (SELECT doc_id, chunk_idx,
+       |    CAST(row_number() OVER (ORDER BY cos_fp DESC,
+       |      doc_id ASC, chunk_idx ASC) AS BIGINT) AS den_rank
+       |  FROM (SELECT * FROM dscored ORDER BY cos_fp DESC,
+       |    doc_id ASC, chunk_idx ASC LIMIT 10)),
+       |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
+       |    COALESCE(l.chunk_idx, v.chunk_idx) AS chunk_idx,
+       |    COALESCE(l.lex_rank, 0) AS lex_rank,
+       |    COALESCE(v.den_rank, 0) AS den_rank,
+       |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
+       |      + COALESCE(1000000 // (60 + v.den_rank), 0) AS BIGINT)
+       |      AS rrf_fp6
+       |  FROM lex l FULL OUTER JOIN den v
+       |    ON l.doc_id = v.doc_id AND l.chunk_idx = v.chunk_idx),
+       |hybrid AS (SELECT doc_id, chunk_idx, lex_rank, den_rank, rrf_fp6,
+       |    CAST(row_number() OVER (ORDER BY rrf_fp6 DESC, doc_id ASC,
+       |      chunk_idx ASC) AS BIGINT) AS fused_rank
+       |  FROM fused
+       |  ORDER BY rrf_fp6 DESC, doc_id ASC, chunk_idx ASC LIMIT 10)""".stripMargin
+
   /** q187: HYBRID CHUNK RETRIEVAL — reciprocal-rank fusion of the two
     * RAG read paths over the SAME query and the SAME chunk table:
     * q161's lexical BM25 top-10 and q184's probed dense top-10, fused
@@ -1834,66 +1901,71 @@ object VectorQueries {
     "Hybrid RAG: BM25 (q161) + probed dense (q184) chunk top-10s " +
       "fused by integer reciprocal-rank fusion; ranks-only, no score " +
       "calibration; top-10 with both source ranks.",
+    (s, d) => hybridTop10(s, d),
+    Some(s"""WITH ${TextQueries.ChunkCtesSql},
+            |${TextQueries.chunkBm25CtesSql},
+            |${DenseChunks.ctesSql},
+            |${DenseChunks.candScoredCtesSql},
+            |$hybridCtesSql
+            |SELECT doc_id, chunk_idx, lex_rank, den_rank, rrf_fp6,
+            |  fused_rank
+            |FROM hybrid
+            |ORDER BY rrf_fp6 DESC, doc_id ASC, chunk_idx ASC""".stripMargin))
+
+  private val ContextBudget = 256L // tokens the assembled context may hold
+
+  /** q190: CONTEXT-WINDOW ASSEMBLY — the last mile of the RAG read
+    * path: take the fused ranking (q187) and PACK it into a
+    * token-budgeted context greedily by rank — a chunk enters the
+    * context while the running token total stays ≤ $ContextBudget
+    * (whole chunks only, the standard prompt-builder rule). Output is
+    * the assembly manifest a serving system logs: every candidate
+    * with its token count, running total, provenance offsets (for
+    * citation), and whether it made the context. Scale shape: the
+    * expensive work is the two retrieval pipelines, whose shapes are
+    * already guarded (q161/q184); packing itself is a 10-row join
+    * against the chunk table (broadcast the 10-row side) and one
+    * 10-row running-sum window — serving-path cheap by construction.
+    */
+  val q190ContextPack = NamedQuery(
+    "q190_context_pack",
+    s"RAG context assembly: greedy rank-order packing of the hybrid " +
+      s"top-10 into a $ContextBudget-token budget; manifest with " +
+      "running totals, provenance offsets, in/out flag.",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      def rankW(sc: org.apache.spark.sql.Column) =
-        Window.orderBy(sc.desc, col("doc_id").asc, col("chunk_idx").asc)
-      val lex = TextQueries.chunkBm25Scored(s, d)
-        .orderBy(col("score_fp").desc, col("doc_id").asc,
-          col("chunk_idx").asc)
-        .limit(10)
-        .withColumn("lex_rank",
-          row_number().over(rankW(col("score_fp"))).cast("long"))
-        .select("doc_id", "chunk_idx", "lex_rank")
-      val p = DenseChunks.parts(s, d)
-      val den = DenseChunks
-        .scoredVsQuery(p, Some(DenseChunks.probedCandidates(p, nprobe = 2)))
-        .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
-        .limit(10)
-        .withColumn("den_rank",
-          row_number().over(rankW(col("cos_fp"))).cast("long"))
-        .select("doc_id", "chunk_idx", "den_rank")
-      lex.join(den, Seq("doc_id", "chunk_idx"), "full_outer")
-        .withColumn("rrf_fp6",
-          coalesce(expr("CAST(1000000 div (60 + lex_rank) AS BIGINT)"), lit(0L)) +
-            coalesce(expr("CAST(1000000 div (60 + den_rank) AS BIGINT)"), lit(0L)))
-        .withColumn("lex_rank", coalesce(col("lex_rank"), lit(0L)))
-        .withColumn("den_rank", coalesce(col("den_rank"), lit(0L)))
-        .orderBy(col("rrf_fp6").desc, col("doc_id").asc, col("chunk_idx").asc)
-        .limit(10)
-        .withColumn("fused_rank",
-          row_number().over(rankW(col("rrf_fp6"))).cast("long"))
-        .select("doc_id", "chunk_idx", "lex_rank", "den_rank",
-          "rrf_fp6", "fused_rank")
+      val toks = graft.operators.Chunker
+        .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
+        .select("doc_id", "chunk_idx", "first_token_offset",
+          "n_chunk_tokens")
+      val wCum = Window.orderBy(col("fused_rank").asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      hybridTop10(s, d)
+        .join(toks, Seq("doc_id", "chunk_idx"))
+        .withColumn("cum_tokens",
+          sum(col("n_chunk_tokens")).over(wCum).cast("long"))
+        .withColumn("in_context", col("cum_tokens") <= ContextBudget)
+        .select("fused_rank", "doc_id", "chunk_idx",
+          "first_token_offset", "n_chunk_tokens", "cum_tokens",
+          "in_context")
+        .orderBy("fused_rank")
     },
     Some(s"""WITH ${TextQueries.ChunkCtesSql},
             |${TextQueries.chunkBm25CtesSql},
             |${DenseChunks.ctesSql},
             |${DenseChunks.candScoredCtesSql},
-            |lex AS (SELECT doc_id, chunk_idx,
-            |    CAST(row_number() OVER (ORDER BY score_fp DESC,
-            |      doc_id ASC, chunk_idx ASC) AS BIGINT) AS lex_rank
-            |  FROM (SELECT * FROM lscored ORDER BY score_fp DESC,
-            |    doc_id ASC, chunk_idx ASC LIMIT 10)),
-            |den AS (SELECT doc_id, chunk_idx,
-            |    CAST(row_number() OVER (ORDER BY cos_fp DESC,
-            |      doc_id ASC, chunk_idx ASC) AS BIGINT) AS den_rank
-            |  FROM (SELECT * FROM dscored ORDER BY cos_fp DESC,
-            |    doc_id ASC, chunk_idx ASC LIMIT 10)),
-            |fused AS (SELECT COALESCE(l.doc_id, v.doc_id) AS doc_id,
-            |    COALESCE(l.chunk_idx, v.chunk_idx) AS chunk_idx,
-            |    COALESCE(l.lex_rank, 0) AS lex_rank,
-            |    COALESCE(v.den_rank, 0) AS den_rank,
-            |    CAST(COALESCE(1000000 // (60 + l.lex_rank), 0)
-            |      + COALESCE(1000000 // (60 + v.den_rank), 0) AS BIGINT)
-            |      AS rrf_fp6
-            |  FROM lex l FULL OUTER JOIN den v
-            |    ON l.doc_id = v.doc_id AND l.chunk_idx = v.chunk_idx)
-            |SELECT doc_id, chunk_idx, lex_rank, den_rank, rrf_fp6,
-            |  CAST(row_number() OVER (ORDER BY rrf_fp6 DESC, doc_id ASC,
-            |    chunk_idx ASC) AS BIGINT) AS fused_rank
-            |FROM fused
-            |ORDER BY rrf_fp6 DESC, doc_id ASC, chunk_idx ASC LIMIT 10""".stripMargin))
+            |$hybridCtesSql
+            |SELECT fused_rank, h.doc_id, h.chunk_idx,
+            |  c.first_token_offset, c.dl AS n_chunk_tokens,
+            |  CAST(SUM(c.dl) OVER (ORDER BY fused_rank ASC
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |    AS BIGINT) AS cum_tokens,
+            |  CAST(SUM(c.dl) OVER (ORDER BY fused_rank ASC
+            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            |    AS BIGINT) <= $ContextBudget AS in_context
+            |FROM hybrid h JOIN chunks c
+            |  ON h.doc_id = c.doc_id AND h.chunk_idx = c.chunk_idx
+            |ORDER BY fused_rank""".stripMargin))
 
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
@@ -1904,7 +1976,8 @@ object VectorQueries {
     q110IncrementalIvf, q125JlProjection, q149FilteredAnn, q150HybridRrf,
     q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling,
     q175IvfCellBalance, q178HashEmbedding, q184DenseChunkRetrieval,
-    q185CdfIndexMaintenance, q186DenseRecall, q187HybridChunkRrf)
+    q185CdfIndexMaintenance, q186DenseRecall, q187HybridChunkRrf,
+    q190ContextPack)
 }
 
 /** The dense chunk-retrieval tier shared by q184 (read path), q186
