@@ -241,6 +241,29 @@ object NativeExpressions {
       else -1.0
   }
 
+  /** Content-defined chunk cut positions of a text blob (see
+    * [[NativeKernels.cdcCuts]]): the native form of the per-byte
+    * rolling-hash HOF in MultimodalQueries' CDC tier — one digest
+    * loop per row. NULL for blobs shorter than `win`.
+    */
+  case class CdcCuts(child: Expression, win: Int, mod: Int)
+      extends UnaryExpression {
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = true // NULL for blobs shorter than win
+    override protected def nullSafeEval(input: Any): Any =
+      NativeKernels.cdcCuts(
+        input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], win, mod)
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, c => {
+        val r = ctx.freshName("cdcCuts")
+        s"""
+        org.apache.spark.sql.catalyst.util.ArrayData $r = $K.cdcCuts($c, $win, $mod);
+        if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = $r; }
+      """})
+    override protected def withNewChildInternal(newChild: Expression): CdcCuts =
+      copy(child = newChild)
+  }
+
   /** One-pass token statistics `[n_tokens, n_distinct, sum_char_len,
     * n_stopword_hits]` over a string array — the native form of the
     * four-walk HOF chain in the q16 quality metrics (see
@@ -288,6 +311,8 @@ object NativeExpressions {
     column(LshBucket(expression(vec), numPlanes, dim, planeOffset))
   def tokenStats(toks: Column, stopwords: Seq[String]): Column =
     column(TokenStats(expression(toks), stopwords))
+  def cdcCuts(text: Column, win: Int, mod: Int): Column =
+    column(CdcCuts(expression(text), win, mod))
 
   /** Dot product dispatching on element type — [[FloatVecDot]] for
     * `array<float>`, [[DoubleVecDot]] for `array<double>` — so callers

@@ -42,6 +42,39 @@ object NativeKernels {
     v >>> 4
   }
 
+  /** Content-defined chunk cut positions over a blob's bytes: a cut
+    * after byte `e` (1-based) whenever hash60 of the `win`-byte window
+    * ending at `e` ≡ 0 (mod `mod`); the final position `n` always
+    * closes the last chunk. Returns the ascending distinct cut array —
+    * exactly `array_sort(array_distinct(concat(filter(transform(...`
+    * of the HOF reference in MultimodalQueries (spec-checked equal),
+    * evaluated as ONE digest loop per row instead of an interpreted
+    * expression tree per byte. NULL for blobs shorter than `win`
+    * (the HOF path filters those rows). Byte-offset based — identical
+    * to the character-based HOF/oracle under the ASCII blob
+    * convention (q97/q160/q188 share it).
+    */
+  def cdcCuts(s: UTF8String, win: Int, mod: Int): ArrayData = {
+    val bytes = s.getBytes
+    val n = bytes.length
+    if (n < win) return null
+    val md = md5Local.get()
+    val buf = new scala.collection.mutable.ArrayBuffer[Long](n / mod + 2)
+    var e = win
+    while (e <= n) {
+      md.reset()
+      md.update(bytes, e - win, win)
+      val dig = md.digest()
+      var v = 0L
+      var k = 0
+      while (k < 8) { v = (v << 8) | (dig(k) & 0xffL); k += 1 }
+      if (((v >>> 4) % mod) == 0 && e != n) buf += e.toLong
+      e += 1
+    }
+    buf += n.toLong
+    new GenericArrayData(buf.toArray)
+  }
+
   /** tf-weighted 60-bit SimHash over a token array (never null). */
   def simhash60(arr: ArrayData): Long = {
     val n = arr.numElements()

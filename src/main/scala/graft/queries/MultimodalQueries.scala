@@ -82,24 +82,41 @@ object MultimodalQueries {
   private val CdcWin = 8 // rolling-window width for boundary detection
   private val CdcMod = 64 // boundary divisor ⇒ ~64-byte expected chunks
 
-  /** Content-defined chunk table of `df(doc_id, text, …)`: one row per
-    * chunk, `(len, chunk_md5)` — q188's derivation, shared with the
-    * q189 delta-sync experiment. Boundaries after byte `e` whenever
-    * hash60 of the [[CdcWin]]-byte window ending at `e` ≡ 0 mod
-    * [[CdcMod]]; entirely row-local (HOFs + one posexplode).
+  /** The per-byte rolling-boundary cut array, HOF reference form: the
+    * DEFINITION of the CDC boundary rule (bit-identical to the oracle
+    * SQL), kept for cross-checking the native expression that actually
+    * runs ([[graft.functions.NativeExpressions.CdcCuts]] — an
+    * interpreted per-byte expression tree made q188/q189 the two most
+    * expensive non-iterative queries; the one-digest-loop-per-row
+    * kernel is the same ~100× class of win as SimHash's). Expects
+    * columns `text` and `n`; MultimodalSpec asserts equality on the
+    * real corpus.
     */
-  private def cdcChunkTable(df: org.apache.spark.sql.DataFrame)
-      : org.apache.spark.sql.DataFrame = {
+  private[graft] def cdcCutsHof: org.apache.spark.sql.Column = {
     val h = s"CAST(conv(substring(md5(substring(text, " +
       s"CAST(e - ${CdcWin - 1} AS INT), $CdcWin)), 1, 15), 16, 10) AS BIGINT)"
+    expr(s"""array_sort(array_distinct(concat(
+      filter(transform(sequence(CAST($CdcWin AS BIGINT), n),
+        e -> CASE WHEN $h % $CdcMod = 0 THEN e END),
+        x -> x IS NOT NULL),
+      array(n))))""")
+  }
+
+  /** Content-defined chunk table of `df(doc_id, text, …)`: one row per
+    * chunk, `(doc_id, len, chunk_md5)` — q188's derivation, shared
+    * with the q189 delta-sync experiment and q191 near-dup. Boundaries
+    * after byte `e` whenever hash60 of the [[CdcWin]]-byte window
+    * ending at `e` ≡ 0 mod [[CdcMod]]; entirely row-local (the native
+    * [[graft.functions.NativeExpressions.CdcCuts]] boundary pass +
+    * one posexplode).
+    */
+  private[graft] def cdcChunkTable(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
     df.withColumn("n", octet_length(col("text").cast("binary")).cast("long"))
       .filter(col("n") >= CdcWin)
       .select(col("doc_id"), col("text"),
-        expr(s"""array_sort(array_distinct(concat(
-          filter(transform(sequence(CAST($CdcWin AS BIGINT), n),
-            e -> CASE WHEN $h % $CdcMod = 0 THEN e END),
-            x -> x IS NOT NULL),
-          array(n))))""").as("cuts"))
+        graft.functions.NativeExpressions
+          .cdcCuts(col("text"), CdcWin, CdcMod).as("cuts"))
       .select(col("doc_id"), col("text"), col("cuts"),
         posexplode(col("cuts")).as(Seq("k", "cut")))
       .withColumn("prev", expr(
@@ -107,7 +124,6 @@ object MultimodalQueries {
       .select(col("doc_id"), (col("cut") - col("prev")).as("len"),
         md5(expr("substring(text, CAST(prev + 1 AS INT), " +
           "CAST(cut - prev AS INT))")).as("chunk_md5"))
-  }
 
   /** Fixed-size chunk table (64-byte blocks) of `df(doc_id, text, …)`:
     * the strawman q189 compares CDC against — block k covers bytes
