@@ -66,7 +66,11 @@ object GraftExtensions {
     ("graft_top_k_pair",
       info("graft_top_k_pair", "_FUNC_(score, id, k) - best k (score DESC, id ASC) long pairs, rank-ordered"),
       (es: Seq[Expression]) => graft.functions.NativeAggregates.TopKPairAgg(
-        es(0), es(1), intArg(es(2), "graft_top_k_pair"))))
+        es(0), es(1), intArg(es(2), "graft_top_k_pair"))),
+    ("graft_cdc_cuts",
+      info("graft_cdc_cuts", "_FUNC_(text, win, mod) - content-defined chunk cut positions (rolling hash60 of win-byte windows, boundary when % mod = 0)"),
+      (es: Seq[Expression]) => CdcCuts(es(0), intArg(es(1), "graft_cdc_cuts"),
+        intArg(es(2), "graft_cdc_cuts"))))
 
   /** Register all graft functions on an existing session. Idempotent. */
   def register(spark: SparkSession): Unit =

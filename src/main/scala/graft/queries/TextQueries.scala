@@ -2419,6 +2419,156 @@ object TextQueries {
          |WHERE rank <= 10 ORDER BY rank""".stripMargin
     })
 
+  /** q192: CDF-DRIVEN LEXICAL INDEX MAINTENANCE — q185's sibling for
+    * the OTHER retrieval mode: the BM25 statistics a lexical index
+    * serves (per-term document frequency and total term frequency)
+    * maintained incrementally from a merge-maintained corpus's change
+    * feed. delete/update_preimage docs RETRACT their per-term
+    * contributions (df −1 per distinct term, tf −tf), insert/
+    * update_postimage docs add theirs — cost O(changed docs' tokens),
+    * never a corpus re-tokenize; [[graft.sources.ManagedTable
+    * .changes]] plans the feed from manifest file diffs, so the whole
+    * maintenance pass is O(changeset) end-to-end. The output row is
+    * the PROOF an index server needs before trusting the shortcut:
+    * term-set and per-term df/tf equality between the incrementally-
+    * maintained index and a full rebuild of the new snapshot (four
+    * mismatch counters, all zero ⇒ agree). Unlike the dense case
+    * (q185, where assignment is per-row independent), lexical df is a
+    * CROSS-DOC aggregate — this query is what shows the retraction
+    * algebra still closes exactly.
+    */
+  val q192CdfLexicalIndex = NamedQuery(
+    "q192_cdf_lexical_index",
+    "Incremental BM25 index stats from the change feed: per-term " +
+      "df/tf retractions+additions at O(changeset), proven equal to " +
+      "a full rebuild (term set + both stats, zero mismatches).",
+    (s, d) => {
+      val dir = "/tmp/graft-cdflex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select((col("doc_id") % 150L).as("k"), col("doc_id").as("seq"),
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+      (0 until 2).foreach { i =>
+        M.merge(hist.filter(
+            col("seq") >= i * 200 && col("seq") < (i + 1) * 200),
+          dir, keys = Seq("k"), sequenceBy = Seq(col("seq")), tag = s"m$i")
+      }
+      val del = col("op") === "d"
+      val drop = Seq("seq", "op")
+      // per-term (df, tf_total) of a doc set — the index's statistics
+      def stats(df: org.apache.spark.sql.DataFrame, dfC: String, tfC: String) =
+        df.select(col("k"), explode(tokens(col("text"))).as("term"))
+          .groupBy("k", "term").agg(count(lit(1)).as("tf"))
+          .groupBy("term")
+          .agg(count(lit(1)).as(dfC), sum("tf").as(tfC))
+      val cdf = M.changes(s, dir, 1, 2, Seq("k"),
+        deleteExpr = del, exceptColumns = drop)
+      val v1 = stats(M.readCurrent(s, dir, del, drop, Some(1)), "df1", "tf1")
+      val rem = stats(cdf.filter(
+        col("_change_type").isin("delete", "update_preimage")), "dfr", "tfr")
+      val add = stats(cdf.filter(
+        col("_change_type").isin("insert", "update_postimage")), "dfa", "tfa")
+      val incr = v1.join(rem, Seq("term"), "full_outer")
+        .join(add, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df1"), lit(0L)) - coalesce(col("dfr"), lit(0L)) +
+            coalesce(col("dfa"), lit(0L))).as("df_incr"),
+          (coalesce(col("tf1"), lit(0L)) - coalesce(col("tfr"), lit(0L)) +
+            coalesce(col("tfa"), lit(0L))).as("tf_incr"))
+        .filter(col("df_incr") > 0)
+      val rebuild = stats(
+        M.readCurrent(s, dir, del, drop, Some(2)), "df2", "tf2")
+      incr.join(rebuild, Seq("term"), "full_outer")
+        .agg(
+          sum(when(col("df2").isNotNull, 1L).otherwise(0L)).as("n_terms"),
+          sum(when(col("df_incr").isNull, 1L).otherwise(0L))
+            .as("n_missing_incr"),
+          sum(when(col("df2").isNull, 1L).otherwise(0L)).as("n_extra_incr"),
+          sum(when(col("df_incr").isNotNull && col("df2").isNotNull &&
+            col("df_incr") =!= col("df2"), 1L).otherwise(0L))
+            .as("n_df_mismatch"),
+          sum(when(col("tf_incr").isNotNull && col("tf2").isNotNull &&
+            col("tf_incr") =!= col("tf2"), 1L).otherwise(0L))
+            .as("n_tf_mismatch"))
+        .withColumn("agree", when(
+          col("n_missing_incr") + col("n_extra_incr") +
+            col("n_df_mismatch") + col("n_tf_mismatch") === 0, 1L)
+          .otherwise(0L))
+    },
+    Some("""WITH h AS (SELECT doc_id % 150 AS k, doc_id AS seq, text,
+           |    CASE WHEN doc_id % 7 = 0 THEN 'd' ELSE 'u' END op
+           |  FROM documents WHERE doc_id < 400),
+           |s1 AS (SELECT k, text FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY k
+           |      ORDER BY seq DESC) rn FROM h WHERE seq < 200)
+           |  WHERE rn = 1 AND op <> 'd'),
+           |s2 AS (SELECT k, text FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY k
+           |      ORDER BY seq DESC) rn FROM h WHERE seq < 400)
+           |  WHERE rn = 1 AND op <> 'd'),
+           |j AS (SELECT coalesce(s1.k, s2.k) AS k,
+           |    s1.text AS t1, s2.text AS t2,
+           |    s1.k IS NOT NULL AS has1, s2.k IS NOT NULL AS has2
+           |  FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k),
+           |rem0 AS (SELECT k, t1 AS text FROM j
+           |  WHERE has1 AND (NOT has2 OR t1 IS DISTINCT FROM t2)),
+           |add0 AS (SELECT k, t2 AS text FROM j
+           |  WHERE has2 AND (NOT has1 OR t1 IS DISTINCT FROM t2)),
+           |v1 AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df1,
+           |    CAST(SUM(tf) AS BIGINT) AS tf1 FROM (
+           |    SELECT k, term, COUNT(*) AS tf FROM (
+           |      SELECT k, unnest(string_split(lower(text),' ')) AS term
+           |      FROM s1) GROUP BY 1, 2) GROUP BY 1),
+           |rem AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfr,
+           |    CAST(SUM(tf) AS BIGINT) AS tfr FROM (
+           |    SELECT k, term, COUNT(*) AS tf FROM (
+           |      SELECT k, unnest(string_split(lower(text),' ')) AS term
+           |      FROM rem0) GROUP BY 1, 2) GROUP BY 1),
+           |ad AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS dfa,
+           |    CAST(SUM(tf) AS BIGINT) AS tfa FROM (
+           |    SELECT k, term, COUNT(*) AS tf FROM (
+           |      SELECT k, unnest(string_split(lower(text),' ')) AS term
+           |      FROM add0) GROUP BY 1, 2) GROUP BY 1),
+           |incr AS (SELECT term,
+           |    COALESCE(df1, 0) - COALESCE(dfr, 0) + COALESCE(dfa, 0)
+           |      AS df_incr,
+           |    COALESCE(tf1, 0) - COALESCE(tfr, 0) + COALESCE(tfa, 0)
+           |      AS tf_incr
+           |  FROM v1 FULL OUTER JOIN rem USING (term)
+           |    FULL OUTER JOIN ad USING (term)
+           |  WHERE COALESCE(df1, 0) - COALESCE(dfr, 0) + COALESCE(dfa, 0)
+           |    > 0),
+           |rebuild AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df2,
+           |    CAST(SUM(tf) AS BIGINT) AS tf2 FROM (
+           |    SELECT k, term, COUNT(*) AS tf FROM (
+           |      SELECT k, unnest(string_split(lower(text),' ')) AS term
+           |      FROM s2) GROUP BY 1, 2) GROUP BY 1)
+           |SELECT
+           |  CAST(SUM(CASE WHEN df2 IS NOT NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_terms,
+           |  CAST(SUM(CASE WHEN df_incr IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_missing_incr,
+           |  CAST(SUM(CASE WHEN df2 IS NULL THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_extra_incr,
+           |  CAST(SUM(CASE WHEN df_incr IS NOT NULL AND df2 IS NOT NULL
+           |    AND df_incr <> df2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_df_mismatch,
+           |  CAST(SUM(CASE WHEN tf_incr IS NOT NULL AND tf2 IS NOT NULL
+           |    AND tf_incr <> tf2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_tf_mismatch,
+           |  CAST(CASE WHEN SUM(CASE WHEN df_incr IS NULL THEN 1 ELSE 0 END)
+           |    + SUM(CASE WHEN df2 IS NULL THEN 1 ELSE 0 END)
+           |    + SUM(CASE WHEN df_incr IS NOT NULL AND df2 IS NOT NULL
+           |        AND df_incr <> df2 THEN 1 ELSE 0 END)
+           |    + SUM(CASE WHEN tf_incr IS NOT NULL AND tf2 IS NOT NULL
+           |        AND tf_incr <> tf2 THEN 1 ELSE 0 END) = 0
+           |    THEN 1 ELSE 0 END AS BIGINT) AS agree
+           |FROM incr FULL OUTER JOIN rebuild USING (term)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -2432,5 +2582,5 @@ object TextQueries {
     q131EntityResolution, q134FilterCascade, q148LshRecall,
     q154LshBandSweep, q155SourceOverlap, q156DedupReweight,
     q158QualityCalibration, q159DocChunks, q161ChunkRetrieval,
-    q162NoveltyCurve, q177PrfExpansion)
+    q162NoveltyCurve, q177PrfExpansion, q192CdfLexicalIndex)
 }
