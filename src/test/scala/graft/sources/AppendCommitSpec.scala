@@ -40,6 +40,31 @@ class AppendCommitSpec extends SparkSpec {
     }
   }
 
+  test("tag-index cache survives a table deleted and re-created at the same path") {
+    // the round-9 incremental tag index is driver-local state keyed by
+    // dir; a table torn down and rebuilt at the same path mid-session
+    // must NOT leave a stale replay verdict behind — a stale positive
+    // would silently DROP a live micro-batch. The validity probe
+    // (cached newest version's tag re-read) catches the rebuild.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tagidx").toString
+    val df = graft.Tables.documents(spark, sf("sf0.001"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+      .select("doc_id", "lang")
+    assert(ManagedTable.idempotentAppend(df, dir, 0L))
+    assert(ManagedTable.idempotentAppend(df, dir, 1L))
+    assert(!ManagedTable.idempotentAppend(df, dir, 0L),
+      "replay of a landed batch must be skipped (cached path)")
+    // tear the table down and re-create a DIFFERENT one at the same path
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    ManagedTable.commit(df, dir, tag = "fresh-table")
+    assert(ManagedTable.idempotentAppend(df, dir, 0L),
+      "batch 0 never landed in the NEW table — a stale cached verdict " +
+        "here silently drops the batch")
+    assert(ManagedTable.read(spark, dir).count() == 10,
+      "the fresh commit plus the re-landed batch")
+  }
+
   test("exportManifest pins a version for external readers; refuses DVs") {
     val dir = Files.createTempDirectory("graft-em").toString
     ManagedTable.commit(docs.filter(col("doc_id") < 10).repartition(2), dir)
