@@ -1967,6 +1967,124 @@ object VectorQueries {
             |  ON h.doc_id = c.doc_id AND h.chunk_idx = c.chunk_idx
             |ORDER BY fused_rank""".stripMargin))
 
+  /** q193: INDEX STALENESS AUDIT — the detect-side companion to
+    * q185's repair: production serving reads "corpus at v2, index
+    * built at v1" whenever re-indexing lags ingestion, and this query
+    * quantifies exactly what that skew costs. Against the live v2
+    * snapshot, the v1-built IVF index has three defect classes:
+    * MISSING keys (inserted since v1 — unanswerable until re-index),
+    * DANGLING postings (deleted since v1 — ghost results), and
+    * STALE vectors (updated since v1), split into value-stale vs
+    * CELL-stale (the fresh vector would land in a different IVF cell
+    * — the subset that actually mis-routes probes; a value change
+    * that keeps its cell still ranks correctly at the exact-rerank
+    * stage). `staleness_fp` = (missing+dangling+cell_stale)/live is
+    * the one number a re-index scheduler alarms on. Scale shape: two
+    * latest-per-key snapshot reads (manifest-planned), two frozen-
+    * centroid broadcast argmax passes, one key-equi full-outer join —
+    * O(|keys|), never O(corpus²).
+    */
+  val q193IndexStaleness = NamedQuery(
+    "q193_index_staleness",
+    "Serving-skew audit: v1-built IVF index vs live v2 corpus — " +
+      "missing/dangling/value-stale/cell-stale counts and the " +
+      "staleness rate a re-index scheduler alarms on.",
+    (s, d) => {
+      val dir = "/tmp/graft-stale/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val emb = Tables.embeddings(s, d)
+      val hist = emb.filter(col("vec_id") < 40)
+        .select((col("vec_id") % 15L).as("k"), col("vec_id").as("seq"),
+          col("embedding"),
+          when(col("vec_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+      (0 until 2).foreach { i =>
+        M.merge(hist.filter(
+            col("seq") >= i * 20 && col("seq") < (i + 1) * 20),
+          dir, keys = Seq("k"), sequenceBy = Seq(col("seq")), tag = s"m$i")
+      }
+      val cent = emb.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val del = col("op") === "d"
+      val drop = Seq("seq", "op")
+      def assigned(v: Int, cidName: String, vName: String) =
+        Similarity.ivfAssign(
+            M.readCurrent(s, dir, del, drop, Some(v))
+              .select(col("k").as("id"), col("embedding").as("v")), cent)
+          .select(col("id").as("k"), col("cid").as(cidName),
+            col("v").as(vName))
+      val idx = assigned(1, "cid_idx", "v_old")
+      val live = assigned(2, "cid_fresh", "v_new")
+      idx.join(live, Seq("k"), "full_outer")
+        .agg(
+          sum(when(col("cid_idx").isNotNull, 1L).otherwise(0L))
+            .as("n_index"),
+          sum(when(col("cid_fresh").isNotNull, 1L).otherwise(0L))
+            .as("n_live"),
+          sum(when(col("cid_idx").isNull, 1L).otherwise(0L))
+            .as("n_missing"),
+          sum(when(col("cid_fresh").isNull, 1L).otherwise(0L))
+            .as("n_dangling"),
+          sum(when(col("cid_idx").isNotNull && col("cid_fresh").isNotNull &&
+            !(col("v_old") <=> col("v_new")), 1L).otherwise(0L))
+            .as("n_stale_value"),
+          sum(when(col("cid_idx").isNotNull && col("cid_fresh").isNotNull &&
+            !(col("v_old") <=> col("v_new")) &&
+            col("cid_idx") =!= col("cid_fresh"), 1L).otherwise(0L))
+            .as("n_stale_cell"))
+        .withColumn("staleness_fp", expr(
+          "((n_missing + n_dangling + n_stale_cell) * 1000000) div n_live"))
+    },
+    Some(s"""WITH h AS (SELECT vec_id % 15 AS k, vec_id AS seq, embedding,
+            |    CASE WHEN vec_id % 7 = 0 THEN 'd' ELSE 'u' END op
+            |  FROM embeddings WHERE vec_id < 40),
+            |s1 AS (SELECT k, embedding FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY k
+            |      ORDER BY seq DESC) rn FROM h WHERE seq < 20)
+            |  WHERE rn = 1 AND op <> 'd'),
+            |s2 AS (SELECT k, embedding FROM (
+            |    SELECT *, row_number() OVER (PARTITION BY k
+            |      ORDER BY seq DESC) rn FROM h WHERE seq < 40)
+            |  WHERE rn = 1 AND op <> 'd'),
+            |cent AS (SELECT vec_id AS cid, embedding AS cv
+            |  FROM embeddings WHERE vec_id < 8),
+            |a1 AS (SELECT k, cid AS cid_idx, embedding AS v_old FROM (
+            |    SELECT s.k, c.cid, s.embedding,
+            |      row_number() OVER (PARTITION BY s.k
+            |        ORDER BY ${cosFpSql("s.embedding", "c.cv")} DESC,
+            |          c.cid ASC) rn FROM s1 s, cent c) WHERE rn = 1),
+            |a2 AS (SELECT k, cid AS cid_fresh, embedding AS v_new FROM (
+            |    SELECT s.k, c.cid, s.embedding,
+            |      row_number() OVER (PARTITION BY s.k
+            |        ORDER BY ${cosFpSql("s.embedding", "c.cv")} DESC,
+            |          c.cid ASC) rn FROM s2 s, cent c) WHERE rn = 1)
+            |SELECT
+            |  CAST(SUM(CASE WHEN cid_idx IS NOT NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_index,
+            |  CAST(SUM(CASE WHEN cid_fresh IS NOT NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_live,
+            |  CAST(SUM(CASE WHEN cid_idx IS NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_missing,
+            |  CAST(SUM(CASE WHEN cid_fresh IS NULL THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_dangling,
+            |  CAST(SUM(CASE WHEN cid_idx IS NOT NULL AND cid_fresh IS NOT
+            |    NULL AND v_old IS DISTINCT FROM v_new THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_stale_value,
+            |  CAST(SUM(CASE WHEN cid_idx IS NOT NULL AND cid_fresh IS NOT
+            |    NULL AND v_old IS DISTINCT FROM v_new
+            |    AND cid_idx <> cid_fresh THEN 1 ELSE 0 END) AS BIGINT)
+            |    AS n_stale_cell,
+            |  CAST(((SUM(CASE WHEN cid_idx IS NULL THEN 1 ELSE 0 END)
+            |    + SUM(CASE WHEN cid_fresh IS NULL THEN 1 ELSE 0 END)
+            |    + SUM(CASE WHEN cid_idx IS NOT NULL AND cid_fresh IS NOT
+            |        NULL AND v_old IS DISTINCT FROM v_new
+            |        AND cid_idx <> cid_fresh THEN 1 ELSE 0 END))
+            |    * 1000000) // SUM(CASE WHEN cid_fresh IS NOT NULL
+            |      THEN 1 ELSE 0 END) AS BIGINT) AS staleness_fp
+            |FROM a1 FULL OUTER JOIN a2 USING (k)""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -1977,7 +2095,7 @@ object VectorQueries {
     q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling,
     q175IvfCellBalance, q178HashEmbedding, q184DenseChunkRetrieval,
     q185CdfIndexMaintenance, q186DenseRecall, q187HybridChunkRrf,
-    q190ContextPack)
+    q190ContextPack, q193IndexStaleness)
 }
 
 /** The dense chunk-retrieval tier shared by q184 (read path), q186
