@@ -2085,6 +2085,98 @@ object VectorQueries {
             |      THEN 1 ELSE 0 END) AS BIGINT) AS staleness_fp
             |FROM a1 FULL OUTER JOIN a2 USING (k)""".stripMargin))
 
+  /** q194: NPROBE SWEEP — the full recall/cost curve q186 samples one
+    * point of: for every probe budget p in 1..4, recall@10 of the
+    * p-probed dense path vs the exact chunk ranking, next to the
+    * candidate fraction p forces the engine to scan. THIS table is
+    * how an index operator actually picks nprobe (find the knee:
+    * where another probe buys recall slower than it costs scan). The
+    * trick that keeps it one pass: score every chunk against the
+    * query ONCE and attach each chunk's centroid PROBE RANK — the
+    * p-probed top-10 is then just `rank ≤ p` filtered from the one
+    * scored frame, so the sweep costs one extra broadcast join over
+    * q186, not four re-scorings. Both scored frames are cached 10-row
+    * lineages over the shared cached component pass.
+    */
+  val q194NprobeSweep = NamedQuery(
+    "q194_nprobe_sweep",
+    "IVF tuning curve: recall@10 + scanned candidate fraction for " +
+      "nprobe 1..4 from ONE scored pass (probe-rank filter, no " +
+      "re-scoring) — pick the knee.",
+    (s, d) => {
+      val p = DenseChunks.parts(s, d)
+      // every centroid's probe rank for the query (|centroids| rows)
+      val probeRank = p.dcomp.join(broadcast(p.qcomp), Seq("j"))
+        .groupBy("cid").agg(sum(col("cv") * col("qv")).as("dot"))
+        .join(p.dnorm, Seq("cid"))
+        .withColumn("cos_fp",
+          DenseChunks.intCosFp(col("dot"), lit(p.nq), col("ncc")))
+        .withColumn("prn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("cos_fp").desc, col("cid").asc)).cast("long"))
+        .select("cid", "prn")
+      // one scored pass over ALL chunks, each carrying its cell's rank
+      val scored = DenseChunks.scoredVsQuery(p, None)
+        .join(DenseChunks.assigned(p), Seq("doc_id", "chunk_idx"))
+        .join(broadcast(probeRank), Seq("cid"))
+        .cache()
+      val exact = scored
+        .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
+        .limit(10).select("doc_id", "chunk_idx").cache()
+      val nChunks = scored.count()
+      val rows = (1 to 4).map { np =>
+        val cand = scored.filter(col("prn") <= np)
+        val top = cand
+          .orderBy(col("cos_fp").desc, col("doc_id").asc,
+            col("chunk_idx").asc)
+          .limit(10).select("doc_id", "chunk_idx")
+        cand.agg(count(lit(1)).as("n_candidates"))
+          .crossJoin(broadcast(
+            exact.join(top, Seq("doc_id", "chunk_idx"))
+              .agg(count(lit(1)).as("n_hit"))))
+          .select(lit(np.toLong).as("nprobe"), col("n_candidates"),
+            col("n_hit"),
+            expr("(n_hit * 1000000) div 10").as("recall_fp"),
+            expr(s"(n_candidates * 1000000) div CAST($nChunks AS BIGINT)")
+              .as("cand_frac_fp"))
+      }
+      rows.reduce(_ unionByName _).orderBy("nprobe")
+    },
+    Some {
+      def branch(np: Int): String =
+        s"""SELECT CAST($np AS BIGINT) AS nprobe,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM swept
+           |   WHERE prn <= $np) AS n_candidates,
+           |  (SELECT CAST(COUNT(*) AS BIGINT) FROM exact e JOIN (
+           |      SELECT doc_id, chunk_idx FROM swept WHERE prn <= $np
+           |      ORDER BY cos_fp DESC, doc_id ASC, chunk_idx ASC
+           |      LIMIT 10) t USING (doc_id, chunk_idx)) AS n_hit""".stripMargin
+      s"""WITH ${TextQueries.ChunkCtesSql},
+         |${DenseChunks.ctesSql},
+         |prank AS (SELECT cid, CAST(row_number() OVER (
+         |      ORDER BY ${DenseChunks.intCosFpSql("c.dot", "qn.nq", "dn.ncc")}
+         |        DESC, c.cid ASC) AS BIGINT) AS prn
+         |  FROM qcdot c JOIN dnorm dn USING (cid), qnorm qn),
+         |eall AS (SELECT c.doc_id, c.chunk_idx,
+         |    CAST(SUM(c.v * q.qv) AS BIGINT) AS dot
+         |  FROM ccomp c JOIN qcomp q USING (j) GROUP BY 1, 2),
+         |swept AS (SELECT e.doc_id, e.chunk_idx,
+         |    ${DenseChunks.intCosFpSql("e.dot", "qn.nq", "n.nn")} AS cos_fp,
+         |    pr.prn
+         |  FROM eall e JOIN cnorm n USING (doc_id, chunk_idx)
+         |    JOIN assigned a USING (doc_id, chunk_idx)
+         |    JOIN prank pr ON pr.cid = a.cid, qnorm qn),
+         |exact AS (SELECT doc_id, chunk_idx FROM swept
+         |  ORDER BY cos_fp DESC, doc_id ASC, chunk_idx ASC LIMIT 10),
+         |nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks FROM swept),
+         |curve AS (${(1 to 4).map(branch).mkString("\n UNION ALL\n")})
+         |SELECT nprobe, n_candidates, n_hit,
+         |  CAST((n_hit * 1000000) // 10 AS BIGINT) AS recall_fp,
+         |  CAST((n_candidates * 1000000) // n_chunks AS BIGINT)
+         |    AS cand_frac_fp
+         |FROM curve, nt ORDER BY nprobe""".stripMargin
+    })
+
   val all: Seq[NamedQuery] = Seq(
     q19KnnBruteForce, q20AnnLsh, q21EmbeddingNearDup, q26AnnIvf,
     q33AnnRecall, q34AnnIvfKmeans, q36AnnLshMultiProbe,
@@ -2095,7 +2187,7 @@ object VectorQueries {
     q157TruncationAblation, q170KnnLabelTransfer, q171NegativeSampling,
     q175IvfCellBalance, q178HashEmbedding, q184DenseChunkRetrieval,
     q185CdfIndexMaintenance, q186DenseRecall, q187HybridChunkRrf,
-    q190ContextPack, q193IndexStaleness)
+    q190ContextPack, q193IndexStaleness, q194NprobeSweep)
 }
 
 /** The dense chunk-retrieval tier shared by q184 (read path), q186
