@@ -517,8 +517,81 @@ object MultimodalQueries {
             |ORDER BY frac_fp DESC, doc_id_a ASC, doc_id_b ASC
             |LIMIT 50""".stripMargin))
 
+  /** q195: CHUNK-STORE GC PLANNING — the flip side of q188's dedup
+    * win: once chunks are shared across blobs, deleting a blob does
+    * NOT free its bytes — only chunks whose LAST referencing blob
+    * died are reclaimable. This query plans a GC pass after a
+    * retention delete (every 5th blob leaves): per-chunk reference
+    * counts before/after, splitting the departed blobs' footprint
+    * into reclaimable bytes (refcount hit 0) vs retained bytes
+    * (still referenced by a survivor — the dedup tax on deletion).
+    * `retained_fp` is why content-addressed stores run refcounted GC
+    * instead of deleting by owner. Scale shape: two (chunk_md5)
+    * hash-aggs over the row-local chunker and one metadata-only
+    * anti-join — GC planning never touches payload bytes.
+    */
+  val q195ChunkGc = NamedQuery(
+    "q195_chunk_gc",
+    "Chunk-store GC audit after a retention delete: reclaimable vs " +
+      "still-referenced bytes of the departed blobs' chunks " +
+      "(refcount algebra) — deletion under dedup needs refcounts.",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pay = cdcChunkTable(docs)
+        .select("doc_id", "chunk_md5", "len").distinct().cache()
+      val store = pay.groupBy("chunk_md5")
+        .agg(max("len").as("len"), count(lit(1)).as("refs_before"))
+      val after = pay.filter(col("doc_id") % 5 =!= 0)
+        .groupBy("chunk_md5").agg(count(lit(1)).as("refs_after"))
+      store.join(after, Seq("chunk_md5"), "left_outer")
+        .select(col("len"), col("refs_before"),
+          coalesce(col("refs_after"), lit(0L)).as("refs_after"))
+        .agg(
+          count(lit(1)).as("n_chunks_store"),
+          sum("len").as("store_bytes"),
+          sum(when(col("refs_after") === 0, 1L).otherwise(0L))
+            .as("n_reclaimable"),
+          sum(when(col("refs_after") === 0, col("len")).otherwise(0L))
+            .as("reclaimable_bytes"),
+          sum(when(col("refs_after") > 0 &&
+            col("refs_after") < col("refs_before"), col("len"))
+            .otherwise(0L)).as("retained_bytes"))
+        .withColumn("retained_fp", expr(
+          "(retained_bytes * 1000000) div " +
+            "greatest(reclaimable_bytes + retained_bytes, 1)"))
+    },
+    Some(s"""WITH ${cdcCtesSql("documents", "")},
+            |pay AS (SELECT DISTINCT doc_id, chunk_md5, len FROM payload),
+            |store AS (SELECT chunk_md5, MAX(len) AS len,
+            |    CAST(COUNT(*) AS BIGINT) AS refs_before
+            |  FROM pay GROUP BY 1),
+            |aft AS (SELECT chunk_md5, CAST(COUNT(*) AS BIGINT)
+            |    AS refs_after
+            |  FROM pay WHERE doc_id % 5 <> 0 GROUP BY 1),
+            |j AS (SELECT s.len, s.refs_before,
+            |    COALESCE(a.refs_after, 0) AS refs_after
+            |  FROM store s LEFT JOIN aft a USING (chunk_md5))
+            |SELECT CAST(COUNT(*) AS BIGINT) AS n_chunks_store,
+            |  CAST(SUM(len) AS BIGINT) AS store_bytes,
+            |  CAST(SUM(CASE WHEN refs_after = 0 THEN 1 ELSE 0 END)
+            |    AS BIGINT) AS n_reclaimable,
+            |  CAST(SUM(CASE WHEN refs_after = 0 THEN len ELSE 0 END)
+            |    AS BIGINT) AS reclaimable_bytes,
+            |  CAST(SUM(CASE WHEN refs_after > 0 AND refs_after <
+            |    refs_before THEN len ELSE 0 END) AS BIGINT)
+            |    AS retained_bytes,
+            |  CAST((SUM(CASE WHEN refs_after = 0 THEN len ELSE 0 END) * 0
+            |    + SUM(CASE WHEN refs_after > 0 AND refs_after <
+            |        refs_before THEN len ELSE 0 END) * 1000000)
+            |    // greatest(SUM(CASE WHEN refs_after = 0 THEN len
+            |        ELSE 0 END)
+            |      + SUM(CASE WHEN refs_after > 0 AND refs_after <
+            |          refs_before THEN len ELSE 0 END), 1) AS BIGINT)
+            |    AS retained_fp
+            |FROM j""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q25BinaryFeatures, q97FrameSample, q160MediaNearDup,
       q173MediaIntegrity, q188ContentChunks, q189ChunkDeltaSync,
-      q191CdcNearDup)
+      q191CdcNearDup, q195ChunkGc)
 }
