@@ -590,8 +590,132 @@ object MultimodalQueries {
             |    AS retained_fp
             |FROM j""".stripMargin))
 
+  /** q196: CDF-DRIVEN CHUNK-STORE MAINTENANCE — the third index
+    * family maintained from the change feed, completing the trio
+    * (dense IVF q185, lexical BM25 q192, content-addressed chunk
+    * store here): a merge-maintained blob corpus commits two
+    * versions, and the store's per-chunk REFERENCE COUNTS (q195's GC
+    * currency) update incrementally — delete/update_preimage blobs
+    * retract their distinct chunks' refs, insert/update_postimage
+    * blobs add theirs, cost O(changed blobs' bytes) through the
+    * row-local native chunker, never a corpus re-chunk. The output
+    * row proves the refcount algebra closes exactly against a full
+    * re-chunk of the new snapshot: chunk-set equality plus per-chunk
+    * refcount equality, zero mismatches ⇒ agree. At 100 TB this is
+    * how a dedup store stays consistent under a backfill without
+    * re-reading the corpus.
+    */
+  val q196CdfChunkStore = NamedQuery(
+    "q196_cdf_chunk_store",
+    "Incremental chunk-store refcounts from the change feed: " +
+      "retract/add changed blobs' distinct chunks at O(changeset), " +
+      "proven equal to a full re-chunk (set + refcounts).",
+    (s, d) => {
+      val dir = "/tmp/graft-cdfstore/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select((col("doc_id") % 150L).as("k"), col("doc_id").as("seq"),
+          col("text"),
+          when(col("doc_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+      (0 until 2).foreach { i =>
+        M.merge(hist.filter(
+            col("seq") >= i * 200 && col("seq") < (i + 1) * 200),
+          dir, keys = Seq("k"), sequenceBy = Seq(col("seq")), tag = s"m$i")
+      }
+      val del = col("op") === "d"
+      val drop = Seq("seq", "op")
+      // per-chunk refcounts of a blob set (distinct within blob)
+      def refs(df: org.apache.spark.sql.DataFrame, c: String) =
+        cdcChunkTable(df.withColumnRenamed("k", "doc_id"))
+          .select("doc_id", "chunk_md5").distinct()
+          .groupBy("chunk_md5").agg(count(lit(1)).as(c))
+      val cdf = M.changes(s, dir, 1, 2, Seq("k"),
+        deleteExpr = del, exceptColumns = drop)
+      val v1 = refs(M.readCurrent(s, dir, del, drop, Some(1)), "r1")
+      val rem = refs(cdf.filter(
+        col("_change_type").isin("delete", "update_preimage")), "rr")
+      val add = refs(cdf.filter(
+        col("_change_type").isin("insert", "update_postimage")), "ra")
+      val incr = v1.join(rem, Seq("chunk_md5"), "full_outer")
+        .join(add, Seq("chunk_md5"), "full_outer")
+        .select(col("chunk_md5"),
+          (coalesce(col("r1"), lit(0L)) - coalesce(col("rr"), lit(0L)) +
+            coalesce(col("ra"), lit(0L))).as("r_incr"))
+        .filter(col("r_incr") > 0)
+      val rebuild = refs(M.readCurrent(s, dir, del, drop, Some(2)), "r2")
+      incr.join(rebuild, Seq("chunk_md5"), "full_outer")
+        .agg(
+          sum(when(col("r2").isNotNull, 1L).otherwise(0L))
+            .as("n_store"),
+          sum(when(col("r_incr").isNull, 1L).otherwise(0L))
+            .as("n_missing_incr"),
+          sum(when(col("r2").isNull, 1L).otherwise(0L))
+            .as("n_extra_incr"),
+          sum(when(col("r_incr").isNotNull && col("r2").isNotNull &&
+            col("r_incr") =!= col("r2"), 1L).otherwise(0L))
+            .as("n_ref_mismatch"))
+        .withColumn("agree", when(
+          col("n_missing_incr") + col("n_extra_incr") +
+            col("n_ref_mismatch") === 0, 1L).otherwise(0L))
+    },
+    Some {
+      def refsSql(src: String, p: String, c: String): String =
+        s"""${cdcCtesSql(src, p)},
+           |${p}refs AS (SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS $c
+           |  FROM (SELECT DISTINCT doc_id, chunk_md5 FROM ${p}payload)
+           |  GROUP BY 1)""".stripMargin
+      s"""WITH h AS (SELECT doc_id % 150 AS k, doc_id AS seq, text,
+         |    CASE WHEN doc_id % 7 = 0 THEN 'd' ELSE 'u' END op
+         |  FROM documents WHERE doc_id < 400),
+         |s1 AS (SELECT k AS doc_id, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY k
+         |      ORDER BY seq DESC) rn FROM h WHERE seq < 200)
+         |  WHERE rn = 1 AND op <> 'd'),
+         |s2 AS (SELECT k AS doc_id, text FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY k
+         |      ORDER BY seq DESC) rn FROM h WHERE seq < 400)
+         |  WHERE rn = 1 AND op <> 'd'),
+         |j AS (SELECT coalesce(s1.doc_id, s2.doc_id) AS doc_id,
+         |    s1.text AS t1, s2.text AS t2,
+         |    s1.doc_id IS NOT NULL AS has1, s2.doc_id IS NOT NULL AS has2
+         |  FROM s1 FULL OUTER JOIN s2 ON s1.doc_id = s2.doc_id),
+         |rem0 AS (SELECT doc_id, t1 AS text FROM j
+         |  WHERE has1 AND (NOT has2 OR t1 IS DISTINCT FROM t2)),
+         |add0 AS (SELECT doc_id, t2 AS text FROM j
+         |  WHERE has2 AND (NOT has1 OR t1 IS DISTINCT FROM t2)),
+         |${refsSql("s1", "v", "r1")},
+         |${refsSql("rem0", "r", "rr")},
+         |${refsSql("add0", "a", "ra")},
+         |${refsSql("s2", "b", "r2")},
+         |incr AS (SELECT chunk_md5,
+         |    COALESCE(r1, 0) - COALESCE(rr, 0) + COALESCE(ra, 0)
+         |      AS r_incr
+         |  FROM vrefs FULL OUTER JOIN rrefs USING (chunk_md5)
+         |    FULL OUTER JOIN arefs USING (chunk_md5)
+         |  WHERE COALESCE(r1, 0) - COALESCE(rr, 0) + COALESCE(ra, 0) > 0)
+         |SELECT
+         |  CAST(SUM(CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_store,
+         |  CAST(SUM(CASE WHEN r_incr IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_missing_incr,
+         |  CAST(SUM(CASE WHEN r2 IS NULL THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_extra_incr,
+         |  CAST(SUM(CASE WHEN r_incr IS NOT NULL AND r2 IS NOT NULL
+         |    AND r_incr <> r2 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_ref_mismatch,
+         |  CAST(CASE WHEN SUM(CASE WHEN r_incr IS NULL THEN 1 ELSE 0 END)
+         |    + SUM(CASE WHEN r2 IS NULL THEN 1 ELSE 0 END)
+         |    + SUM(CASE WHEN r_incr IS NOT NULL AND r2 IS NOT NULL
+         |        AND r_incr <> r2 THEN 1 ELSE 0 END) = 0
+         |    THEN 1 ELSE 0 END AS BIGINT) AS agree
+         |FROM incr FULL OUTER JOIN brefs USING (chunk_md5)""".stripMargin
+    })
+
   val all: Seq[NamedQuery] =
     Seq(q25BinaryFeatures, q97FrameSample, q160MediaNearDup,
       q173MediaIntegrity, q188ContentChunks, q189ChunkDeltaSync,
-      q191CdcNearDup, q195ChunkGc)
+      q191CdcNearDup, q195ChunkGc, q196CdfChunkStore)
 }
