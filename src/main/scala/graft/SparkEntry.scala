@@ -1,9 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{AnalyticsQueries, EventQueries, LayoutQueries,
-  MultimodalQueries, PosQueries, RelationalQueries, StreamingQueries,
-  TextQueries, TrainingDataQueries, VectorQueries}
+import graft.queries.{AnalyticsQueries, EventQueries, IndexQueries,
+  LayoutQueries, MultimodalQueries, PosQueries, RelationalQueries,
+  StreamingQueries, TextQueries, TrainingDataQueries, VectorQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -23,7 +23,8 @@ object SparkEntry {
       PosQueries.all ++
       AnalyticsQueries.all ++
       TrainingDataQueries.all ++
-      LayoutQueries.all
+      LayoutQueries.all ++
+      IndexQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -55,6 +55,38 @@ object Chunker {
           " ").as("chunk_text"))
   }
 
+  /** Content-defined chunk table — the rsync/LBFS boundary rule as an
+    * operator: one row per chunk, `(doc_id, len, chunk_md5)`, with a
+    * boundary after byte `e` whenever hash60 of the `win`-byte window
+    * ending at `e` ≡ 0 (mod `mod`), so chunk identity is a pure
+    * function of LOCAL content (an insertion re-chunks only its
+    * neighborhood). Texts shorter than `win` bytes produce no chunks.
+    * Entirely row-local (the native
+    * [[graft.functions.NativeExpressions.CdcCuts]] boundary pass plus
+    * one posexplode) — the payload never leaves its scan task; only
+    * `(chunk_md5, len)` metadata shuffles downstream. The `doc_id`
+    * column keeps whatever type `idCol` has (struct ids compose — the
+    * change-feed index maintenance rides sign-tagged keys through
+    * here).
+    */
+  def cdcChunks(df: DataFrame, idCol: String, textCol: String,
+      win: Int, mod: Int): DataFrame =
+    df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
+      .withColumn("__n",
+        octet_length(col("__text").cast("binary")).cast("long"))
+      .filter(col("__n") >= win)
+      .select(col("doc_id"), col("__text"),
+        graft.functions.NativeExpressions
+          .cdcCuts(col("__text"), win, mod).as("__cuts"))
+      .select(col("doc_id"), col("__text"), col("__cuts"),
+        posexplode(col("__cuts")).as(Seq("__k", "__cut")))
+      .withColumn("__prev", expr(
+        "CASE WHEN __k = 0 THEN CAST(0 AS BIGINT) " +
+          "ELSE element_at(__cuts, __k) END"))
+      .select(col("doc_id"), (col("__cut") - col("__prev")).as("len"),
+        md5(expr("substring(__text, CAST(__prev + 1 AS INT), " +
+          "CAST(__cut - __prev AS INT))")).as("chunk_md5"))
+
   /** Chunk statistics per document — the sizing signal a pipeline uses
     * to pick (chunkTokens, overlap) before committing to an index
     * build: chunk count, mean chunk length, and the token-duplication

@@ -1,0 +1,206 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions.tokens
+import graft.sources.ManagedTable
+
+/** UNIFIED feed-maintained index tier — the production composition of
+  * the three per-family maintenance proofs (dense IVF q185, lexical
+  * BM25 q192, content-addressed chunk store q196): ONE change feed,
+  * derived once per corpus version step, updates ALL derived index
+  * families in ONE transaction.
+  *
+  * The index is a single [[ManagedTable]] keyed by `(family, key)`:
+  *
+  * | family  | key             | a             | b        |
+  * |---------|-----------------|---------------|----------|
+  * | `dense` | IVF cell id     | posting count | 0        |
+  * | `lex`   | term            | df            | total tf |
+  * | `chunk` | chunk md5       | refcount      | 0        |
+  *
+  * so a maintenance tick is ONE [[ManagedTable.merge]] commit — either
+  * every family reflects the corpus change or none does, which is the
+  * invariant a serving system actually needs (a reader at any index
+  * version sees mutually consistent dense/lexical/chunk state; three
+  * separately-committed tables can be observed mid-tick disagreeing
+  * about which corpus version they index).
+  *
+  * Why the algebra is exact (not approximate): every family's state is
+  * a signed-countable aggregate of PER-ROW contributions —
+  *   - dense: cell(k) is functional on the row's vector under frozen
+  *     centroids ([[Similarity.ivfAssign]]'s broadcast argmax);
+  *   - lex: a doc contributes (+1 df, +tf) per distinct term, a pure
+  *     function of its text;
+  *   - chunk: a blob contributes +1 ref per distinct content chunk
+  *     ([[Chunker.cdcChunks]] is row-local);
+  * so `state(v2) = state(v1) − contrib(preimages) + contrib(postimages)`
+  * holds EXACTLY, and the whole tick costs O(|changeset|) — never a
+  * corpus re-scan, the property that makes incremental indexing viable
+  * at 100 TB ([[ManagedTable.changes]] plans the feed from manifest
+  * file diffs, so even reading the changeset is O(changed data)).
+  *
+  * Reference anchor: the CDC-apply semantics of
+  * /root/reference/notebooks/03_Data_Ingestion.py:318-326 extended
+  * from table state to derived index state.
+  *
+  * Scale shape per tick: one cached changeset scan; dense = broadcast
+  * argmax + (cell) hash-agg; lex = row-local tokenize + (term)
+  * hash-agg; chunk = row-local native chunker + (md5) hash-agg; apply
+  * = one (family,key)-keyed join against the CURRENT index restricted
+  * to touched keys; commit = one merge whose own rewrite is
+  * O(affected index files). Nothing anywhere is corpus-sized.
+  */
+object IndexMaintenance {
+
+  /** How to read a merge-maintained corpus table: key/text/embedding
+    * columns, the frozen coarse centroids `(cid, cv)` the dense family
+    * assigns against, and the tombstone convention of the corpus's own
+    * changelog ([[ManagedTable.readCurrent]]'s contract).
+    */
+  final case class CorpusSpec(
+      keyCol: String,
+      textCol: String,
+      embCol: String,
+      centroids: DataFrame,
+      deleteExpr: Column,
+      exceptColumns: Seq[String],
+      cdcWin: Int = 8,
+      cdcMod: Int = 64)
+
+  /** Tombstone convention of the INDEX table itself. */
+  val IndexDelete: Column = col("op") === "d"
+  val IndexBookkeeping: Seq[String] = Seq("seq", "op")
+
+  /** Signed tri-family contribution of a set of corpus rows
+    * `(k, text, embedding, sign)` → `(family, key, a, b)` with
+    * zero-net keys dropped. `sign` must make `(k, sign)` unique within
+    * the input (a CDF yields at most one −1 preimage and one +1
+    * postimage per key), because the dense argmax groups by it.
+    */
+  private def triStats(rows: DataFrame, spec: CorpusSpec): DataFrame = {
+    val dense = Similarity.ivfAssign(
+        rows.filter(col("embedding").isNotNull)
+          .select(struct(col("k"), col("sign")).as("id"),
+            col("embedding").as("v")),
+        spec.centroids)
+      .select(col("cid"), col("id.sign").as("sign"))
+      .groupBy("cid").agg(sum("sign").as("a"))
+      .select(lit("dense").as("family"),
+        col("cid").cast("string").as("key"), col("a"), lit(0L).as("b"))
+    val lex = rows
+      .select(col("k"), col("sign"), explode(tokens(col("text"))).as("term"))
+      .groupBy("k", "sign", "term").agg(count(lit(1)).as("tf"))
+      .groupBy("term")
+      .agg(sum("sign").as("a"), sum(col("sign") * col("tf")).as("b"))
+      .select(lit("lex").as("family"), col("term").as("key"),
+        col("a"), col("b"))
+    val chunk = Chunker.cdcChunks(
+        rows.select(struct(col("k"), col("sign")).as("cid"), col("text")),
+        "cid", "text", spec.cdcWin, spec.cdcMod)
+      .select(col("doc_id"), col("chunk_md5")).distinct()
+      .groupBy("chunk_md5").agg(sum(col("doc_id.sign")).as("a"))
+      .select(lit("chunk").as("family"), col("chunk_md5").as("key"),
+        col("a"), lit(0L).as("b"))
+    dense.unionByName(lex).unionByName(chunk)
+      .filter(col("a") =!= 0 || col("b") =!= 0)
+  }
+
+  private def normalize(df: DataFrame, spec: CorpusSpec,
+      sign: Column): DataFrame =
+    df.select(col(spec.keyCol).as("k"), col(spec.textCol).as("text"),
+      col(spec.embCol).as("embedding"), sign.as("sign"))
+
+  /** Full tri-index of a corpus snapshot — the rebuild oracle every
+    * incremental tick is provably equal to.
+    */
+  def buildAll(snapshot: DataFrame, spec: CorpusSpec): DataFrame =
+    triStats(normalize(snapshot, spec, lit(1L)), spec)
+
+  /** Signed tri-index delta of a change feed (one pass over the CDF,
+    * all three families): preimages/deletes retract (−1), postimages/
+    * inserts add (+1).
+    */
+  def deltas(cdf: DataFrame, spec: CorpusSpec): DataFrame =
+    triStats(normalize(cdf, spec,
+      when(col("_change_type").isin("delete", "update_preimage"), -1L)
+        .otherwise(1L)), spec)
+
+  /** `state ⊎ delta` with emptied keys dropped — the pure
+    * apply-the-delta step, factored out so the fuzz can model it.
+    */
+  def applied(state: DataFrame, delta: DataFrame): DataFrame =
+    state.select("family", "key", "a", "b")
+      .unionByName(delta.select("family", "key", "a", "b"))
+      .groupBy("family", "key")
+      .agg(sum("a").as("a"), sum("b").as("b"))
+      .filter(col("a") > 0)
+
+  /** Current live tri-index state `(family, key, a, b)`; empty before
+    * [[bootstrap]].
+    */
+  def indexState(spark: SparkSession, indexDir: String): DataFrame =
+    if (ManagedTable.versions(spark, indexDir).isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "family STRING, key STRING, a BIGINT, b BIGINT"))
+    else ManagedTable.readCurrent(spark, indexDir, IndexDelete,
+      IndexBookkeeping)
+
+  /** Initial full build of the tri-index from the corpus snapshot at
+    * `atVersion`, committed as the index table's first version.
+    */
+  def bootstrap(spark: SparkSession, corpusDir: String, atVersion: Int,
+      spec: CorpusSpec, indexDir: String): Int = {
+    val snap = ManagedTable.readCurrent(spark, corpusDir, spec.deleteExpr,
+      spec.exceptColumns, Some(atVersion))
+    ManagedTable.commit(
+      buildAll(snap, spec)
+        .select(col("family"), col("key"), col("a"), col("b"),
+          lit(atVersion.toLong).as("seq"), lit("u").as("op")),
+      indexDir, tag = s"tick$atVersion")
+  }
+
+  /** THE maintenance tick a production pipeline runs per ingest step:
+    * derive the corpus change feed `fromVersion → toVersion` ONCE,
+    * compute all three families' deltas from that single cached feed,
+    * and commit the updated postings/stats/refcounts as ONE merge into
+    * the index table (tag `tick<toVersion>`, so a crash-replayed tick
+    * is idempotent at the reader via the tag history). Keys untouched
+    * by the changeset never enter the merge changeset; keys whose
+    * count empties are tombstoned. Returns the new index version.
+    */
+  def maintainTick(spark: SparkSession, corpusDir: String,
+      fromVersion: Int, toVersion: Int, spec: CorpusSpec,
+      indexDir: String): Int = {
+    val cdf = ManagedTable.changes(spark, corpusDir, fromVersion,
+      toVersion, Seq(spec.keyCol), spec.deleteExpr,
+      spec.exceptColumns).cache()
+    try {
+      val delta = deltas(cdf, spec).cache()
+      val touched = delta.select("family", "key").distinct()
+      // restrict the state side to touched keys up front so the apply
+      // join/agg shuffles O(changeset) rows, never the index (AQE
+      // broadcasts the touched side when the changeset is small; a
+      // corpus-sized backfill legitimately degrades to a keyed join)
+      val next = applied(
+          indexState(spark, indexDir)
+            .join(touched, Seq("family", "key"), "left_semi"),
+          delta)
+        .withColumnRenamed("a", "na").withColumnRenamed("b", "nb")
+      val changes = touched
+        .join(next, Seq("family", "key"), "left_outer")
+        .select(col("family"), col("key"),
+          coalesce(col("na"), lit(0L)).as("a"),
+          coalesce(col("nb"), lit(0L)).as("b"),
+          lit(toVersion.toLong).as("seq"),
+          when(col("na").isNull, lit("d")).otherwise(lit("u")).as("op"))
+      val v = ManagedTable.merge(changes, indexDir,
+        keys = Seq("family", "key"), sequenceBy = Seq(col("seq")),
+        tag = s"tick$toVersion")
+      delta.unpersist()
+      v
+    } finally cdf.unpersist()
+  }
+}

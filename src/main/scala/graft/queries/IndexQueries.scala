@@ -1,0 +1,237 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{NamedQuery, Scratch, Tables}
+import graft.operators.IndexMaintenance
+import graft.sources.ManagedTable
+
+/** The unified feed-maintained index tier ([[graft.operators
+  * .IndexMaintenance]]): the composition proof that ONE change feed,
+  * derived once, keeps ALL THREE derived index families (dense IVF
+  * postings, lexical BM25 df/tf, content-addressed chunk refcounts)
+  * exactly consistent through one transactional tick — the production
+  * shape of q185 + q192 + q196, which each proved one family from its
+  * own independently-derived feed.
+  */
+object IndexQueries {
+
+  /** q197: TRANSACTIONAL TRI-INDEX MAINTENANCE — what a production
+    * ingest tick actually runs at 100 TB: a merge-maintained corpus
+    * (text + embedding per key) commits two versions; [[graft
+    * .operators.IndexMaintenance.maintainTick]] derives the change
+    * feed BETWEEN them ONCE (manifest-planned, O(changed data)) and
+    * commits the dense-IVF postings, lexical df/tf stats, and chunk
+    * refcounts as ONE merge into ONE `(family, key)`-keyed index
+    * table — either every family reflects the corpus change or none
+    * does. The query then reads the committed index state back and
+    * proves EVERY family equal to a full rebuild of the new snapshot:
+    * per family, rebuild key count, missing/extra keys, and both
+    * stat mismatches, all zero ⇒ agree. This is the gap q185/q192/
+    * q196 left open: they each re-derived their own feed and ran
+    * their own pass; here one cached feed and one commit maintain the
+    * whole index surface, so a reader at any index version sees
+    * mutually consistent families. Scale shape: one cached changeset
+    * scan feeds three keyed hash-aggs (broadcast-argmax / row-local
+    * tokenize / row-local native chunker); the apply join is
+    * restricted to touched keys; the commit rewrites O(affected index
+    * files) — nothing corpus-sized anywhere (the rebuild branch
+    * exists only as this query's oracle).
+    */
+  val q197TriIndexMaintenance = NamedQuery(
+    "q197_tri_index_maintenance",
+    "One CDF -> one transactional index commit maintaining dense " +
+      "IVF + lexical BM25 + chunk-store refcounts together; per-" +
+      "family proof vs full rebuild (keys + both stats, zero " +
+      "mismatches).",
+    (s, d) => {
+      val dir = Scratch.dir("triidx-corpus", d)
+      val idx = Scratch.dir("triidx-index", d)
+      val fsconf = s.sparkContext.hadoopConfiguration
+      Seq(dir, idx).foreach { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        p.getFileSystem(fsconf).delete(p, true)
+      }
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select((col("doc_id") % 150L).as("k"), col("doc_id").as("seq"),
+          col("text"), (col("doc_id") % 77L).as("vec_id"),
+          when(col("doc_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+        .join(broadcast(emb), Seq("vec_id")).drop("vec_id")
+      (0 until 2).foreach { i =>
+        ManagedTable.merge(hist.filter(
+            col("seq") >= i * 200 && col("seq") < (i + 1) * 200),
+          dir, keys = Seq("k"), sequenceBy = Seq(col("seq")),
+          tag = s"m$i")
+      }
+      val spec = IndexMaintenance.CorpusSpec(
+        keyCol = "k", textCol = "text", embCol = "embedding",
+        centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        deleteExpr = col("op") === "d",
+        exceptColumns = Seq("seq", "op"))
+      IndexMaintenance.bootstrap(s, dir, 1, spec, idx)
+      IndexMaintenance.maintainTick(s, dir, 1, 2, spec, idx)
+      val incr = IndexMaintenance.indexState(s, idx)
+        .withColumnRenamed("a", "ia").withColumnRenamed("b", "ib")
+      val reb = IndexMaintenance.buildAll(
+          ManagedTable.readCurrent(s, dir, spec.deleteExpr,
+            spec.exceptColumns, Some(2)), spec)
+        .withColumnRenamed("a", "ra").withColumnRenamed("b", "rb")
+      incr.join(reb, Seq("family", "key"), "full_outer")
+        .groupBy("family")
+        .agg(
+          sum(when(col("ra").isNotNull, 1L).otherwise(0L)).as("n_keys"),
+          sum(when(col("ia").isNull, 1L).otherwise(0L))
+            .as("n_missing_incr"),
+          sum(when(col("ra").isNull, 1L).otherwise(0L))
+            .as("n_extra_incr"),
+          sum(when(col("ia").isNotNull && col("ra").isNotNull &&
+            col("ia") =!= col("ra"), 1L).otherwise(0L))
+            .as("n_a_mismatch"),
+          sum(when(col("ib").isNotNull && col("rb").isNotNull &&
+            col("ib") =!= col("rb"), 1L).otherwise(0L))
+            .as("n_b_mismatch"))
+        .withColumn("agree", when(
+          col("n_missing_incr") + col("n_extra_incr") +
+            col("n_a_mismatch") + col("n_b_mismatch") === 0, 1L)
+          .otherwise(0L))
+        .orderBy("family")
+    },
+    Some(q197OracleSql))
+
+  /** Dense-family SQL: frozen-centroid argmax of `src(k, embedding)`. */
+  private def assignSql(src: String, out: String): String =
+    s"""$out AS (SELECT k, cid FROM (SELECT s.k, c.cid,
+       |    row_number() OVER (PARTITION BY s.k
+       |      ORDER BY ${VectorQueries.cosFpSql("s.embedding", "c.cv")} DESC,
+       |        c.cid ASC) rn FROM $src s, cent c) WHERE rn = 1)""".stripMargin
+
+  /** Lexical-family SQL: per-term (df, total tf) of `src(k, text)`. */
+  private def lexSql(src: String, out: String, dfC: String,
+      tfC: String): String =
+    s"""$out AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS $dfC,
+       |    CAST(SUM(tf) AS BIGINT) AS $tfC FROM (
+       |    SELECT k, term, COUNT(*) AS tf FROM (
+       |      SELECT k, unnest(string_split(lower(text),' ')) AS term
+       |      FROM $src) GROUP BY 1, 2) GROUP BY 1)""".stripMargin
+
+  /** Chunk-family SQL: per-chunk refcounts of `src(doc_id, text)`. */
+  private def refsSql(src: String, p: String, c: String): String =
+    s"""${MultimodalQueries.cdcCtesSql(src, p)},
+       |${p}refs AS (SELECT chunk_md5, CAST(COUNT(*) AS BIGINT) AS $c
+       |  FROM (SELECT DISTINCT doc_id, chunk_md5 FROM ${p}payload)
+       |  GROUP BY 1)""".stripMargin
+
+  /** One output row comparing `inc(key, ia, ib)` vs `reb(key, ra, rb)`. */
+  private def cmpSql(family: String, inc: String, reb: String): String =
+    s"""SELECT '$family' AS family,
+       |  CAST(SUM(CASE WHEN ra IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_keys,
+       |  CAST(SUM(CASE WHEN ia IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_missing_incr,
+       |  CAST(SUM(CASE WHEN ra IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_extra_incr,
+       |  CAST(SUM(CASE WHEN ia IS NOT NULL AND ra IS NOT NULL AND ia <> ra
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_a_mismatch,
+       |  CAST(SUM(CASE WHEN ib IS NOT NULL AND rb IS NOT NULL AND ib <> rb
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_b_mismatch,
+       |  CAST(CASE WHEN
+       |      SUM(CASE WHEN ia IS NULL THEN 1 ELSE 0 END)
+       |    + SUM(CASE WHEN ra IS NULL THEN 1 ELSE 0 END)
+       |    + SUM(CASE WHEN ia IS NOT NULL AND ra IS NOT NULL AND ia <> ra
+       |        THEN 1 ELSE 0 END)
+       |    + SUM(CASE WHEN ib IS NOT NULL AND rb IS NOT NULL AND ib <> rb
+       |        THEN 1 ELSE 0 END) = 0
+       |    THEN 1 ELSE 0 END AS BIGINT) AS agree
+       |FROM $inc FULL OUTER JOIN $reb USING (key)""".stripMargin
+
+  private def q197OracleSql: String =
+    s"""WITH h AS (SELECT d.doc_id % 150 AS k, d.doc_id AS seq, d.text,
+       |    CASE WHEN d.doc_id % 7 = 0 THEN 'd' ELSE 'u' END op,
+       |    e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id % 77
+       |  WHERE d.doc_id < 400),
+       |s1 AS (SELECT k, text, embedding FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY k
+       |      ORDER BY seq DESC) rn FROM h WHERE seq < 200)
+       |  WHERE rn = 1 AND op <> 'd'),
+       |s2 AS (SELECT k, text, embedding FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY k
+       |      ORDER BY seq DESC) rn FROM h WHERE seq < 400)
+       |  WHERE rn = 1 AND op <> 'd'),
+       |j AS (SELECT coalesce(s1.k, s2.k) AS k,
+       |    s1.text AS t1, s2.text AS t2,
+       |    s1.embedding AS e1, s2.embedding AS e2,
+       |    s1.k IS NOT NULL AS has1, s2.k IS NOT NULL AS has2
+       |  FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k),
+       |rem0 AS (SELECT k, t1 AS text, e1 AS embedding FROM j
+       |  WHERE has1 AND (NOT has2 OR t1 IS DISTINCT FROM t2
+       |    OR e1 IS DISTINCT FROM e2)),
+       |add0 AS (SELECT k, t2 AS text, e2 AS embedding FROM j
+       |  WHERE has2 AND (NOT has1 OR t1 IS DISTINCT FROM t2
+       |    OR e1 IS DISTINCT FROM e2)),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${assignSql("s1", "da1")},
+       |${assignSql("rem0", "dar")},
+       |${assignSql("add0", "daa")},
+       |${assignSql("s2", "da2")},
+       |dn1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS x1
+       |  FROM da1 GROUP BY 1),
+       |dnr AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS xr
+       |  FROM dar GROUP BY 1),
+       |dna AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS xa
+       |  FROM daa GROUP BY 1),
+       |dinc AS (SELECT CAST(cid AS VARCHAR) AS key,
+       |    CAST(COALESCE(x1, 0) - COALESCE(xr, 0) + COALESCE(xa, 0)
+       |      AS BIGINT) AS ia,
+       |    CAST(0 AS BIGINT) AS ib
+       |  FROM dn1 FULL OUTER JOIN dnr USING (cid)
+       |    FULL OUTER JOIN dna USING (cid)
+       |  WHERE COALESCE(x1, 0) - COALESCE(xr, 0) + COALESCE(xa, 0) > 0),
+       |dreb AS (SELECT CAST(cid AS VARCHAR) AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS ra, CAST(0 AS BIGINT) AS rb
+       |  FROM da2 GROUP BY 1),
+       |${lexSql("s1", "lv1", "df1", "tf1")},
+       |${lexSql("rem0", "lrm", "dfr", "tfr")},
+       |${lexSql("add0", "lad", "dfa", "tfa")},
+       |${lexSql("s2", "lrb", "df2", "tf2")},
+       |linc AS (SELECT term AS key,
+       |    CAST(COALESCE(df1, 0) - COALESCE(dfr, 0) + COALESCE(dfa, 0)
+       |      AS BIGINT) AS ia,
+       |    CAST(COALESCE(tf1, 0) - COALESCE(tfr, 0) + COALESCE(tfa, 0)
+       |      AS BIGINT) AS ib
+       |  FROM lv1 FULL OUTER JOIN lrm USING (term)
+       |    FULL OUTER JOIN lad USING (term)
+       |  WHERE COALESCE(df1, 0) - COALESCE(dfr, 0) + COALESCE(dfa, 0)
+       |    > 0),
+       |lreb AS (SELECT term AS key, df2 AS ra, tf2 AS rb FROM lrb),
+       |cs1 AS (SELECT k AS doc_id, text FROM s1),
+       |crm AS (SELECT k AS doc_id, text FROM rem0),
+       |cad AS (SELECT k AS doc_id, text FROM add0),
+       |cs2 AS (SELECT k AS doc_id, text FROM s2),
+       |${refsSql("cs1", "v", "r1")},
+       |${refsSql("crm", "r", "rr")},
+       |${refsSql("cad", "a", "ra_")},
+       |${refsSql("cs2", "b", "r2")},
+       |cinc AS (SELECT chunk_md5 AS key,
+       |    CAST(COALESCE(r1, 0) - COALESCE(rr, 0) + COALESCE(ra_, 0)
+       |      AS BIGINT) AS ia,
+       |    CAST(0 AS BIGINT) AS ib
+       |  FROM vrefs FULL OUTER JOIN rrefs USING (chunk_md5)
+       |    FULL OUTER JOIN arefs USING (chunk_md5)
+       |  WHERE COALESCE(r1, 0) - COALESCE(rr, 0) + COALESCE(ra_, 0) > 0),
+       |creb AS (SELECT chunk_md5 AS key, r2 AS ra,
+       |    CAST(0 AS BIGINT) AS rb FROM brefs)
+       |SELECT * FROM (
+       |${cmpSql("chunk", "cinc", "creb")}
+       |UNION ALL
+       |${cmpSql("dense", "dinc", "dreb")}
+       |UNION ALL
+       |${cmpSql("lex", "linc", "lreb")})
+       |ORDER BY family""".stripMargin
+
+  val all: Seq[NamedQuery] = Seq(q197TriIndexMaintenance)
+}

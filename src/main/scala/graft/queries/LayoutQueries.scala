@@ -17,7 +17,7 @@ object LayoutQueries {
 
   /** Deterministic scratch dir per input dataset (sf dirs differ). */
   private def layoutDir(d: String): String =
-    "/tmp/graft-layout/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+    graft.Scratch.dir("layout", d)
 
   /** q67: write documents hive-partitioned by `lang` (the dominant
     * filter column: splits, per-language sampling, contamination checks
@@ -140,7 +140,7 @@ object LayoutQueries {
       "(doc_id<350), read latest + time-travel v1; per-version doc " +
       "counts and exact n_chars sums.",
     (s, d) => {
-      val dir = "/tmp/graft-managed/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("managed", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true) // fresh per run: versions are per-run state
@@ -181,7 +181,7 @@ object LayoutQueries {
       "doc_id % 150, seq = doc_id, %7 tombstones) applied as row-level " +
       "upsert commits; final live state per key.",
     (s, d) => {
-      val dir = "/tmp/graft-merged/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("merged", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true) // fresh per run: versions are per-run state
@@ -224,7 +224,7 @@ object LayoutQueries {
       "(8 files), doc_id BETWEEN probe planned from stats; per-lang " +
       "aggregates + the files-pruned invariant.",
     (s, d) => {
-      val dir = "/tmp/graft-skip/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("skip", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true) // fresh per run: versions are per-run state
@@ -266,7 +266,7 @@ object LayoutQueries {
       "segment, then a stats-pruned range read; per-lang aggregates + " +
       "layout invariants.",
     (s, d) => {
-      val dir = "/tmp/graft-compact/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("compact", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true) // fresh per run: versions are per-run state
@@ -317,7 +317,7 @@ object LayoutQueries {
       "key-restricted before/after deltas folded additively; final " +
       "view ≡ full recompute.",
     (s, d) => {
-      val dir = "/tmp/graft-ivm/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("ivm", d)
       val aggDir = dir + "-view"
       for (x <- Seq(dir, aggDir)) {
         val p = new org.apache.hadoop.fs.Path(x)
@@ -447,7 +447,7 @@ object LayoutQueries {
       "arrival-order files never prune, z-clustered segments do; " +
       "pruning + version invariants ride the hash-checked aggregate.",
     (s, d) => {
-      val dir = "/tmp/graft-zcompact/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("zcompact", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
       fs.delete(p, true) // fresh per run: versions are per-run state
@@ -516,7 +516,7 @@ object LayoutQueries {
       "merge versions, planned from manifest file diffs only; oracle " +
       "re-derives it from independent snapshot recomputes.",
     (s, d) => {
-      val dir = "/tmp/graft-cdf/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("cdf", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val M = graft.sources.ManagedTable
@@ -583,7 +583,7 @@ object LayoutQueries {
       "data segments (manifest-pinned), reads/time-travel DV-aware; " +
       "live per-lang aggregate ≡ recompute minus deletes.",
     (s, d) => {
-      val dir = "/tmp/graft-dv/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("dv", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val M = graft.sources.ManagedTable
@@ -634,7 +634,7 @@ object LayoutQueries {
       "list as v4 (no segment rewritten), history stays " +
       "time-travelable; restored per-lang aggregate ≡ full recompute.",
     (s, d) => {
-      val dir = "/tmp/graft-restore/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("restore", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val M = graft.sources.ManagedTable
@@ -687,7 +687,7 @@ object LayoutQueries {
       "data segments rewritten; per-lang aggregate ≡ corrected " +
       "recompute.",
     (s, d) => {
-      val dir = "/tmp/graft-backfill/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("backfill", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val M = graft.sources.ManagedTable

@@ -79,8 +79,8 @@ object MultimodalQueries {
   private def h60(e: String): String =
     s"('0x'||substring(md5($e),1,15))::BIGINT"
 
-  private val CdcWin = 8 // rolling-window width for boundary detection
-  private val CdcMod = 64 // boundary divisor ⇒ ~64-byte expected chunks
+  private[graft] val CdcWin = 8 // rolling-window width for boundary detection
+  private[graft] val CdcMod = 64 // boundary divisor ⇒ ~64-byte expected chunks
 
   /** The per-byte rolling-boundary cut array, HOF reference form: the
     * DEFINITION of the CDC boundary rule (bit-identical to the oracle
@@ -112,18 +112,7 @@ object MultimodalQueries {
     */
   private[graft] def cdcChunkTable(df: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame =
-    df.withColumn("n", octet_length(col("text").cast("binary")).cast("long"))
-      .filter(col("n") >= CdcWin)
-      .select(col("doc_id"), col("text"),
-        graft.functions.NativeExpressions
-          .cdcCuts(col("text"), CdcWin, CdcMod).as("cuts"))
-      .select(col("doc_id"), col("text"), col("cuts"),
-        posexplode(col("cuts")).as(Seq("k", "cut")))
-      .withColumn("prev", expr(
-        "CASE WHEN k = 0 THEN CAST(0 AS BIGINT) ELSE element_at(cuts, k) END"))
-      .select(col("doc_id"), (col("cut") - col("prev")).as("len"),
-        md5(expr("substring(text, CAST(prev + 1 AS INT), " +
-          "CAST(cut - prev AS INT))")).as("chunk_md5"))
+    graft.operators.Chunker.cdcChunks(df, "doc_id", "text", CdcWin, CdcMod)
 
   /** Fixed-size chunk table (64-byte blocks) of `df(doc_id, text, …)`:
     * the strawman q189 compares CDC against — block k covers bytes
@@ -145,7 +134,7 @@ object MultimodalQueries {
     * `src(doc_id, text)`: emits `<p>base`, `<p>bounds`, `<p>cuts`,
     * `<p>payload(doc_id, len, chunk_md5)` with the given prefix.
     */
-  private def cdcCtesSql(src: String, p: String): String =
+  private[queries] def cdcCtesSql(src: String, p: String): String =
     s"""${p}base AS (SELECT doc_id, text,
        |    CAST(octet_length(text::BLOB) AS BIGINT) AS n
        |  FROM $src WHERE octet_length(text::BLOB) >= $CdcWin),
@@ -611,7 +600,7 @@ object MultimodalQueries {
       "retract/add changed blobs' distinct chunks at O(changeset), " +
       "proven equal to a full re-chunk (set + refcounts).",
     (s, d) => {
-      val dir = "/tmp/graft-cdfstore/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("cdfstore", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val M = graft.sources.ManagedTable

@@ -2443,7 +2443,7 @@ object TextQueries {
       "df/tf retractions+additions at O(changeset), proven equal to " +
       "a full rebuild (term set + both stats, zero mismatches).",
     (s, d) => {
-      val dir = "/tmp/graft-cdflex/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("cdflex", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val M = graft.sources.ManagedTable

@@ -15,7 +15,7 @@ object VectorQueries {
   /** DuckDB SQL for floor(cosine(a,b)*1e6) with the same op order as
     * [[graft.functions.VectorFunctions.cosineFp6]].
     */
-  private def cosFpSql(a: String, b: String): String =
+  private[queries] def cosFpSql(a: String, b: String): String =
     s"""CAST(floor(
        |  list_sum(list_transform(list_zip($a, $b), p -> CAST(p[1] AS DOUBLE)*CAST(p[2] AS DOUBLE)))
        |  / (sqrt(list_sum(list_transform($a, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))))
@@ -1641,7 +1641,7 @@ object VectorQueries {
       "adds exactly the changed keys' postings (frozen-centroid " +
       "argmax, O(changeset)); per-cell proof vs full rebuild.",
     (s, d) => {
-      val dir = "/tmp/graft-cdfivf/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("cdfivf", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val M = graft.sources.ManagedTable
@@ -1990,7 +1990,7 @@ object VectorQueries {
       "missing/dangling/value-stale/cell-stale counts and the " +
       "staleness rate a re-index scheduler alarms on.",
     (s, d) => {
-      val dir = "/tmp/graft-stale/" + d.replaceAll("[^A-Za-z0-9.]", "_")
+      val dir = graft.Scratch.dir("stale", d)
       val p = new org.apache.hadoop.fs.Path(dir)
       p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
       val M = graft.sources.ManagedTable

@@ -1,0 +1,108 @@
+package graft.operators
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+import graft.sources.ManagedTable
+
+/** Unit contract of the unified tri-index maintenance tier: multi-tick
+  * incremental maintenance equals a full rebuild after EVERY tick, the
+  * index commit is one transaction (one version per tick), empty
+  * changesets are no-op-safe, and emptied keys are tombstoned rather
+  * than left at zero. (The end-to-end single-tick proof with the
+  * DuckDB oracle is q197; the adversarial lifecycle interleavings are
+  * LifecycleFuzzSpec's tri-index invariant.)
+  */
+class IndexMaintenanceSpec extends SparkSpec {
+  import spark.implicits._
+
+  // deterministic synthetic corpus rows: text has a small vocabulary
+  // (term collisions across docs exercise the cross-doc df algebra)
+  // and enough bytes to chunk; embeddings are 4-dim float arrays
+  // (array<float> is the vector contract — NativeKernels.floatVecDot)
+  private def row(k: Long, v: Long): (Long, String, Array[Float], Long) = {
+    val text = (0 until 10)
+      .map(i => s"w${(v >> i) % 13}").mkString(" ") + s" tail$v"
+    val emb = Array.tabulate(4)(i => (((v >> (2 * i)) % 7) - 3).toFloat + 1)
+    (k, text, emb, v)
+  }
+
+  private def df(rows: Seq[(Long, Long)]): DataFrame =
+    rows.map { case (k, v) => row(k, v) }.toDF("k", "text", "embedding", "seq")
+
+  private val cent = Seq(
+    (0L, Array(3f, 1f, 0f, -1f)), (1L, Array(-2f, 2f, 1f, 0f)),
+    (2L, Array(0f, -1f, 3f, 2f)), (3L, Array(1f, 1f, 1f, 1f)))
+
+  private def spec = IndexMaintenance.CorpusSpec(
+    keyCol = "k", textCol = "text", embCol = "embedding",
+    centroids = cent.toDF("cid", "cv"),
+    deleteExpr = lit(false), exceptColumns = Seq("seq"))
+
+  private def assertStateEqualsRebuild(corpus: String, idx: String,
+      v: Int, clue: String): Unit = {
+    val state = IndexMaintenance.indexState(spark, idx)
+    val rebuild = IndexMaintenance.buildAll(
+      ManagedTable.readCurrent(spark, corpus, lit(false), Seq("seq"),
+        Some(v)), spec)
+    assert(state.exceptAll(rebuild).isEmpty &&
+      rebuild.exceptAll(state).isEmpty,
+      s"$clue: incremental tri-index must equal the v$v full rebuild")
+  }
+
+  test("multi-tick maintenance tracks rebuilds; one index version per tick") {
+    val corpus = Files.createTempDirectory("graft-im-corpus").toString
+    val idx = Files.createTempDirectory("graft-im-idx").toString + "/t"
+    val rnd = new scala.util.Random(7)
+    var model = (0L until 25L).map(k => k -> rnd.nextLong(1 << 20)).toMap
+    ManagedTable.merge(df(model.toSeq), corpus, Seq("k"), Seq(col("seq")))
+    IndexMaintenance.bootstrap(spark, corpus, 1, spec, idx)
+    assertStateEqualsRebuild(corpus, idx, 1, "bootstrap")
+    for (tick <- 2 to 5) {
+      // each tick: update a few keys, insert one, leave the rest alone
+      val ups = model.keys.toSeq.sorted.take(3 + rnd.nextInt(5))
+        .map(_ -> rnd.nextLong(1 << 20))
+      val fresh = (100L + tick) -> rnd.nextLong(1 << 20)
+      model = model ++ ups + fresh
+      ManagedTable.merge(df(ups :+ fresh), corpus, Seq("k"),
+        Seq(col("seq")))
+      val before = ManagedTable.versions(spark, idx).size
+      IndexMaintenance.maintainTick(spark, corpus, tick - 1, tick, spec, idx)
+      assert(ManagedTable.versions(spark, idx).size == before + 1,
+        "a tick must commit exactly one index version (one transaction)")
+      assertStateEqualsRebuild(corpus, idx, tick, s"tick $tick")
+    }
+  }
+
+  test("no-op changeset ticks cleanly; emptied keys are tombstoned not zeroed") {
+    val corpus = Files.createTempDirectory("graft-im2-corpus").toString
+    val idx = Files.createTempDirectory("graft-im2-idx").toString + "/t"
+    // two docs sharing no content: k=1 only ever contributes its own keys
+    ManagedTable.merge(df(Seq(1L -> 11L, 2L -> 222222L)), corpus,
+      Seq("k"), Seq(col("seq")))
+    IndexMaintenance.bootstrap(spark, corpus, 1, spec, idx)
+    // v2: merge an UNCHANGED row — CDF is empty, tick must still work
+    ManagedTable.merge(df(Seq(1L -> 11L)), corpus, Seq("k"),
+      Seq(col("seq")))
+    IndexMaintenance.maintainTick(spark, corpus, 1, 2, spec, idx)
+    assertStateEqualsRebuild(corpus, idx, 2, "empty changeset")
+    // v3: physically delete k=2 (deleteWhere — a DV-only commit) and
+    // tick; every key only k=2 referenced must LEAVE the index
+    ManagedTable.deleteWhere(spark, corpus, col("k") === 2)
+    val v3 = ManagedTable.versions(spark, corpus).last
+    IndexMaintenance.maintainTick(spark, corpus, 2, v3, spec, idx)
+    assertStateEqualsRebuild(corpus, idx, v3, "post-delete")
+    val only2 = IndexMaintenance.indexState(spark, idx)
+      .filter(col("family") === "lex" && col("key") === "tail222222")
+    assert(only2.isEmpty,
+      "a term only the deleted doc contained must be gone from the index")
+    // the tombstone is physical in the read view: raw table rows with
+    // op='d' exist, readCurrent filters them
+    val raw = ManagedTable.read(spark, idx)
+      .filter(col("key") === "tail222222")
+    assert(raw.count() == 1 &&
+      raw.select("op").as[String].collect().head == "d",
+      "emptied keys must be tombstoned (op='d'), not dropped silently")
+  }
+}
