@@ -14,6 +14,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    QuietLogs() // deliberate BoundedWindow sites must not flood the log
     // stale checkpoints from earlier harness runs sit on the same disk and
     // measurably inflate stateful-query times; start from a clean slate
     streaming.StreamingOps.deleteCheckpoint(spark, "/tmp/graft-ckpt")
@@ -63,13 +64,19 @@ object Bench {
     // evaporate when the query reruns — round 8's driver artifact
     // carried 111 s of such phantom time (q45 13.5→2.7 s isolated).
     // bench_profile.json (committed; regenerated each round by
-    // tools/make_bench_profile.py from full-suite runs) holds each
-    // query's reference time; any query measuring >2× its profile (and
-    // >0.3 s over it — micro-query jitter is not worth a rerun) gets ONE
-    // same-JVM rerun with fresh timing, and the MIN is reported. A query
-    // not yet profiled (new this round) reruns when it exceeds 3 s.
-    // Both numbers land in bench_latest.json ("first_pass" keeps the
-    // original measurement for every rerun query).
+    // tools/make_bench_profile.py — MEDIAN across full-suite runs)
+    // holds each query's reference time; any query measuring >2× its
+    // profile (and >0.3 s over it — micro-query jitter is not worth a
+    // rerun) gets TWO same-JVM reruns and the MEDIAN of the three
+    // measurements is reported. A query not yet profiled (new this
+    // round) reruns when it exceeds 3 s. Median-of-3 (vs the min this
+    // replaced) is not a downward-only ratchet: a genuinely-slow query
+    // measures slow on the reruns too and keeps its slow median, while
+    // a one-off phantom blow-up is outvoted by two clean runs — and no
+    // single lucky fast run can be cherry-picked. Both numbers land in
+    // bench_latest.json ("first_pass" keeps the original measurement
+    // for every rerun query), and "wall_total" reports the true wall
+    // time INCLUDING rerun cost next to the per-query "value" total.
     val profile: Map[String, Double] = {
       val p = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "bench_profile.json"))
@@ -88,11 +95,13 @@ object Bench {
         .getOrElse(t > 3.0)
     }.keySet
     val rerunTimes = suspicious.toSeq.sorted.map { name =>
-      name -> timeOne(name, picked(name))
+      name -> Seq(timeOne(name, picked(name)), timeOne(name, picked(name)))
     }.toMap
     val results = firstPass.map { case (name, t) =>
-      val r = rerunTimes.getOrElse(name, -1.0)
-      name -> (if (t >= 0 && r >= 0) math.min(t, r) else t)
+      val rs = rerunTimes.getOrElse(name, Nil).filter(_ >= 0)
+      // median of {first, rerun, rerun}; with a failed rerun fall back
+      // to the first-pass number (never to a min)
+      name -> (if (t >= 0 && rs.size == 2) (t +: rs).sorted.apply(1) else t)
     }
     def f3(v: Double): String = String.format(Locale.ROOT, "%.3f", v)
     def f2(v: Double): String = String.format(Locale.ROOT, "%.2f", v)
@@ -105,8 +114,13 @@ object Bench {
     // the run — the declared value must always equal the sum of the positive
     // per-query entries)
     val total = results.values.filter(_ >= 0).sum
+    // the suite's ACTUAL wall time: every measurement taken, reruns
+    // included — reported alongside so the per-query total can never
+    // silently hide time the run spent
+    val wallTotal = firstPass.values.filter(_ >= 0).sum +
+      rerunTimes.values.flatten.filter(_ >= 0).sum
     def jsonLine(value: String, qs: String): String =
-      s"""{"metric":"total","value":$value,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$value,"unit":"sec","wall_total":${f2(wallTotal)},"queries":$qs,"sf":"$sfDir"}"""
     // stdout keeps the whole line comfortably inside the driver's
     // 2000-char log tail (which also holds sbt's ~75-char success line) —
     // a longer line gets its head truncated and parses as null (this

@@ -18,6 +18,7 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    QuietLogs()
     streaming.StreamingOps.deleteCheckpoint(spark, "/tmp/graft-ckpt")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries

@@ -248,6 +248,21 @@ object NativeExpressions {
     */
   case class CdcCuts(child: Expression, win: Int, mod: Int)
       extends UnaryExpression {
+    // parameter validation at CONSTRUCTION (covers both the Scala API
+    // and the SQL registration): mod <= 0 would otherwise surface as a
+    // per-row ArithmeticException deep in execution, win <= 0 as a
+    // degenerate/out-of-bounds window walk
+    require(win >= 1, s"graft_cdc_cuts: win must be >= 1, got $win")
+    require(mod >= 1, s"graft_cdc_cuts: mod must be >= 1, got $mod")
+    // a non-string child must fail at ANALYSIS, not as a runtime
+    // ClassCastException inside the kernel
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+      if (child.dataType == org.apache.spark.sql.types.StringType)
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      else
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_cdc_cuts requires a STRING child, got ${child.dataType.sql}")
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true // NULL for blobs shorter than win
     override protected def nullSafeEval(input: Any): Any =

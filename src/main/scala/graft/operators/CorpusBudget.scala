@@ -34,7 +34,7 @@ object CorpusBudget {
       budget: Long): DataFrame = {
     val key: Column = col(keyCol)
     val avail: Column = col(availCol)
-    val w = Window.orderBy(availCol, keyCol)
+    val w = graft.BoundedWindow.orderBy(col(availCol), col(keyCol))
     val cand = avails.select(key, avail,
         row_number().over(w).as("rn"),
         count(lit(1)).over(w.rowsBetween(

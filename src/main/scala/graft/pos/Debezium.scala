@@ -59,6 +59,38 @@ object Debezium {
       .withColumn("date_time_ts",
         (col("date_time") / lit(1000000.0)).cast("timestamp"))
 
+  /** Envelope expectations for the CDC stream — the quarantine gate a
+    * consumer applies BEFORE [[inventorySnapshot]]'s apply_changes
+    * (the reference pipeline trusts its envelopes; a production one
+    * cannot): unparseable JSON surfaces as null key/op (from_json is
+    * permissive by design), op codes outside Debezium's c/u/d/r are
+    * corrupt, a row without ts_ms cannot be sequenced (feeding it to
+    * apply_changes would make "latest" nondeterministic), and a
+    * non-delete without an after-image would upsert nulls over live
+    * data. Violation counts ride the observe channel exactly like the
+    * silver-stream gate ([[Medallion.runSilver]]); DebeziumSpec proves
+    * streamed counts equal a batch observe over the same replay.
+    */
+  val envelopeRules: Seq[graft.operators.Expectations.Rule] = Seq(
+    graft.operators.Expectations.Rule("valid_key",
+      col("item_id").isNotNull && col("store_id").isNotNull),
+    graft.operators.Expectations.Rule("valid_op",
+      col("op").isin("c", "u", "d", "r")),
+    graft.operators.Expectations.Rule("sequenced",
+      col("ts_ms").isNotNull),
+    graft.operators.Expectations.Rule("upsert_has_image",
+      col("op") === "d" ||
+        (col("quantity").isNotNull && col("date_time").isNotNull)))
+
+  /** [[parse]] + expectations gate, streaming: malformed envelopes are
+    * dropped before they can reach apply_changes, with per-rule
+    * violation counts observed under `name` on every micro-batch.
+    */
+  def gatedParse(kafka: DataFrame,
+      name: String = "cdc_expectations"): DataFrame =
+    graft.operators.Expectations.streamingGate(
+      parse(kafka), envelopeRules, name)
+
   /** The reference's full CDC materialization (03:318-326): parsed stream →
     * apply_changes keyed by (item_id, store_id), sequenced by ts_ms,
     * deletes on op='d', bookkeeping columns dropped.

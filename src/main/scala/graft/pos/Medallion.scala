@@ -82,23 +82,58 @@ object Medallion {
       if (expectations.isEmpty) scrubbed
       else graft.operators.Expectations
         .streamingGate(scrubbed, expectations, observeName)
-    val q = gated
-      .writeStream.format("parquet")
-      .option("path", s"$root/silver")
-      .option("checkpointLocation", s"$root/ckpt/silver")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
-    if (expectations.isEmpty) Map.empty
-    else q.recentProgress.toSeq
-      .flatMap(p => Option(p.observedMetrics.get(observeName)))
-      .flatMap { row =>
-        row.schema.fieldNames.zipWithIndex.map { case (f, i) =>
-          // sum() over an empty micro-batch observes null — count as 0
-          f -> Option(row.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
-        }
+    // Observed metrics accumulate through a StreamingQueryListener, NOT
+    // by reading q.recentProgress after termination: recentProgress is
+    // capped at spark.sql.streaming.numRecentProgressUpdates (default
+    // 100), so a replay producing more micro-batches would silently
+    // drop the earliest batches' counts while this method's contract
+    // says "summed across ALL micro-batches". The listener sees every
+    // progress event; its bus delivers per-listener in order, so by the
+    // time the terminated event arrives every progress for this query
+    // has been merged.
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    val qName = s"$observeName-${java.util.UUID.randomUUID().toString.take(8)}"
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val done = new java.util.concurrent.CountDownLatch(1)
+    val listener = new StreamingQueryListener {
+      @volatile private var qid: java.util.UUID = null
+      override def onQueryStarted(
+          e: StreamingQueryListener.QueryStartedEvent): Unit =
+        if (e.name == qName) qid = e.id
+      override def onQueryProgress(
+          e: StreamingQueryListener.QueryProgressEvent): Unit =
+        if (e.progress.name == qName)
+          Option(e.progress.observedMetrics.get(observeName)).foreach { row =>
+            row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+              // sum() over an empty micro-batch observes null — count as 0
+              val v = Option(row.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+              acc.merge(f, v, (a, b) => a + b)
+            }
+          }
+      override def onQueryTerminated(
+          e: StreamingQueryListener.QueryTerminatedEvent): Unit =
+        if (e.id == qid) done.countDown()
+    }
+    if (expectations.nonEmpty) spark.streams.addListener(listener)
+    try {
+      val q = gated
+        .writeStream.format("parquet")
+        .queryName(qName)
+        .option("path", s"$root/silver")
+        .option("checkpointLocation", s"$root/ckpt/silver")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      if (expectations.isEmpty) Map.empty
+      else {
+        // wait for the async bus to drain this query's events
+        done.await(60, java.util.concurrent.TimeUnit.SECONDS)
+        import scala.jdk.CollectionConverters._
+        acc.asScala.map { case (k, v) => k -> v.longValue() }.toMap
       }
-      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    } finally {
+      if (expectations.nonEmpty) spark.streams.removeListener(listener)
+    }
   }
 
   /** Gold: the current-inventory recompute over the silver table + the

@@ -575,7 +575,10 @@ object AnalyticsQueries {
         .filter(col("sp") >= MinPairSupport)
         .crossJoin(broadcast(nOrders))
         .select(col("pa"), col("pb"), col("sp").as("pair_support"),
-          expr("CAST((sp * n_orders * 1000000) div (sa * sb) AS BIGINT)")
+          // DECIMAL(38,0) BOTH sides: sp*n_orders*1e6 (and sa*sb) clear
+          // BIGINT at ~1.5e11 orders (100 TB lineitem); headroom to 1e38
+          expr("CAST((CAST(sp AS DECIMAL(38,0)) * n_orders * 1000000) div " +
+            "(CAST(sa AS DECIMAL(38,0)) * sb) AS BIGINT)")
             .as("lift_fp6"))
         .orderBy("pa", "pb")
     },
@@ -592,7 +595,8 @@ object AnalyticsQueries {
             |  FROM fop a JOIN fop b ON a.o = b.o AND a.p < b.p
             |  GROUP BY a.p, b.p HAVING COUNT(*) >= $MinPairSupport)
             |SELECT pa, pb, sp AS pair_support,
-            |  CAST((sp * n_orders * 1000000) // (sa * sb) AS BIGINT)
+            |  CAST((sp::HUGEINT * n_orders * 1000000)
+            |    // (sa::HUGEINT * sb) AS BIGINT)
             |    AS lift_fp6
             |FROM pairs, n ORDER BY pa, pb""".stripMargin))
 
@@ -640,8 +644,10 @@ object AnalyticsQueries {
       e16.unionByName(e256)
         .crossJoin(broadcast(exact))
         .select(col("rate_denom"), col("exact_f2"), col("est_f2"),
-          expr("(abs(est_f2 - exact_f2) * 1000000) div exact_f2")
-            .as("abs_rel_err_fp"),
+          // DECIMAL(38,0): f2 sums reach ~1e16 on skewed keys, so the
+          // *1e6 clears BIGINT long before the sums themselves do
+          expr("CAST((CAST(abs(est_f2 - exact_f2) AS DECIMAL(38,0)) * " +
+            "1000000) div exact_f2 AS BIGINT)").as("abs_rel_err_fp"),
           signum((col("est_f2") - col("exact_f2")).cast("double"))
             .cast("long").as("err_sign"))
         .orderBy("rate_denom")
@@ -660,7 +666,7 @@ object AnalyticsQueries {
            |  FROM pk WHERE substring(hx, 1, 2) = '00')
            |SELECT CAST(rate_denom AS BIGINT) AS rate_denom, exact_f2,
            |  est_f2,
-           |  CAST((abs(est_f2 - exact_f2) * 1000000) // exact_f2
+           |  CAST((abs(est_f2 - exact_f2)::HUGEINT * 1000000) // exact_f2
            |    AS BIGINT) AS abs_rel_err_fp,
            |  CAST(sign(est_f2 - exact_f2) AS BIGINT) AS err_sign
            |FROM est, ex ORDER BY rate_denom""".stripMargin))

@@ -821,8 +821,10 @@ object EventQueries {
         .select(col("event_type"), col("n_events"),
           col("decayed_mass_fp20"),
           expr("(n_events * 1000000) div n_tot").as("raw_share_fp6"),
-          expr("(decayed_mass_fp20 * 1000000) div m_tot")
-            .as("decayed_share_fp6"))
+          // DECIMAL(38,0): mass ~ n_events*2^20, so the *1e6 clears
+          // BIGINT at ~1e12 events (q167 discipline, headroom to 1e38)
+          expr("CAST((CAST(decayed_mass_fp20 AS DECIMAL(38,0)) * 1000000)" +
+            " div m_tot AS BIGINT)").as("decayed_share_fp6"))
         .orderBy("event_type")
     },
     Some("""WITH a AS (SELECT MAX(epoch_us(ts)) AS max_ts_us FROM events),
@@ -839,7 +841,7 @@ object EventQueries {
            |SELECT event_type, n_events, decayed_mass_fp20,
            |  CAST((n_events * 1000000) // n_tot AS BIGINT)
            |    AS raw_share_fp6,
-           |  CAST((decayed_mass_fp20 * 1000000) // m_tot AS BIGINT)
+           |  CAST((decayed_mass_fp20::HUGEINT * 1000000) // m_tot AS BIGINT)
            |    AS decayed_share_fp6
            |FROM pt, tot ORDER BY event_type""".stripMargin))
 

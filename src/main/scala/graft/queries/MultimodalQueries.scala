@@ -197,8 +197,11 @@ object MultimodalQueries {
         .agg(count(lit(1)).as("n_distinct"),
           sum("len").as("distinct_bytes"))
       nm.crossJoin(broadcast(tot)).crossJoin(broadcast(dst))
+        // DECIMAL(38,0): corpus bytes (1e14 at 100 TB) * 1e6 clears
+        // BIGINT — the q167 discipline for every byte-sum fp6 ratio
         .withColumn("dedup_fp",
-          expr("(distinct_bytes * 1000000) div total_bytes"))
+          expr("CAST((CAST(distinct_bytes AS DECIMAL(38,0)) * 1000000)" +
+            " div total_bytes AS BIGINT)"))
         .withColumn("mean_chunk_bytes", expr("total_bytes div n_chunks"))
         .select("n_media", "n_chunks", "total_bytes", "n_distinct",
           "distinct_bytes", "dedup_fp", "mean_chunk_bytes")
@@ -213,8 +216,8 @@ object MultimodalQueries {
             |     GROUP BY 1))
             |SELECT n_media, n_chunks, total_bytes, n_distinct,
             |  distinct_bytes,
-            |  CAST((distinct_bytes * 1000000) // total_bytes AS BIGINT)
-            |    AS dedup_fp,
+            |  CAST((distinct_bytes::HUGEINT * 1000000) // total_bytes
+            |    AS BIGINT) AS dedup_fp,
             |  CAST(total_bytes // n_chunks AS BIGINT) AS mean_chunk_bytes
             |FROM nm, tot, dst""".stripMargin))
 
@@ -399,8 +402,9 @@ object MultimodalQueries {
           octet_length(col("text").cast("binary")) >= CdcWin)
         .agg(count(lit(1)).as("n_edited"))
       ne.crossJoin(broadcast(cd)).crossJoin(broadcast(fd))
-        .withColumn("advantage_fp", expr(
-          "(fixed_delta_bytes * 1000000) div greatest(cdc_delta_bytes, 1)"))
+        .withColumn("advantage_fp", expr( // delta bytes are corpus-scaled
+          "CAST((CAST(fixed_delta_bytes AS DECIMAL(38,0)) * 1000000) div " +
+            "greatest(cdc_delta_bytes, 1) AS BIGINT)"))
         .select("n_edited", "cdc_delta_chunks", "cdc_delta_bytes",
           "fixed_delta_chunks", "fixed_delta_bytes", "advantage_fp")
     },
@@ -426,7 +430,7 @@ object MultimodalQueries {
             |    AND octet_length(text::BLOB) >= $CdcWin)
             |SELECT n_edited, cdc_delta_chunks, cdc_delta_bytes,
             |  fixed_delta_chunks, fixed_delta_bytes,
-            |  CAST((fixed_delta_bytes * 1000000)
+            |  CAST((fixed_delta_bytes::HUGEINT * 1000000)
             |    // greatest(cdc_delta_bytes, 1) AS BIGINT) AS advantage_fp
             |FROM ne, cd, fd""".stripMargin))
 
@@ -545,9 +549,9 @@ object MultimodalQueries {
           sum(when(col("refs_after") > 0 &&
             col("refs_after") < col("refs_before"), col("len"))
             .otherwise(0L)).as("retained_bytes"))
-        .withColumn("retained_fp", expr(
-          "(retained_bytes * 1000000) div " +
-            "greatest(reclaimable_bytes + retained_bytes, 1)"))
+        .withColumn("retained_fp", expr( // store bytes are corpus-scaled
+          "CAST((CAST(retained_bytes AS DECIMAL(38,0)) * 1000000) div " +
+            "greatest(reclaimable_bytes + retained_bytes, 1) AS BIGINT)"))
     },
     Some(s"""WITH ${cdcCtesSql("documents", "")},
             |pay AS (SELECT DISTINCT doc_id, chunk_md5, len FROM payload),
@@ -571,7 +575,7 @@ object MultimodalQueries {
             |    AS retained_bytes,
             |  CAST((SUM(CASE WHEN refs_after = 0 THEN len ELSE 0 END) * 0
             |    + SUM(CASE WHEN refs_after > 0 AND refs_after <
-            |        refs_before THEN len ELSE 0 END) * 1000000)
+            |        refs_before THEN len ELSE 0 END)::HUGEINT * 1000000)
             |    // greatest(SUM(CASE WHEN refs_after = 0 THEN len
             |        ELSE 0 END)
             |      + SUM(CASE WHEN refs_after > 0 AND refs_after <

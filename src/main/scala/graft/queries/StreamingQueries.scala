@@ -262,8 +262,65 @@ object StreamingQueries {
            |FROM sess GROUP BY user_id, sid
            |ORDER BY user_id, session_start_us""".stripMargin))
 
+  /** q198: STREAMING RAG LOOP, closed end-to-end — the serving-path
+    * composition the streaming ingest (StreamingChunkIngestSpec) and
+    * the batch read path (q190) each proved half of: documents arrive
+    * as a STREAM (file source, ≥3 micro-batches), are chunked IN the
+    * stream ([[graft.operators.Chunker.chunk]] is a stateless
+    * row-local generate), and accumulate exactly-once into a managed
+    * chunk table via per-batch idempotence tags — the maintained
+    * index. Retrieval then runs AGAINST THAT INDEX, not the raw
+    * corpus: q190's full hybrid read path (BM25 + probed dense + RRF
+    * + budgeted context packing) over the streamed chunk table. The
+    * oracle derives everything from the raw corpus in SQL, so a
+    * single lost, duplicated, or mutated chunk anywhere in the
+    * streaming path changes the corpus-wide stats (n_chunks, df,
+    * t_total, IVF cells) and breaks the hash — the q22/q27
+    * streamed-equals-batch discipline applied to the whole RAG tier.
+    * Scale shape: ingest is the idempotent streaming-sink path
+    * (per-batch manifest commits); retrieval inherits q190's guarded
+    * shapes unchanged, just rooted at an index scan instead of a
+    * corpus re-chunk — which is ALSO the production win: the serving
+    * query no longer pays the chunk+tokenize pass, the stream
+    * already did.
+    */
+  val q198StreamingRagLoop = NamedQuery(
+    "q198_streaming_rag_loop",
+    "Streamed chunk ingest (exactly-once, >=3 micro-batches) into a " +
+      "managed chunk index, then q190's hybrid retrieval + context " +
+      "packing against the STREAMED index; oracle from the raw corpus.",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val root = graft.Scratch.dir("ragloop", d) + "/" +
+        runId.incrementAndGet()
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = graft.Tables.documents(s, d).select("doc_id", "text")
+      (0 until 3).foreach { i =>
+        docs.filter(col("doc_id") % 3 === i).coalesce(1)
+          .write.mode("append").parquet(s"$root/in")
+      }
+      val tbl = s"$root/chunks"
+      val q = graft.operators.Chunker.chunk(
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$root/in"),
+          "doc_id", "text", chunkTokens = 64, overlapTokens = 16)
+        .writeStream
+        .foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, id: Long) =>
+            graft.sources.ManagedTable.idempotentAppend(b, tbl, id); ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      VectorQueries.contextPackFrom(s, d,
+        graft.sources.ManagedTable.read(s, tbl))
+    },
+    Some(VectorQueries.ContextPackOracleSql))
+
   val all: Seq[NamedQuery] = Seq(
     q22StreamDedup, q23StreamApplyChanges, q24StreamWindowAgg,
     q35StreamStreamJoin, q61StreamStaticEnrich, q77StreamOuterJoin,
-    q81StreamSessions)
+    q81StreamSessions, q198StreamingRagLoop)
 }

@@ -1387,7 +1387,7 @@ object TextQueries {
         .crossJoin(broadcast(stats))
         .select(col("term"),
           expr("(1000 * n_docs) div df").as("idf_fp3"))
-      val w = Window.orderBy(col("score_fp").desc, col("doc_id").asc)
+      val w = graft.BoundedWindow.orderBy(col("score_fp").desc, col("doc_id").asc)
       tf.join(broadcast(idf), "term")
         .join(dl, "doc_id")
         .crossJoin(broadcast(stats))
@@ -2149,9 +2149,18 @@ object TextQueries {
     * first_token_offset, dl, n_terms, score_fp)`.
     */
   private[queries] def chunkBm25Scored(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
-    val chunks = graft.operators.Chunker
-      .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
+      d: String): org.apache.spark.sql.DataFrame =
+    chunkBm25ScoredFrom(graft.operators.Chunker
+      .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16))
+
+  /** [[chunkBm25Scored]] over an ALREADY-MATERIALIZED chunk table
+    * (same schema as [[graft.operators.Chunker.chunk]]) — the entry
+    * point the streaming RAG loop (q198) uses to retrieve against a
+    * stream-maintained chunk index instead of re-chunking the corpus.
+    */
+  private[queries] def chunkBm25ScoredFrom(
+      chunks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     val stats = chunks.agg(count(lit(1)).as("n_chunks"),
       sum("n_chunk_tokens").as("t_total"))
     val tf = chunks
@@ -2225,8 +2234,8 @@ object TextQueries {
           col("chunk_idx").asc)
         .limit(10)
         .withColumn("rank", row_number().over(
-          Window.orderBy(col("score_fp").desc, col("doc_id").asc,
-            col("chunk_idx").asc)).cast("long"))
+          graft.BoundedWindow.orderBy(col("score_fp").desc,
+            col("doc_id").asc, col("chunk_idx").asc)).cast("long"))
         .select("doc_id", "chunk_idx", "first_token_offset", "dl",
           "n_terms", "score_fp", "rank"),
     Some(s"""WITH $ChunkCtesSql,
@@ -2351,7 +2360,7 @@ object TextQueries {
         .unionByName(Bm25Terms.toDF("term")).distinct()
       val tf2 = toks.join(broadcast(allTerms), "term")
         .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      val w = Window.orderBy(col("score_fp").desc, col("doc_id").asc)
+      val w = graft.BoundedWindow.orderBy(col("score_fp").desc, col("doc_id").asc)
       score(tf2)
         .withColumn("rank", row_number().over(w).cast("long"))
         .filter(col("rank") <= 10)

@@ -1135,8 +1135,12 @@ object TrainingDataQueries {
       val totals = counts.agg(sum("ca").as("ta"), sum("cb").as("tb"))
       counts.crossJoin(broadcast(totals))
         .select(col("tok"),
-          expr("(ca * 1000000) div ta").as("fa_fp"),
-          expr("(cb * 1000000) div tb").as("fb_fp"))
+          // DECIMAL(38,0): a stopword's count approaches corpus tokens
+          // (~2.5e13 at 100 TB), so ca*1e6 clears BIGINT (q167 discipline)
+          expr("CAST((CAST(ca AS DECIMAL(38,0)) * 1000000) div ta" +
+            " AS BIGINT)").as("fa_fp"),
+          expr("CAST((CAST(cb AS DECIMAL(38,0)) * 1000000) div tb" +
+            " AS BIGINT)").as("fb_fp"))
         .withColumn("drift_fp",
           abs(col("fa_fp") - col("fb_fp")))
         .orderBy(col("drift_fp").desc, col("tok"))
@@ -1152,10 +1156,10 @@ object TrainingDataQueries {
            |totals AS (SELECT CAST(sum(ca) AS BIGINT) AS ta,
            |    CAST(sum(cb) AS BIGINT) AS tb FROM counts)
            |SELECT tok,
-           |  CAST((ca * 1000000) // ta AS BIGINT) AS fa_fp,
-           |  CAST((cb * 1000000) // tb AS BIGINT) AS fb_fp,
-           |  CAST(abs((ca * 1000000) // ta - (cb * 1000000) // tb)
-           |    AS BIGINT) AS drift_fp
+           |  CAST((ca::HUGEINT * 1000000) // ta AS BIGINT) AS fa_fp,
+           |  CAST((cb::HUGEINT * 1000000) // tb AS BIGINT) AS fb_fp,
+           |  CAST(abs((ca::HUGEINT * 1000000) // ta
+           |    - (cb::HUGEINT * 1000000) // tb) AS BIGINT) AS drift_fp
            |FROM counts, totals
            |ORDER BY drift_fp DESC, tok LIMIT 20""".stripMargin))
 
@@ -1349,8 +1353,9 @@ object TrainingDataQueries {
         .agg(sum("c").cast("long").as("n_occurrences"),
           sum(when(col("in_vocab").isNull, col("c")).otherwise(lit(0L)))
             .cast("long").as("n_oov"))
-        .withColumn("oov_fp",
-          expr("(n_oov * 1000000) div n_occurrences"))
+        .withColumn("oov_fp", // corpus-token-scaled numerator: widen
+          expr("CAST((CAST(n_oov AS DECIMAL(38,0)) * 1000000)" +
+            " div n_occurrences AS BIGINT)"))
         .orderBy("source")
     },
     Some("""WITH st AS (SELECT source, u AS tok FROM
@@ -1363,8 +1368,8 @@ object TrainingDataQueries {
            |SELECT source, CAST(SUM(c) AS BIGINT) AS n_occurrences,
            |  CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END)
            |    AS BIGINT) AS n_oov,
-           |  CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END) * 1000000
-           |    // SUM(c) AS BIGINT) AS oov_fp
+           |  CAST(SUM(CASE WHEN v.tok IS NULL THEN c ELSE 0 END)::HUGEINT
+           |    * 1000000 // SUM(c) AS BIGINT) AS oov_fp
            |FROM sc LEFT JOIN vocab v USING (tok)
            |GROUP BY source ORDER BY source""".stripMargin))
 
@@ -1501,7 +1506,7 @@ object TrainingDataQueries {
       // single-task reduce of replica-count (not data-sized) input
       val ranked = replicas
         .select(col("rep_mean_fp6"),
-          row_number().over(org.apache.spark.sql.expressions.Window
+          row_number().over(graft.BoundedWindow
             .orderBy(col("rep_mean_fp6"), col("b"))).as("r"))
       val point = docs
         .agg(sum("m_fp6").as("sm"), count(lit(1)).as("n"))

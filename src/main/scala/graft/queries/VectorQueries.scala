@@ -1459,8 +1459,10 @@ object VectorQueries {
       cells.crossJoin(broadcast(tot))
         .select(col("cid"), col("n_vecs"),
           expr("(n_vecs * 1000000) div n_tot").as("share_fp6"),
-          expr("(n_vecs * n_cells * 1000000) div n_tot")
-            .as("imbalance_fp6"))
+          // DECIMAL(38,0): n_vecs*n_cells*1e6 clears BIGINT once cells
+          // reach production counts (65k cells x 1e10 vectors)
+          expr("CAST((CAST(n_vecs AS DECIMAL(38,0)) * n_cells * 1000000)" +
+            " div n_tot AS BIGINT)").as("imbalance_fp6"))
         .orderBy("cid")
     },
     Some(s"""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
@@ -1477,8 +1479,8 @@ object VectorQueries {
             |    COUNT(*) AS n_cells FROM cells)
             |SELECT cid, n_vecs,
             |  CAST((n_vecs * 1000000) // n_tot AS BIGINT) AS share_fp6,
-            |  CAST((n_vecs * n_cells * 1000000) // n_tot AS BIGINT)
-            |    AS imbalance_fp6
+            |  CAST((n_vecs::HUGEINT * n_cells * 1000000) // n_tot
+            |    AS BIGINT) AS imbalance_fp6
             |FROM cells, tot ORDER BY cid""".stripMargin))
 
   /** q178: FEATURE-HASHING EMBEDDINGS (the hashing trick) — vectorize
@@ -1599,8 +1601,8 @@ object VectorQueries {
       import org.apache.spark.sql.expressions.Window
       val p = DenseChunks.parts(s, d)
       val cand = DenseChunks.probedCandidates(p, nprobe = 2)
-      val wRank = Window.orderBy(col("cos_fp").desc, col("doc_id").asc,
-        col("chunk_idx").asc)
+      val wRank = graft.BoundedWindow.orderBy(col("cos_fp").desc,
+        col("doc_id").asc, col("chunk_idx").asc)
       DenseChunks.scoredVsQuery(p, Some(cand))
         .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
         .limit(10)
@@ -1821,18 +1823,32 @@ object VectorQueries {
     * lexical (q161) and dense (q184) chunk top-10s RRF-fused, ranked.
     */
   private def hybridTop10(s: org.apache.spark.sql.SparkSession,
-      d: String): org.apache.spark.sql.DataFrame = {
+      d: String): org.apache.spark.sql.DataFrame =
+    hybridTop10From(s, d, graft.operators.Chunker
+      .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16))
+
+  /** [[hybridTop10]] against an already-materialized chunk table —
+    * both retrieval pipelines (BM25 and probed dense) read the given
+    * chunks instead of re-chunking the corpus, which is how a serving
+    * system actually runs: retrieval hits the maintained index, not
+    * the raw corpus (q198 feeds the stream-maintained chunk table in
+    * here).
+    */
+  private[queries] def hybridTop10From(s: org.apache.spark.sql.SparkSession,
+      d: String, chunks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     def rankW(sc: org.apache.spark.sql.Column) =
-      Window.orderBy(sc.desc, col("doc_id").asc, col("chunk_idx").asc)
-    val lex = TextQueries.chunkBm25Scored(s, d)
+      graft.BoundedWindow.orderBy(sc.desc, col("doc_id").asc,
+        col("chunk_idx").asc)
+    val lex = TextQueries.chunkBm25ScoredFrom(chunks)
       .orderBy(col("score_fp").desc, col("doc_id").asc,
         col("chunk_idx").asc)
       .limit(10)
       .withColumn("lex_rank",
         row_number().over(rankW(col("score_fp"))).cast("long"))
       .select("doc_id", "chunk_idx", "lex_rank")
-    val p = DenseChunks.parts(s, d)
+    val p = DenseChunks.partsFrom(s, d, chunks)
     val den = DenseChunks
       .scoredVsQuery(p, Some(DenseChunks.probedCandidates(p, nprobe = 2)))
       .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
@@ -1932,40 +1948,56 @@ object VectorQueries {
     s"RAG context assembly: greedy rank-order packing of the hybrid " +
       s"top-10 into a $ContextBudget-token budget; manifest with " +
       "running totals, provenance offsets, in/out flag.",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
-      val toks = graft.operators.Chunker
-        .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
-        .select("doc_id", "chunk_idx", "first_token_offset",
-          "n_chunk_tokens")
-      val wCum = Window.orderBy(col("fused_rank").asc)
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      hybridTop10(s, d)
-        .join(toks, Seq("doc_id", "chunk_idx"))
-        .withColumn("cum_tokens",
-          sum(col("n_chunk_tokens")).over(wCum).cast("long"))
-        .withColumn("in_context", col("cum_tokens") <= ContextBudget)
-        .select("fused_rank", "doc_id", "chunk_idx",
-          "first_token_offset", "n_chunk_tokens", "cum_tokens",
-          "in_context")
-        .orderBy("fused_rank")
-    },
-    Some(s"""WITH ${TextQueries.ChunkCtesSql},
-            |${TextQueries.chunkBm25CtesSql},
-            |${DenseChunks.ctesSql},
-            |${DenseChunks.candScoredCtesSql},
-            |$hybridCtesSql
-            |SELECT fused_rank, h.doc_id, h.chunk_idx,
-            |  c.first_token_offset, c.dl AS n_chunk_tokens,
-            |  CAST(SUM(c.dl) OVER (ORDER BY fused_rank ASC
-            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            |    AS BIGINT) AS cum_tokens,
-            |  CAST(SUM(c.dl) OVER (ORDER BY fused_rank ASC
-            |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-            |    AS BIGINT) <= $ContextBudget AS in_context
-            |FROM hybrid h JOIN chunks c
-            |  ON h.doc_id = c.doc_id AND h.chunk_idx = c.chunk_idx
-            |ORDER BY fused_rank""".stripMargin))
+    (s, d) => contextPackFrom(s, d, graft.operators.Chunker
+      .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)),
+    Some(ContextPackOracleSql))
+
+  /** q190's greedy budgeted packing over an already-materialized chunk
+    * table: hybrid retrieval ([[hybridTop10From]]) + the 10-row
+    * stats join + running-sum window. The q198 streaming RAG loop
+    * runs THIS against a stream-maintained chunk index; the shared
+    * oracle ([[ContextPackOracleSql]]) derives everything from the
+    * raw corpus, so any streamed-index divergence (lost/duplicated
+    * chunk, wrong stats) breaks the hash.
+    */
+  private[queries] def contextPackFrom(s: org.apache.spark.sql.SparkSession,
+      d: String, chunks: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = chunks
+      .select("doc_id", "chunk_idx", "first_token_offset",
+        "n_chunk_tokens")
+    val wCum = graft.BoundedWindow.orderBy(col("fused_rank").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    hybridTop10From(s, d, chunks)
+      .join(toks, Seq("doc_id", "chunk_idx"))
+      .withColumn("cum_tokens",
+        sum(col("n_chunk_tokens")).over(wCum).cast("long"))
+      .withColumn("in_context", col("cum_tokens") <= ContextBudget)
+      .select("fused_rank", "doc_id", "chunk_idx",
+        "first_token_offset", "n_chunk_tokens", "cum_tokens",
+        "in_context")
+      .orderBy("fused_rank")
+  }
+
+  // lazy: q190's declaration precedes this val and captures it at init
+  private[queries] lazy val ContextPackOracleSql: String =
+    s"""WITH ${TextQueries.ChunkCtesSql},
+       |${TextQueries.chunkBm25CtesSql},
+       |${DenseChunks.ctesSql},
+       |${DenseChunks.candScoredCtesSql},
+       |$hybridCtesSql
+       |SELECT fused_rank, h.doc_id, h.chunk_idx,
+       |  c.first_token_offset, c.dl AS n_chunk_tokens,
+       |  CAST(SUM(c.dl) OVER (ORDER BY fused_rank ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) AS cum_tokens,
+       |  CAST(SUM(c.dl) OVER (ORDER BY fused_rank ASC
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |    AS BIGINT) <= $ContextBudget AS in_context
+       |FROM hybrid h JOIN chunks c
+       |  ON h.doc_id = c.doc_id AND h.chunk_idx = c.chunk_idx
+       |ORDER BY fused_rank""".stripMargin
 
   /** q193: INDEX STALENESS AUDIT — the detect-side companion to
     * q185's repair: production serving reads "corpus at v2, index
@@ -2111,9 +2143,8 @@ object VectorQueries {
         .join(p.dnorm, Seq("cid"))
         .withColumn("cos_fp",
           DenseChunks.intCosFp(col("dot"), lit(p.nq), col("ncc")))
-        .withColumn("prn", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("cos_fp").desc, col("cid").asc)).cast("long"))
+        .withColumn("prn", row_number().over(graft.BoundedWindow
+          .orderBy(col("cos_fp").desc, col("cid").asc)).cast("long"))
         .select("cid", "prn")
       // one scored pass over ALL chunks, each carrying its cell's rank
       val scored = DenseChunks.scoredVsQuery(p, None)
@@ -2123,7 +2154,9 @@ object VectorQueries {
       val exact = scored
         .orderBy(col("cos_fp").desc, col("doc_id").asc, col("chunk_idx").asc)
         .limit(10).select("doc_id", "chunk_idx").cache()
-      val nChunks = scored.count()
+      // total chunk count as a JOINED 1-row agg (the oracle's `nt`
+      // CTE), not a driver-side count — the build phase stays lazy
+      val nt = scored.agg(count(lit(1)).as("n_chunks"))
       val rows = (1 to 4).map { np =>
         val cand = scored.filter(col("prn") <= np)
         val top = cand
@@ -2134,10 +2167,11 @@ object VectorQueries {
           .crossJoin(broadcast(
             exact.join(top, Seq("doc_id", "chunk_idx"))
               .agg(count(lit(1)).as("n_hit"))))
+          .crossJoin(broadcast(nt))
           .select(lit(np.toLong).as("nprobe"), col("n_candidates"),
             col("n_hit"),
             expr("(n_hit * 1000000) div 10").as("recall_fp"),
-            expr(s"(n_candidates * 1000000) div CAST($nChunks AS BIGINT)")
+            expr("(n_candidates * 1000000) div n_chunks")
               .as("cand_frac_fp"))
       }
       rows.reduce(_ unionByName _).orderBy("nprobe")
@@ -2234,11 +2268,18 @@ private[queries] object DenseChunks {
   private def signedOne: Column =
     when(expr("(h div 16) % 2") === 0, 1L).otherwise(-1L)
 
-  def parts(s: SparkSession, d: String): Parts = {
+  def parts(s: SparkSession, d: String): Parts =
+    partsFrom(s, d, graft.operators.Chunker
+      .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16))
+
+  /** [[parts]] over an already-materialized chunk table (the q198
+    * streaming RAG loop retrieves against a stream-maintained chunk
+    * index); centroids/query derivation unchanged.
+    */
+  def partsFrom(s: SparkSession, d: String, chunks: DataFrame): Parts = {
     // chunk-level feature-hash components: one (chunk, dim) hash-agg,
     // cached — cell assignment AND query scoring both read it
-    val ccomp = graft.operators.Chunker
-      .chunk(Tables.documents(s, d), "doc_id", "text", 64, 16)
+    val ccomp = chunks
       .select(col("doc_id"), col("chunk_idx"), col("first_token_offset"),
         explode(tokens(col("chunk_text"))).as("term"))
       .withColumn("h", hash60(concat(lit("fh:"), col("term"))))

@@ -424,9 +424,20 @@ object ManagedTable {
   private def committedTags(spark: SparkSession, dir: String): Set[String] = {
     val vs = versions(spark, dir)
     if (vs.isEmpty) { tagIndex.remove(dir); return Set.empty }
+    // validity probe: beyond "newest cached version still exists with
+    // its cached tag", also require the HISTORY SHAPE to match — same
+    // number of versions up to maxV and the same first version's tag.
+    // A table deleted and re-created at the same path can reach the
+    // same max version with the same newest tag (e.g. a replayed
+    // bootstrap) while carrying a different earlier history; trusting
+    // the stale cache there would mark old-table tags as committed and
+    // silently skip batches that never landed in the new table. Two
+    // O(1) manifest reads per batch, not a full history scan.
     val cached = Option(tagIndex.get(dir)).filter { case (maxV, ts) =>
       vs.contains(maxV) &&
-        readManifest(spark, dir, maxV)._1 == ts.last
+        ts.size == vs.count(_ <= maxV) &&
+        readManifest(spark, dir, maxV)._1 == ts.last &&
+        readManifest(spark, dir, vs.head)._1 == ts.head
     }
     val entry = cached match {
       case Some((maxV, ts)) =>

@@ -5,14 +5,18 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** One shared local SparkSession per suite (UTC, small shuffle width). */
 trait SparkSpec extends AnyFunSuite {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
-    .appName(getClass.getSimpleName)
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName(getClass.getSimpleName)
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    graft.QuietLogs() // deliberate BoundedWindow sites must not flood logs
+    s
+  }
 
   def sf(name: String): String = s"/root/testdata/$name"
 

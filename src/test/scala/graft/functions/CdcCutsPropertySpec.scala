@@ -61,4 +61,28 @@ class CdcCutsPropertySpec extends SparkSpec {
       .select(NativeExpressions.cdcCuts(col("text"), 8, 64).as("cuts"))
     assert(df.filter(col("cuts").isNotNull).count() == 0)
   }
+
+  test("bad parameters fail at construction; non-string child fails analysis") {
+    // mod <= 0 / win <= 0 must throw when the expression is BUILT (both
+    // the Scala API and the graft_cdc_cuts SQL registration construct
+    // through here), not as per-row Arithmetic/IndexOutOfBounds deep in
+    // execution
+    intercept[IllegalArgumentException] {
+      NativeExpressions.cdcCuts(col("text"), 0, 64)
+    }
+    intercept[IllegalArgumentException] {
+      NativeExpressions.cdcCuts(col("text"), 8, 0)
+    }
+    graft.GraftExtensions.register(spark) // idempotent; SQL-path check
+    intercept[IllegalArgumentException] {
+      spark.sql("SELECT graft_cdc_cuts('abcdefgh', -1, 64)").collect()
+    }
+    // a LONG child must be rejected by the analyzer (checkInputDataTypes),
+    // not surface as a runtime ClassCastException in the kernel
+    val e = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq(1L, 2L).toDF("x")
+        .select(NativeExpressions.cdcCuts(col("x"), 8, 64)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("string"))
+  }
 }

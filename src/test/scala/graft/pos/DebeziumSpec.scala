@@ -65,4 +65,92 @@ class DebeziumSpec extends SparkSpec {
     // never selects it, so the snapshot schema is reference-identical
     assert(cols == Set("item_id", "store_id", "quantity", "date_time_ts"))
   }
+
+  test("streamed expectations gate quarantines malformed envelopes; counts match batch observe") {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.streaming.Trigger
+    // a replay with every malformation class the gate names, mixed
+    // into valid traffic: (a) garbage value JSON → null op,
+    // (b) corrupt op code, (c) missing ts_ms, (d) upsert without an
+    // after-image, plus a LEGITIMATE tombstone (op='d', null after)
+    // that must NOT be quarantined
+    def raw(key: String, value: String) =
+      (key.getBytes("UTF-8"), value.getBytes("UTF-8"))
+    val rows = Seq(
+      rec(1, 0, "c", 100L, T0, 10),
+      rec(1, 0, "u", 300L, T0 + 2, 30),
+      rec(2, 0, "c", 100L, T0, 5),
+      rec(2, 0, "d", 400L, T0 + 3, 0), // valid tombstone — keep
+      raw("""{"item_id": 9, "store_id": 0}""", "not json at all"), // (a)
+      raw("""{"item_id": 8, "store_id": 0}""",
+        """{"before": null, "after": null, "source": {},
+          | "op": "x", "ts_ms": 50, "transaction": null}""".stripMargin), // (b)
+      raw("""{"item_id": 7, "store_id": 0}""",
+        """{"before": null, "after": {"item_id": 7, "store_id": 0,
+          | "employee_id": 1, "date_time": 1, "quantity": 3},
+          | "op": "u", "ts_ms": null, "transaction": null}""".stripMargin), // (c)
+      raw("""{"item_id": 6, "store_id": 0}""",
+        """{"before": null, "after": null, "source": {},
+          | "op": "u", "ts_ms": 60, "transaction": null}""".stripMargin)) // (d)
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-cdc-gate").toString
+    val df = rows.zipWithIndex
+      .map { case ((k, v), i) => (k, v, i.toLong) }
+      .toDF("key", "value", "idx")
+    // three files + maxFilesPerTrigger=1 ⇒ a multi-batch replay
+    (0 until 3).foreach { i =>
+      df.filter(col("idx") % 3 === i).drop("idx")
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+    }
+    val written = spark.read.parquet(s"$root/in")
+    // batch truth: same gate, batch observe
+    val (gatedBatch, obs) = graft.operators.Expectations
+      .observedGate(Debezium.parse(written), Debezium.envelopeRules)
+    val batchSurvivors = gatedBatch.collect()
+    val batchMetrics = obs.get.map { case (k, v) =>
+      k -> v.asInstanceOf[Long] }
+    // streamed: gate in the stream, accumulate observed metrics across
+    // micro-batches, land survivors in memory
+    val acc = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+    val gated = Debezium.gatedParse(
+      spark.readStream.schema(written.schema)
+        .option("maxFilesPerTrigger", 1).parquet(s"$root/in"))
+    val q = gated.writeStream.format("memory")
+      .queryName("cdc_gate_out")
+      .option("checkpointLocation", ckptDir("cdc-gate"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    q.recentProgress.foreach { p =>
+      Option(p.observedMetrics.get("cdc_expectations")).foreach { row =>
+        row.schema.fieldNames.zipWithIndex.foreach { case (f, i) =>
+          val v = Option(row.get(i)).map(_.asInstanceOf[Long]).getOrElse(0L)
+          acc.merge(f, v, (a, b) => a + b)
+        }
+      }
+    }
+    import scala.jdk.CollectionConverters._
+    val streamedMetrics = acc.asScala.map { case (k, v) =>
+      k -> v.longValue() }.toMap
+    assert(streamedMetrics == batchMetrics,
+      s"streamed violation counts must equal batch observe: " +
+        s"$streamedMetrics vs $batchMetrics")
+    assert(streamedMetrics("n_input") == 8L)
+    assert(streamedMetrics("viol_valid_op") >= 1L &&
+      streamedMetrics("viol_sequenced") >= 1L &&
+      streamedMetrics("viol_upsert_has_image") >= 1L)
+    // the survivors are exactly the batch gate's survivors (4 valid
+    // envelopes incl. the legitimate tombstone), so apply_changes
+    // downstream sees identical input either way
+    val streamed = spark.table("cdc_gate_out").collect()
+    assert(streamed.length == batchSurvivors.length &&
+      streamed.map(_.toString).sorted
+        .sameElements(batchSurvivors.map(_.toString).sorted))
+    val snap = Debezium.inventorySnapshot(spark.table("cdc_gate_out"))
+      .collect().map(r => (r.getAs[Long]("item_id"),
+        r.getAs[Long]("store_id")) -> r.getAs[Int]("quantity")).toMap
+    assert(snap == Map((1L, 0L) -> 30),
+      "the gated stream materializes only the clean upserts " +
+        "(key 2 tombstoned, malformed envelopes quarantined)")
+  }
 }

@@ -65,6 +65,34 @@ class AppendCommitSpec extends SparkSpec {
       "the fresh commit plus the re-landed batch")
   }
 
+  test("tag-index probe rejects a re-created table that mimics the newest version") {
+    // the adversarial variant the round-9 probe missed: the rebuilt
+    // table reaches the SAME max version with the SAME newest tag as
+    // the cached history (e.g. a replayed tail batch) while the
+    // earlier versions differ. The strengthened probe also checks
+    // history length and the first version's tag, so the stale cache
+    // cannot validate and mark the old table's b0/b1 as committed.
+    val dir = java.nio.file.Files.createTempDirectory("graft-tagidx2").toString
+    val df = graft.Tables.documents(spark, sf("sf0.001"))
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+      .select("doc_id", "lang")
+    assert(ManagedTable.idempotentAppend(df, dir, 0L)) // v1 tag b0
+    assert(ManagedTable.idempotentAppend(df, dir, 1L)) // v2 tag b1
+    assert(ManagedTable.idempotentAppend(df, dir, 2L)) // v3 tag b2
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    // rebuild OUTSIDE the cached path (another driver's commits):
+    // v1 tag b5, v2 tag b7, v3 tag b2 — same maxV, same newest tag
+    ManagedTable.commit(df, dir, tag = "b5")
+    ManagedTable.appendCommit(df, dir, tag = "b7")
+    ManagedTable.appendCommit(df, dir, tag = "b2")
+    assert(ManagedTable.idempotentAppend(df, dir, 0L),
+      "batch 0 never landed in the NEW table — the mimicking history " +
+        "must not validate the stale cache")
+    assert(!ManagedTable.idempotentAppend(df, dir, 2L),
+      "batch 2 DID land in the new table (tag b2) and must stay skipped")
+  }
+
   test("exportManifest pins a version for external readers; refuses DVs") {
     val dir = Files.createTempDirectory("graft-em").toString
     ManagedTable.commit(docs.filter(col("doc_id") < 10).repartition(2), dir)

@@ -55,4 +55,18 @@ class StreamingChunkIngestSpec extends SparkSpec {
     assert(ManagedTable.read(spark, tbl).count() == before,
       "replaying an already-landed batch must not duplicate rows")
   }
+
+  test("streaming RAG loop: assembly over the streamed index equals the batch read path") {
+    // q198 = stream-ingested chunk index + q190's hybrid retrieval and
+    // context packing AGAINST that index; q190 = the same read path
+    // over a fresh batch chunking. Row-for-row equality closes the
+    // loop: the maintained index is indistinguishable from a rebuild
+    // at the serving query's level, not just at the chunk-table level.
+    val a = graft.queries.StreamingQueries.q198StreamingRagLoop
+      .fn(spark, sf("sf0.001")).collect().toSeq
+    val b = graft.queries.VectorQueries.q190ContextPack
+      .fn(spark, sf("sf0.001")).collect().toSeq
+    assert(a == b,
+      "streamed-index assembly must equal the batch read path")
+  }
 }
