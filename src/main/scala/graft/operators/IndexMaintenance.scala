@@ -153,6 +153,8 @@ object IndexMaintenance {
     */
   def bootstrap(spark: SparkSession, corpusDir: String, atVersion: Int,
       spec: CorpusSpec, indexDir: String): Int = {
+    if (alreadyTicked(spark, indexDir, s"tick$atVersion"))
+      return ManagedTable.versions(spark, indexDir).last
     val snap = ManagedTable.readCurrent(spark, corpusDir, spec.deleteExpr,
       spec.exceptColumns, Some(atVersion))
     ManagedTable.commit(
@@ -161,6 +163,28 @@ object IndexMaintenance {
           lit(atVersion.toLong).as("seq"), lit("u").as("op")),
       indexDir, tag = s"tick$atVersion")
   }
+
+  /** Crash-replay guard: every tick commits under tag
+    * `tick<corpusVersion>`, so a replayed tick (foreachBatch replay, a
+    * retried orchestration step) finds its tag already in the index
+    * manifest log and is a no-op — without this, a replay would apply
+    * the same delta twice and silently corrupt every touched count.
+    */
+  private def alreadyTicked(spark: SparkSession, indexDir: String,
+      tag: String): Boolean =
+    ManagedTable.versions(spark, indexDir).nonEmpty &&
+      ManagedTable.tags(spark, indexDir).exists(_._2 == tag)
+
+  /** Highest corpus version the index has applied (from the tick-tag
+    * history); -1 before [[bootstrap]].
+    */
+  def lastIndexedVersion(spark: SparkSession, indexDir: String): Int =
+    if (ManagedTable.versions(spark, indexDir).isEmpty) -1
+    else ManagedTable.tags(spark, indexDir)
+      .flatMap { case (_, t) =>
+        if (t.startsWith("tick")) t.drop(4).toIntOption else None
+      }
+      .foldLeft(-1)(math.max)
 
   /** THE maintenance tick a production pipeline runs per ingest step:
     * derive the corpus change feed `fromVersion → toVersion` ONCE,
@@ -174,6 +198,8 @@ object IndexMaintenance {
   def maintainTick(spark: SparkSession, corpusDir: String,
       fromVersion: Int, toVersion: Int, spec: CorpusSpec,
       indexDir: String): Int = {
+    if (alreadyTicked(spark, indexDir, s"tick$toVersion"))
+      return ManagedTable.versions(spark, indexDir).last
     val cdf = ManagedTable.changes(spark, corpusDir, fromVersion,
       toVersion, Seq(spec.keyCol), spec.deleteExpr,
       spec.exceptColumns).cache()
@@ -203,4 +229,41 @@ object IndexMaintenance {
       v
     } finally cdf.unpersist()
   }
+
+  /** The COMPLETE streaming composition — what "maintained index" means
+    * in production: each micro-batch of a CDC changelog stream merges
+    * into the corpus AND advances all three index families, both
+    * exactly-once across crash replays:
+    *   - the corpus merge is tag-idempotent per batch (`m<batchId>`,
+    *     [[ManagedTable.mergeStreamingSink]]'s discipline);
+    *   - the index tick is tag-idempotent per corpus version
+    *     (`tick<version>`), and [[lastIndexedVersion]] re-derives the
+    *     resume point from the index's own manifest log, so a batch
+    *     that crashed between "corpus committed" and "index ticked"
+    *     completes the tick on replay instead of skipping or
+    *     double-applying it — the two-ledger recovery argument applied
+    *     to DERIVED state.
+    * The first batch bootstraps the index from the full corpus
+    * snapshot (covers a corpus that pre-existed the stream); every
+    * later batch pays O(changeset) only.
+    */
+  def cdcStreamingSink(changes: DataFrame, corpusDir: String,
+      indexDir: String, spec: CorpusSpec, keys: Seq[String],
+      sequenceBy: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch {
+      (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val merged = ManagedTable.versions(spark, corpusDir).nonEmpty &&
+          ManagedTable.tags(spark, corpusDir).exists(_._2 == s"m$batchId")
+        if (!merged)
+          ManagedTable.merge(batch, corpusDir, keys, sequenceBy,
+            tag = s"m$batchId")
+        val current = ManagedTable.versions(spark, corpusDir).last
+        val indexed = lastIndexedVersion(spark, indexDir)
+        if (indexed < 0) bootstrap(spark, corpusDir, current, spec, indexDir)
+        else if (indexed < current)
+          maintainTick(spark, corpusDir, indexed, current, spec, indexDir)
+        ()
+    }
 }

@@ -1960,7 +1960,7 @@ object VectorQueries {
     * raw corpus, so any streamed-index divergence (lost/duplicated
     * chunk, wrong stats) breaks the hash.
     */
-  private[queries] def contextPackFrom(s: org.apache.spark.sql.SparkSession,
+  private[graft] def contextPackFrom(s: org.apache.spark.sql.SparkSession,
       d: String, chunks: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -545,4 +545,61 @@ class PlanGuardsSpec extends SparkSpec {
         s"no shuffle below the co-located join:\n$below")
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("tri-index deltas: broadcast centroids, map-side partials, no raw cartesian") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-pg-tri").toString
+    def corpus(rows: Seq[(Long, Long)]) = rows
+      .map { case (k, v) => (k, s"w${v % 7} w${v % 5} w${v % 3} tail$v",
+        Array.tabulate(4)(i => (v >> i).toFloat % 3), v) }
+      .toDF("k", "text", "embedding", "seq")
+    graft.sources.ManagedTable.merge(
+      corpus(Seq(1L -> 1L, 2L -> 2L, 3L -> 3L)), dir,
+      Seq("k"), Seq(col("seq")))
+    graft.sources.ManagedTable.merge(
+      corpus(Seq(2L -> 12L, 4L -> 14L)), dir, Seq("k"), Seq(col("seq")))
+    val spec = graft.operators.IndexMaintenance.CorpusSpec(
+      "k", "text", "embedding",
+      Seq((0L, Array(1f, 0f, 1f, 0f)), (1L, Array(0f, 1f, 0f, 1f)))
+        .toDF("cid", "cv"),
+      lit(false), Seq("seq"))
+    val cdf = graft.sources.ManagedTable
+      .changes(spark, dir, 1, 2, Seq("k"), lit(false), Seq("seq"))
+    val p = graft.operators.IndexMaintenance.deltas(cdf, spec)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the dense family's centroid join must broadcast the (tiny)
+    // centroid side — the changeset side never shuffles for it
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastHashJoin"),
+      s"centroids must broadcast:\n${p.take(1200)}")
+    assert(!p.contains("CartesianProduct"),
+      "no non-broadcast cartesian anywhere in the delta pass")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      "family stats must partial-aggregate map-side — at 100 TB the " +
+        "(cell/term/md5) aggs shuffle combiner output, not rows")
+  }
+
+  test("q198 retrieval serves from the chunk index: no corpus re-chunk in the plan") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sf("sf0.001"))
+      .filter(col("doc_id") < 40).select("doc_id", "text")
+    val idx = java.nio.file.Files
+      .createTempDirectory("graft-pg-ragidx").toString + "/chunks"
+    graft.sources.ManagedTable.commit(
+      graft.operators.Chunker.chunk(docs, "doc_id", "text", 64, 16), idx)
+    val p = graft.queries.VectorQueries.contextPackFrom(spark,
+        sf("sf0.001"), graft.sources.ManagedTable.read(spark, idx))
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the serving plan must read CHUNK ROWS from the maintained index —
+    // Chunker.chunk's posexplode(sequence(...)) generate is the corpus
+    // re-chunk signature and must be absent (the stream already paid it)
+    assert(!p.contains("posexplode(sequence"),
+      s"retrieval re-chunks the corpus instead of reading the index:\n${p.take(1500)}")
+    assert(p.contains("TakeOrderedAndProject"),
+      "both retrieval top-10s stay bounded-heap takes")
+    assert(p.contains("BroadcastHashJoin"),
+      "centroid/query components and probes stay broadcast")
+  }
 }

@@ -105,4 +105,55 @@ class IndexMaintenanceSpec extends SparkSpec {
       raw.select("op").as[String].collect().head == "d",
       "emptied keys must be tombstoned (op='d'), not dropped silently")
   }
+
+  test("cdcStreamingSink: corpus + tri-index advance together, exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft-im3").toString
+    val corpus = s"$root/corpus"
+    val idx = s"$root/idx"
+    // changelog replay: three micro-batches of upserts over a shared
+    // key space (later batches overwrite earlier keys)
+    val batches = Seq(
+      Seq(1L -> 10L, 2L -> 20L, 3L -> 30L),
+      Seq(2L -> 220L, 4L -> 40L),
+      Seq(1L -> 110L, 5L -> 50L, 3L -> 330L))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      df(b.map { case (k, v) => k -> (v + i * 1000L) })
+        .coalesce(1).write.mode("append").parquet(s"$root/in")
+    }
+    val schema = df(Seq(1L -> 1L)).schema
+    val q = IndexMaintenance.cdcStreamingSink(
+        spark.readStream.schema(schema)
+          .option("maxFilesPerTrigger", 1).parquet(s"$root/in"),
+        corpus, idx, spec, keys = Seq("k"),
+        sequenceBy = Seq(col("seq")))
+      .option("checkpointLocation", ckptDir("im3"))
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val corpusVs = ManagedTable.versions(spark, corpus)
+    assert(corpusVs.size >= 3,
+      "each micro-batch must commit one corpus merge version")
+    assertStateEqualsRebuild(corpus, idx, corpusVs.last,
+      "streamed maintenance")
+    assert(IndexMaintenance.lastIndexedVersion(spark, idx) == corpusVs.last,
+      "the index's tick-tag history must record the corpus head")
+    // crash-replay: re-running the last tick (same from→to) is a no-op —
+    // the tick tag is already in the index manifest log
+    val nv = ManagedTable.versions(spark, idx).size
+    IndexMaintenance.maintainTick(spark, corpus,
+      corpusVs.last - 1, corpusVs.last, spec, idx)
+    assert(ManagedTable.versions(spark, idx).size == nv,
+      "a replayed tick must not double-apply its delta")
+    // ...and a crash BETWEEN corpus commit and index tick recovers: a
+    // fresh merge lands (simulating the batch's first half), then the
+    // sink's resume logic (lastIndexedVersion < current) completes it
+    ManagedTable.merge(df(Seq(9L -> 90L)), corpus, Seq("k"),
+      Seq(col("seq")), tag = "m99")
+    val cur = ManagedTable.versions(spark, corpus).last
+    val resume = IndexMaintenance.lastIndexedVersion(spark, idx)
+    assert(resume < cur)
+    IndexMaintenance.maintainTick(spark, corpus, resume, cur, spec, idx)
+    assertStateEqualsRebuild(corpus, idx, cur, "post-crash resume")
+  }
 }
