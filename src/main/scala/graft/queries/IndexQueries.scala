@@ -101,6 +101,94 @@ object IndexQueries {
     },
     Some(q197OracleSql))
 
+  /** q199: STREAMING INDEX MAINTENANCE — q197's transactional tick
+    * driven by the PRODUCTION transport: the same corpus changelog
+    * arrives as a STREAM (file source, one merge-batch per micro-batch)
+    * through [[graft.operators.IndexMaintenance.cdcStreamingSink]],
+    * which merges each batch into the corpus and advances all three
+    * index families in the same foreachBatch — bootstrap on the first
+    * batch, O(changeset) ticks after, every step tag-idempotent across
+    * crash replays. The query then proves the STREAMED index equal to
+    * a full rebuild of the corpus head, per family — same output
+    * contract and same oracle as q197, because the maintenance algebra
+    * is transport-independent: if the streaming path dropped,
+    * duplicated, or re-ordered a delta, a mismatch counter goes
+    * non-zero and the hash breaks. Batch-vs-stream arrival order is
+    * immaterial by construction (merge sequences by `seq`; ticks are
+    * proven equal to rebuilds at every intermediate version), which is
+    * exactly the property a production pipeline relies on when a
+    * backfill races live traffic.
+    */
+  val q199StreamingIndexMaintenance = NamedQuery(
+    "q199_streaming_index_maintenance",
+    "q197's tri-index tick driven through the streaming CDC sink " +
+      "(merge + bootstrap/tick per micro-batch, tag-idempotent); " +
+      "streamed index proven equal to a full rebuild, per family.",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val M = ManagedTable
+      val root = Scratch.dir("stridx", d) + "/" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val fsconf = s.sparkContext.hadoopConfiguration
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(fsconf).delete(p, true)
+      val (corpus, idx) = (s"$root/corpus", s"$root/idx")
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select((col("doc_id") % 150L).as("k"), col("doc_id").as("seq"),
+          col("text"), (col("doc_id") % 77L).as("vec_id"),
+          when(col("doc_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+        .join(broadcast(emb), Seq("vec_id")).drop("vec_id")
+      (0 until 2).foreach { i =>
+        hist.filter(col("seq") >= i * 200 && col("seq") < (i + 1) * 200)
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+      }
+      val spec = IndexMaintenance.CorpusSpec(
+        keyCol = "k", textCol = "text", embCol = "embedding",
+        centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        deleteExpr = col("op") === "d",
+        exceptColumns = Seq("seq", "op"))
+      val q = IndexMaintenance.cdcStreamingSink(
+          s.readStream.schema(hist.schema)
+            .option("maxFilesPerTrigger", 1).parquet(s"$root/in"),
+          corpus, idx, spec, keys = Seq("k"),
+          sequenceBy = Seq(col("seq")))
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val head = M.versions(s, corpus).last
+      val incr = IndexMaintenance.indexState(s, idx)
+        .withColumnRenamed("a", "ia").withColumnRenamed("b", "ib")
+      val reb = IndexMaintenance.buildAll(
+          M.readCurrent(s, corpus, spec.deleteExpr,
+            spec.exceptColumns, Some(head)), spec)
+        .withColumnRenamed("a", "ra").withColumnRenamed("b", "rb")
+      incr.join(reb, Seq("family", "key"), "full_outer")
+        .groupBy("family")
+        .agg(
+          sum(when(col("ra").isNotNull, 1L).otherwise(0L)).as("n_keys"),
+          sum(when(col("ia").isNull, 1L).otherwise(0L))
+            .as("n_missing_incr"),
+          sum(when(col("ra").isNull, 1L).otherwise(0L))
+            .as("n_extra_incr"),
+          sum(when(col("ia").isNotNull && col("ra").isNotNull &&
+            col("ia") =!= col("ra"), 1L).otherwise(0L))
+            .as("n_a_mismatch"),
+          sum(when(col("ib").isNotNull && col("rb").isNotNull &&
+            col("ib") =!= col("rb"), 1L).otherwise(0L))
+            .as("n_b_mismatch"))
+        .withColumn("agree", when(
+          col("n_missing_incr") + col("n_extra_incr") +
+            col("n_a_mismatch") + col("n_b_mismatch") === 0, 1L)
+          .otherwise(0L))
+        .orderBy("family")
+    },
+    Some(q197OracleSql))
+
   /** Dense-family SQL: frozen-centroid argmax of `src(k, embedding)`. */
   private def assignSql(src: String, out: String): String =
     s"""$out AS (SELECT k, cid FROM (SELECT s.k, c.cid,
@@ -233,5 +321,6 @@ object IndexQueries {
        |${cmpSql("lex", "linc", "lreb")})
        |ORDER BY family""".stripMargin
 
-  val all: Seq[NamedQuery] = Seq(q197TriIndexMaintenance)
+  val all: Seq[NamedQuery] =
+    Seq(q197TriIndexMaintenance, q199StreamingIndexMaintenance)
 }
