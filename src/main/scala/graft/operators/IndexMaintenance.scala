@@ -172,18 +172,18 @@ object IndexMaintenance {
     */
   private def alreadyTicked(spark: SparkSession, indexDir: String,
       tag: String): Boolean =
-    ManagedTable.versions(spark, indexDir).nonEmpty &&
-      ManagedTable.tags(spark, indexDir).exists(_._2 == tag)
+    ManagedTable.committedTagSet(spark, indexDir).contains(tag)
 
   /** Highest corpus version the index has applied (from the tick-tag
-    * history); -1 before [[bootstrap]].
+    * history); -1 before [[bootstrap]]. Reads through the incremental
+    * tag index (O(1 + new versions) manifest reads — the per-batch
+    * resume check must not re-scan the full history, r9's streaming-
+    * sink lesson).
     */
   def lastIndexedVersion(spark: SparkSession, indexDir: String): Int =
-    if (ManagedTable.versions(spark, indexDir).isEmpty) -1
-    else ManagedTable.tags(spark, indexDir)
-      .flatMap { case (_, t) =>
-        if (t.startsWith("tick")) t.drop(4).toIntOption else None
-      }
+    ManagedTable.committedTagSet(spark, indexDir)
+      .flatMap(t =>
+        if (t.startsWith("tick")) t.drop(4).toIntOption else None)
       .foldLeft(-1)(math.max)
 
   /** THE maintenance tick a production pipeline runs per ingest step:
@@ -254,8 +254,8 @@ object IndexMaintenance {
     changes.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        val merged = ManagedTable.versions(spark, corpusDir).nonEmpty &&
-          ManagedTable.tags(spark, corpusDir).exists(_._2 == s"m$batchId")
+        val merged = ManagedTable.committedTagSet(spark, corpusDir)
+          .contains(s"m$batchId")
         if (!merged)
           ManagedTable.merge(batch, corpusDir, keys, sequenceBy,
             tag = s"m$batchId")

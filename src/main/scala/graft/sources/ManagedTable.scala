@@ -406,6 +406,15 @@ object ManagedTable {
   def tags(spark: SparkSession, dir: String): Seq[(Int, String)] =
     versions(spark, dir).map(v => v -> readManifest(spark, dir, v)._1)
 
+  /** The committed tag SET through the incremental per-table tag index
+    * — the read every per-micro-batch replay/resume check should use:
+    * O(1 + new versions) manifest reads per call instead of `tags()`'s
+    * full-history scan, which over a stream's lifetime is O(batches²).
+    * Same validity-probed cache as the built-in streaming sinks.
+    */
+  def committedTagSet(spark: SparkSession, dir: String): Set[String] =
+    committedTags(spark, dir)
+
   /** Per-table (version → tag) cache for the streaming sinks' replay
     * check: a full `tags()` on every micro-batch reads EVERY version's
     * manifest, which over a stream's lifetime is O(batches²) reads and

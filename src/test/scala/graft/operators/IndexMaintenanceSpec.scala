@@ -73,6 +73,16 @@ class IndexMaintenanceSpec extends SparkSpec {
         "a tick must commit exactly one index version (one transaction)")
       assertStateEqualsRebuild(corpus, idx, tick, s"tick $tick")
     }
+    // the index table maintains ITSELF too: after many per-tick merge
+    // segments, compaction moves bytes without changing state, and
+    // later ticks keep working across the compaction commit (files
+    // carry by reference; the tick tag history survives)
+    ManagedTable.compact(spark, idx, smallFileBytes = 64L * 1024 * 1024)
+    assertStateEqualsRebuild(corpus, idx, 5, "post-compact")
+    val ups = Seq(0L -> 999999L, 200L -> 123456L)
+    ManagedTable.merge(df(ups), corpus, Seq("k"), Seq(col("seq")))
+    IndexMaintenance.maintainTick(spark, corpus, 5, 6, spec, idx)
+    assertStateEqualsRebuild(corpus, idx, 6, "tick after index compaction")
   }
 
   test("no-op changeset ticks cleanly; emptied keys are tombstoned not zeroed") {
