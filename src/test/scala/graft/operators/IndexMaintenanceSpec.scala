@@ -166,4 +166,85 @@ class IndexMaintenanceSpec extends SparkSpec {
     IndexMaintenance.maintainTick(spark, corpus, resume, cur, spec, idx)
     assertStateEqualsRebuild(corpus, idx, cur, "post-crash resume")
   }
+
+  test("consistentSnapshot: a reader never straddles an in-flight tick") {
+    val corpus = Files.createTempDirectory("graft-im4-corpus").toString
+    val idx = Files.createTempDirectory("graft-im4-idx").toString + "/t"
+    def pairConsistent(clue: String): Int = {
+      val (snap, state, v, _) =
+        IndexMaintenance.consistentSnapshot(spark, corpus, idx, spec)
+      val rebuild = IndexMaintenance.buildAll(snap, spec)
+      assert(state.exceptAll(rebuild).isEmpty &&
+        rebuild.exceptAll(state).isEmpty,
+        s"$clue: the pinned pair must satisfy index == buildAll(corpus)")
+      v
+    }
+    ManagedTable.merge(df(Seq(1L -> 10L, 2L -> 20L)), corpus,
+      Seq("k"), Seq(col("seq")))
+    IndexMaintenance.bootstrap(spark, corpus, 1, spec, idx)
+    ManagedTable.merge(df(Seq(2L -> 220L, 3L -> 30L)), corpus,
+      Seq("k"), Seq(col("seq")))
+    IndexMaintenance.maintainTick(spark, corpus, 1, 2, spec, idx)
+    assert(pairConsistent("at the head") == 2)
+    // the corpus head advances with NO tick — the straddle window a
+    // naive "latest corpus + latest index" reader falls into
+    ManagedTable.merge(df(Seq(1L -> 110L, 4L -> 40L)), corpus,
+      Seq("k"), Seq(col("seq")))
+    assert(ManagedTable.versions(spark, corpus).last == 3)
+    assert(pairConsistent("mid-ingest") == 2,
+      "the pinned corpus version must be the last TICKED one, not the head")
+    // once the tick lands, the pair re-pins at the new head
+    IndexMaintenance.maintainTick(spark, corpus, 2, 3, spec, idx)
+    assert(pairConsistent("post-tick") == 3)
+  }
+
+  test("cdcStreamingSink crash fuzz: every (batch, point) crash recovers exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val batches = Seq(
+      Seq(1L -> 10L, 2L -> 20L, 3L -> 30L),
+      Seq(2L -> 220L, 4L -> 40L),
+      Seq(1L -> 110L, 5L -> 50L, 3L -> 330L))
+    // crash through the REAL micro-batch machinery at every boundary the
+    // two-ledger recovery argument names: after the corpus merge but
+    // before the index tick ("merged" — the window where the ledgers
+    // disagree), and after both commits but before the batch completes
+    // ("ticked" — a replayed fully-committed batch), for EVERY batch
+    val points = for {
+      b <- batches.indices; p <- Seq("merged", "ticked")
+    } yield (p, b)
+    points.foreach { case (pt, pb) =>
+      val root = Files.createTempDirectory(s"graft-imf-$pt$pb").toString
+      val (corpus, idx) = (s"$root/corpus", s"$root/idx")
+      batches.zipWithIndex.foreach { case (b, i) =>
+        df(b.map { case (k, v) => k -> (v + i * 1000L) })
+          .coalesce(1).write.mode("append").parquet(s"$root/in")
+      }
+      val schema = df(Seq(1L -> 1L)).schema
+      def sink(fault: (String, Long) => Unit) =
+        IndexMaintenance.cdcStreamingSink(
+            spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", 1).parquet(s"$root/in"),
+            corpus, idx, spec, keys = Seq("k"),
+            sequenceBy = Seq(col("seq")), faultPoint = fault)
+          .option("checkpointLocation", s"$root/ckpt")
+          .trigger(Trigger.AvailableNow())
+      val crashed = sink((p, b) =>
+        if (p == pt && b == pb)
+          throw new RuntimeException(s"injected crash $pt b$b")).start()
+      intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        crashed.awaitTermination()
+      }
+      // restart on the same checkpoint with no fault: the crashed batch
+      // replays, finds whatever it already committed by tag, and
+      // completes; the remaining batches then drain
+      val resumed = sink((_, _) => ()).start()
+      resumed.awaitTermination()
+      val head = ManagedTable.versions(spark, corpus).last
+      assert(ManagedTable.versions(spark, corpus).size == batches.size,
+        s"$pt b$pb: a replayed merge must not commit a second version")
+      assert(IndexMaintenance.lastIndexedVersion(spark, idx) == head,
+        s"$pt b$pb: the index tick history must reach the corpus head")
+      assertStateEqualsRebuild(corpus, idx, head, s"crash at $pt b$pb")
+    }
+  }
 }
