@@ -189,6 +189,97 @@ object IndexQueries {
     },
     Some(q197OracleSql))
 
+  /** q200: CONSISTENT SERVING READS — the reader-side counterpart of
+    * the transactional tick ([[graft.operators.IndexMaintenance
+    * .consistentSnapshot]]). A serving system that separately grabs
+    * "latest corpus" and "latest index" can straddle an in-flight
+    * ingest step: the corpus head has advanced to v3 but the index
+    * last ticked at v2, so retrieved documents and index stats
+    * disagree. The query stages exactly that straddle (three merges,
+    * ticks only through v2), pins the pair via the index head's own
+    * tick-tag history, and proves per family that (a) the PINNED pair
+    * is exactly consistent — index state equals a full rebuild of the
+    * time-traveled corpus snapshot, zero mismatches — while (b) the
+    * NAIVE head read diverges (non-zero diverging keys vs a rebuild of
+    * the corpus head), i.e. the pin is not vacuous. Scale shape: the
+    * pin itself is manifest-metadata work (one O(versions) driver-side
+    * log scan per served query, never per row); the consistency proof
+    * is this query's oracle branch, not the serving path.
+    */
+  val q200ConsistentRead = NamedQuery(
+    "q200_consistent_read",
+    "Reader pins a mutually consistent (corpus, index) snapshot pair " +
+      "from the index tick-tag history mid-ingest; pinned pair proven " +
+      "exactly consistent per family while the naive head read " +
+      "diverges.",
+    (s, d) => {
+      val dir = Scratch.dir("consread-corpus", d)
+      val idx = Scratch.dir("consread-index", d)
+      val fsconf = s.sparkContext.hadoopConfiguration
+      Seq(dir, idx).foreach { p0 =>
+        val p = new org.apache.hadoop.fs.Path(p0)
+        p.getFileSystem(fsconf).delete(p, true)
+      }
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val hist = Tables.documents(s, d).filter(col("doc_id") < 450)
+        .select((col("doc_id") % 110L).as("k"), col("doc_id").as("seq"),
+          col("text"), (col("doc_id") % 77L).as("vec_id"),
+          when(col("doc_id") % 7 === 0, lit("d")).otherwise(lit("u"))
+            .as("op"))
+        .join(broadcast(emb), Seq("vec_id")).drop("vec_id")
+      (0 until 3).foreach { i =>
+        ManagedTable.merge(hist.filter(
+            col("seq") >= i * 150 && col("seq") < (i + 1) * 150),
+          dir, keys = Seq("k"), sequenceBy = Seq(col("seq")),
+          tag = s"m$i")
+      }
+      val spec = IndexMaintenance.CorpusSpec(
+        keyCol = "k", textCol = "text", embCol = "embedding",
+        centroids = emb.filter(col("vec_id") < 8)
+          .select(col("vec_id").as("cid"), col("embedding").as("cv")),
+        deleteExpr = col("op") === "d",
+        exceptColumns = Seq("seq", "op"))
+      // ticks stop at v2 — version 3 is the in-flight ingest the
+      // reader must NOT observe half-applied
+      IndexMaintenance.bootstrap(s, dir, 1, spec, idx)
+      IndexMaintenance.maintainTick(s, dir, 1, 2, spec, idx)
+      val (snap, state, pv, _) =
+        IndexMaintenance.consistentSnapshot(s, dir, idx, spec)
+      val headV = ManagedTable.versions(s, dir).last
+      val incr = state.select(col("family"), col("key"),
+        col("a").as("ia"), col("b").as("ib"))
+      val rebP = IndexMaintenance.buildAll(snap, spec)
+        .select(col("family"), col("key"),
+          col("a").as("ra"), col("b").as("rb"))
+      val rebH = IndexMaintenance.buildAll(
+          ManagedTable.readCurrent(s, dir, spec.deleteExpr,
+            spec.exceptColumns, Some(headV)), spec)
+        .select(col("family"), col("key"),
+          col("a").as("ha"), col("b").as("hb"))
+      incr.join(rebP, Seq("family", "key"), "full_outer")
+        .join(rebH, Seq("family", "key"), "full_outer")
+        .groupBy("family")
+        .agg(
+          sum(when(col("ra").isNotNull, 1L).otherwise(0L)).as("n_keys"),
+          sum(when(
+            coalesce(col("ia"), lit(-1L)) =!= coalesce(col("ra"), lit(-1L)) ||
+            coalesce(col("ib"), lit(-1L)) =!= coalesce(col("rb"), lit(-1L)),
+            1L).otherwise(0L)).as("n_pin_mismatch"),
+          sum(when(
+            coalesce(col("ia"), lit(-1L)) =!= coalesce(col("ha"), lit(-1L)) ||
+            coalesce(col("ib"), lit(-1L)) =!= coalesce(col("hb"), lit(-1L)),
+            1L).otherwise(0L)).as("n_naive_diverge"))
+        .withColumn("consistent",
+          when(col("n_pin_mismatch") === 0, 1L).otherwise(0L))
+        .withColumn("pinned_v", lit(pv.toLong))
+        .withColumn("head_v", lit(headV.toLong))
+        .select("family", "n_keys", "n_pin_mismatch", "consistent",
+          "n_naive_diverge", "pinned_v", "head_v")
+        .orderBy("family")
+    },
+    Some(q200OracleSql))
+
   /** Dense-family SQL: frozen-centroid argmax of `src(k, embedding)`. */
   private def assignSql(src: String, out: String): String =
     s"""$out AS (SELECT k, cid FROM (SELECT s.k, c.cid,
@@ -321,6 +412,132 @@ object IndexQueries {
        |${cmpSql("lex", "linc", "lreb")})
        |ORDER BY family""".stripMargin
 
+  /** One q200 output row: pinned-pair mismatches + naive-head
+    * divergence for `inc(key, ia, ib)` vs `rebP(key, ra, rb)` vs
+    * `rebH(key, ha, hb)`.
+    */
+  private def consRowSql(family: String, inc: String, rebP: String,
+      rebH: String): String =
+    s"""SELECT '$family' AS family,
+       |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $rebP) AS n_keys,
+       |  (SELECT CAST(COUNT(*) AS BIGINT)
+       |    FROM $inc i FULL OUTER JOIN $rebP r USING (key)
+       |    WHERE COALESCE(i.ia, -1) <> COALESCE(r.ra, -1)
+       |       OR COALESCE(i.ib, -1) <> COALESCE(r.rb, -1))
+       |    AS n_pin_mismatch,
+       |  (SELECT CAST(COUNT(*) AS BIGINT)
+       |    FROM $inc i FULL OUTER JOIN $rebH hh USING (key)
+       |    WHERE COALESCE(i.ia, -1) <> COALESCE(hh.ha, -1)
+       |       OR COALESCE(i.ib, -1) <> COALESCE(hh.hb, -1))
+       |    AS n_naive_diverge,
+       |  CAST(2 AS BIGINT) AS pinned_v, CAST(3 AS BIGINT) AS head_v"""
+      .stripMargin
+
+  private def q200OracleSql: String =
+    s"""WITH h AS (SELECT d.doc_id % 110 AS k, d.doc_id AS seq, d.text,
+       |    CASE WHEN d.doc_id % 7 = 0 THEN 'd' ELSE 'u' END op,
+       |    e.embedding
+       |  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id % 77
+       |  WHERE d.doc_id < 450),
+       |s1 AS (SELECT k, text, embedding FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY k
+       |      ORDER BY seq DESC) rn FROM h WHERE seq < 150)
+       |  WHERE rn = 1 AND op <> 'd'),
+       |s2 AS (SELECT k, text, embedding FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY k
+       |      ORDER BY seq DESC) rn FROM h WHERE seq < 300)
+       |  WHERE rn = 1 AND op <> 'd'),
+       |s3 AS (SELECT k, text, embedding FROM (
+       |    SELECT *, row_number() OVER (PARTITION BY k
+       |      ORDER BY seq DESC) rn FROM h WHERE seq < 450)
+       |  WHERE rn = 1 AND op <> 'd'),
+       |j AS (SELECT coalesce(s1.k, s2.k) AS k,
+       |    s1.text AS t1, s2.text AS t2,
+       |    s1.embedding AS e1, s2.embedding AS e2,
+       |    s1.k IS NOT NULL AS has1, s2.k IS NOT NULL AS has2
+       |  FROM s1 FULL OUTER JOIN s2 ON s1.k = s2.k),
+       |rem0 AS (SELECT k, t1 AS text, e1 AS embedding FROM j
+       |  WHERE has1 AND (NOT has2 OR t1 IS DISTINCT FROM t2
+       |    OR e1 IS DISTINCT FROM e2)),
+       |add0 AS (SELECT k, t2 AS text, e2 AS embedding FROM j
+       |  WHERE has2 AND (NOT has1 OR t1 IS DISTINCT FROM t2
+       |    OR e1 IS DISTINCT FROM e2)),
+       |cent AS (SELECT vec_id AS cid, embedding AS cv
+       |  FROM embeddings WHERE vec_id < 8),
+       |${assignSql("s1", "da1")},
+       |${assignSql("rem0", "dar")},
+       |${assignSql("add0", "daa")},
+       |${assignSql("s2", "da2")},
+       |${assignSql("s3", "da3")},
+       |dn1 AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS x1
+       |  FROM da1 GROUP BY 1),
+       |dnr AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS xr
+       |  FROM dar GROUP BY 1),
+       |dna AS (SELECT cid, CAST(COUNT(*) AS BIGINT) AS xa
+       |  FROM daa GROUP BY 1),
+       |dinc AS (SELECT CAST(cid AS VARCHAR) AS key,
+       |    CAST(COALESCE(x1, 0) - COALESCE(xr, 0) + COALESCE(xa, 0)
+       |      AS BIGINT) AS ia,
+       |    CAST(0 AS BIGINT) AS ib
+       |  FROM dn1 FULL OUTER JOIN dnr USING (cid)
+       |    FULL OUTER JOIN dna USING (cid)
+       |  WHERE COALESCE(x1, 0) - COALESCE(xr, 0) + COALESCE(xa, 0) > 0),
+       |drebp AS (SELECT CAST(cid AS VARCHAR) AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS ra, CAST(0 AS BIGINT) AS rb
+       |  FROM da2 GROUP BY 1),
+       |drebh AS (SELECT CAST(cid AS VARCHAR) AS key,
+       |    CAST(COUNT(*) AS BIGINT) AS ha, CAST(0 AS BIGINT) AS hb
+       |  FROM da3 GROUP BY 1),
+       |${lexSql("s1", "lv1", "df1", "tf1")},
+       |${lexSql("rem0", "lrm", "dfr", "tfr")},
+       |${lexSql("add0", "lad", "dfa", "tfa")},
+       |${lexSql("s2", "lp", "dfp", "tfp")},
+       |${lexSql("s3", "lh", "dfh", "tfh")},
+       |linc AS (SELECT term AS key,
+       |    CAST(COALESCE(df1, 0) - COALESCE(dfr, 0) + COALESCE(dfa, 0)
+       |      AS BIGINT) AS ia,
+       |    CAST(COALESCE(tf1, 0) - COALESCE(tfr, 0) + COALESCE(tfa, 0)
+       |      AS BIGINT) AS ib
+       |  FROM lv1 FULL OUTER JOIN lrm USING (term)
+       |    FULL OUTER JOIN lad USING (term)
+       |  WHERE COALESCE(df1, 0) - COALESCE(dfr, 0) + COALESCE(dfa, 0)
+       |    > 0),
+       |lrebp AS (SELECT term AS key, dfp AS ra, tfp AS rb FROM lp),
+       |lrebh AS (SELECT term AS key, dfh AS ha, tfh AS hb FROM lh),
+       |cs1 AS (SELECT k AS doc_id, text FROM s1),
+       |crm AS (SELECT k AS doc_id, text FROM rem0),
+       |cad AS (SELECT k AS doc_id, text FROM add0),
+       |cs2 AS (SELECT k AS doc_id, text FROM s2),
+       |cs3 AS (SELECT k AS doc_id, text FROM s3),
+       |${refsSql("cs1", "v", "r1")},
+       |${refsSql("crm", "r", "rr")},
+       |${refsSql("cad", "a", "ra_")},
+       |${refsSql("cs2", "b", "r2")},
+       |${refsSql("cs3", "w", "rh")},
+       |cinc AS (SELECT chunk_md5 AS key,
+       |    CAST(COALESCE(r1, 0) - COALESCE(rr, 0) + COALESCE(ra_, 0)
+       |      AS BIGINT) AS ia,
+       |    CAST(0 AS BIGINT) AS ib
+       |  FROM vrefs FULL OUTER JOIN rrefs USING (chunk_md5)
+       |    FULL OUTER JOIN arefs USING (chunk_md5)
+       |  WHERE COALESCE(r1, 0) - COALESCE(rr, 0) + COALESCE(ra_, 0) > 0),
+       |crebp AS (SELECT chunk_md5 AS key, r2 AS ra,
+       |    CAST(0 AS BIGINT) AS rb FROM brefs),
+       |crebh AS (SELECT chunk_md5 AS key, rh AS ha,
+       |    CAST(0 AS BIGINT) AS hb FROM wrefs)
+       |SELECT family, n_keys, n_pin_mismatch,
+       |  CAST(CASE WHEN n_pin_mismatch = 0 THEN 1 ELSE 0 END AS BIGINT)
+       |    AS consistent,
+       |  n_naive_diverge, pinned_v, head_v
+       |FROM (
+       |${consRowSql("chunk", "cinc", "crebp", "crebh")}
+       |UNION ALL
+       |${consRowSql("dense", "dinc", "drebp", "drebh")}
+       |UNION ALL
+       |${consRowSql("lex", "linc", "lrebp", "lrebh")})
+       |ORDER BY family""".stripMargin
+
   val all: Seq[NamedQuery] =
-    Seq(q197TriIndexMaintenance, q199StreamingIndexMaintenance)
+    Seq(q197TriIndexMaintenance, q199StreamingIndexMaintenance,
+      q200ConsistentRead)
 }
