@@ -723,10 +723,74 @@ object LayoutQueries {
            |FROM documents, ml
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q201: the DSv2 CONNECTOR on the graded path — `spark.read
+    * .format("graft")` ([[graft.sources.GraftDataSource]]) serving an
+    * ordinary Catalyst query over a managed table: four range-sliced
+    * append segments (per-file doc_id stats), a deletion-vector
+    * delete, then a plain `.filter(range)` whose pushed conjuncts
+    * prune 2 of 4 files AT PLANNING TIME via the manifest stats
+    * (invariant hash-checked through [[graft.sources.ManagedTable
+    * .planFilesMulti]], the same bounds the connector derives), with
+    * string, long, and array<float> columns all decoded by the
+    * connector's parquet Group reader and the DV rows skipped
+    * position-wise inside each reader. The oracle recomputes from the
+    * raw parquet — any decode, pruning-overreach, or DV miss breaks
+    * the hash. At 100 TB: one InputPartition per surviving file, so
+    * the scan parallelizes file-per-task and a selective probe plans
+    * O(matching files), not O(table).
+    */
+  val q201ConnectorRead = NamedQuery(
+    "q201_connector_read",
+    "DSv2 connector read of a managed table: Catalyst-pushed range " +
+      "filter prunes 2/4 files via manifest stats, DV rows skipped " +
+      "in-reader, string/long/array<float> decode; per-lang " +
+      "aggregates vs raw-parquet oracle.",
+    (s, d) => {
+      val dir = graft.Scratch.dir("dsv2", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val M = graft.sources.ManagedTable
+      val emb = Tables.embeddings(s, d)
+        .select(col("vec_id"), col("embedding"))
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .withColumn("vec_id", col("doc_id") % 77L)
+        .join(broadcast(emb), Seq("vec_id"))
+        .select("doc_id", "lang", "text", "n_chars", "embedding")
+      (0 until 4).foreach { i =>
+        M.appendCommit(docs.filter(col("doc_id") >= i * 125 &&
+          col("doc_id") < (i + 1) * 125).coalesce(1), dir)
+      }
+      M.deleteWhere(s, dir, col("doc_id") % 11 === 3)
+      // the same bounds the connector's pushFilters derives — planned
+      // here as a metadata-only invariant so the 2/4 pruning is part
+      // of the hashed result, not just an explain artifact
+      val (kept, all) = M.planFilesMulti(s, dir,
+        Seq(("doc_id", Some(130L), Some(369L))))
+      val pruned = kept.size == 2 && all.size == 4
+      s.read.format("graft").load(dir)
+        .filter(col("doc_id") >= 130 && col("doc_id") <= 369)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          sum(length(col("text"))).cast("long").as("sum_text_len"),
+          sum(size(col("embedding"))).cast("long").as("sum_emb_len"))
+        .withColumn("pruned", lit(pruned))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  CAST(SUM(length(text)) AS BIGINT) AS sum_text_len,
+           |  CAST(SUM(len(e.embedding)) AS BIGINT) AS sum_emb_len,
+           |  true AS pruned
+           |FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id % 77
+           |WHERE d.doc_id BETWEEN 130 AND 369 AND d.doc_id % 11 <> 3
+           |  AND d.doc_id < 500
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
       q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
       q152ChangeDataFeed, q163DeletionVectors, q165Restore,
-      q179Backfill)
+      q179Backfill, q201ConnectorRead)
 }

@@ -90,12 +90,12 @@ object ManagedTable {
   /** Split a manifest file list into (data files, deletion-vector
     * files) — DV entries are marked by the `dv:` prefix.
     */
-  private def splitDv(all: Seq[String]): (Seq[String], Seq[String]) = {
+  private[sources] def splitDv(all: Seq[String]): (Seq[String], Seq[String]) = {
     val (dv, data) = all.partition(_.startsWith("dv:"))
     (data, dv.map(_.stripPrefix("dv:")))
   }
 
-  private def readManifest(spark: SparkSession, dir: String,
+  private[sources] def readManifest(spark: SparkSession, dir: String,
       v: Int): (String, Seq[String], Option[String], FileStats) = {
     val f = fs(spark, dir)
     def readRaw(): String = {
@@ -152,7 +152,7 @@ object ManagedTable {
   }
 
   /** Manifest line 3 → the version's schema. */
-  private def schemaOf(json: String): org.apache.spark.sql.types.StructType =
+  private[sources] def schemaOf(json: String): org.apache.spark.sql.types.StructType =
     org.apache.spark.sql.types.DataType.fromJson(json)
       .asInstanceOf[org.apache.spark.sql.types.StructType]
 
@@ -513,7 +513,7 @@ object ManagedTable {
   }
 
   /** The (file, pos) rows of a version's deletion vector. */
-  private def dvRows(spark: SparkSession, dir: String,
+  private[sources] def dvRows(spark: SparkSession, dir: String,
       dvFiles: Seq[String]): DataFrame =
     spark.read.parquet(dvFiles.map(p => s"$dir/$p"): _*)
       .select("__file", "__pos")
@@ -1216,6 +1216,21 @@ object ManagedTable {
     */
   def planFiles(spark: SparkSession, dir: String, column: String,
       lower: Any, upper: Any,
+      version: Option[Int] = None): (Seq[String], Seq[String]) =
+    planFilesMulti(spark, dir,
+      Seq((column, Some(lower), Some(upper))), version)
+
+  /** [[planFiles]] generalized to a CONJUNCTION of (possibly
+    * one-sided) range constraints `(column, lower?, upper?)` — the
+    * planning primitive behind [[readWhere]] and the `graft` DSv2
+    * connector's filter pushdown: a file is kept unless SOME
+    * constraint provably excludes it (`None` endpoint = unbounded
+    * side). Same safety contract as [[planFiles]]: missing stats and
+    * unparseable endpoints always keep the file, so pruning only ever
+    * drops provably-disjoint files.
+    */
+  def planFilesMulti(spark: SparkSession, dir: String,
+      bounds: Seq[(String, Option[Any], Option[Any])],
       version: Option[Int] = None): (Seq[String], Seq[String]) = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"ManagedTable.planFiles: no versions in $dir")
@@ -1224,22 +1239,26 @@ object ManagedTable {
     // plan over DATA files only (a DV can only remove rows, so stats
     // stay sound and DV presence never changes which files can match)
     val (files, _) = splitDv(all)
-    val isString = schemaJson.exists(sj =>
-      schemaOf(sj).fields.exists(f => f.name == column &&
-        f.dataType == org.apache.spark.sql.types.StringType))
-    def cmp(a: String, b: String): Int =
-      if (isString)
+    val stringCols: Set[String] = schemaJson.map(sj =>
+      schemaOf(sj).fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.StringType =>
+          f.name
+      }.toSet).getOrElse(Set.empty)
+    def cmp(column: String)(a: String, b: String): Int =
+      if (stringCols.contains(column))
         org.apache.spark.unsafe.types.UTF8String.fromString(a)
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
       else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
-    val lo = String.valueOf(lower)
-    val hi = String.valueOf(upper)
     val kept = files.filter { p =>
-      stats.get(p).flatMap(_.get(column)) match {
-        case Some((mn, mx)) =>
-          try cmp(mx, lo) >= 0 && cmp(mn, hi) <= 0
-          catch { case _: NumberFormatException => true }
-        case None => true // no stats recorded — never prune blind
+      bounds.forall { case (column, lower, upper) =>
+        stats.get(p).flatMap(_.get(column)) match {
+          case Some((mn, mx)) =>
+            try
+              lower.forall(l => cmp(column)(mx, String.valueOf(l)) >= 0) &&
+                upper.forall(u => cmp(column)(mn, String.valueOf(u)) <= 0)
+            catch { case _: NumberFormatException => true }
+          case None => true // no stats recorded — never prune blind
+        }
       }
     }
     (kept, files)

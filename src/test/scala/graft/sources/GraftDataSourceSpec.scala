@@ -1,0 +1,144 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class GraftDataSourceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-dsv2-$name").toString + "/t"
+
+  private def sortedRows(df: DataFrame): Seq[Row] =
+    df.collect().toSeq.sortBy(_.toString)
+
+  private def mixed(n: Int, tag: String): DataFrame =
+    spark.range(n).select(
+      col("id").as("k"),
+      concat(lit(s"$tag-"), col("id")).as("s"),
+      (col("id") * 1.5).as("d"),
+      col("id").cast("int").as("i"),
+      (col("id") % 2 === 0).as("flag"),
+      when(col("id") % 5 === 0, lit(null).cast("string"))
+        .otherwise(concat(lit("v"), col("id"))).as("maybe"),
+      when(col("id") % 3 === 0, lit(null).cast("array<float>"))
+        .otherwise(array(col("id").cast("float"),
+          lit(null).cast("float"),
+          (col("id") * 2).cast("float"))).as("emb"),
+      array(concat(lit("t"), col("id"))).as("tags"),
+      unhex(conv(col("id"), 10, 16)).as("bin"))
+
+  test("round-trips every supported type, nulls and null elements included") {
+    val dir = tmp("roundtrip")
+    ManagedTable.commit(mixed(257, "a"), dir)
+    val got = spark.read.format("graft").load(dir)
+    val want = ManagedTable.read(spark, dir)
+    assert(got.schema == want.schema)
+    assert(sortedRows(got) == sortedRows(want))
+  }
+
+  test("column pruning and count(*) on a pruned-to-empty projection") {
+    val dir = tmp("prune")
+    ManagedTable.commit(mixed(100, "a"), dir)
+    assert(spark.read.format("graft").load(dir).count() == 100)
+    val two = spark.read.format("graft").load(dir).select("s", "k")
+    assert(two.schema.fieldNames.toSeq == Seq("s", "k"))
+    assert(sortedRows(two) ==
+      sortedRows(ManagedTable.read(spark, dir).select("s", "k")))
+  }
+
+  test("range filters prune files via manifest stats AND stay correct") {
+    val dir = tmp("skip")
+    // four appended segments with disjoint k ranges → per-file stats
+    (0 until 4).foreach { i =>
+      ManagedTable.appendCommit(
+        mixed(1000, "a").filter(col("k") >= i * 250 &&
+          col("k") < (i + 1) * 250).coalesce(1), dir)
+    }
+    val all = spark.read.format("graft").load(dir)
+    assert(all.rdd.getNumPartitions == 4)
+    val probe = all.filter(col("k") >= 600 && col("k") <= 620)
+    // planning sees only the one segment whose [min,max] spans 600-620
+    assert(probe.rdd.getNumPartitions == 1)
+    assert(sortedRows(probe) == sortedRows(
+      ManagedTable.read(spark, dir)
+        .filter(col("k") >= 600 && col("k") <= 620)))
+    // a non-translatable filter plans all files but still answers right
+    val weird = all.filter(col("k") % 97 === 3)
+    assert(weird.rdd.getNumPartitions == 4)
+    assert(weird.count() ==
+      ManagedTable.read(spark, dir).filter(col("k") % 97 === 3).count())
+    // string-column pruning uses UTF8 binary order
+    val sProbe = all.filter(col("s") === "a-601")
+    assert(sProbe.count() == 1)
+  }
+
+  test("deletion vectors: tombstoned rows never surface") {
+    val dir = tmp("dv")
+    ManagedTable.commit(mixed(300, "a"), dir)
+    ManagedTable.deleteWhere(spark, dir, col("k") % 3 === 1)
+    val got = spark.read.format("graft").load(dir)
+    assert(got.count() == 200)
+    assert(got.filter(col("k") % 3 === 1).count() == 0)
+    assert(sortedRows(got) == sortedRows(ManagedTable.read(spark, dir)))
+    // time travel to the pre-delete version still sees the rows
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(dir).count() == 300)
+  }
+
+  test("schema evolution: pre-evolution segments null-fill new columns") {
+    val dir = tmp("evolve")
+    ManagedTable.merge(Seq((1L, "x", 10L)).toDF("k", "s", "seq"), dir,
+      keys = Seq("k"), sequenceBy = Seq(col("seq")))
+    ManagedTable.merge(
+      Seq((2L, "y", 20L, "new")).toDF("k", "s", "seq", "extra"), dir,
+      keys = Seq("k"), sequenceBy = Seq(col("seq")))
+    val got = spark.read.format("graft").load(dir)
+      .select("k", "s", "extra")
+    assert(sortedRows(got) == sortedRows(
+      ManagedTable.readCurrent(spark, dir, lit(false), Seq("seq"))
+        .select("k", "s", "extra")))
+    assert(got.filter(col("k") === 1 && col("extra").isNull).count() == 1)
+  }
+
+  test("time travel reads exactly the requested version") {
+    val dir = tmp("travel")
+    ManagedTable.commit(mixed(10, "v1"), dir)
+    ManagedTable.commit(mixed(20, "v2"), dir)
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(dir).count() == 10)
+    assert(spark.read.format("graft").load(dir).count() == 20)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", 9).load(dir)
+        .count()
+    }
+    assert(e.getMessage.contains("version 9"))
+  }
+
+  test("unsupported column types are rejected at resolution, by name") {
+    val dir = tmp("reject")
+    ManagedTable.commit(
+      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
+        .toDF("k", "ts"), dir)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.format("graft").load(dir).count()
+    }
+    assert(e.getMessage.contains("'ts'"))
+  }
+
+  test("the scan description carries the file-skipping evidence") {
+    val dir = tmp("desc")
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        mixed(300, "a").filter(col("k") >= i * 100 &&
+          col("k") < (i + 1) * 100).coalesce(1), dir)
+    }
+    val probe = spark.read.format("graft").load(dir)
+      .filter(col("k") === 150)
+    val desc = probe.queryExecution.executedPlan.toString
+    assert(desc.contains("files=1/3"), s"expected files=1/3 in:\n$desc")
+  }
+}
