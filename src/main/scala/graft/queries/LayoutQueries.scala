@@ -787,10 +787,74 @@ object LayoutQueries {
            |  AND d.doc_id < 500
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q202: the connector's STREAMING side on the graded path —
+    * `spark.readStream.format("graft")` ([[graft.sources
+    * .GraftDataSource]]'s MicroBatchStream): a managed table built as
+    * four appended versions streams back as four micro-batches
+    * (offsets ARE table versions, `maxVersionsPerTrigger=1`,
+    * Trigger.AvailableNow drains to the pinned head), each batch
+    * landing in a second managed table through the tag-idempotent
+    * streaming append. The returned frame aggregates the LANDED table
+    * per lang with the batch-count invariant folded in, and the
+    * oracle recomputes from raw parquet — a dropped, duplicated, or
+    * mis-sliced micro-batch breaks the hash, and a replayed batch
+    * hitting the idempotence tag proves the exactly-once pairing of
+    * Spark's offset log with the manifest tags. This is the reading
+    * half of the table-streaming contract whose writing half is
+    * [[graft.sources.ManagedTable.streamingSink]] — together: table →
+    * stream → table with no transport outside the table format, the
+    * medallion hop a 100 TB pipeline runs between layers.
+    */
+  val q202ConnectorStream = NamedQuery(
+    "q202_connector_stream",
+    "readStream.format(\"graft\"): four appended versions drain as " +
+      "four version-offset micro-batches into a tag-idempotent " +
+      "managed sink; per-lang aggregates of the landed table + batch " +
+      "accounting vs raw-parquet oracle.",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val M = graft.sources.ManagedTable
+      val root = graft.Scratch.dir("dsv2stream", d)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val (src, sink) = (s"$root/src", s"$root/sink")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+      (0 until 4).foreach { i =>
+        M.appendCommit(docs.filter(col("doc_id") >= i * 125 &&
+          col("doc_id") < (i + 1) * 125).coalesce(1), src)
+      }
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame,
+            id: Long) =>
+          M.idempotentAppend(b, sink, id); ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      // one version-offset micro-batch per source version, each landed
+      // as one tagged sink version — the accounting the oracle pins
+      val batchesOk = M.versions(s, sink).size == 4
+      M.read(s, sink)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .withColumn("batches_ok", lit(batchesOk))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  COUNT(DISTINCT doc_id) AS n_distinct,
+           |  true AS batches_ok
+           |FROM documents WHERE doc_id < 500
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
       q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
       q152ChangeDataFeed, q163DeletionVectors, q165Restore,
-      q179Backfill, q201ConnectorRead)
+      q179Backfill, q201ConnectorRead, q202ConnectorStream)
 }

@@ -152,12 +152,17 @@ private[sources] class GraftTable(meta: GraftTableMeta)
   override def schema(): StructType = meta.schema
   override def version(): String = meta.version.toString
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftScanBuilder(meta)
+      : ScanBuilder = new GraftScanBuilder(meta,
+    Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+    options.getBoolean("ignoreChanges", false))
 }
 
-private[sources] class GraftScanBuilder(meta: GraftTableMeta)
+private[sources] class GraftScanBuilder(meta: GraftTableMeta,
+    maxVersionsPerTrigger: Option[Int] = None,
+    ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns {
 
@@ -194,7 +199,8 @@ private[sources] class GraftScanBuilder(meta: GraftTableMeta)
         .collect()
         .groupBy(_.getString(0))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
-    new GraftScan(meta, required, kept, all.size, dv)
+    new GraftScan(meta, required, kept, all.size, dv,
+      maxVersionsPerTrigger, ignoreChanges)
   }
 }
 
@@ -223,7 +229,11 @@ private[sources] object GraftScanBuilder {
 
 private[sources] class GraftScan(meta: GraftTableMeta,
     required: StructType, kept: Seq[String], totalFiles: Int,
-    dv: Map[String, Array[Long]]) extends Scan with Batch {
+    dv: Map[String, Array[Long]],
+    maxVersionsPerTrigger: Option[Int] = None,
+    ignoreChanges: Boolean = false)
+    extends Scan with Batch
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -234,10 +244,159 @@ private[sources] class GraftScan(meta: GraftTableMeta,
       dv.getOrElse(rel, Array.empty)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json)
+
+  /** Post-pruning byte size from the surviving files' lengths — what
+    * lets Catalyst AUTO-BROADCAST a selectively-probed managed table
+    * in a join, exactly as it would a pruned parquet scan. Column
+    * pruning isn't modeled (file bytes are whole-row), so the
+    * estimate errs large — the safe direction for broadcast planning.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val conf = new Configuration()
+    val bytes = kept.map { rel =>
+      val p = new HPath(s"${meta.dir}/$rel")
+      p.getFileSystem(conf).getFileStatus(p).getLen
+    }.sum
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(bytes)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.empty()
+    }
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftMicroBatchStream(meta.dir, required.json,
+      maxVersionsPerTrigger, ignoreChanges)
 }
 
 private[sources] final case class GraftInputPartition(absPath: String,
     dvPositions: Array[Long]) extends InputPartition
+
+/** `spark.readStream.format("graft")` — a managed table AS A STREAM of
+  * its appended versions, the reading half of the table-streaming
+  * contract whose writing half is [[ManagedTable.streamingSink]]
+  * (Delta's streaming-table read re-expressed over this layout):
+  *
+  *   - **Offsets are table versions.** The offset log records the
+  *     highest version whose files have been emitted; a micro-batch
+  *     covers `(start, end]` and its partitions are exactly the DATA
+  *     files those versions ADDED (manifest set-difference — planning
+  *     is manifest metadata, never a directory listing).
+  *   - **Exactly-once across restarts** comes from the pairing Spark
+  *     already provides: the checkpointed offset log replays the same
+  *     version range into [[planInputPartitions]], and manifests are
+  *     immutable, so a replayed batch re-reads byte-identical files.
+  *   - **Append-only discipline.** A version that DROPS data files
+  *     (compaction, replaceWhere, restore, merge rewrite) is not
+  *     representable as an append delta; the stream fails fast naming
+  *     the version, unless `.option("ignoreChanges", true)` accepts
+  *     Delta's documented relaxation (rewritten files re-emit their
+  *     rows — downstream must tolerate duplicates). DV-only versions
+  *     (deleteWhere) add no data files and emit nothing: this source
+  *     streams APPENDS, not retractions — CDC-shaped consumption is
+  *     [[ManagedTable.changes]] / the q152 change-data-feed tier.
+  *   - **Admission control**: `.option("maxVersionsPerTrigger", n)`
+  *     caps each micro-batch at n versions (the analogue of Delta's
+  *     maxFilesPerTrigger), so a backfilled table drains in bounded
+  *     batches instead of one giant initial snapshot; under
+  *     Trigger.AvailableNow Spark drains batch-by-batch to the
+  *     stream-start head and stops.
+  *
+  * The initial offset is version 0, so a first run emits the full
+  * existing table (initial snapshot) before tailing new commits.
+  */
+private[sources] class GraftMicroBatchStream(dir: String,
+    requiredJson: String, maxVersionsPerTrigger: Option[Int],
+    ignoreChanges: Boolean)
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset,
+    ReadLimit}
+
+  private def spark = SparkSession.active
+  private def liveHead: Int =
+    ManagedTable.versions(spark, dir).lastOption.getOrElse(0)
+
+  // Trigger.AvailableNow contract: pin the drain target at trigger
+  // start; every admission-controlled batch then advances toward THIS
+  // head and the engine stops there, even if concurrent commits move
+  // the live head meanwhile
+  @volatile private var availableNowTarget: Option[Int] = None
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(liveHead)
+  private def head: Int =
+    availableNowTarget.getOrElse(liveHead)
+
+  override def initialOffset(): SOffset = GraftStreamOffset(0)
+  override def deserializeOffset(json: String): SOffset =
+    GraftStreamOffset(json.trim.toInt)
+  override def latestOffset(): SOffset = GraftStreamOffset(head)
+  override def getDefaultReadLimit: ReadLimit =
+    maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
+      .getOrElse(ReadLimit.allAvailable())
+  override def latestOffset(start: SOffset, limit: ReadLimit): SOffset = {
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    val cap = maxVersionsPerTrigger
+      .map(n => math.min(head, s + n)).getOrElse(head)
+    GraftStreamOffset(math.max(s, cap))
+  }
+  override def reportLatestOffset(): SOffset = GraftStreamOffset(head)
+  override def commit(end: SOffset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: SOffset, end: SOffset)
+      : Array[InputPartition] = {
+    val s = start.asInstanceOf[GraftStreamOffset].version
+    val e = end.asInstanceOf[GraftStreamOffset].version
+    ((s + 1) to e).flatMap { v =>
+      versionAdds(v, ignoreChanges)
+    }.map(abs => GraftInputPartition(abs, Array.empty): InputPartition)
+      .toArray
+  }
+
+  /** Absolute paths of the data files version `v` ADDED over `v-1`;
+    * fails fast on a non-append version unless relaxed.
+    */
+  private def versionAdds(v: Int, ignoreChanges: Boolean): Seq[String] = {
+    val (_, all, _, _) = ManagedTable.readManifest(spark, dir, v)
+    val (files, _) = ManagedTable.splitDv(all)
+    val prev: Set[String] =
+      if (v <= ManagedTable.versions(spark, dir).head) Set.empty
+      else {
+        val (_, pAll, _, _) = ManagedTable.readManifest(spark, dir, v - 1)
+        ManagedTable.splitDv(pAll)._1.toSet
+      }
+    if (!ignoreChanges && !prev.subsetOf(files.toSet))
+      throw new IllegalStateException(
+        s"graft streaming: version $v of $dir rewrites or removes " +
+          "data files (compaction/replaceWhere/restore/merge) and " +
+          "cannot stream as an append; use ManagedTable.changes for " +
+          "CDC-shaped consumption, or .option(\"ignoreChanges\", " +
+          "true) to re-emit rewritten files")
+    files.filterNot(prev.contains).map(rel => s"$dir/$rel")
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftReaderFactory(requiredJson)
+}
+
+/** NOT a case class: the connector Offset base compares BY JSON,
+  * which is what lets the engine equate a deserialized
+  * `SerializedOffset` from the offset log with a live instance — a
+  * case-class `equals` would break that bridge (observed as
+  * AvailableNow stopping after one micro-batch).
+  */
+private[sources] final class GraftStreamOffset(val version: Int)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String = version.toString
+}
+private[sources] object GraftStreamOffset {
+  def apply(version: Int): GraftStreamOffset =
+    new GraftStreamOffset(version)
+}
 
 private[sources] class GraftReaderFactory(requiredJson: String)
     extends PartitionReaderFactory {

@@ -129,6 +129,94 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(e.getMessage.contains("'ts'"))
   }
 
+  test("streaming: versions drain as micro-batches, restart resumes exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("stream")
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), dir)
+    }
+    val ckpt = ckptDir("graft-dsv2-stream")
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 1).load(dir)
+        .writeStream.foreachBatch { (b: DataFrame, id: Long) =>
+          b.collect().foreach(r => out += ((id, r.getLong(0))))
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    drain()
+    // one version per micro-batch, all pre-existing rows delivered
+    assert(out.map(_._2).sorted == Seq(0L, 1L, 2L))
+    assert(out.map(_._1).distinct.size == 3)
+    // appends after the first run: a restart on the same checkpoint
+    // delivers ONLY the new versions
+    out.clear()
+    (3 until 5).foreach { i =>
+      ManagedTable.appendCommit(
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), dir)
+    }
+    drain()
+    assert(out.map(_._2).sorted == Seq(3L, 4L))
+  }
+
+  test("streaming: non-append versions fail fast; ignoreChanges re-emits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("streamcompact")
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), dir)
+    }
+    ManagedTable.compact(spark, dir, smallFileBytes = 1L << 20)
+    def run(opts: Map[String, String]): Seq[Long] = {
+      val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val r = spark.readStream.format("graft")
+      opts.foreach { case (k, v) => r.option(k, v) }
+      val q = r.load(dir)
+        .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+          rows ++= b.collect().map(_.getLong(0)); ()
+        }
+        .option("checkpointLocation", ckptDir("graft-dsv2-nc"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      rows.toSeq
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      run(Map.empty)
+    }
+    assert(e.getCause.getMessage.contains("version 4"))
+    // the relaxation re-emits the compacted segment's rows (documented
+    // duplicate semantics) on top of the original appends
+    assert(run(Map("ignoreChanges" -> "true")).sorted ==
+      Seq(0L, 0L, 1L, 1L, 2L, 2L))
+  }
+
+  test("streaming: a DV-only delete version emits nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("streamdv")
+    (0 until 2).foreach { i =>
+      ManagedTable.appendCommit(
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), dir)
+    }
+    ManagedTable.deleteWhere(spark, dir, col("k") === 0)
+    val rows = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        rows ++= b.collect().map(_.getLong(0)); ()
+      }
+      .option("checkpointLocation", ckptDir("graft-dsv2-dv"))
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    // appends-only contract: both appended rows stream; the DV
+    // retraction is CDC territory (ManagedTable.changes), not this
+    // source's — and the delete version itself contributes no files
+    assert(rows.sorted == Seq(0L, 1L))
+  }
+
   test("the scan description carries the file-skipping evidence") {
     val dir = tmp("desc")
     (0 until 3).foreach { i =>
