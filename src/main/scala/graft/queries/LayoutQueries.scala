@@ -851,10 +851,68 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 500
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q203: the connector's WRITE side on the graded path —
+    * `df.write.format("graft")` ([[graft.sources.GraftDataSource]]'s
+    * DSv2 BatchWrite): a first append CREATES the table (two
+    * range-partitioned tasks → two segment files with per-file
+    * doc_id stats, written by executors through the parquet Group
+    * API), a second append adds a version, a DV delete lands on top,
+    * and the result is consumed by the OTHER reader — the vectorized
+    * `ManagedTable.readWhere` — with the connector-written stats
+    * driving its file pruning. Cross-writer/cross-reader round-trip:
+    * if the Group-API layout deviated from Spark's parquet layout,
+    * the stats rendering deviated from the DataFrame writers', or
+    * the manifest assembly mislabeled a version, the vectorized
+    * read, the pruning invariant, or the oracle hash would break.
+    * At 100 TB: executors stream rows straight to segment files
+    * (no driver funnel), and visibility is one manifest write —
+    * the same two-phase commit every ManagedTable writer uses.
+    */
+  val q203ConnectorWrite = NamedQuery(
+    "q203_connector_write",
+    "df.write.format(\"graft\"): create-by-first-append + second " +
+      "append + DV delete; vectorized readWhere prunes on the " +
+      "connector-written per-file stats; per-source aggregates vs " +
+      "raw-parquet oracle.",
+    (s, d) => {
+      val M = graft.sources.ManagedTable
+      val dir = graft.Scratch.dir("dsv2write", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "source", "n_chars")
+      docs.filter(col("doc_id") < 250)
+        .repartitionByRange(2, col("doc_id"))
+        .write.format("graft").mode("append").save(dir)
+      docs.filter(col("doc_id") >= 250)
+        .repartitionByRange(2, col("doc_id"))
+        .write.format("graft").mode("append").save(dir)
+      M.deleteWhere(s, dir, col("doc_id") % 13 === 2)
+      val (kept, all) = M.planFiles(s, dir, "doc_id", 260L, 480L)
+      // four task files with disjoint ranges; [260,480] spans the two
+      // upper ones — connector-written stats must prune the rest
+      val pruned = kept.size == 2 && all.size == 4
+      val lifecycleOk = M.versions(s, dir) == Seq(1, 2, 3)
+      M.readWhere(s, dir, "doc_id", 260L, 480L)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .withColumn("pruned", lit(pruned))
+        .withColumn("lifecycle_ok", lit(lifecycleOk))
+        .orderBy("source")
+    },
+    Some("""SELECT source, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS pruned, true AS lifecycle_ok
+           |FROM documents
+           |WHERE doc_id BETWEEN 260 AND 480 AND doc_id % 13 <> 2
+           |GROUP BY source ORDER BY source""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
       q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
       q152ChangeDataFeed, q163DeletionVectors, q165Restore,
-      q179Backfill, q201ConnectorRead, q202ConnectorStream)
+      q179Backfill, q201ConnectorRead, q202ConnectorStream,
+      q203ConnectorWrite)
 }

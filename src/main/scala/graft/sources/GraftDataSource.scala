@@ -75,7 +75,10 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 class GraftDataSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "graft"
-  override def supportsExternalMetadata(): Boolean = false
+  // true so a FIRST write can create the table: Spark hands the query
+  // schema to getTable instead of requiring inferSchema to succeed on
+  // a directory with no committed versions yet
+  override def supportsExternalMetadata(): Boolean = true
 
   private def pathOf(m: JMap[String, String]): String = {
     val p = m.get("path")
@@ -91,8 +94,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val m = new CaseInsensitiveStringMap(properties)
-    new GraftTable(GraftTableMeta.resolve(pathOf(properties),
-      Option(m.get("versionAsOf")).map(_.toInt)))
+    val dir = pathOf(properties)
+    val versionAsOf = Option(m.get("versionAsOf")).map(_.toInt)
+    // an uncommitted dir with a caller-provided schema is a table
+    // about to be CREATED by a write (or an empty read of that
+    // schema); an existing table always resolves from its manifest —
+    // the manifest is the schema authority, never the caller
+    if (versionAsOf.isEmpty && schema != null && schema.nonEmpty &&
+        ManagedTable.versions(SparkSession.active, dir).isEmpty)
+      new GraftTable(GraftTableMeta(dir, 0, schema, Nil, Nil))
+    else
+      new GraftTable(GraftTableMeta.resolve(dir, versionAsOf))
   }
 }
 
@@ -147,13 +159,20 @@ private[sources] object GraftTableMeta {
 }
 
 private[sources] class GraftTable(meta: GraftTableMeta)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft.`${meta.dir}`"
   override def schema(): StructType = meta.schema
   override def version(): String = meta.version.toString
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ,
-      TableCapability.MICRO_BATCH_READ).asJava
+      TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE,
+      TableCapability.TRUNCATE).asJava
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new GraftWriteBuilder(meta.dir, info)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
       : ScanBuilder = new GraftScanBuilder(meta,
     Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
@@ -519,5 +538,304 @@ private[sources] object GraftPartitionReader {
     case BinaryType => g.getBinary(fi, 0).getBytes
     case other => throw new IllegalStateException(
       s"graft: unreachable decode type $other") // guarded at resolve
+  }
+}
+
+// ---------------------------------------------------------------------------
+// Write path: df.write.format("graft").mode("append" | "overwrite").save(dir)
+// ---------------------------------------------------------------------------
+
+/** The connector's WRITE side — executors stream rows straight into
+  * parquet segment files (parquet-hadoop Group API, matching Spark's
+  * non-legacy layout bit-for-bit: 3-level lists, standard logical
+  * annotations), and the DRIVER makes the result visible with one
+  * manifest commit, exactly the two-phase protocol every
+  * [[ManagedTable]] writer uses:
+  *
+  *   - **append** adds the staged files to the current version's file
+  *     list (DV references carried forward — an append cannot
+  *     resurrect deleted rows);
+  *   - **overwrite** (Spark calls [[SupportsTruncate.truncate]])
+  *     commits a full-snapshot manifest of only the staged files;
+  *   - a FIRST write creates the table (the provider reports
+  *     `supportsExternalMetadata`, so Spark hands the query schema to
+  *     [[GraftDataSource.getTable]] and an empty dir resolves to an
+  *     empty table of that schema);
+  *   - task/driver failure leaves only unreferenced staged files —
+  *     invisible to every reader and reclaimed by
+  *     [[ManagedTable.vacuum]] — because visibility IS the manifest
+  *     write, which is create-fails-if-exists; a racing committer
+  *     loses the version number cleanly and retries on the new head.
+  *
+  * Appends to an existing table must match its schema by name AND
+  * type ([[ManagedTable]]'s own append discipline — evolution goes
+  * through `merge`); overwrite records the new schema. Per-file
+  * min/max stats are computed by the same [[ManagedTable
+  * .segmentStats]] pass every other writer uses, so connector-written
+  * segments prune identically.
+  */
+private[sources] class GraftWriteBuilder(dir: String,
+    info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.WriteBuilder
+    with org.apache.spark.sql.connector.write.SupportsTruncate {
+  private var truncateFirst = false
+  override def truncate()
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    truncateFirst = true; this
+  }
+  override def build(): org.apache.spark.sql.connector.write.Write = {
+    val schema = info.schema()
+    schema.fields.foreach { f =>
+      require(GraftTableMeta.supported(f.dataType),
+        s"graft: unsupported column type ${f.dataType.sql} for " +
+          s"'${f.name}' — writes accept the same stats-typed tier " +
+          "the reader decodes")
+    }
+    val spark = SparkSession.active
+    if (!truncateFirst &&
+        ManagedTable.versions(spark, dir).nonEmpty) {
+      val existing = GraftTableMeta.resolve(dir, None).schema
+      def norm(s: StructType): Set[(String, DataType)] =
+        s.fields.map(f => (f.name, f.dataType match {
+          case ArrayType(et, _) => ArrayType(et, containsNull = true)
+          case dt => dt
+        })).toSet
+      require(norm(existing) == norm(schema),
+        s"graft: append schema ${schema.simpleString} does not match " +
+          s"table schema ${existing.simpleString} of $dir — schema " +
+          "evolution goes through ManagedTable.merge")
+    }
+    new GraftWrite(dir, schema, truncateFirst)
+  }
+}
+
+private[sources] class GraftWrite(dir: String, schema: StructType,
+    truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.Write {
+  override def description(): String =
+    s"GraftWrite $dir ${if (truncateFirst) "overwrite" else "append"}"
+  override def toBatch
+      : org.apache.spark.sql.connector.write.BatchWrite =
+    new GraftBatchWrite(dir, schema, truncateFirst)
+}
+
+private[sources] final case class GraftWriteCommit(relFiles: Seq[String])
+    extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+private[sources] class GraftBatchWrite(dir: String, schema: StructType,
+    truncateFirst: Boolean)
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory,
+    PhysicalWriteInfo, WriterCommitMessage}
+
+  private val segment =
+    s"data/w-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new GraftWriterFactory(dir, segment, schema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val newFiles = messages.flatMap {
+      case GraftWriteCommit(fs) => fs
+      case _ => Nil
+    }.toSeq.sorted
+    val newStats = ManagedTable.segmentStats(spark, dir, newFiles)
+    // optimistic create-fails-if-exists loop, same discipline as the
+    // DataFrame writers: losing a version race re-reads the head and
+    // re-commits on top of it (the staged files never move)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val vs = ManagedTable.versions(spark, dir)
+      val next = vs.lastOption.getOrElse(0) + 1
+      val (allPrev, schemaJson, prevStats) =
+        if (truncateFirst || vs.isEmpty)
+          (Seq.empty[String], schema.json, Map.empty: ManagedTable.FileStats)
+        else {
+          val (_, all, sj, st) =
+            ManagedTable.readManifest(spark, dir, vs.last)
+          (all, sj.getOrElse(schema.json), st)
+        }
+      try {
+        ManagedTable.writeManifest(spark, dir, next, tag = "",
+          allPrev ++ newFiles, schemaJson, prevStats ++ newStats)
+        done = true
+      } catch {
+        case e: Exception if attempt < 5 &&
+            ManagedTable.versions(spark, dir).lastOption
+              .exists(_ >= next) => // lost the race; retry on new head
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.foreach {
+      case GraftWriteCommit(fs) => fs.foreach { rel =>
+        val p = new HPath(s"$dir/$rel")
+        try { p.getFileSystem(conf).delete(p, false); () }
+        catch { case _: Exception => () }
+      }
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class GraftWriterFactory(dir: String, segment: String,
+    schemaJson: String)
+    extends org.apache.spark.sql.connector.write.DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(dir, segment,
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partitionId, taskId)
+}
+
+/** One task's parquet file, created lazily on the first row (an empty
+  * partition contributes no file, matching Spark's own writers).
+  */
+private[sources] class GraftDataWriter(dir: String, segment: String,
+    schema: StructType, partitionId: Int, taskId: Long)
+    extends org.apache.spark.sql.connector.write.DataWriter[InternalRow] {
+  import org.apache.parquet.example.data.simple.SimpleGroupFactory
+  import org.apache.parquet.io.api.Binary
+
+  private val rel =
+    f"$segment/part-$partitionId%05d-$taskId.snappy.parquet"
+  private val messageType = GraftParquetSchema.fromSpark(schema)
+  private val factory = new SimpleGroupFactory(messageType)
+  private var writer
+      : org.apache.parquet.hadoop.ParquetWriter[Group] = _
+
+  private def open(): Unit = {
+    writer = org.apache.parquet.hadoop.example.ExampleParquetWriter
+      .builder(new HPath(s"$dir/$rel"))
+      .withConf(new Configuration())
+      .withType(messageType)
+      .withCompressionCodec(
+        org.apache.parquet.hadoop.metadata.CompressionCodecName.SNAPPY)
+      .build()
+  }
+
+  override def write(row: InternalRow): Unit = {
+    if (writer == null) open()
+    val g = factory.newGroup()
+    var i = 0
+    while (i < schema.length) {
+      if (!row.isNullAt(i)) {
+        val f = schema.fields(i)
+        f.dataType match {
+          case ArrayType(et, _) =>
+            val arr = row.getArray(i)
+            val lg = g.addGroup(f.name)
+            var j = 0
+            while (j < arr.numElements()) {
+              val el = lg.addGroup("list")
+              if (!arr.isNullAt(j)) et match {
+                case LongType => el.add("element", arr.getLong(j))
+                case IntegerType => el.add("element", arr.getInt(j))
+                case ShortType =>
+                  el.add("element", arr.getShort(j).toInt)
+                case ByteType => el.add("element", arr.getByte(j).toInt)
+                case FloatType => el.add("element", arr.getFloat(j))
+                case DoubleType => el.add("element", arr.getDouble(j))
+                case BooleanType => el.add("element", arr.getBoolean(j))
+                case StringType => el.add("element",
+                  Binary.fromConstantByteArray(
+                    arr.getUTF8String(j).getBytes))
+                case BinaryType => el.add("element",
+                  Binary.fromConstantByteArray(arr.getBinary(j)))
+                case other => throw new IllegalStateException(
+                  s"graft: unreachable write type $other")
+              }
+              j += 1
+            }
+          case LongType => g.add(f.name, row.getLong(i))
+          case IntegerType => g.add(f.name, row.getInt(i))
+          case ShortType => g.add(f.name, row.getShort(i).toInt)
+          case ByteType => g.add(f.name, row.getByte(i).toInt)
+          case FloatType => g.add(f.name, row.getFloat(i))
+          case DoubleType => g.add(f.name, row.getDouble(i))
+          case BooleanType => g.add(f.name, row.getBoolean(i))
+          case StringType => g.add(f.name,
+            Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
+          case BinaryType => g.add(f.name,
+            Binary.fromConstantByteArray(row.getBinary(i)))
+          case other => throw new IllegalStateException(
+            s"graft: unreachable write type $other")
+        }
+      }
+      i += 1
+    }
+    writer.write(g)
+  }
+
+  override def commit()
+      : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+    if (writer != null) writer.close()
+    GraftWriteCommit(if (writer != null) Seq(rel) else Nil)
+  }
+
+  override def abort(): Unit = {
+    if (writer != null) writer.close()
+    val p = new HPath(s"$dir/$rel")
+    try { p.getFileSystem(new Configuration()).delete(p, false); () }
+    catch { case _: Exception => () }
+  }
+
+  override def close(): Unit = ()
+}
+
+/** Spark StructType → parquet MessageType in Spark's own non-legacy
+  * layout (standard logical annotations; 3-level "list"/"element"
+  * lists), so segments written here are byte-compatible with both the
+  * vectorized `spark.read.parquet` under [[ManagedTable.read]] and
+  * the connector's Group reader.
+  */
+private[sources] object GraftParquetSchema {
+  import org.apache.parquet.schema.{LogicalTypeAnnotation => L,
+    PrimitiveType, Type, Types}
+  import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+  import org.apache.parquet.schema.Type.Repetition
+
+  private def primitive(name: String, dt: DataType,
+      rep: Repetition): Type = {
+    val b = dt match {
+      case LongType => Types.primitive(INT64, rep)
+      case IntegerType => Types.primitive(INT32, rep)
+      case ShortType =>
+        Types.primitive(INT32, rep).as(L.intType(16, true))
+      case ByteType =>
+        Types.primitive(INT32, rep).as(L.intType(8, true))
+      case FloatType => Types.primitive(FLOAT, rep)
+      case DoubleType => Types.primitive(DOUBLE, rep)
+      case BooleanType => Types.primitive(BOOLEAN, rep)
+      case StringType => Types.primitive(BINARY, rep).as(L.stringType())
+      case BinaryType => Types.primitive(BINARY, rep)
+      case other => throw new IllegalArgumentException(
+        s"graft: unsupported parquet primitive for $other")
+    }
+    b.named(name)
+  }
+
+  def fromSpark(schema: StructType): org.apache.parquet.schema.MessageType = {
+    val b = Types.buildMessage()
+    schema.fields.foreach { f =>
+      f.dataType match {
+        case ArrayType(et, _) =>
+          b.addField(Types.buildGroup(Repetition.OPTIONAL)
+            .as(L.listType())
+            .addField(Types.repeatedGroup()
+              .addField(primitive("element", et, Repetition.OPTIONAL))
+              .named("list"))
+            .named(f.name))
+        case dt =>
+          b.addField(primitive(f.name, dt, Repetition.OPTIONAL))
+      }
+    }
+    b.named("spark_schema")
   }
 }

@@ -208,7 +208,7 @@ object ManagedTable {
     * page-cached — is re-read once). All-null columns in a file are
     * omitted (no stats = never pruned).
     */
-  private def segmentStats(spark: SparkSession, dir: String,
+  private[sources] def segmentStats(spark: SparkSession, dir: String,
       relFiles: Seq[String]): FileStats = {
     import org.apache.spark.sql.functions.{col, max, min}
     if (relFiles.isEmpty) return Map.empty
@@ -333,7 +333,7 @@ object ManagedTable {
     * reuse untouched segments from the previous version instead of
     * rewriting them).
     */
-  private def writeManifest(spark: SparkSession, dir: String, v: Int,
+  private[sources] def writeManifest(spark: SparkSession, dir: String, v: Int,
       tag: String, files: Seq[String], schemaJson: String,
       stats: FileStats): Unit = {
     require(!tag.contains("\n"), s"ManagedTable: invalid tag '$tag'")

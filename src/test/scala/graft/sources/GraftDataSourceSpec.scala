@@ -217,6 +217,78 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(rows.sorted == Seq(0L, 1L))
   }
 
+  test("write: a first write creates the table; both readers round-trip it") {
+    val dir = tmp("wcreate")
+    val df = mixed(211, "w")
+    df.write.format("graft").mode("append").save(dir)
+    assert(ManagedTable.versions(spark, dir) == Seq(1))
+    // the vectorized Spark reader must accept the Group-API layout
+    assert(sortedRows(ManagedTable.read(spark, dir)) == sortedRows(df))
+    // and the connector's own reader agrees
+    assert(sortedRows(spark.read.format("graft").load(dir)) ==
+      sortedRows(df))
+  }
+
+  test("write: append accumulates versions and carries DVs forward") {
+    val dir = tmp("wappend")
+    ManagedTable.commit(mixed(100, "a"), dir)
+    ManagedTable.deleteWhere(spark, dir, col("k") < 10)
+    mixed(50, "b").write.format("graft").mode("append").save(dir)
+    val got = ManagedTable.read(spark, dir)
+    // 90 survivors of the first commit + 50 appended
+    assert(got.count() == 140)
+    assert(got.filter(col("s").startsWith("a-") && col("k") < 10)
+      .count() == 0, "an append must not resurrect DV-deleted rows")
+    assert(spark.read.format("graft").load(dir).count() == 140)
+  }
+
+  test("write: overwrite truncates as a time-travelable new version") {
+    val dir = tmp("wover")
+    ManagedTable.commit(mixed(100, "a"), dir)
+    val slim = mixed(7, "b")
+    slim.write.format("graft").mode("overwrite").save(dir)
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2))
+    assert(sortedRows(spark.read.format("graft").load(dir)) ==
+      sortedRows(slim))
+    // time travel still sees the pre-overwrite version
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(dir).count() == 100)
+  }
+
+  test("write: schema mismatch is rejected at analysis, before any file lands") {
+    val dir = tmp("wmismatch")
+    ManagedTable.commit(mixed(10, "a"), dir)
+    // Catalyst validates the incoming frame against the table's
+    // manifest schema (the table IS the authority) — both modes
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, 2L)).toDF("k", "wrong").write.format("graft")
+        .mode("append").save(dir)
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, 2L)).toDF("k", "wrong").write.format("graft")
+        .mode("overwrite").save(dir)
+    }
+    assert(ManagedTable.versions(spark, dir) == Seq(1),
+      "a rejected write must leave no new version")
+  }
+
+  test("write: range-partitioned tasks land per-file stats that prune") {
+    val dir = tmp("wstats")
+    mixed(900, "a").repartitionByRange(3, col("k"))
+      .write.format("graft").mode("append").save(dir)
+    val (kept, all) = ManagedTable.planFiles(spark, dir, "k", 10L, 20L)
+    assert(all.size == 3, s"expected 3 task files, got $all")
+    assert(kept.size == 1,
+      s"connector-written stats must prune to 1 file, kept $kept")
+    // empty partitions contribute no files
+    val dir2 = tmp("wempty")
+    mixed(5, "a").repartition(8).write.format("graft")
+      .mode("append").save(dir2)
+    val (_, files2) = ManagedTable.planFiles(spark, dir2, "k",
+      Long.MinValue, Long.MaxValue)
+    assert(files2.size <= 5)
+  }
+
   test("the scan description carries the file-skipping evidence") {
     val dir = tmp("desc")
     (0 until 3).foreach { i =>
