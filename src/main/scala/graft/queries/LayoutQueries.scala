@@ -908,11 +908,66 @@ object LayoutQueries {
            |WHERE doc_id BETWEEN 260 AND 480 AND doc_id % 13 <> 2
            |GROUP BY source ORDER BY source""".stripMargin))
 
+  /** q204: the FULL DSv2 pipe — `readStream.format("graft")` →
+    * `writeStream.format("graft")` with NO user code in between (no
+    * foreachBatch, no helper calls): Spark's own micro-batch engine
+    * moves four appended source versions through four epochs, the
+    * native sink ([[graft.sources.GraftDataSource]]'s StreamingWrite)
+    * committing each epoch as one `b<epoch>`-tagged sink version with
+    * executor-written segment files. This is the medallion hop
+    * (bronze→silver) expressed purely in the table format's own
+    * connector — the two-ledger exactly-once pairing (offset log ↔
+    * manifest tags) holds with zero application code, which is the
+    * strongest form of the q22/q27 replay discipline this repo
+    * proves. The oracle recomputes from raw parquet; version/tag
+    * accounting is folded into the hashed output.
+    */
+  val q204ConnectorPipe = NamedQuery(
+    "q204_connector_pipe",
+    "Pure DSv2 pipe: readStream graft -> writeStream graft (no user " +
+      "code), one tagged sink version per epoch; per-lang aggregates " +
+      "of the piped table + version/tag accounting vs raw oracle.",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val M = graft.sources.ManagedTable
+      val root = graft.Scratch.dir("dsv2pipe", d)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val (src, sink) = (s"$root/src", s"$root/sink")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+      (0 until 4).foreach { i =>
+        M.appendCommit(docs.filter(col("doc_id") >= i * 125 &&
+          col("doc_id") < (i + 1) * 125).coalesce(1), src)
+      }
+      val q = s.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+      val accounting = M.versions(s, sink) == Seq(1, 2, 3, 4) &&
+        M.tags(s, sink).map(_._2) == Seq("b0", "b1", "b2", "b3")
+      M.read(s, sink)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"),
+          countDistinct(col("doc_id")).as("n_distinct"))
+        .withColumn("accounting_ok", lit(accounting))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  COUNT(DISTINCT doc_id) AS n_distinct,
+           |  true AS accounting_ok
+           |FROM documents WHERE doc_id < 500
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
       q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
       q152ChangeDataFeed, q163DeletionVectors, q165Restore,
       q179Backfill, q201ConnectorRead, q202ConnectorStream,
-      q203ConnectorWrite)
+      q203ConnectorWrite, q204ConnectorPipe)
 }

@@ -168,7 +168,8 @@ private[sources] class GraftTable(meta: GraftTableMeta)
     Set(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
-      TableCapability.TRUNCATE).asJava
+      TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder =
@@ -617,6 +618,106 @@ private[sources] class GraftWrite(dir: String, schema: StructType,
   override def toBatch
       : org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBatchWrite(dir, schema, truncateFirst)
+  override def toStreaming
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+    new GraftStreamingWrite(dir, schema)
+}
+
+/** `df.writeStream.format("graft").start(dir)` — the native streaming
+  * sink: each micro-batch's rows stream from executors into epoch-
+  * scoped segment files and the epoch commits as ONE table version
+  * tagged `b<epochId>` — the exact two-ledger idempotence discipline
+  * of [[ManagedTable.streamingSink]], now with no foreachBatch
+  * indirection: a crash-replayed epoch finds its tag already in the
+  * manifest log, discards its re-staged files, and commits nothing,
+  * so exactly-once holds across restarts with the offset log as the
+  * other ledger. Append output mode only (streaming retractions are
+  * the CDC tier's job). Files from failed/replayed attempts stay
+  * unreferenced and fall to [[ManagedTable.vacuum]].
+  */
+private[sources] class GraftStreamingWrite(dir: String,
+    schema: StructType)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo,
+    WriterCommitMessage}
+
+  private val segment =
+    s"data/w-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createStreamingWriterFactory(info: PhysicalWriteInfo)
+      : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
+    new GraftStreamingWriterFactory(dir, segment, schema.json)
+
+  override def commit(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val tag = s"b$epochId"
+    val newFiles = messages.flatMap {
+      case GraftWriteCommit(fs) => fs
+      case _ => Nil
+    }.toSeq.sorted
+    if (ManagedTable.committedTagSet(spark, dir).contains(tag)) {
+      // replayed epoch: the ORIGINAL attempt's commit is the one the
+      // manifest references — this attempt's staged files are dead
+      abort(epochId, messages)
+      return
+    }
+    val newStats = ManagedTable.segmentStats(spark, dir, newFiles)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val vs = ManagedTable.versions(spark, dir)
+      val next = vs.lastOption.getOrElse(0) + 1
+      val (allPrev, schemaJson, prevStats) =
+        if (vs.isEmpty)
+          (Seq.empty[String], schema.json, Map.empty: ManagedTable.FileStats)
+        else {
+          val (_, all, sj, st) =
+            ManagedTable.readManifest(spark, dir, vs.last)
+          (all, sj.getOrElse(schema.json), st)
+        }
+      try {
+        ManagedTable.writeManifest(spark, dir, next, tag,
+          allPrev ++ newFiles, schemaJson, prevStats ++ newStats)
+        done = true
+      } catch {
+        case e: Exception if attempt < 5 &&
+            ManagedTable.versions(spark, dir).lastOption
+              .exists(_ >= next) =>
+          // lost a version race (concurrent maintenance commit);
+          // re-read the head — but a replayed epoch that raced US
+          // must still dedupe by tag
+          if (ManagedTable.committedTagSet(spark, dir).contains(tag)) {
+            abort(epochId, messages); done = true
+          }
+      }
+    }
+  }
+
+  override def abort(epochId: Long,
+      messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.foreach {
+      case GraftWriteCommit(fs) => fs.foreach { rel =>
+        val p = new HPath(s"$dir/$rel")
+        try { p.getFileSystem(conf).delete(p, false); () }
+        catch { case _: Exception => () }
+      }
+      case _ => ()
+    }
+  }
+}
+
+private[sources] class GraftStreamingWriterFactory(dir: String,
+    segment: String, schemaJson: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    new GraftDataWriter(dir, s"$segment/e$epochId",
+      DataType.fromJson(schemaJson).asInstanceOf[StructType],
+      partitionId, taskId)
 }
 
 private[sources] final case class GraftWriteCommit(relFiles: Seq[String])

@@ -289,6 +289,72 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(files2.size <= 5)
   }
 
+  test("streaming write: graft-to-graft pipe, one tagged version per epoch, restart exactly-once") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = tmp("pipesrc")
+    val sink = tmp("pipesink")
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), src)
+    }
+    val ckpt = ckptDir("graft-dsv2-pipe")
+    def pipe(): Unit = {
+      val q = spark.readStream.format("graft")
+        .option("maxVersionsPerTrigger", 1).load(src)
+        .writeStream.format("graft")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start(sink)
+      q.awaitTermination()
+    }
+    pipe()
+    // three source versions → three epochs → three tagged sink versions
+    assert(ManagedTable.versions(spark, sink) == Seq(1, 2, 3))
+    assert(ManagedTable.tags(spark, sink).map(_._2) ==
+      Seq("b0", "b1", "b2"))
+    assert(sortedRows(ManagedTable.read(spark, sink)) ==
+      sortedRows(ManagedTable.read(spark, src)))
+    // restart after two more source versions: only the new epochs land
+    (3 until 5).foreach { i =>
+      ManagedTable.appendCommit(
+        Seq((i.toLong, s"v$i")).toDF("k", "s"), src)
+    }
+    pipe()
+    assert(ManagedTable.versions(spark, sink).size == 5)
+    assert(sortedRows(ManagedTable.read(spark, sink)) ==
+      sortedRows(ManagedTable.read(spark, src)))
+  }
+
+  test("streaming write: a replayed epoch commits nothing and drops its staged files") {
+    val dir = tmp("epochreplay")
+    val schema = Seq((1L, "x")).toDF("k", "s").schema
+    val w = new GraftStreamingWrite(dir, schema)
+    var nextTid = 100L
+    def stage(rows: Seq[(Long, String)], epoch: Long)
+        : org.apache.spark.sql.connector.write.WriterCommitMessage = {
+      // task ids are unique per attempt in a real run — model that
+      nextTid += 1
+      val writer = new GraftStreamingWriterFactory(dir,
+        s"data/w-test$epoch", schema.json).createWriter(0, nextTid, epoch)
+      rows.foreach { case (k, s0) =>
+        writer.write(org.apache.spark.sql.catalyst.InternalRow(k,
+          org.apache.spark.unsafe.types.UTF8String.fromString(s0)))
+      }
+      writer.commit()
+    }
+    w.commit(7L, Array(stage(Seq(1L -> "a", 2L -> "b"), 7L)))
+    assert(ManagedTable.versions(spark, dir) == Seq(1))
+    // the replay: same epoch id, freshly staged files
+    val replayMsg = stage(Seq(1L -> "a", 2L -> "b"), 7L)
+    val replayFile = replayMsg
+      .asInstanceOf[GraftWriteCommit].relFiles.head
+    w.commit(7L, Array(replayMsg))
+    assert(ManagedTable.versions(spark, dir) == Seq(1),
+      "a replayed epoch must not commit a second version")
+    assert(!new java.io.File(s"$dir/$replayFile").exists(),
+      "the replay's staged file must be deleted, not leaked")
+    assert(ManagedTable.read(spark, dir).count() == 2)
+  }
+
   test("the scan description carries the file-skipping evidence") {
     val dir = tmp("desc")
     (0 until 3).foreach { i =>
