@@ -428,16 +428,26 @@ object LayoutQueries {
   /** q151: CLUSTERED COMPACTION (Delta's `OPTIMIZE ... ZORDER BY`) —
     * q120's maintenance loop upgraded from "fewer files" to "fewer
     * files THAT PRUNE". Eight arrival-order micro-batch files each
-    * span the full custkey range, so a custkey probe keeps all 8
-    * (pinned as an invariant in the hash-checked output); compacting
+    * span the full (custkey, day) range, so a day-range probe keeps
+    * all 8 (pinned as an invariant in the hash-checked output); compacting
     * with `clusterBy = morton12(custkey, order-day)` range-partitions
     * the rows on the z-curve, so the rebinned segments carry DISJOINT
     * z ranges, per-file min/max extents shrink in BOTH dims (q90's
-    * bounding-box contract applied to the write path), and the same
-    * probe now prunes segments via the manifest zone maps — the
-    * invariant column proves (8 kept → strictly fewer kept) across
-    * the rewrite, and the aggregate proves the layout change moved
-    * no rows. At 100 TB this is the nightly OPTIMIZE every streaming
+    * bounding-box contract applied to the write path), and an
+    * early-days probe (`day` ∈ [0, 255]) now prunes segments via the
+    * manifest zone maps — the invariant column proves (8 kept →
+    * strictly fewer kept) across the rewrite, and the aggregate
+    * proves the layout change moved no rows. The probe dim and range
+    * are chosen for DETERMINISM: range-partition boundaries come from
+    * Spark's RangePartitioner SAMPLE (seeded by RDD id, so they
+    * jitter with session history), and `day` holds the curve's top
+    * interleaved bits, so the `day < 1024` rows form one contiguous
+    * z-prefix of ~43% of the table — every slice starting past 50%
+    * carries min(day) ≥ 1024 under ANY sampled boundaries and is
+    * provably disjoint from the probe. A custkey-side probe would
+    * hinge on boundary luck: custkey bits interleave BELOW day bits,
+    * so no 1/6 slice is guaranteed inside a custkey-high subregion.
+    * At 100 TB this is the nightly OPTIMIZE every streaming
     * ingest needs: arrival order never clusters, and re-clustering
     * cost is bounded by the small-file bytes, never a table rewrite.
     */
@@ -459,7 +469,7 @@ object LayoutQueries {
         col("o_orderpriority"))
       graft.sources.ManagedTable.commit(base.repartition(8), dir)
       val (k0, a0) = graft.sources.ManagedTable
-        .planFiles(s, dir, "o_custkey", 0L, 511L)
+        .planFiles(s, dir, "day", 0L, 255L)
       val totalBytes = a0.map(f =>
         fs.getFileStatus(new org.apache.hadoop.fs.Path(s"$dir/$f")).getLen).sum
       // Scale each dim into morton12's 12 bits by an ORDER-PRESERVING
@@ -476,8 +486,11 @@ object LayoutQueries {
         clusterBy = Seq(morton12(
           shiftright(col("o_custkey"), sh(mx.getLong(0))),
           shiftright(col("day"), sh(mx.getLong(1))))))
+      // post-compaction probe on the curve's DOMINANT dim (see
+      // scaladoc): the upper z-slices carry min(day) >= 1024 under
+      // any sampled boundaries, provably disjoint from [0, 255]
       val (k1, a1) = graft.sources.ManagedTable
-        .planFiles(s, dir, "o_custkey", 0L, 511L)
+        .planFiles(s, dir, "day", 0L, 255L)
       val invariants = a0.size == 8 && k0.size == 8 && v == 2 &&
         a1.size >= 4 && k1.size < a1.size &&
         graft.sources.ManagedTable.versions(s, dir) == Seq(1, 2)
@@ -963,11 +976,159 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 500
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q205: the NAME-BASED SQL surface — [[graft.sources.GraftCatalog]]
+    * (a DSv2 TableCatalog over the [[graft.sources.ManagedTable]]
+    * directory layout) serving pure SQL with no path in sight:
+    * CREATE NAMESPACE → CTAS from the corpus → INSERT INTO → SELECT,
+    * all by `catalog.ns.table` name. The catalog is stateless glue
+    * (identifier → directory is a pure function), so the invariants
+    * fold in what that buys: the path API sees the SQL writes as
+    * ordinary manifest versions (create + CTAS-append + insert =
+    * versions 1-3), and `SELECT count(*)` by name answers from the
+    * manifest alone (GraftAggScan, zero data files read). At 100 TB
+    * the statelessness is the point — any number of drivers resolve
+    * the same names onto the same manifest log with no catalog
+    * service between them, and the count-by-name is a metadata
+    * lookup, not a scan. Reference anchor: the CREATE CATALOG/SCHEMA/
+    * TABLE DDL of /root/reference/notebooks/01_Environment_Setup
+    * .py:21-38.
+    */
+  val q205CatalogSql = NamedQuery(
+    "q205_catalog_sql",
+    "GraftCatalog name-based SQL: CREATE NAMESPACE + CTAS + INSERT " +
+      "INTO + SELECT by catalog.ns.table; path API sees versions " +
+      "1-3; count(*) by name answers manifest-only (GraftAggScan); " +
+      "per-lang aggregates vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("catwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      // catalog name keyed to the warehouse: Spark caches catalog
+      // instances by name after first use, so a session running
+      // several datasets must get one catalog per warehouse root
+      val cat = "gq205_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 2000)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q205_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs AS " +
+        "SELECT * FROM q205_docs WHERE doc_id < 1500")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT * FROM q205_docs WHERE doc_id >= 1500")
+      // manifest-only count by name: plan must carry GraftAggScan and
+      // the value must equal the oracle's recount (hash-folded below)
+      val cq = s.sql(s"SELECT count(*) AS n FROM $cat.corpus.docs")
+      val metaCount = cq.collect().head.getLong(0)
+      val aggPushed = cq.queryExecution.executedPlan.toString
+        .contains("GraftAggScan")
+      val versionsOk = graft.sources.ManagedTable
+        .versions(s, s"$wh/corpus/docs") == Seq(1, 2, 3)
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("meta_count", lit(metaCount))
+        .withColumn("agg_pushed", lit(aggPushed))
+        .withColumn("versions_ok", lit(versionsOk))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  (SELECT COUNT(*) FROM documents WHERE doc_id < 2000)
+           |    AS meta_count,
+           |  true AS agg_pushed, true AS versions_ok
+           |FROM documents WHERE doc_id < 2000
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** q206: the connector's OPTIMIZER TIER on the graded path — two
+    * scan-elision capabilities a 100 TB table lives or dies by:
+    *
+    *   1. MANIFEST-ONLY AGGREGATES ([[org.apache.spark.sql.connector
+    *      .read.SupportsPushDownAggregates]]): a global
+    *      count/min/max over the table answers from the per-file
+    *      stats the manifest already carries — the plan is a
+    *      [[graft.sources.GraftAggScan]] emitting ONE precomputed
+    *      row, zero data files opened, no aggregate node left in the
+    *      plan (complete pushdown). Delta's count-from-log fast path,
+    *      re-expressed through Spark's own pushdown seam.
+    *   2. JOIN-DRIVEN RUNTIME FILE PRUNING ([[org.apache.spark.sql
+    *      .connector.read.SupportsRuntimeV2Filtering]]): when a
+    *      selective dim side materializes, its key values reach the
+    *      fact scan as runtime IN/= predicates and drop every file
+    *      whose [min,max] can contain none of them — checked here
+    *      structurally (4 segments → 1 survives an IN over one
+    *      segment's keys; 0 survive an impossible key), the
+    *      deterministic core the planner's DPP rides on.
+    *
+    * Both checks fold into the hashed row next to the aggregate
+    * values themselves, recomputed by the oracle from raw parquet —
+    * a stale stats entry, a DV leak, or an over-pruned file breaks
+    * the hash, not just a plan assertion.
+    */
+  val q206MetadataAgg = NamedQuery(
+    "q206_metadata_agg",
+    "Scan-elision tier: global count/min/max answered manifest-only " +
+      "(GraftAggScan, zero files, no aggregate node) + runtime IN/= " +
+      "file pruning 4->1 and 4->0; values + invariants hashed vs " +
+      "raw-parquet oracle.",
+    (s, d) => {
+      val M = graft.sources.ManagedTable
+      val dir = graft.Scratch.dir("metaagg", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+      (0 until 4).foreach { i =>
+        M.appendCommit(docs.filter(col("doc_id") >= i * 125 &&
+          col("doc_id") < (i + 1) * 125).coalesce(1), dir)
+      }
+      val q = s.read.format("graft").load(dir)
+        .agg(count(lit(1)).as("n_docs"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"),
+          min("lang").as("min_lang"), max("lang").as("max_lang"),
+          min("n_chars").as("min_chars"),
+          max("n_chars").as("max_chars"))
+      q.collect() // finalize the adaptive plan before reading it
+      val plan = q.queryExecution.executedPlan.toString
+      val aggPushed = plan.contains("GraftAggScan") &&
+        plan.contains("filesRead=0") && !plan.contains("HashAggregate")
+      // runtime pruning, structurally: the scan the planner's dynamic
+      // pruning drives, fed the same IN/= predicates it would inject
+      import org.apache.spark.sql.connector.expressions.Expressions
+      import org.apache.spark.sql.connector.expressions.filter.Predicate
+      val meta = graft.sources.GraftTableMeta.resolve(dir, None)
+      def freshScan() = new graft.sources.GraftScanBuilder(meta)
+        .build().asInstanceOf[graft.sources.GraftScan]
+      val sOne = freshScan()
+      sOne.filter(Array(new Predicate("IN", Array(
+        Expressions.column("doc_id"),
+        Expressions.literal(130L), Expressions.literal(170L)))))
+      val sNone = freshScan()
+      sNone.filter(Array(new Predicate("=", Array(
+        Expressions.column("doc_id"), Expressions.literal(100000L)))))
+      val runtimePruned =
+        freshScan().planInputPartitions().length == 4 &&
+          sOne.planInputPartitions().length == 1 &&
+          sNone.planInputPartitions().length == 0
+      q.withColumn("agg_pushed", lit(aggPushed))
+        .withColumn("runtime_pruned", lit(runtimePruned))
+    },
+    Some("""SELECT COUNT(*) AS n_docs,
+           |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+           |  min(lang) AS min_lang, max(lang) AS max_lang,
+           |  min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           |  true AS agg_pushed, true AS runtime_pruned
+           |FROM documents WHERE doc_id < 500""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
       q130IncrementalView, q146BucketedJoin, q151ZorderCompaction,
       q152ChangeDataFeed, q163DeletionVectors, q165Restore,
       q179Backfill, q201ConnectorRead, q202ConnectorStream,
-      q203ConnectorWrite, q204ConnectorPipe)
+      q203ConnectorWrite, q204ConnectorPipe, q205CatalogSql,
+      q206MetadataAgg)
 }

@@ -18,10 +18,15 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{Expressions,
+  NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
+  CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
-  SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+  SupportsPushDownAggregates, SupportsPushDownFilters,
+  SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -102,26 +107,28 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     // the manifest is the schema authority, never the caller
     if (versionAsOf.isEmpty && schema != null && schema.nonEmpty &&
         ManagedTable.versions(SparkSession.active, dir).isEmpty)
-      new GraftTable(GraftTableMeta(dir, 0, schema, Nil, Nil))
+      new GraftTable(GraftTableMeta(dir, 0, schema, Nil, Nil, Map.empty))
     else
       new GraftTable(GraftTableMeta.resolve(dir, versionAsOf))
   }
 }
 
-/** Resolved (dir, version, schema, data files, DV files) of one read —
-  * manifest metadata only, no data touched.
+/** Resolved (dir, version, schema, data files, DV files, per-file
+  * stats) of one read — manifest metadata only, no data touched.
   */
-private[sources] final case class GraftTableMeta(dir: String, version: Int,
-    schema: StructType, files: Seq[String], dvFiles: Seq[String])
+private[graft] final case class GraftTableMeta(dir: String, version: Int,
+    schema: StructType, files: Seq[String], dvFiles: Seq[String],
+    stats: ManagedTable.FileStats)
 
-private[sources] object GraftTableMeta {
+private[graft] object GraftTableMeta {
   def resolve(dir: String, versionAsOf: Option[Int]): GraftTableMeta = {
     val spark = SparkSession.active
     val vs = ManagedTable.versions(spark, dir)
     require(vs.nonEmpty, s"graft: no committed versions in $dir")
     val v = versionAsOf.getOrElse(vs.last)
     require(vs.contains(v), s"graft: version $v not in $vs of $dir")
-    val (_, all, schemaJson, _) = ManagedTable.readManifest(spark, dir, v)
+    val (_, all, schemaJson, stats) =
+      ManagedTable.readManifest(spark, dir, v)
     val (files, dvFiles) = ManagedTable.splitDv(all)
     // parquet scans always surface nullable columns — every other
     // read path (spark.read.parquet under ManagedTable.read) does the
@@ -143,7 +150,7 @@ private[sources] object GraftTableMeta {
           "(integral/float/double/string/boolean/binary and arrays " +
           "of those); use ManagedTable.read for other types")
     }
-    GraftTableMeta(dir, v, schema, files, dvFiles)
+    GraftTableMeta(dir, v, schema, files, dvFiles, stats)
   }
 
   private def scalarSupported(dt: DataType): Boolean = dt match {
@@ -180,14 +187,16 @@ private[sources] class GraftTable(meta: GraftTableMeta)
     options.getBoolean("ignoreChanges", false))
 }
 
-private[sources] class GraftScanBuilder(meta: GraftTableMeta,
+private[graft] class GraftScanBuilder(meta: GraftTableMeta,
     maxVersionsPerTrigger: Option[Int] = None,
     ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
 
   private var required: StructType = meta.schema
   private var usable: Array[Filter] = Array.empty
+  private var agg: Option[(StructType, Seq[Any])] = None
 
   /** Keep EVERY filter post-scan (returned array) — stats pruning is a
     * file-level may-contain test, never a row-level guarantee — while
@@ -202,7 +211,109 @@ private[sources] class GraftScanBuilder(meta: GraftTableMeta,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  /** MANIFEST-ONLY aggregates ([[SupportsPushDownAggregates]]): a
+    * global `COUNT(*)` / `MIN(c)` / `MAX(c)` over the table is
+    * answered from the per-file stats the manifest already carries —
+    * the scan plans ONE synthetic partition emitting one precomputed
+    * row and reads ZERO data files, which on a 100 TB table turns a
+    * full-scan aggregate into a metadata lookup (exactly Delta's
+    * count-from-log fast path). Pushed only when provably exact:
+    *   - no grouping, and Spark guarantees no residual filters (every
+    *     graft filter is post-scan, so any filtered query skips this);
+    *   - no deletion vectors at this version (a DV'd row could BE the
+    *     min/max, and invalidates file row counts);
+    *   - every data file carries a stats entry (a stats-less file —
+    *     pre-stats manifest, zero-row part — makes counts unprovable);
+    *   - `COUNT(*)`: every file records [[ManagedTable.RowsStat]];
+    *   - `MIN`/`MAX`: integral or string column (exact string
+    *     round-trip + total order identical to Spark's); a file with
+    *     a stats entry but no entry for the column is all-NULL there
+    *     and contributes nothing, exactly like the aggregate itself.
+    * `supportCompletePushDown` answers true for the same set, so the
+    * final plan is scan+project with NO aggregate node at all.
+    */
+  override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+    planAgg(aggregation).isDefined
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    agg = planAgg(aggregation)
+    agg.isDefined
+  }
+  def pushedAggSchema: Option[StructType] = agg.map(_._1)
+
+  private def planAgg(aggregation: Aggregation)
+      : Option[(StructType, Seq[Any])] =
+    // malformed stats endpoints must mean "don't push", never a
+    // planning-time crash — the table stays readable the slow way
+    try planAggUnsafe(aggregation) catch { case _: Exception => None }
+
+  private def planAggUnsafe(aggregation: Aggregation)
+      : Option[(StructType, Seq[Any])] = {
+    if (aggregation.groupByExpressions.nonEmpty) return None
+    if (meta.dvFiles.nonEmpty) return None
+    if (meta.files.exists(f => !meta.stats.contains(f))) return None
+    val planned = aggregation.aggregateExpressions.toSeq.map {
+      case _: CountStar =>
+        val counts = meta.files
+          .map(f => meta.stats(f).get(ManagedTable.RowsStat))
+        if (counts.exists(_.isEmpty)) return None
+        Some((StructField("count_star", LongType, nullable = false),
+          counts.flatten.map(_._1.toLong).sum: Any))
+      case m: Min => minMax(m.column(), isMin = true)
+      case m: Max => minMax(m.column(), isMin = false)
+      case _ => None
+    }
+    if (planned.exists(_.isEmpty)) None
+    else {
+      val ps = planned.flatten
+      Some((StructType(ps.map(_._1)), ps.map(_._2)))
+    }
+  }
+
+  private def minMax(column: org.apache.spark.sql.connector.expressions
+        .Expression, isMin: Boolean): Option[(StructField, Any)] = {
+    val name = column match {
+      case fr: NamedReference if fr.fieldNames.length == 1 =>
+        fr.fieldNames()(0)
+      case _ => return None
+    }
+    val field = meta.schema.fields.find(_.name == name)
+      .getOrElse(return None)
+    val endpoints = meta.files
+      .flatMap(f => meta.stats(f).get(name))
+      .map(p => if (isMin) p._1 else p._2)
+    def pick[T](vs: Seq[T])(implicit o: Ordering[T]): T =
+      if (isMin) vs.min else vs.max
+    val value: Any = field.dataType match {
+      case StringType =>
+        if (endpoints.isEmpty) null
+        else pick(endpoints)(Ordering.comparatorToOrdering(
+          (a: String, b: String) => UTF8String.fromString(a)
+            .compareTo(UTF8String.fromString(b))))
+      case LongType | IntegerType | ShortType | ByteType =>
+        if (endpoints.isEmpty) null
+        else {
+          val v = pick(endpoints.map(new java.math.BigDecimal(_)))(
+            Ordering.comparatorToOrdering(
+              (a: java.math.BigDecimal, b: java.math.BigDecimal) =>
+                a.compareTo(b)))
+          field.dataType match {
+            case LongType => v.longValueExact()
+            case IntegerType => v.intValueExact()
+            case ShortType => v.shortValueExact()
+            case ByteType => v.byteValueExact()
+            case _ => return None
+          }
+        }
+      case _ => return None // float/double NaN/-0.0 order, others: no
+    }
+    Some((StructField(s"${if (isMin) "min" else "max"}_$name",
+      field.dataType, nullable = true), value))
+  }
+
   override def build(): Scan = {
+    agg.foreach { case (schema, row) =>
+      return new GraftAggScan(meta, schema, row)
+    }
     val spark = SparkSession.active
     val bounds = usable.toSeq.flatMap(GraftScanBuilder.toBounds)
     val (kept, all) =
@@ -247,13 +358,72 @@ private[sources] object GraftScanBuilder {
   }
 }
 
-private[sources] class GraftScan(meta: GraftTableMeta,
-    required: StructType, kept: Seq[String], totalFiles: Int,
+/** The scan a pushed-down aggregate builds: ONE synthetic partition
+  * whose reader emits the single precomputed row — no data file is
+  * opened. The values were derived from the manifest stats at planning
+  * time; `description()` carries the evidence for plan inspection.
+  */
+private[sources] class GraftAggScan(meta: GraftTableMeta,
+    aggSchema: StructType, row: Seq[Any]) extends Scan with Batch {
+  override def readSchema(): StructType = aggSchema
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"GraftAggScan ${meta.dir} v${meta.version} filesRead=0 " +
+      s"PushedAggregates=[${aggSchema.fieldNames.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    Array(GraftAggPartition(aggSchema.json,
+      row.map(v => if (v == null) null else v.toString).toArray,
+      row.map(_ == null).toArray))
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftAggReaderFactory
+}
+
+/** Values travel as strings (+ null mask) — every pushable aggregate
+  * type round-trips its string render exactly (that's the pushdown
+  * precondition), and strings keep the partition trivially
+  * serializable.
+  */
+private[sources] final case class GraftAggPartition(schemaJson: String,
+    values: Array[String], nulls: Array[Boolean]) extends InputPartition
+
+private[sources] class GraftAggReaderFactory
+    extends PartitionReaderFactory {
+  override def createReader(p: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val ap = p.asInstanceOf[GraftAggPartition]
+    val schema = DataType.fromJson(ap.schemaJson).asInstanceOf[StructType]
+    new PartitionReader[InternalRow] {
+      private var emitted = false
+      override def next(): Boolean = !emitted && { emitted = true; true }
+      override def get(): InternalRow = {
+        val cells = schema.fields.zipWithIndex.map { case (f, i) =>
+          if (ap.nulls(i)) null
+          else f.dataType match {
+            case LongType => ap.values(i).toLong
+            case IntegerType => ap.values(i).toInt
+            case ShortType => ap.values(i).toShort
+            case ByteType => ap.values(i).toByte
+            case StringType => UTF8String.fromString(ap.values(i))
+            case dt => throw new IllegalStateException(
+              s"graft: unexpected pushed-aggregate type $dt")
+          }
+        }
+        new GenericInternalRow(cells.asInstanceOf[Array[Any]])
+      }
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[graft] class GraftScan(meta: GraftTableMeta,
+    required: StructType, initialKept: Seq[String], totalFiles: Int,
     dv: Map[String, Array[Long]],
     maxVersionsPerTrigger: Option[Int] = None,
     ignoreChanges: Boolean = false)
     extends Scan with Batch
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with SupportsRuntimeV2Filtering {
+  @volatile private var kept: Seq[String] = initialKept
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -264,6 +434,43 @@ private[sources] class GraftScan(meta: GraftTableMeta,
       dv.getOrElse(rel, Array.empty)): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(required.json)
+
+  /** JOIN-DRIVEN file pruning ([[SupportsRuntimeV2Filtering]]): when
+    * this table is the big side of a join whose other side is small
+    * and selective, Spark's dynamic pruning hands the build side's key
+    * values here AT RUNTIME (after the broadcast materializes) as
+    * `IN`/`=` predicates — and the scan drops every file whose
+    * [min, max] for that column can contain NONE of the live keys,
+    * BEFORE any task launches. This is the dimension-filter→fact-file
+    * pruning that makes a selective star join on a 100 TB fact table
+    * read only the matching segments; planning-time pushdown can never
+    * do it because the key set only exists once the dim side runs.
+    * Same safety contract as stats pruning everywhere else: missing
+    * stats or untranslatable predicates keep the file, and Spark
+    * re-applies the join itself, so pruning is advisory.
+    */
+  override def filterAttributes(): Array[NamedReference] =
+    meta.schema.fields.collect {
+      case f if GraftScan.runtimePrunable(f.dataType) =>
+        Expressions.column(f.name)
+    }
+
+  override def filter(predicates: Array[Predicate]): Unit = {
+    val sets = predicates.toSeq.flatMap(GraftScan.toValueSet)
+    if (sets.isEmpty) return
+    kept = kept.filter { rel =>
+      sets.forall { case (column, values) =>
+        meta.stats.get(rel).flatMap(_.get(column)) match {
+          case Some((mn, mx)) =>
+            values.exists(v =>
+              try GraftScan.cmp(meta.schema, column)(mn, v) <= 0 &&
+                GraftScan.cmp(meta.schema, column)(v, mx) <= 0
+              catch { case _: Exception => true })
+          case None => true // no stats — may contain anything
+        }
+      }
+    }
+  }
 
   /** Post-pruning byte size from the surviving files' lengths — what
     * lets Catalyst AUTO-BROADCAST a selectively-probed managed table
@@ -290,6 +497,60 @@ private[sources] class GraftScan(meta: GraftTableMeta,
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(meta.dir, required.json,
       maxVersionsPerTrigger, ignoreChanges)
+}
+
+private[sources] object GraftScan {
+  /** Columns eligible as runtime-filter attributes: the manifest
+    * keeps stats for these types and their string render orders
+    * exactly like the live value.
+    */
+  def runtimePrunable(dt: DataType): Boolean = dt match {
+    case LongType | IntegerType | ShortType | ByteType | StringType => true
+    case _ => false
+  }
+
+  /** `(column, candidate values as strings)` of one runtime predicate;
+    * Nil = untranslatable (ignored — no pruning from it).
+    */
+  def toValueSet(p: Predicate): Seq[(String, Seq[String])] = {
+    def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case fr: NamedReference if fr.fieldNames.length == 1 =>
+        Some(fr.fieldNames()(0))
+      case _ => None
+    }
+    def litOf(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case l: org.apache.spark.sql.connector.expressions.Literal[_]
+          if l.value != null =>
+        Some(l.value.toString) // UTF8String/Long/Int render verbatim
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().length >= 2 =>
+        (for {
+          column <- fieldOf(p.children()(0))
+          values <- Some(p.children().toSeq.drop(1).map(litOf))
+          if values.forall(_.isDefined)
+        } yield (column, values.flatten)).toSeq
+      case "=" if p.children().length == 2 =>
+        (for {
+          column <- fieldOf(p.children()(0))
+          value <- litOf(p.children()(1))
+        } yield (column, Seq(value))).toSeq
+      case _ => Nil
+    }
+  }
+
+  /** The comparator the manifest stats are sound under — identical to
+    * [[ManagedTable.planFilesMulti]]'s: UTF8 binary order for string
+    * columns, exact numeric order otherwise.
+    */
+  def cmp(schema: StructType, column: String)(a: String, b: String): Int =
+    if (schema.fields.exists(f =>
+        f.name == column && f.dataType == StringType))
+      UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+    else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
 }
 
 private[sources] final case class GraftInputPartition(absPath: String,

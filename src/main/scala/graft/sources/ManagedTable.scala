@@ -202,7 +202,11 @@ object ManagedTable {
     }
 
   /** One aggregation pass over freshly written segment files: per-file
-    * min/max for every [[statsColumns]] column. One extra scan of the
+    * min/max for every [[statsColumns]] column, plus the file's ROW
+    * COUNT under the [[RowsStat]] pseudo-column (stored as
+    * `(count, count)` so it rides the existing stats format — old
+    * manifests simply lack the entry and stats consumers that need
+    * counts fall back). One extra scan of the
     * NEW segment only (Delta folds this into the writer; a plain
     * parquet write can't be hooked, so the segment — just written and
     * page-cached — is re-read once). All-null columns in a file are
@@ -210,19 +214,24 @@ object ManagedTable {
     */
   private[sources] def segmentStats(spark: SparkSession, dir: String,
       relFiles: Seq[String]): FileStats = {
-    import org.apache.spark.sql.functions.{col, max, min}
+    import org.apache.spark.sql.functions.{col, count, lit, max, min}
     if (relFiles.isEmpty) return Map.empty
     val df = spark.read.parquet(relFiles.map(p => s"$dir/$p"): _*)
     val cols = statsColumns(df.schema)
-    if (cols.isEmpty) return Map.empty
+    // a user column literally named like the pseudo-column would
+    // collide in the stats map — skip count recording for that table
+    val recordRows = !df.schema.fieldNames.contains(RowsStat)
+    if (cols.isEmpty && !recordRows) return Map.empty
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")))
+      max(col(c)).cast("string").as(s"__max_$c"))) ++
+      (if (recordRows) Seq(count(lit(1)).cast("string").as("__nrows"))
+       else Nil)
     val rows = df
       .groupBy(col("_metadata.file_path").as("__file"))
       .agg(aggs.head, aggs.tail: _*)
       .collect()
-    rows.map { r =>
+    val nonEmpty = rows.map { r =>
       val abs = r.getString(0)
       val rel = relFiles.find(abs.endsWith(_)).getOrElse(abs)
       val colStats = cols.flatMap { c =>
@@ -230,9 +239,29 @@ object ManagedTable {
         val hi = r.getAs[String](s"__max_$c")
         if (lo == null || hi == null) None else Some(c -> (lo, hi))
       }.toMap
-      rel -> colStats
+      val withRows =
+        if (recordRows) {
+          val n = r.getAs[String]("__nrows")
+          colStats + (RowsStat -> (n, n))
+        } else colStats
+      rel -> withRows
     }.toMap
+    // a file the grouped pass never saw has ZERO rows (an empty
+    // CREATE/empty-partition part file) — record that as a fact, so
+    // one empty file can't forever disqualify count-from-manifest
+    val empty = relFiles.filterNot(nonEmpty.contains).map { rel =>
+      rel -> (if (recordRows) Map(RowsStat -> ("0", "0"))
+              else Map.empty[String, (String, String)])
+    }.toMap
+    nonEmpty ++ empty
   }
+
+  /** Pseudo-column key in [[FileStats]] holding the file's row count
+    * (as `(n, n)`). Never a real column name ([[planFilesMulti]] only
+    * looks up pushed columns, so the entry is invisible to pruning);
+    * what lets COUNT-shaped aggregates answer from the manifest alone.
+    */
+  private[sources] val RowsStat = "__rows"
 
   /** Write `df` as the table's next version. The data lands in a fresh
     * immutable segment directory first; the version becomes VISIBLE

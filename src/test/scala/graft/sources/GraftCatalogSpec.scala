@@ -1,0 +1,123 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Name-based SQL over managed tables through [[GraftCatalog]]. One
+  * catalog instance (`gcat`) on a per-suite warehouse.
+  */
+class GraftCatalogSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft-cat").toString + "/wh"
+    spark.conf.set("spark.sql.catalog.gcat",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcat.warehouse", wh)
+    wh
+  }
+
+  private def sql(q: String): DataFrame = { warehouse; spark.sql(q) }
+
+  private def sortedRows(df: DataFrame): Seq[Row] =
+    df.collect().toSeq.sortBy(_.toString)
+
+  test("DDL + DML round trip: create, insert, select, overwrite, drop") {
+    sql("CREATE NAMESPACE gcat.corpus")
+    sql("CREATE TABLE gcat.corpus.docs (doc_id BIGINT, lang STRING)")
+    // an empty created table reads back typed
+    assert(sql("SELECT * FROM gcat.corpus.docs").collect().isEmpty)
+    sql("INSERT INTO gcat.corpus.docs VALUES (1, 'en'), (2, 'de')")
+    sql("INSERT INTO gcat.corpus.docs VALUES (3, 'en')")
+    assert(sortedRows(sql(
+      "SELECT lang, count(*) AS n FROM gcat.corpus.docs GROUP BY lang")) ==
+      Seq(Row("de", 1L), Row("en", 2L)))
+    // versions: 1=create, 2+3=the inserts; the path API sees the same
+    val dir = s"$warehouse/corpus/docs"
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2, 3))
+    assert(ManagedTable.read(spark, dir).count() == 3)
+    sql("INSERT OVERWRITE gcat.corpus.docs VALUES (9, 'fr')")
+    assert(sortedRows(sql("SELECT * FROM gcat.corpus.docs")) ==
+      Seq(Row(9L, "fr")))
+    sql("DROP TABLE gcat.corpus.docs")
+    assert(ManagedTable.versions(spark, dir).isEmpty)
+    sql("DROP NAMESPACE gcat.corpus")
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve through the manifest log") {
+    sql("CREATE NAMESPACE gcat.tt")
+    sql("CREATE TABLE gcat.tt.t (k BIGINT)")
+    sql("INSERT INTO gcat.tt.t VALUES (1)")
+    val afterV2 = System.currentTimeMillis()
+    Thread.sleep(1100) // mtime resolution is a full second on some fs
+    sql("INSERT INTO gcat.tt.t VALUES (2)")
+    assert(sql("SELECT * FROM gcat.tt.t").count() == 2)
+    assert(sql("SELECT * FROM gcat.tt.t VERSION AS OF 2").count() == 1)
+    assert(sql("SELECT * FROM gcat.tt.t VERSION AS OF 1").count() == 0)
+    val tsLit = new java.sql.Timestamp(afterV2).toString
+    assert(sql(
+      s"SELECT * FROM gcat.tt.t TIMESTAMP AS OF '$tsLit'").count() == 1)
+    sql("DROP TABLE gcat.tt.t"); sql("DROP NAMESPACE gcat.tt")
+  }
+
+  test("CTAS, SHOW TABLES/NAMESPACES, rename") {
+    sql("CREATE NAMESPACE gcat.ctas")
+    sql("CREATE TABLE gcat.ctas.squares AS " +
+      "SELECT id AS k, id * id AS sq FROM range(5)")
+    assert(sql("SELECT sum(sq) AS s FROM gcat.ctas.squares")
+      .collect().head.getLong(0) == 30L)
+    assert(sql("SHOW TABLES IN gcat.ctas").collect()
+      .map(_.getString(1)).toSeq == Seq("squares"))
+    assert(sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).toSeq.contains("ctas"))
+    sql("ALTER TABLE gcat.ctas.squares RENAME TO ctas.sq2")
+    assert(sql("SELECT count(*) FROM gcat.ctas.sq2")
+      .collect().head.getLong(0) == 5L)
+    assert(!spark.catalog.tableExists("gcat.ctas.squares"))
+    sql("DROP TABLE gcat.ctas.sq2"); sql("DROP NAMESPACE gcat.ctas")
+  }
+
+  test("catalog tables get the connector's optimizer tier: manifest-only count") {
+    sql("CREATE NAMESPACE gcat.opt")
+    sql("CREATE TABLE gcat.opt.t AS SELECT id AS k FROM range(1000)")
+    val q = sql("SELECT count(*) AS n, max(k) AS mx FROM gcat.opt.t")
+    assert(q.collect().toSeq == Seq(Row(1000L, 999L)))
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString.contains("GraftAggScan"))
+    sql("DROP TABLE gcat.opt.t"); sql("DROP NAMESPACE gcat.opt")
+  }
+
+  test("guard rails: missing table/namespace, ALTER, illegal names, partitioning") {
+    sql("CREATE NAMESPACE gcat.g")
+    intercept[Exception](sql("SELECT * FROM gcat.g.nope").collect())
+    intercept[Exception](sql("CREATE TABLE gcat.missing.t (k BIGINT)"))
+    intercept[Exception](
+      sql("CREATE TABLE gcat.g.p (k BIGINT) PARTITIONED BY (k)"))
+    sql("CREATE TABLE gcat.g.t (k BIGINT)")
+    intercept[Exception](sql("ALTER TABLE gcat.g.t ADD COLUMN s STRING"))
+    intercept[Exception](sql("CREATE TABLE gcat.g.t (k BIGINT)"))
+    // non-cascade drop of a non-empty namespace refuses
+    intercept[Exception](sql("DROP NAMESPACE gcat.g"))
+    sql("DROP NAMESPACE gcat.g CASCADE")
+    assert(!sql("SHOW NAMESPACES IN gcat").collect()
+      .map(_.getString(0)).toSeq.contains("g"))
+  }
+
+  test("a catalog table is the SAME table the path API maintains: merge then SQL read") {
+    sql("CREATE NAMESPACE gcat.mx")
+    sql("CREATE TABLE gcat.mx.kv (k BIGINT, s STRING, seq BIGINT, op STRING)")
+    sql("INSERT INTO gcat.mx.kv VALUES (1, 'a', 1, 'u'), (2, 'b', 1, 'u')")
+    val dir = s"$warehouse/mx/kv"
+    ManagedTable.merge(
+      Seq((1L, "a2", 2L, "u"), (2L, "b", 2L, "d"))
+        .toDF("k", "s", "seq", "op"),
+      dir, keys = Seq("k"), sequenceBy = Seq(col("seq")))
+    assert(sortedRows(sql(
+      "SELECT k, s FROM gcat.mx.kv WHERE op <> 'd'")) ==
+      Seq(Row(1L, "a2")))
+    sql("DROP TABLE gcat.mx.kv"); sql("DROP NAMESPACE gcat.mx")
+  }
+}
