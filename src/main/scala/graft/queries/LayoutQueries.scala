@@ -1123,6 +1123,126 @@ object LayoutQueries {
            |  true AS agg_pushed, true AS runtime_pruned
            |FROM documents WHERE doc_id < 500""".stripMargin))
 
+  /** q207: the scan-elision tier, part two — `COUNT(col)` and LIMIT:
+    *
+    *   1. `COUNT(col)` answers manifest-only: the stats pass records
+    *      each column's per-file NON-NULL count next to its min/max
+    *      ([[graft.sources.ManagedTable.nnStat]]), so the null-skip
+    *      semantics of `COUNT(col)` sum exactly from metadata —
+    *      pushed through the same provably-exact gate as q206's
+    *      `COUNT(*)` (no filters/grouping/DVs, every file covered).
+    *   2. LIMIT plans a FILE PREFIX ([[org.apache.spark.sql.connector
+    *      .read.SupportsPushDownLimit]]): an unordered `LIMIT n`
+    *      needs any n rows, so the scan keeps only the shortest file
+    *      prefix whose LIVE row count (manifest counts minus DV
+    *      positions) covers n — `SELECT * FROM t LIMIT 10` on a
+    *      100 TB table plans one file, not one task per segment. The
+    *      invariant here runs against a DV'd table (50 of 500 rows
+    *      tombstoned), so sufficiency is proven over live rows, and
+    *      partial-pushdown semantics keep Spark's own limit on top —
+    *      exactly 130 rows come back.
+    *
+    * Both invariants fold into the hashed row with the counts
+    * themselves, recomputed by the oracle from raw parquet.
+    */
+  val q207LimitCount = NamedQuery(
+    "q207_limit_count",
+    "Scan-elision part two: COUNT(col) answered from per-file " +
+      "non-null counts (GraftAggScan); LIMIT 130 over a DV'd table " +
+      "plans a live-row-sufficient 2/4 file prefix; counts + " +
+      "invariants hashed vs raw-parquet oracle.",
+    (s, d) => {
+      val M = graft.sources.ManagedTable
+      val root = graft.Scratch.dir("limcnt", d)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val (dirA, dirB) = (s"$root/a", s"$root/b")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"),
+          when(col("doc_id") % 7 === 0, lit(null).cast("long"))
+            .otherwise(col("n_chars")).as("maybe"))
+      (0 until 4).foreach { i =>
+        val slice = docs.filter(col("doc_id") >= i * 125 &&
+          col("doc_id") < (i + 1) * 125).coalesce(1)
+        M.appendCommit(slice, dirA)
+        M.appendCommit(slice.select("doc_id", "lang"), dirB)
+      }
+      M.deleteWhere(s, dirB, col("doc_id") % 10 === 7)
+      // COUNT(*) + COUNT(col) by name, manifest-only (plan-folded)
+      val agg = s.read.format("graft").load(dirA)
+        .agg(count(lit(1)).as("n_total"),
+          count(col("maybe")).as("n_maybe"))
+      agg.collect()
+      val aggPushed = agg.queryExecution.executedPlan.toString
+        .contains("GraftAggScan")
+      // LIMIT over the DV'd table: live-sufficient 2-file prefix
+      val lim = s.read.format("graft").load(dirB).limit(130)
+        .agg(count(lit(1)).as("n_limited"))
+      lim.collect()
+      val planB = lim.queryExecution.executedPlan.toString
+      val limitPushed = planB.contains("pushedLimit=130") &&
+        planB.contains("files=2/4")
+      agg.crossJoin(broadcast(lim))
+        .withColumn("agg_pushed", lit(aggPushed))
+        .withColumn("limit_pushed", lit(limitPushed))
+    },
+    Some("""SELECT
+           |  (SELECT COUNT(*) FROM documents WHERE doc_id < 500)
+           |    AS n_total,
+           |  (SELECT COUNT(*) FROM documents
+           |   WHERE doc_id < 500 AND doc_id % 7 <> 0) AS n_maybe,
+           |  CAST(130 AS BIGINT) AS n_limited,
+           |  true AS agg_pushed, true AS limit_pushed""".stripMargin))
+
+  /** q208: TOP-N FILE PRUNING ([[org.apache.spark.sql.connector.read
+    * .SupportsPushDownTopN]]) on the graded path — the "latest k"
+    * query every event/ingest table serves constantly: `ORDER BY
+    * doc_id DESC LIMIT 10` over four range-clustered segments plans
+    * ONE file, proven sound from manifest facts alone (per-file
+    * [min,max] + non-null counts + DV sizes; see GraftScan.selectTopN
+    * for the out-ranking argument). A DV delete tombstones the five
+    * newest rows first, so the invariant also pins DV-conservative
+    * coverage: the top file's PROVABLE live non-nulls (count minus
+    * ALL its tombstones) still cover n, and the returned rows are the
+    * live top-10 — a stats-only pruner that ignored DVs would return
+    * deleted rows and break the hash. At 100 TB with time-clustered
+    * ingest (or q151's OPTIMIZE), "newest 10" reads one segment
+    * instead of launching one task per file — the elision that makes
+    * dashboards and tail-probes free. Partial pushdown: Spark still
+    * sorts + limits the survivors, so pruning is advisory.
+    */
+  val q208TopnPushdown = NamedQuery(
+    "q208_topn_pushdown",
+    "SupportsPushDownTopN: ORDER BY doc_id DESC LIMIT 10 over four " +
+      "range-clustered segments plans 1/4 files, DV-conservative " +
+      "(five newest rows tombstoned); live top-10 rows + plan " +
+      "invariants hashed vs raw-parquet oracle.",
+    (s, d) => {
+      val M = graft.sources.ManagedTable
+      val dir = graft.Scratch.dir("topn", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+      (0 until 4).foreach { i =>
+        M.appendCommit(docs.filter(col("doc_id") >= i * 125 &&
+          col("doc_id") < (i + 1) * 125).coalesce(1), dir)
+      }
+      M.deleteWhere(s, dir, col("doc_id") >= 495)
+      val q = s.read.format("graft").load(dir)
+        .orderBy(col("doc_id").desc).limit(10)
+      q.collect()
+      val plan = q.queryExecution.executedPlan.toString
+      val pruned = plan.contains("pushedTopN=doc_id:desc:10") &&
+        plan.contains("files=1/4")
+      // re-pin output order after the Project (10 rows)
+      q.withColumn("topn_pruned", lit(pruned))
+        .orderBy(col("doc_id").desc)
+    },
+    Some("""SELECT doc_id, lang, n_chars, true AS topn_pruned
+           |FROM documents WHERE doc_id < 495
+           |ORDER BY doc_id DESC LIMIT 10""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -1130,5 +1250,5 @@ object LayoutQueries {
       q152ChangeDataFeed, q163DeletionVectors, q165Restore,
       q179Backfill, q201ConnectorRead, q202ConnectorStream,
       q203ConnectorWrite, q204ConnectorPipe, q205CatalogSql,
-      q206MetadataAgg)
+      q206MetadataAgg, q207LimitCount, q208TopnPushdown)
 }

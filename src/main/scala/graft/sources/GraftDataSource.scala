@@ -19,14 +19,15 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table,
   TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{Expressions,
-  NamedReference, Transform}
+  NamedReference, NullOrdering, SortDirection, SortOrder, Transform}
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation,
-  CountStar, Max, Min}
+  Count, CountStar, Max, Min}
 import org.apache.spark.sql.connector.expressions.filter.Predicate
 import org.apache.spark.sql.connector.read.{Batch, InputPartition,
   PartitionReader, PartitionReaderFactory, Scan, ScanBuilder,
   SupportsPushDownAggregates, SupportsPushDownFilters,
-  SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+  SupportsPushDownLimit, SupportsPushDownRequiredColumns,
+  SupportsPushDownTopN, SupportsRuntimeV2Filtering}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -192,11 +193,64 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
     ignoreChanges: Boolean = false)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates
+    with SupportsPushDownLimit
+    with SupportsPushDownTopN {
 
   private var required: StructType = meta.schema
   private var usable: Array[Filter] = Array.empty
   private var agg: Option[(StructType, Seq[Any])] = None
+  private var limit: Option[Int] = None
+  private var topN: Option[GraftTopN] = None
+
+  /** ORDER-BY-k LIMIT n → file-SUBSET planning
+    * ([[SupportsPushDownTopN]], partial): a top-n on a single
+    * stats-typed column keeps only files that might hold a valid
+    * top-n row, proven from manifest facts alone — per-file
+    * [min, max], non-null counts, row counts and DV sizes (see
+    * [[GraftScan.selectTopN]] for the exact soundness argument). On a
+    * table whose layout clusters the sort column (ingest order for
+    * timestamps, q151's OPTIMIZE for anything else), `ORDER BY ts
+    * DESC LIMIT 100` over 100 TB plans the newest segment(s) only.
+    * Declared partially pushed, so Spark still sorts and limits the
+    * survivors — pruning stays advisory, like every stats decision.
+    */
+  override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
+    if (orders.length != 1 || n <= 0) return false
+    val o = orders(0)
+    val column = o.expression() match {
+      case fr: NamedReference if fr.fieldNames.length == 1 =>
+        fr.fieldNames()(0)
+      case _ => return false
+    }
+    val ok = meta.schema.fields.exists(f => f.name == column &&
+      GraftScan.runtimePrunable(f.dataType))
+    if (!ok) return false
+    topN = Some(GraftTopN(column,
+      o.direction() == SortDirection.DESCENDING,
+      o.nullOrdering() == NullOrdering.NULLS_FIRST, n))
+    true
+  }
+
+  /** LIMIT → file-list truncation ([[SupportsPushDownLimit]]): an
+    * unordered `LIMIT n` needs ANY n rows, so the scan plans only a
+    * prefix of its surviving files whose LIVE row count (manifest row
+    * counts minus each file's DV positions) already covers n — on a
+    * 100 TB table `SELECT * FROM t LIMIT 10` plans one file, not one
+    * task per file. Always declared PARTIALLY pushed, so Spark keeps
+    * its own limit operator and the scan only has to return AT LEAST
+    * min(n, live) rows — which a live-count-sufficient file prefix
+    * does by construction; files without recorded counts disable
+    * truncation (never the query). Filters compose safely for free:
+    * every graft filter stays post-scan, so a Filter node always
+    * sits between the scan and any limit and Spark will not push the
+    * limit through it.
+    */
+  override def pushLimit(l: Int): Boolean = {
+    limit = Some(l)
+    true
+  }
+  override def isPartiallyPushed: Boolean = true
 
   /** Keep EVERY filter post-scan (returned array) — stats pruning is a
     * file-level may-contain test, never a row-level guarantee — while
@@ -225,6 +279,8 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
     *   - every data file carries a stats entry (a stats-less file —
     *     pre-stats manifest, zero-row part — makes counts unprovable);
     *   - `COUNT(*)`: every file records [[ManagedTable.RowsStat]];
+    *   - `COUNT(col)` (non-distinct): every file records the column's
+    *     non-null count ([[ManagedTable.nnStat]]);
     *   - `MIN`/`MAX`: integral or string column (exact string
     *     round-trip + total order identical to Spark's); a file with
     *     a stats entry but no entry for the column is all-NULL there
@@ -257,6 +313,20 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
           .map(f => meta.stats(f).get(ManagedTable.RowsStat))
         if (counts.exists(_.isEmpty)) return None
         Some((StructField("count_star", LongType, nullable = false),
+          counts.flatten.map(_._1.toLong).sum: Any))
+      case c: Count if !c.isDistinct =>
+        // COUNT(col) = Σ per-file non-null counts ([[ManagedTable
+        // .nnStat]]); any file missing the entry (pre-nn manifest,
+        // non-stats column type) makes it unprovable
+        val name = c.column() match {
+          case fr: NamedReference if fr.fieldNames.length == 1 =>
+            fr.fieldNames()(0)
+          case _ => return None
+        }
+        val counts = meta.files
+          .map(f => meta.stats(f).get(ManagedTable.nnStat(name)))
+        if (counts.exists(_.isEmpty)) return None
+        Some((StructField(s"count_$name", LongType, nullable = false),
           counts.flatten.map(_._1.toLong).sum: Any))
       case m: Min => minMax(m.column(), isMin = true)
       case m: Max => minMax(m.column(), isMin = false)
@@ -330,8 +400,15 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
         .collect()
         .groupBy(_.getString(0))
         .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    // per-file LIVE row counts (manifest count minus DV'd positions) —
+    // only files with recorded counts appear; [[GraftScan]] truncates
+    // for a pushed limit only when every candidate is covered
+    val liveRows: Map[String, Long] = kept.flatMap { f =>
+      meta.stats.get(f).flatMap(_.get(ManagedTable.RowsStat)).map(p =>
+        f -> (p._1.toLong - dv.getOrElse(f, Array.empty[Long]).length))
+    }.toMap
     new GraftScan(meta, required, kept, all.size, dv,
-      maxVersionsPerTrigger, ignoreChanges)
+      maxVersionsPerTrigger, ignoreChanges, limit, liveRows, topN)
   }
 }
 
@@ -419,16 +496,142 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     required: StructType, initialKept: Seq[String], totalFiles: Int,
     dv: Map[String, Array[Long]],
     maxVersionsPerTrigger: Option[Int] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    limit: Option[Int] = None,
+    liveRows: Map[String, Long] = Map.empty,
+    topN: Option[GraftTopN] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
-  @volatile private var kept: Seq[String] = initialKept
+
+  /** A limit-sufficient PREFIX of `files`: the shortest prefix whose
+    * cumulative live rows reach the pushed limit (partial-pushdown
+    * contract: return at least min(limit, live) rows — Spark applies
+    * the exact limit itself). A candidate without a recorded live
+    * count disables truncation entirely: sufficiency would be
+    * unprovable.
+    */
+  private def truncate(files: Seq[String]): Seq[String] = limit match {
+    case Some(n) if files.forall(liveRows.contains) =>
+      var acc = 0L
+      files.takeWhile { f =>
+        val need = acc < n
+        acc += liveRows(f)
+        need
+      }
+    case _ => files
+  }
+
+  /** The files that might hold a valid top-n row, proven from the
+    * manifest alone. A file set D may be DISCARDED iff every possible
+    * row of D is provably out-ranked by ≥ n rows that survive in the
+    * kept set K — per-file facts used: [min, max] of the sort column
+    * (over non-null values, DV'd rows included, so endpoints only ever
+    * WIDEN), the column's non-null count nn, the row count, and the
+    * file's DV size d. Lower bounds are DV-conservative (every
+    * tombstone is assumed to hit the rows being counted):
+    * live non-nulls ≥ nn − d, live nulls ≥ (rows − nn) − d.
+    * Rank order: for ASC, value a out-ranks b iff a ≤ b (ties count —
+    * any tied subset is a valid top-n); DESC mirrors via max/≥.
+    *   - NULLS FIRST: a discarded null would rank before everything,
+    *     so every file that may hold a null is force-kept; each
+    *     discarded non-null row is ≥ B (the best endpoint over D), so
+    *     it suffices that K provably holds n rows ranking ≤ B: kept
+    *     live nulls plus live non-nulls of kept files whose WORST
+    *     endpoint ranks ≤ B.
+    *   - NULLS LAST: discarded nulls rank behind every live kept row,
+    *     so they're covered once K provably holds n live rows; the
+    *     non-null condition is as above (without the null credit).
+    * Any file missing a needed fact keeps EVERYTHING — sufficiency
+    * would be unprovable. Spark re-sorts and re-limits the survivors
+    * (partial pushdown), so this is advisory, never load-bearing.
+    */
+  private def selectTopN(files: Seq[String]): Seq[String] = topN match {
+    case None => files
+    case Some(GraftTopN(column, desc, nullsFirst, n)) =>
+      // per-file facts; mayNull uses RECORDED counts (rows − nn > 0):
+      // DVs can't prove which rows they hit, so a null stays possible
+      final case class F(rel: String, lo: Option[String],
+          hi: Option[String], liveNn: Long, liveNulls: Long,
+          live: Long, mayNull: Boolean)
+      val facts = files.map { rel =>
+        for {
+          st <- meta.stats.get(rel)
+          rows <- st.get(ManagedTable.RowsStat).map(_._1.toLong)
+          nn <- st.get(ManagedTable.nnStat(column)).map(_._1.toLong)
+        } yield {
+          val d = dv.getOrElse(rel, Array.empty[Long]).length.toLong
+          F(rel, st.get(column).map(_._1), st.get(column).map(_._2),
+            math.max(0L, nn - d), math.max(0L, rows - nn - d),
+            rows - d, rows - nn > 0)
+        }
+      }
+      if (facts.exists(_.isEmpty)) return files
+      val fs = facts.flatten
+      val c = GraftScan.cmp(meta.schema, column) _
+      // "a ranks no worse than b" among non-null values; an
+      // unparseable endpoint disables the whole selection
+      var parseOk = true
+      def leq(a: String, b: String): Boolean =
+        try { if (desc) c(a, b) >= 0 else c(a, b) <= 0 }
+        catch { case _: Exception => parseOk = false; true }
+      def best(f: F) = if (desc) f.hi else f.lo // first-possible value
+      def worst(f: F) = if (desc) f.lo else f.hi
+      // NULLS FIRST: a possibly-null file can never be discarded (its
+      // null would out-rank everything). All-endpoint-less files are
+      // all-null: under NULLS LAST they are discardable candidates.
+      val (keepAlways, cand) = fs.partition(f => nullsFirst && f.mayNull)
+      val (valued, allNull) = cand.partition(_.lo.isDefined)
+      def lt(a: F, b: F): Boolean = {
+        val (x, y) = (best(a).get, best(b).get)
+        leq(x, y) && !leq(y, x)
+      }
+      val sorted = valued.sortWith(lt)
+      if (!parseOk) return files
+      // smallest prefix p of `sorted` (plus keepAlways) covering every
+      // discarded row n times over
+      val choice = (0 to sorted.size).iterator.map { p =>
+        (keepAlways ++ sorted.take(p), sorted.drop(p))
+      }.find { case (k, dValued) =>
+        val dNulls = dValued.exists(_.mayNull) ||
+          (!nullsFirst && allNull.nonEmpty)
+        // (a) every discarded non-null row is out-ranked n times: it
+        // ranks no better than B, and K provably holds ≥ n rows
+        // ranking ≤ B (kept live nulls under NULLS FIRST + live
+        // non-nulls of kept files whose worst endpoint ≤ B)
+        val coveredNonNull = dValued.headOption.forall { dBest =>
+          val b = best(dBest).get
+          k.map(f =>
+            (if (nullsFirst) f.liveNulls else 0L) +
+              (worst(f) match {
+                case Some(w) if leq(w, b) => f.liveNn
+                case _ => 0L
+              })).sum >= n
+        }
+        // (b) every discarded null (NULLS LAST only) ranks behind all
+        // live kept rows, so n of those suffice
+        val coveredNulls = !dNulls || k.map(_.live).sum >= n
+        coveredNonNull && coveredNulls && parseOk
+      }
+      choice match {
+        case Some((k, _)) if k.size < fs.size =>
+          val keepSet = k.map(_.rel).toSet
+          files.filter(keepSet.contains)
+        case _ => files
+      }
+  }
+
+  @volatile private var runtimeKept: Seq[String] = initialKept
+  @volatile private var kept: Seq[String] =
+    truncate(selectTopN(initialKept))
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"GraftScan ${meta.dir} v${meta.version} " +
-      s"files=${kept.size}/$totalFiles dvFiles=${meta.dvFiles.size}"
+      s"files=${kept.size}/$totalFiles dvFiles=${meta.dvFiles.size}" +
+      limit.map(n => s" pushedLimit=$n").getOrElse("") +
+      topN.map(t => s" pushedTopN=${t.column}:" +
+        s"${if (t.desc) "desc" else "asc"}:${t.n}").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(rel => GraftInputPartition(s"${meta.dir}/$rel",
       dv.getOrElse(rel, Array.empty)): InputPartition).toArray
@@ -458,7 +661,12 @@ private[graft] class GraftScan(meta: GraftTableMeta,
   override def filter(predicates: Array[Predicate]): Unit = {
     val sets = predicates.toSeq.flatMap(GraftScan.toValueSet)
     if (sets.isEmpty) return
-    kept = kept.filter { rel =>
+    // prune BEFORE limit truncation (a pushed limit and a runtime
+    // join filter shouldn't co-occur — Spark never pushes a limit
+    // through a join's probe side — but if they ever do, the
+    // limit-sufficient prefix must be taken from the files that
+    // survive the join keys, not the other way around)
+    runtimeKept = runtimeKept.filter { rel =>
       sets.forall { case (column, values) =>
         meta.stats.get(rel).flatMap(_.get(column)) match {
           case Some((mn, mx)) =>
@@ -470,6 +678,7 @@ private[graft] class GraftScan(meta: GraftTableMeta,
         }
       }
     }
+    kept = truncate(runtimeKept)
   }
 
   /** Post-pruning byte size from the surviving files' lengths — what
@@ -498,6 +707,10 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     new GraftMicroBatchStream(meta.dir, required.json,
       maxVersionsPerTrigger, ignoreChanges)
 }
+
+/** One pushed `ORDER BY column [ASC|DESC] [NULLS FIRST|LAST] LIMIT n`. */
+private[graft] final case class GraftTopN(column: String, desc: Boolean,
+    nullsFirst: Boolean, n: Int)
 
 private[sources] object GraftScan {
   /** Columns eligible as runtime-filter attributes: the manifest

@@ -203,14 +203,16 @@ object ManagedTable {
 
   /** One aggregation pass over freshly written segment files: per-file
     * min/max for every [[statsColumns]] column, plus the file's ROW
-    * COUNT under the [[RowsStat]] pseudo-column (stored as
-    * `(count, count)` so it rides the existing stats format — old
-    * manifests simply lack the entry and stats consumers that need
+    * COUNT under the [[RowsStat]] pseudo-column and each stats
+    * column's NON-NULL count under [[nnStat]] (all stored as
+    * `(count, count)` so they ride the existing stats format — old
+    * manifests simply lack the entries and stats consumers that need
     * counts fall back). One extra scan of the
     * NEW segment only (Delta folds this into the writer; a plain
     * parquet write can't be hooked, so the segment — just written and
     * page-cached — is re-read once). All-null columns in a file are
-    * omitted (no stats = never pruned).
+    * omitted from min/max (no stats = never pruned) but still carry
+    * their zero non-null count.
     */
   private[sources] def segmentStats(spark: SparkSession, dir: String,
       relFiles: Seq[String]): FileStats = {
@@ -218,13 +220,16 @@ object ManagedTable {
     if (relFiles.isEmpty) return Map.empty
     val df = spark.read.parquet(relFiles.map(p => s"$dir/$p"): _*)
     val cols = statsColumns(df.schema)
-    // a user column literally named like the pseudo-column would
-    // collide in the stats map — skip count recording for that table
-    val recordRows = !df.schema.fieldNames.contains(RowsStat)
+    // a user column literally named like a pseudo-column would collide
+    // in the stats map — skip count recording for that table
+    val recordRows = !df.schema.fieldNames.exists(n =>
+      n == RowsStat || n.startsWith(NnPrefix))
     if (cols.isEmpty && !recordRows) return Map.empty
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c"))) ++
+      max(col(c)).cast("string").as(s"__max_$c")) ++
+      (if (recordRows) Seq(count(col(c)).cast("string").as(s"__nn_$c"))
+       else Nil)) ++
       (if (recordRows) Seq(count(lit(1)).cast("string").as("__nrows"))
        else Nil)
     val rows = df
@@ -242,7 +247,10 @@ object ManagedTable {
       val withRows =
         if (recordRows) {
           val n = r.getAs[String]("__nrows")
-          colStats + (RowsStat -> (n, n))
+          colStats ++ cols.map { c =>
+            val nn = r.getAs[String](s"__nn_$c")
+            nnStat(c) -> (nn, nn)
+          } + (RowsStat -> (n, n))
         } else colStats
       rel -> withRows
     }.toMap
@@ -250,7 +258,9 @@ object ManagedTable {
     // CREATE/empty-partition part file) — record that as a fact, so
     // one empty file can't forever disqualify count-from-manifest
     val empty = relFiles.filterNot(nonEmpty.contains).map { rel =>
-      rel -> (if (recordRows) Map(RowsStat -> ("0", "0"))
+      rel -> (if (recordRows)
+                cols.map(c => nnStat(c) -> ("0", "0")).toMap +
+                  (RowsStat -> ("0", "0"))
               else Map.empty[String, (String, String)])
     }.toMap
     nonEmpty ++ empty
@@ -262,6 +272,14 @@ object ManagedTable {
     * what lets COUNT-shaped aggregates answer from the manifest alone.
     */
   private[sources] val RowsStat = "__rows"
+
+  /** Pseudo-column key holding a column's per-file NON-NULL count (as
+    * `(n, n)`) — what lets `COUNT(col)` answer from the manifest. Same
+    * collision discipline as [[RowsStat]]: recording is skipped for
+    * tables with user columns in the pseudo namespace.
+    */
+  private[sources] def nnStat(column: String): String = NnPrefix + column
+  private[sources] val NnPrefix = "__nn:"
 
   /** Write `df` as the table's next version. The data lands in a fresh
     * immutable segment directory first; the version becomes VISIBLE

@@ -64,7 +64,7 @@ class GraftPushdownSpec extends SparkSpec {
     assert(planString(q).contains("GraftAggScan"))
   }
 
-  test("filters, group-by, DVs and count(col) all fall back to the real scan") {
+  test("filters, group-by, DVs and count(DISTINCT) all fall back to the real scan") {
     val dir = tmp("fallback")
     threeSegments(dir)
     val t = spark.read.format("graft").load(dir)
@@ -77,10 +77,16 @@ class GraftPushdownSpec extends SparkSpec {
     assert(grouped.collect().map(_.getLong(1)).sum == 300L)
     assert(!planString(grouped).contains("GraftAggScan"))
 
-    // count(col) skips nulls — no null-count stat, must scan
+    // count(col) skips nulls — answered from the per-file non-null
+    // counts the stats pass records next to min/max
     val countCol = t.agg(count(col("m")).as("n"))
     assert(countCol.collect().toSeq == Seq(Row(257L)))
-    assert(!planString(countCol).contains("GraftAggScan"))
+    assert(planString(countCol).contains("GraftAggScan"))
+
+    val distinctCol = t.agg(countDistinct(col("m")).as("n"))
+    assert(distinctCol.collect().toSeq == Seq(Row(257L)))
+    assert(!planString(distinctCol).contains("GraftAggScan"),
+      "COUNT(DISTINCT) is not derivable from per-file counts")
 
     ManagedTable.deleteWhere(spark, dir, col("k") === 299)
     val t2 = spark.read.format("graft").load(dir)
@@ -89,6 +95,102 @@ class GraftPushdownSpec extends SparkSpec {
       "a DV'd row must vanish from count AND max")
     assert(!planString(dv).contains("GraftAggScan"),
       "stats are stale under DVs — must not push")
+  }
+
+  test("LIMIT plans a live-row-sufficient file prefix, not every file") {
+    val dir = tmp("limit")
+    threeSegments(dir) // 3 files × 100 rows, manifest order 1,2,3
+    val t = spark.read.format("graft").load(dir)
+    val q = t.limit(120)
+    assert(q.count() == 120)
+    val plan = planString(q)
+    assert(plan.contains("pushedLimit=120"), s"limit not pushed:\n$plan")
+    assert(plan.contains("files=2/3"),
+      s"expected 2-file prefix (100+100 >= 120):\n$plan")
+    // limit past the table keeps every file and returns what exists
+    val all = t.limit(5000)
+    assert(all.count() == 300)
+    assert(planString(all).contains("files=3/3"))
+    // a filter between limit and scan blocks the pushdown (all graft
+    // filters stay post-scan, so correctness never depends on this)
+    val filtered = t.filter(col("k") >= 250).limit(10)
+    assert(filtered.count() == 10)
+    assert(!planString(filtered).contains("pushedLimit"))
+  }
+
+  test("ORDER BY k LIMIT n plans only the files that can hold a top-n row") {
+    val dir = tmp("topn")
+    threeSegments(dir) // disjoint k ranges [0,99] [100,199] [200,299]
+    val t = spark.read.format("graft").load(dir)
+
+    // DESC: top-10 can only live in the [200,299] file
+    val hi = t.orderBy(col("k").desc).limit(10)
+    assert(hi.collect().map(_.getLong(0)).toSeq == (290L to 299L).reverse)
+    val hiPlan = planString(hi)
+    assert(hiPlan.contains("pushedTopN=k:desc:10"), s"not pushed:\n$hiPlan")
+    assert(hiPlan.contains("files=1/3"), s"expected 1 file:\n$hiPlan")
+
+    // ASC (NULLS FIRST default): k has no nulls recorded, so the
+    // null-free proof allows the same single-file plan
+    val lo = t.orderBy(col("k")).limit(10)
+    assert(lo.collect().map(_.getLong(0)).toSeq == (0L to 9L).toSeq)
+    assert(planString(lo).contains("files=1/3"))
+
+    // top-n spanning a boundary keeps exactly the two needed files
+    val span = t.orderBy(col("k").desc).limit(150)
+    assert(span.collect().map(_.getLong(0)).min == 150L)
+    assert(planString(span).contains("files=2/3"))
+
+    // n past the table keeps everything
+    assert(planString(t.orderBy(col("k")).limit(500))
+      .contains("files=3/3"))
+  }
+
+  test("top-n null handling: NULLS FIRST force-keeps possibly-null files") {
+    val dir = tmp("topnnull")
+    threeSegments(dir) // m is null where k % 7 == 0, in EVERY file
+    val t = spark.read.format("graft").load(dir)
+
+    // ASC NULLS FIRST on m: every file may hold a null — no pruning
+    val first = t.orderBy(col("m").asc_nulls_first).limit(5)
+    assert(first.collect().forall(_.isNullAt(2)))
+    assert(planString(first).contains("files=3/3"),
+      "a possibly-null file must never be discarded under NULLS FIRST")
+
+    // ASC NULLS LAST: nulls rank behind, so the [0,99] file's 85
+    // non-nulls cover n=5 and the rest prune
+    val last = t.orderBy(col("m").asc_nulls_last).limit(5)
+    assert(last.collect().map(_.getLong(2)).toSeq ==
+      Seq(2L, 4L, 6L, 8L, 10L)) // k=1..5 minus the k=0 null, doubled
+    assert(planString(last).contains("files=1/3"))
+  }
+
+  test("top-n is DV-conservative: tombstones can't fake coverage") {
+    val dir = tmp("topndv")
+    threeSegments(dir)
+    // kill 95 of the top file's 100 rows: its provable live non-nulls
+    // (100-95=5) no longer cover n=10, so the next file stays planned
+    ManagedTable.deleteWhere(spark, dir, col("k") >= 205)
+    val t = spark.read.format("graft").load(dir)
+    val q = t.orderBy(col("k").desc).limit(10)
+    assert(q.collect().map(_.getLong(0)).toSeq ==
+      ((200L to 204L).reverse ++ (195L to 199L).reverse))
+    assert(planString(q).contains("files=2/3"))
+  }
+
+  test("LIMIT truncation counts LIVE rows: DV'd positions don't satisfy it") {
+    val dir = tmp("limitdv")
+    threeSegments(dir)
+    // kill 90 of the first file's 100 rows — a prefix of 1 file has
+    // only 10 live rows, so LIMIT 60 must plan 2 files
+    ManagedTable.deleteWhere(spark, dir, col("k") < 90)
+    val t = spark.read.format("graft").load(dir)
+    val q = t.limit(60)
+    assert(q.count() == 60)
+    val plan = planString(q)
+    assert(plan.contains("pushedLimit=60"))
+    assert(plan.contains("files=2/3"),
+      s"10 live + 100 live covers 60 only with 2 files:\n$plan")
   }
 
   test("aggregate pushdown across append, overwrite and time travel") {
