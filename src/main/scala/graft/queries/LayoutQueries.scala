@@ -1243,6 +1243,133 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 495
            |ORDER BY doc_id DESC LIMIT 10""".stripMargin))
 
+  /** q209: SQL `DELETE FROM` by name — [[graft.sources.GraftTable]]'s
+    * [[org.apache.spark.sql.connector.catalog.SupportsDelete]] under
+    * the [[graft.sources.GraftCatalog]]: the WHERE clause is
+    * translated EXACTLY to a Catalyst predicate (untranslatable
+    * conditions refuse at analysis — row-level semantics never ride
+    * the stats may-contain test) and lands as a DELETION-VECTOR
+    * version: no data file rewritten, versions 1-3 = create + CTAS
+    * append + DV delete, visible identically to the path API. The
+    * invariants also pin the NEGATIVE pushdown proof: after the DV,
+    * `count(*)` by name correctly REFUSES the manifest-only fast
+    * path (a tombstoned row could be the count's error) and falls
+    * back to the real scan — exactness gating is hash-checked, not
+    * just asserted in a spec. At 100 TB: DELETE costs one scan of
+    * matching files + a metadata commit; `compact` (q120/q151)
+    * materializes the tombstones later.
+    */
+  val q209SqlDelete = NamedQuery(
+    "q209_sql_delete",
+    "SQL DELETE FROM via the catalog: exact predicate -> DV version " +
+      "(no rewrite), path-API parity, and the negative proof that " +
+      "count(*) pushdown refuses under DVs; per-lang aggregates vs " +
+      "raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("delwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq209_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q209_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs AS SELECT * FROM q209_docs")
+      s.sql(s"DELETE FROM $cat.corpus.docs " +
+        "WHERE doc_id < 100 OR doc_id >= 400")
+      val dir = s"$wh/corpus/docs"
+      val versionsOk = graft.sources.ManagedTable
+        .versions(s, dir) == Seq(1, 2, 3)
+      val pathParity = graft.sources.ManagedTable
+        .read(s, dir).count() == 300L
+      // negative pushdown proof: DVs make manifest counts unprovable
+      val cq = s.sql(s"SELECT count(*) AS n FROM $cat.corpus.docs")
+      val dvRefusesPush = cq.collect().head.getLong(0) == 300L &&
+        !cq.queryExecution.executedPlan.toString.contains("GraftAggScan")
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("versions_ok", lit(versionsOk))
+        .withColumn("path_parity", lit(pathParity))
+        .withColumn("dv_refuses_push", lit(dvRefusesPush))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS versions_ok, true AS path_parity,
+           |  true AS dv_refuses_push
+           |FROM documents WHERE doc_id >= 100 AND doc_id < 400
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** q210: SQL `INSERT INTO … REPLACE WHERE` — q179's idempotent
+    * backfill moved onto the pure SQL surface: [[graft.sources
+    * .GraftWriteBuilder]]'s [[org.apache.spark.sql.connector.write
+    * .SupportsOverwrite]] translates the clause exactly (or refuses),
+    * executors stage the replacement rows, and [[graft.sources
+    * .ManagedTable.replaceStaged]] commits constraint-checked
+    * tombstones + staged files as ONE version — every replacement row
+    * must satisfy the predicate (checked on the staged files
+    * themselves), untouched files are never rewritten, and the swap
+    * is atomic under time travel. The invariants pin all three:
+    * versions = create + CTAS + one replace commit, the pre-replace
+    * snapshot unchanged via VERSION AS OF, and the untouched slice's
+    * bytes bit-identical through the swap (hash-checked aggregate).
+    * At 100 TB this is THE nightly correction shape: a bad partition
+    * re-derived and swapped in one commit, O(replaced slice) cost.
+    */
+  val q210SqlReplaceWhere = NamedQuery(
+    "q210_sql_replace_where",
+    "INSERT INTO ... REPLACE WHERE via the catalog: staged rows + " +
+      "constraint-checked tombstones in one version, time travel to " +
+      "the pre-swap snapshot intact; per-lang aggregates vs " +
+      "raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("rwwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq210_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q210_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs AS SELECT * FROM q210_docs")
+      s.sql(s"INSERT INTO $cat.corpus.docs REPLACE WHERE doc_id < 100 " +
+        "SELECT doc_id, lang, n_chars + 1000 AS n_chars " +
+        "FROM q210_docs WHERE doc_id < 100")
+      val dir = s"$wh/corpus/docs"
+      val versionsOk = graft.sources.ManagedTable
+        .versions(s, dir) == Seq(1, 2, 3)
+      // the pre-swap snapshot must read back bit-identical
+      def slice(from: String) = s.sql(
+        s"""SELECT CAST(sum(n_chars) AS BIGINT) AS sc, count(*) AS n
+           |FROM $from WHERE doc_id < 100""".stripMargin)
+        .collect().head
+      val preSwapOk =
+        slice(s"$cat.corpus.docs VERSION AS OF 2") ==
+          slice("q210_docs")
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("versions_ok", lit(versionsOk))
+        .withColumn("pre_swap_ok", lit(preSwapOk))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars +
+           |    CASE WHEN doc_id < 100 THEN 1000 ELSE 0 END) AS BIGINT)
+           |    AS sum_chars,
+           |  true AS versions_ok, true AS pre_swap_ok
+           |FROM documents WHERE doc_id < 500
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -1250,5 +1377,6 @@ object LayoutQueries {
       q152ChangeDataFeed, q163DeletionVectors, q165Restore,
       q179Backfill, q201ConnectorRead, q202ConnectorStream,
       q203ConnectorWrite, q204ConnectorPipe, q205CatalogSql,
-      q206MetadataAgg, q207LimitCount, q208TopnPushdown)
+      q206MetadataAgg, q207LimitCount, q208TopnPushdown,
+      q209SqlDelete, q210SqlReplaceWhere)
 }

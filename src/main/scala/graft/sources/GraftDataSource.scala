@@ -168,7 +168,8 @@ private[graft] object GraftTableMeta {
 
 private[sources] class GraftTable(meta: GraftTableMeta)
     extends Table with SupportsRead
-    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+    with org.apache.spark.sql.connector.catalog.SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
   override def name(): String = s"graft.`${meta.dir}`"
   override def schema(): StructType = meta.schema
   override def version(): String = meta.version.toString
@@ -177,6 +178,7 @@ private[sources] class GraftTable(meta: GraftTableMeta)
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -186,6 +188,77 @@ private[sources] class GraftTable(meta: GraftTableMeta)
       : ScanBuilder = new GraftScanBuilder(meta,
     Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
     options.getBoolean("ignoreChanges", false))
+
+  /** SQL `DELETE FROM` ([[org.apache.spark.sql.connector.catalog
+    * .SupportsDelete]]) — and, via its default `truncateTable`,
+    * `TRUNCATE TABLE`: the pushed condition is translated EXACTLY to
+    * a Catalyst predicate (this is row-level semantics, never the
+    * stats may-contain test — an untranslatable filter REFUSES at
+    * `canDeleteWhere`, it does not over-delete), then executed by
+    * [[ManagedTable.deleteWhere]]: matching row positions land as a
+    * DELETION VECTOR in one new manifest version, no data file
+    * rewritten — on a 100 TB table a DELETE costs O(matching files
+    * scanned once) + a metadata commit, and the tombstones become
+    * real bytes at the next `compact`. Refused when this handle is
+    * not the table head (time travel, or a concurrent writer moved
+    * the head after resolution) — the same optimistic discipline as
+    * every manifest commit.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTable.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    import org.apache.spark.sql.functions.lit
+    val spark = SparkSession.active
+    val head = ManagedTable.versions(spark, meta.dir).lastOption
+    require(head.contains(meta.version),
+      s"graft: DELETE refused — handle pinned at v${meta.version} " +
+        s"but the table head is v${head.getOrElse(0)} (time travel " +
+        "or a concurrent writer); re-resolve the table and retry")
+    val cond = filters.toSeq
+      .map(f => GraftTable.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft: cannot DELETE WHERE $f — not exactly translatable")))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    ManagedTable.deleteWhere(spark, meta.dir, cond)
+    ()
+  }
+}
+
+private[sources] object GraftTable {
+  import org.apache.spark.sql.Column
+  import org.apache.spark.sql.functions.{col, lit}
+
+  /** EXACT Column translation of one pushed v1 filter — `None` means
+    * "refuse the DELETE", never "approximate". Nested attributes are
+    * rejected (the connector's scalar tier has no nested columns).
+    */
+  def toColumn(f: Filter): Option[Column] = {
+    def simple(a: String): Boolean = !a.contains(".")
+    f match {
+      case EqualTo(a, v) if simple(a) => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v) if simple(a) => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v) if simple(a) => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) if simple(a) => Some(col(a) >= lit(v))
+      case LessThan(a, v) if simple(a) => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v) if simple(a) => Some(col(a) <= lit(v))
+      case In(a, vs) if simple(a) => Some(col(a).isin(vs.toSeq: _*))
+      case IsNull(a) if simple(a) => Some(col(a).isNull)
+      case IsNotNull(a) if simple(a) => Some(col(a).isNotNull)
+      case StringStartsWith(a, v) if simple(a) =>
+        Some(col(a).startsWith(v))
+      case StringEndsWith(a, v) if simple(a) => Some(col(a).endsWith(v))
+      case StringContains(a, v) if simple(a) => Some(col(a).contains(v))
+      case And(l, r) =>
+        for (cl <- toColumn(l); cr <- toColumn(r)) yield cl && cr
+      case Or(l, r) =>
+        for (cl <- toColumn(l); cr <- toColumn(r)) yield cl || cr
+      case Not(c) => toColumn(c).map(!_)
+      case _: AlwaysTrue => Some(lit(true))
+      case _: AlwaysFalse => Some(lit(false))
+      case _ => None
+    }
+  }
 }
 
 private[graft] class GraftScanBuilder(meta: GraftTableMeta,
@@ -1052,12 +1125,33 @@ private[sources] object GraftPartitionReader {
 private[sources] class GraftWriteBuilder(dir: String,
     info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
     extends org.apache.spark.sql.connector.write.WriteBuilder
-    with org.apache.spark.sql.connector.write.SupportsTruncate {
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
   private var truncateFirst = false
+  private var replaceFilters: Option[Array[Filter]] = None
   override def truncate()
       : org.apache.spark.sql.connector.write.WriteBuilder = {
     truncateFirst = true; this
   }
+
+  /** `INSERT INTO … REPLACE WHERE cond` / `DataFrameWriterV2
+    * .overwrite(cond)` ([[org.apache.spark.sql.connector.write
+    * .SupportsOverwrite]]): the staged rows replace exactly the rows
+    * matching `cond` — executed as [[ManagedTable.replaceStaged]]
+    * (constraint-checked tombstones + staged files in ONE manifest
+    * version, the q179 idempotent-backfill discipline on the DSv2
+    * seam). The filter translation is EXACT or refused
+    * (`canOverwrite`), same contract as DELETE. `AlwaysTrue`
+    * degenerates to truncate (INSERT OVERWRITE).
+    */
+  override def canOverwrite(filters: Array[Filter]): Boolean =
+    filters.forall(f => GraftTable.toColumn(f).isDefined)
+  override def overwrite(filters: Array[Filter])
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    if (filters.forall(_.isInstanceOf[AlwaysTrue])) truncateFirst = true
+    else replaceFilters = Some(filters)
+    this
+  }
+
   override def build(): org.apache.spark.sql.connector.write.Write = {
     val schema = info.schema()
     schema.fields.foreach { f =>
@@ -1080,21 +1174,32 @@ private[sources] class GraftWriteBuilder(dir: String,
           s"table schema ${existing.simpleString} of $dir — schema " +
           "evolution goes through ManagedTable.merge")
     }
-    new GraftWrite(dir, schema, truncateFirst)
+    val replaceCond = replaceFilters.map(_.toSeq
+      .map(f => GraftTable.toColumn(f).getOrElse(
+        throw new UnsupportedOperationException(
+          s"graft: cannot REPLACE WHERE $f — not exactly translatable")))
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true)))
+    new GraftWrite(dir, schema, truncateFirst, replaceCond)
   }
 }
 
 private[sources] class GraftWrite(dir: String, schema: StructType,
-    truncateFirst: Boolean)
+    truncateFirst: Boolean,
+    replaceCond: Option[org.apache.spark.sql.Column] = None)
     extends org.apache.spark.sql.connector.write.Write {
   override def description(): String =
-    s"GraftWrite $dir ${if (truncateFirst) "overwrite" else "append"}"
+    s"GraftWrite $dir ${if (truncateFirst) "overwrite"
+      else if (replaceCond.isDefined) "replaceWhere" else "append"}"
   override def toBatch
       : org.apache.spark.sql.connector.write.BatchWrite =
-    new GraftBatchWrite(dir, schema, truncateFirst)
+    new GraftBatchWrite(dir, schema, truncateFirst, replaceCond)
   override def toStreaming
-      : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+      : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+    require(replaceCond.isEmpty,
+      "graft: REPLACE WHERE is a batch write shape")
     new GraftStreamingWrite(dir, schema)
+  }
 }
 
 /** `df.writeStream.format("graft").start(dir)` — the native streaming
@@ -1198,7 +1303,8 @@ private[sources] final case class GraftWriteCommit(relFiles: Seq[String])
     extends org.apache.spark.sql.connector.write.WriterCommitMessage
 
 private[sources] class GraftBatchWrite(dir: String, schema: StructType,
-    truncateFirst: Boolean)
+    truncateFirst: Boolean,
+    replaceCond: Option[org.apache.spark.sql.Column] = None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory,
     PhysicalWriteInfo, WriterCommitMessage}
@@ -1216,6 +1322,10 @@ private[sources] class GraftBatchWrite(dir: String, schema: StructType,
       case GraftWriteCommit(fs) => fs
       case _ => Nil
     }.toSeq.sorted
+    replaceCond.foreach { cond =>
+      ManagedTable.replaceStaged(spark, dir, cond, newFiles, schema)
+      return
+    }
     val newStats = ManagedTable.segmentStats(spark, dir, newFiles)
     // optimistic create-fails-if-exists loop, same discipline as the
     // DataFrame writers: losing a version race re-reads the head and

@@ -746,6 +746,75 @@ object ManagedTable {
     next
   }
 
+  /** The commit side of [[replaceWhere]] over PRE-STAGED segment files
+    * — the DSv2 write path's twin (`INSERT INTO … REPLACE WHERE` /
+    * `DataFrameWriterV2.overwrite(cond)`): executors have already
+    * streamed the replacement rows into `newFiles`; this checks the
+    * replaceWhere constraint on those exact files (every written row
+    * must satisfy the predicate — same idempotent-backfill rationale
+    * as [[replaceWhere]], and here the staged files ARE the written
+    * rows, so the non-determinism hazard the DataFrame path guards
+    * against cannot arise), tombstones the live rows the predicate
+    * selects, and commits both in ONE manifest version. Optimistic
+    * retry on version races; a lost race re-plans tombstones against
+    * the winner's head and leaves only unreferenced DV segments for
+    * [[vacuum]]. Returns the committed version.
+    */
+  private[sources] def replaceStaged(spark: SparkSession, dir: String,
+      predicate: org.apache.spark.sql.Column, newFiles: Seq[String],
+      writeSchema: org.apache.spark.sql.types.StructType): Int = {
+    import org.apache.spark.sql.functions._
+    require(versions(spark, dir).nonEmpty,
+      s"graft: REPLACE WHERE needs an existing table at $dir")
+    if (newFiles.nonEmpty) {
+      val written = spark.read.schema(writeSchema)
+        .parquet(newFiles.map(p => s"$dir/$p"): _*)
+      require(written.filter(!coalesce(predicate, lit(false))).isEmpty,
+        "graft: every REPLACE WHERE row must satisfy the predicate " +
+          "(Delta's replaceWhere constraint — it is what makes the " +
+          "backfill idempotent)")
+    }
+    val newStats = segmentStats(spark, dir, newFiles)
+    var attempt = 0
+    while (true) {
+      attempt += 1
+      val current = versions(spark, dir).last
+      val next = current + 1
+      val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+      val (files, dvFiles) = splitDv(all)
+      val schema = schemaJson.map(schemaOf).getOrElse(writeSchema)
+      val dvSeg: Seq[String] = if (files.isEmpty) Seq.empty else {
+        val tagged = spark.read.schema(schema)
+          .parquet(files.map(p => s"$dir/$p"): _*)
+          .withColumn("__file", relPathCol)
+          .withColumn("__pos", col("_metadata.row_index"))
+        val live =
+          if (dvFiles.isEmpty) tagged
+          else tagged.join(dvRows(spark, dir, dvFiles),
+            Seq("__file", "__pos"), "left_anti")
+        val fresh = live.filter(predicate).select("__file", "__pos")
+        val union =
+          if (dvFiles.isEmpty) fresh
+          else dvRows(spark, dir, dvFiles).unionByName(fresh)
+        if (union.isEmpty) Seq.empty
+        else writeSegment(union.coalesce(1), dir, next)
+      }
+      try {
+        writeManifest(spark, dir, next, tag = "",
+          files ++ newFiles ++ dvSeg.map("dv:" + _), schema.json,
+          stats ++ newStats)
+        return next
+      } catch {
+        case e: Exception =>
+          // lost the version race: re-plan tombstones on the new head
+          // (the stale dvSeg stays unreferenced — vacuum's job)
+          if (!(attempt < 5 && versions(spark, dir).lastOption
+              .exists(_ >= next))) throw e
+      }
+    }
+    -1 // unreachable
+  }
+
   /** RESTORE to an earlier version (Delta's `RESTORE TABLE … TO VERSION
     * AS OF`): re-publish version `toVersion`'s exact manifest — file
     * list (data segments AND deletion vectors), schema, per-file

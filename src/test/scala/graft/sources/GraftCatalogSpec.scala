@@ -106,6 +106,55 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq.contains("g"))
   }
 
+  test("SQL DELETE FROM lands as a deletion-vector version; TRUNCATE empties") {
+    sql("CREATE NAMESPACE gcat.del")
+    sql("CREATE TABLE gcat.del.t AS " +
+      "SELECT id AS k, CAST(id % 3 AS STRING) AS s FROM range(30)")
+    val dir = s"$warehouse/del/t"
+    sql("DELETE FROM gcat.del.t WHERE k < 5 OR k >= 25")
+    assert(sql("SELECT count(*) AS n FROM gcat.del.t")
+      .collect().head.getLong(0) == 20L)
+    assert(sql("SELECT min(k) AS mn, max(k) AS mx FROM gcat.del.t")
+      .collect().toSeq == Seq(Row(5L, 24L)))
+    // no data rewrite: the DELETE version carries a DV reference
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2, 3))
+    assert(ManagedTable.read(spark, dir).count() == 20)
+    sql("DELETE FROM gcat.del.t WHERE s IN ('0')")
+    assert(sql("SELECT count(*) AS n FROM gcat.del.t")
+      .collect().head.getLong(0) == 13L)
+    // a condition with no exact filter translation must refuse
+    intercept[Exception](
+      sql("DELETE FROM gcat.del.t WHERE k % 2 = 0").collect())
+    assert(ManagedTable.read(spark, dir).count() == 13)
+    sql("TRUNCATE TABLE gcat.del.t")
+    assert(sql("SELECT * FROM gcat.del.t").collect().isEmpty)
+    sql("DROP TABLE gcat.del.t"); sql("DROP NAMESPACE gcat.del")
+  }
+
+  test("INSERT INTO ... REPLACE WHERE swaps exactly the matching slice") {
+    sql("CREATE NAMESPACE gcat.rw")
+    sql("CREATE TABLE gcat.rw.t AS " +
+      "SELECT id AS k, id * 2 AS v FROM range(30)")
+    val dir = s"$warehouse/rw/t"
+    // replace the k<10 slice with 5 corrected rows (all satisfy k<10)
+    sql("INSERT INTO gcat.rw.t REPLACE WHERE k < 10 " +
+      "SELECT id AS k, id * 100 AS v FROM range(5)")
+    assert(sql("SELECT count(*) AS n FROM gcat.rw.t")
+      .collect().head.getLong(0) == 25L) // 30 - 10 + 5
+    assert(sql("SELECT sum(v) AS s FROM gcat.rw.t WHERE k < 10")
+      .collect().head.getLong(0) == 1000L) // 0+100+...+400
+    assert(sql("SELECT sum(v) AS s FROM gcat.rw.t WHERE k >= 10")
+      .collect().head.getLong(0) == (10 until 30).map(_ * 2).sum)
+    // one version: create + CTAS + the replace commit
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2, 3))
+    // the replaceWhere constraint: a row OUTSIDE the predicate refuses
+    intercept[Exception](
+      sql("INSERT INTO gcat.rw.t REPLACE WHERE k < 10 " +
+        "SELECT 50L AS k, 0L AS v"))
+    assert(ManagedTable.read(spark, dir).count() == 25)
+    sql("DROP TABLE gcat.rw.t"); sql("DROP NAMESPACE gcat.rw")
+  }
+
   test("a catalog table is the SAME table the path API maintains: merge then SQL read") {
     sql("CREATE NAMESPACE gcat.mx")
     sql("CREATE TABLE gcat.mx.kv (k BIGINT, s STRING, seq BIGINT, op STRING)")
