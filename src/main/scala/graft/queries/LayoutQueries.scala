@@ -1370,6 +1370,139 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 500
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q211: SQL `UPDATE` as group-based COPY-ON-WRITE — [[graft.sources
+    * .GraftRowLevelOperation]] under the catalog: Spark learns the
+    * files holding matching rows through the `_file` metadata column,
+    * runtime-group-filters the rewrite scan down to THOSE files, and
+    * [[graft.sources.GraftCowBatchWrite]] swaps scanned-out/staged-in
+    * as one manifest version. The hashed invariant pins the whole
+    * point: of four range-clustered segments, the three the predicate
+    * never touches survive BY FILE IDENTITY (no rewrite), so at
+    * 100 TB an UPDATE costs O(affected files), never O(table). Values
+    * recomputed by the oracle from raw parquet.
+    */
+  val q211SqlUpdate = NamedQuery(
+    "q211_sql_update",
+    "SQL UPDATE via copy-on-write: _file-grouped rewrite swaps only " +
+      "the one affected segment (3/4 carried by identity); per-lang " +
+      "aggregates vs raw-parquet oracle.",
+    (s, d) => {
+      val M = graft.sources.ManagedTable
+      val wh = graft.Scratch.dir("updwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq211_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      val dir = s"$wh/corpus/docs"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select("doc_id", "lang", "n_chars")
+      // first append creates the table — no empty CREATE file, so
+      // every file carries doc_id stats and the carried-set proof is
+      // exact (a stats-less file is conservatively always scanned)
+      (0 until 4).foreach { i =>
+        M.appendCommit(docs.filter(col("doc_id") >= i * 100 &&
+          col("doc_id") < (i + 1) * 100).coalesce(1), dir)
+      }
+      def files(): Set[String] = {
+        val v = M.versions(s, dir).last
+        M.planFiles(s, dir, "doc_id",
+          Long.MinValue, Long.MaxValue, Some(v))._2.toSet
+      }
+      val before = files()
+      // <= 99: range bounds are INCLUSIVE file-level tests, so this
+      // provably excludes the [100,200) segment where `< 100` would
+      // conservatively keep its min=100 boundary
+      s.sql(s"UPDATE $cat.corpus.docs SET n_chars = n_chars + 1000 " +
+        "WHERE doc_id <= 99")
+      val carried = (before & files()).size == 3 && before.size == 4
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("cow_carried", lit(carried))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars +
+           |    CASE WHEN doc_id <= 99 THEN 1000 ELSE 0 END) AS BIGINT)
+           |    AS sum_chars,
+           |  true AS cow_carried
+           |FROM documents WHERE doc_id < 400
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** q212: SQL `MERGE INTO` — the reference's `apply_changes` shape
+    * (upsert + delete + insert, /root/reference/notebooks/
+    * 03_Data_Ingestion.py:318-326) expressed as the STANDARD SQL
+    * statement over the connector's row-level-operation tier: one
+    * MERGE carries matched-updates, matched-deletes and not-matched
+    * inserts, rewritten group-wise (only files holding matched keys
+    * are swapped) and committed as ONE manifest version. The oracle
+    * recomputes the post-merge state from raw parquet with the same
+    * three-branch algebra — a lost update, resurrected delete, or
+    * dropped insert breaks the hash. Together with q05/q06/q23
+    * (apply_changes as an operator) this closes the DML matrix: the
+    * same CDC semantics are now reachable from pure SQL.
+    */
+  val q212MergeInto = NamedQuery(
+    "q212_merge_into",
+    "SQL MERGE INTO via copy-on-write: matched update + matched " +
+      "delete + not-matched insert in one group-wise rewritten " +
+      "commit; per-lang aggregates vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("mrgwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq212_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q212_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs AS " +
+        "SELECT * FROM q212_docs WHERE doc_id < 400")
+      s.sql("""SELECT doc_id, lang, n_chars + 5000 AS n_chars, 'u' AS op
+              |FROM q212_docs WHERE doc_id < 50
+              |UNION ALL
+              |SELECT doc_id, lang, n_chars, 'd' FROM q212_docs
+              |WHERE doc_id >= 350 AND doc_id < 400
+              |UNION ALL
+              |SELECT doc_id, lang, n_chars + 9, 'i' FROM q212_docs
+              |WHERE doc_id >= 450""".stripMargin)
+        .createOrReplaceTempView("q212_src")
+      s.sql(s"""MERGE INTO $cat.corpus.docs t USING q212_src c
+                |ON t.doc_id = c.doc_id
+                |WHEN MATCHED AND c.op = 'd' THEN DELETE
+                |WHEN MATCHED THEN UPDATE SET n_chars = c.n_chars
+                |WHEN NOT MATCHED THEN
+                |  INSERT (doc_id, lang, n_chars)
+                |  VALUES (c.doc_id, c.lang, c.n_chars)""".stripMargin)
+      val versionsOk = graft.sources.ManagedTable
+        .versions(s, s"$wh/corpus/docs") == Seq(1, 2, 3)
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("versions_ok", lit(versionsOk))
+        .orderBy("lang")
+    },
+    Some("""WITH final AS (
+           |  SELECT lang, n_chars +
+           |    CASE WHEN doc_id < 50 THEN 5000 ELSE 0 END AS n_chars
+           |  FROM documents WHERE doc_id < 350
+           |  UNION ALL
+           |  SELECT lang, n_chars + 9 FROM documents
+           |  WHERE doc_id >= 450 AND doc_id < 500
+           |)
+           |SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS versions_ok
+           |FROM final GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -1378,5 +1511,6 @@ object LayoutQueries {
       q179Backfill, q201ConnectorRead, q202ConnectorStream,
       q203ConnectorWrite, q204ConnectorPipe, q205CatalogSql,
       q206MetadataAgg, q207LimitCount, q208TopnPushdown,
-      q209SqlDelete, q210SqlReplaceWhere)
+      q209SqlDelete, q210SqlReplaceWhere, q211SqlUpdate,
+      q212MergeInto)
 }

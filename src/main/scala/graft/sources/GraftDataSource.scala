@@ -169,7 +169,9 @@ private[graft] object GraftTableMeta {
 private[sources] class GraftTable(meta: GraftTableMeta)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`${meta.dir}`"
   override def schema(): StructType = meta.schema
   override def version(): String = meta.version.toString
@@ -204,6 +206,38 @@ private[sources] class GraftTable(meta: GraftTableMeta)
     * the head after resolution) — the same optimistic discipline as
     * every manifest commit.
     */
+  /** `_file` — the segment a row lives in, the group identity of the
+    * copy-on-write tier (same role as Delta/Iceberg's `_file`): SQL
+    * UPDATE/MERGE scan it to learn which files hold matching rows,
+    * runtime-filter the rewrite scan down to those files, and the
+    * replacing write swaps exactly that set in one manifest commit.
+    */
+  override def metadataColumns()
+      : Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = GraftTable.FileMetaCol
+      override def dataType(): DataType = StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "absolute path of the row's segment file"
+    })
+
+  /** SQL `UPDATE` / `MERGE INTO` (and `DELETE` whose predicate the
+    * exact-translation tier refuses) via group-based COPY-ON-WRITE
+    * ([[org.apache.spark.sql.connector.catalog
+    * .SupportsRowLevelOperations]]): Spark finds the files holding
+    * matching rows through `_file`, re-reads ONLY those files
+    * (runtime group filter on the rewrite scan), computes the
+    * replacement rows, and [[GraftCowBatchWrite]] commits
+    * staged-files-in / scanned-files-out as ONE manifest version —
+    * O(affected files) rewrite cost, never a table rewrite, with the
+    * optimistic manifest race arbitrating concurrent writers.
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    () => new GraftRowLevelOperation(meta.dir, info.command())
+
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     filters.forall(f => GraftTable.toColumn(f).isDefined)
 
@@ -228,6 +262,9 @@ private[sources] class GraftTable(meta: GraftTableMeta)
 private[sources] object GraftTable {
   import org.apache.spark.sql.Column
   import org.apache.spark.sql.functions.{col, lit}
+
+  /** Name of the file-identity metadata column (Iceberg's `_file`). */
+  val FileMetaCol = "_file"
 
   /** EXACT Column translation of one pushed v1 filter — `None` means
     * "refuse the DELETE", never "approximate". Nested attributes are
@@ -725,11 +762,27 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     * stats or untranslatable predicates keep the file, and Spark
     * re-applies the join itself, so pruning is advisory.
     */
-  override def filterAttributes(): Array[NamedReference] =
+  override def filterAttributes(): Array[NamedReference] = {
+    // only attributes present in THIS scan's output: Spark's dynamic
+    // pruning resolves every listed attribute against the scan's
+    // output and fails analysis on a miss (a projected-out column can
+    // never receive a runtime filter anyway); `_file` appears exactly
+    // when a row-level operation requested it as metadata
+    val out = required.fieldNames.toSet
     meta.schema.fields.collect {
-      case f if GraftScan.runtimePrunable(f.dataType) =>
+      case f if out.contains(f.name) &&
+          GraftScan.runtimePrunable(f.dataType) =>
         Expressions.column(f.name)
-    }
+    } ++ (if (out.contains(GraftTable.FileMetaCol) &&
+            !meta.schema.fieldNames.contains(GraftTable.FileMetaCol))
+        Seq(Expressions.column(GraftTable.FileMetaCol))
+      else Nil)
+  }
+
+  /** The files this scan will actually read, AFTER every runtime
+    * filter and truncation — what the copy-on-write commit swaps out.
+    */
+  private[sources] def keptFiles: Seq[String] = kept
 
   override def filter(predicates: Array[Predicate]): Unit = {
     val sets = predicates.toSeq.flatMap(GraftScan.toValueSet)
@@ -740,15 +793,22 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     // limit-sufficient prefix must be taken from the files that
     // survive the join keys, not the other way around)
     runtimeKept = runtimeKept.filter { rel =>
-      sets.forall { case (column, values) =>
-        meta.stats.get(rel).flatMap(_.get(column)) match {
-          case Some((mn, mx)) =>
-            values.exists(v =>
-              try GraftScan.cmp(meta.schema, column)(mn, v) <= 0 &&
-                GraftScan.cmp(meta.schema, column)(v, mx) <= 0
-              catch { case _: Exception => true })
-          case None => true // no stats — may contain anything
-        }
+      sets.forall {
+        case (GraftTable.FileMetaCol, values)
+            if !meta.schema.fieldNames.contains(GraftTable.FileMetaCol) =>
+          // file identity is EXACT, not a may-contain test — this is
+          // the copy-on-write group filter (a USER column named _file
+          // shadows the metadata column and takes the stats path)
+          values.contains(s"${meta.dir}/$rel")
+        case (column, values) =>
+          meta.stats.get(rel).flatMap(_.get(column)) match {
+            case Some((mn, mx)) =>
+              values.exists(v =>
+                try GraftScan.cmp(meta.schema, column)(mn, v) <= 0 &&
+                  GraftScan.cmp(meta.schema, column)(v, mx) <= 0
+                catch { case _: Exception => true })
+            case None => true // no stats — may contain anything
+          }
       }
     }
     kept = truncate(runtimeKept)
@@ -1033,6 +1093,8 @@ private[sources] class GraftPartitionReader(absPath: String,
     g != null
   }
 
+  private val fileMeta = UTF8String.fromString(absPath)
+
   override def get(): InternalRow = {
     val out = new Array[Any](required.length)
     var gi = 0 // field index within the projected group
@@ -1044,6 +1106,8 @@ private[sources] class GraftPartitionReader(absPath: String,
           if (current.getFieldRepetitionCount(gi) == 0) null
           else GraftPartitionReader.value(current, gi, f.dataType)
         gi += 1
+      } else if (f.name == GraftTable.FileMetaCol) {
+        out(i) = fileMeta // the _file metadata column (COW group id)
       } // else: column absent from this segment — stays null
       i += 1
     }
@@ -1352,6 +1416,143 @@ private[sources] class GraftBatchWrite(dir: String, schema: StructType,
         case e: Exception if attempt < 5 &&
             ManagedTable.versions(spark, dir).lastOption
               .exists(_ >= next) => // lost the race; retry on new head
+      }
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val conf = new Configuration()
+    messages.foreach {
+      case GraftWriteCommit(fs) => fs.foreach { rel =>
+        val p = new HPath(s"$dir/$rel")
+        try { p.getFileSystem(conf).delete(p, false); () }
+        catch { case _: Exception => () }
+      }
+      case _ => ()
+    }
+  }
+}
+
+/** One SQL UPDATE / MERGE INTO / (untranslatable) DELETE, as a
+  * group-based COPY-ON-WRITE ([[org.apache.spark.sql.connector.write
+  * .RowLevelOperation]]). The protocol Spark drives:
+  *
+  *   1. a scan of this operation finds the rows matching the
+  *      condition, carrying [[GraftTable.FileMetaCol]] so the
+  *      matching FILES are known;
+  *   2. Spark feeds those file identities back into the SAME scan as
+  *      a runtime group filter ([[GraftScan]]'s exact `_file` path),
+  *      so the rewrite re-reads ONLY affected files (their live rows
+  *      — DV'd positions never resurrect);
+  *   3. the replacement rows (survivors + updates + merge-inserts)
+  *      stream through the normal executor write, and
+  *      [[GraftCowBatchWrite.commit]] swaps scanned-files-out /
+  *      staged-files-in as ONE manifest version.
+  *
+  * The operation object is the scan↔write bridge: the write reads the
+  * scan's post-filter file set at commit time (Iceberg's COW shape).
+  * O(affected files) rewrite, never O(table); aborts leave only
+  * unreferenced staged files for [[ManagedTable.vacuum]].
+  */
+private[sources] class GraftRowLevelOperation(dir: String,
+    cmd: org.apache.spark.sql.connector.write.RowLevelOperation.Command)
+    extends org.apache.spark.sql.connector.write.RowLevelOperation {
+
+  @volatile private var scan: GraftScan = _
+
+  override def command()
+      : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
+    cmd
+
+  override def description(): String = s"GraftCow $cmd $dir"
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder =
+    new GraftScanBuilder(GraftTableMeta.resolve(dir, None)) {
+      override def build(): Scan = super.build() match {
+        case g: GraftScan => scan = g; g
+        case other => other // agg-pushed scans never reach a rewrite
+      }
+    }
+
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def description(): String = s"GraftCowWrite $dir"
+          override def toBatch
+              : org.apache.spark.sql.connector.write.BatchWrite =
+            new GraftCowBatchWrite(dir, info.schema(), () =>
+              Option(scan).map(_.keptFiles).getOrElse(Seq.empty))
+        }
+    }
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(Expressions.column(GraftTable.FileMetaCol))
+}
+
+/** The replacing write of one copy-on-write operation: staged files
+  * in, the operation's scanned files out, atomically. The scanned set
+  * is read AT COMMIT TIME (after the rewrite query ran, so the
+  * runtime group filter has already shrunk it to the affected files).
+  * A concurrent commit that touched any replaced file fails the swap
+  * (the row images this rewrite was computed from are stale) — the
+  * same optimistic discipline as every manifest writer, surfaced as
+  * an error instead of a silent lost update.
+  */
+private[sources] class GraftCowBatchWrite(dir: String,
+    schema: StructType, scanned: () => Seq[String])
+    extends org.apache.spark.sql.connector.write.BatchWrite {
+  import org.apache.spark.sql.connector.write.{DataWriterFactory,
+    PhysicalWriteInfo, WriterCommitMessage}
+
+  private val segment =
+    s"data/w-${java.util.UUID.randomUUID().toString.take(8)}"
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo)
+      : DataWriterFactory =
+    new GraftWriterFactory(dir, segment, schema.json)
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val spark = SparkSession.active
+    val staged = messages.flatMap {
+      case GraftWriteCommit(fs) => fs
+      case _ => Nil
+    }.toSeq.sorted
+    val removed = scanned().toSet
+    if (staged.isEmpty && removed.isEmpty) return // matched nothing
+    val newStats = ManagedTable.segmentStats(spark, dir, staged)
+    var attempt = 0
+    var done = false
+    while (!done) {
+      attempt += 1
+      val vs = ManagedTable.versions(spark, dir)
+      require(vs.nonEmpty, s"graft: row-level op on a missing table $dir")
+      val next = vs.last + 1
+      val (_, all, schemaJson, stats) =
+        ManagedTable.readManifest(spark, dir, vs.last)
+      val (files, dvFiles) = ManagedTable.splitDv(all)
+      require(removed.subsetOf(files.toSet),
+        "graft: a concurrent write replaced files this row-level " +
+          s"operation was rewriting in $dir — re-run the statement")
+      val keptData = files.filterNot(removed)
+      // DV entries for removed files die with them (their tombstones
+      // were materialized by the rewrite); kept files keep theirs
+      val dvRefs =
+        if (keptData.isEmpty) Nil else dvFiles.map("dv:" + _)
+      try {
+        ManagedTable.writeManifest(spark, dir, next, tag = "",
+          keptData ++ staged ++ dvRefs,
+          schemaJson.getOrElse(schema.json),
+          stats.view.filterKeys(f => !removed.contains(f)).toMap ++
+            newStats)
+        done = true
+      } catch {
+        case e: Exception if attempt < 5 &&
+            ManagedTable.versions(spark, dir).lastOption
+              .exists(_ >= next) => // lost the race; re-check the head
       }
     }
   }

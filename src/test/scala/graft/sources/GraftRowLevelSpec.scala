@@ -1,0 +1,126 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** SQL UPDATE / MERGE INTO / untranslatable DELETE as group-based
+  * copy-on-write ([[GraftRowLevelOperation]]): the `_file` metadata
+  * column identifies affected segments, the rewrite re-reads only
+  * those, and the commit swaps scanned-out/staged-in atomically.
+  */
+class GraftRowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val wh = Files.createTempDirectory("graft-cow").toString + "/wh"
+    spark.conf.set("spark.sql.catalog.gcow",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.gcow.warehouse", wh)
+    spark.sql("CREATE NAMESPACE gcow.ns")
+    wh
+  }
+
+  private def sql(q: String): DataFrame = { warehouse; spark.sql(q) }
+
+  /** Four single-file segments with disjoint k ranges 0-99 … 300-399. */
+  private def fourSegments(name: String): String = {
+    val dir = s"$warehouse/ns/$name"
+    sql(s"CREATE TABLE gcow.ns.$name (k BIGINT, v BIGINT)")
+    (0 until 4).foreach { i =>
+      ManagedTable.appendCommit(
+        spark.range(i * 100, (i + 1) * 100)
+          .select(col("id").as("k"), (col("id") * 2).as("v"))
+          .coalesce(1), dir)
+    }
+    dir
+  }
+
+  private def dataFiles(dir: String): Set[String] = {
+    val v = ManagedTable.versions(spark, dir).last
+    ManagedTable.planFiles(spark, dir, "k",
+      Long.MinValue, Long.MaxValue, Some(v))._2.toSet
+  }
+
+  test("UPDATE rewrites ONLY the files holding matching rows") {
+    val dir = fourSegments("upd")
+    val before = dataFiles(dir)
+    sql("UPDATE gcow.ns.upd SET v = v * 10 WHERE k < 10")
+    val after = dataFiles(dir)
+    // the three untouched segments survive by identity; one swapped
+    assert((before & after).size == 3,
+      s"expected 3 carried files, got ${(before & after).size}")
+    assert(sql("SELECT sum(v) AS s FROM gcow.ns.upd WHERE k < 10")
+      .head().getLong(0) == (0 until 10).map(_ * 20).sum)
+    assert(sql("SELECT sum(v) AS s FROM gcow.ns.upd WHERE k >= 10")
+      .head().getLong(0) == (10 until 400).map(_ * 2L).sum)
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.upd")
+      .head().getLong(0) == 400L)
+  }
+
+  test("MERGE INTO: matched update, matched delete, not-matched insert") {
+    fourSegments("mrg")
+    Seq((5L, 999L, "u"), (105L, 0L, "d"), (1000L, 42L, "i"))
+      .toDF("k", "v", "op").createOrReplaceTempView("mrg_src")
+    sql("""MERGE INTO gcow.ns.mrg t USING mrg_src s ON t.k = s.k
+          |WHEN MATCHED AND s.op = 'd' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+          |""".stripMargin)
+    assert(sql("SELECT v FROM gcow.ns.mrg WHERE k = 5")
+      .head().getLong(0) == 999L)
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.mrg WHERE k = 105")
+      .head().getLong(0) == 0L)
+    assert(sql("SELECT v FROM gcow.ns.mrg WHERE k = 1000")
+      .head().getLong(0) == 42L)
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.mrg")
+      .head().getLong(0) == 400L) // 400 - 1 delete + 1 insert
+    // row images the merge never touched are bit-identical
+    assert(sql(
+      "SELECT count(*) AS n FROM gcow.ns.mrg WHERE v = k * 2 " +
+        "AND k NOT IN (5, 105, 1000)").head().getLong(0) == 398L)
+  }
+
+  test("DELETE whose predicate the exact tier refuses runs as copy-on-write") {
+    val dir = fourSegments("moddel")
+    // k % 2 = 0 has no exact Filter translation -> row-level path
+    sql("DELETE FROM gcow.ns.moddel WHERE k % 2 = 0 AND k < 100")
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.moddel")
+      .head().getLong(0) == 350L)
+    assert(sql(
+      "SELECT count(*) AS n FROM gcow.ns.moddel WHERE k < 100")
+      .head().getLong(0) == 50L)
+    assert(ManagedTable.read(spark, dir).count() == 350L)
+  }
+
+  test("UPDATE through existing deletion vectors never resurrects rows") {
+    val dir = fourSegments("upddv")
+    ManagedTable.deleteWhere(spark, dir, col("k") === 3L || col("k") === 7L)
+    sql("UPDATE gcow.ns.upddv SET v = -1 WHERE k < 10")
+    // 8 live rows updated; the two tombstoned ones stay gone
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.upddv WHERE v = -1")
+      .head().getLong(0) == 8L)
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.upddv " +
+      "WHERE k IN (3, 7)").head().getLong(0) == 0L)
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.upddv")
+      .head().getLong(0) == 398L)
+    // the rewritten segment materialized its tombstones; untouched
+    // segments keep reading through the carried DV reference
+    assert(ManagedTable.read(spark, dir).count() == 398L)
+  }
+
+  test("the _file metadata column is queryable and file-accurate") {
+    val dir = fourSegments("meta")
+    val byFile = spark.read.format("graft").load(dir)
+      .select(col("_file"), col("k"))
+      .groupBy("_file").agg(count(lit(1)).as("n"),
+        min("k").as("mn"), max("k").as("mx"))
+      .collect()
+    assert(byFile.length == 4)
+    assert(byFile.forall(_.getLong(1) == 100L))
+    assert(byFile.forall(r => r.getLong(3) - r.getLong(2) == 99L))
+    assert(byFile.forall(_.getString(0).startsWith(dir)))
+  }
+}
