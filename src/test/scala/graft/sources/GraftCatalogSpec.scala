@@ -155,6 +155,30 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE gcat.rw.t"); sql("DROP NAMESPACE gcat.rw")
   }
 
+  test("streaming reads work by catalog name: readStream.table drains versions") {
+    import org.apache.spark.sql.streaming.Trigger
+    sql("CREATE NAMESPACE gcat.st")
+    val dir = s"$warehouse/st/t"
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        spark.range(i * 10, (i + 1) * 10).select(col("id").as("k"))
+          .coalesce(1), dir)
+    }
+    val ckpt = Files.createTempDirectory("graft-cat-st").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.option("maxVersionsPerTrigger", 1)
+      .table("gcat.st.t")
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        seen.synchronized { seen ++= b.collect().map(_.getLong(0)) }; ()
+      }
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    assert(seen.sorted == (0L until 30L),
+      "three appended versions must drain as version-offset batches")
+    sql("DROP TABLE gcat.st.t"); sql("DROP NAMESPACE gcat.st")
+  }
+
   test("a catalog table is the SAME table the path API maintains: merge then SQL read") {
     sql("CREATE NAMESPACE gcat.mx")
     sql("CREATE TABLE gcat.mx.kv (k BIGINT, s STRING, seq BIGINT, op STRING)")
