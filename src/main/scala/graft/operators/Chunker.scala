@@ -72,19 +72,27 @@ object Chunker {
   def cdcChunks(df: DataFrame, idCol: String, textCol: String,
       win: Int, mod: Int): DataFrame =
     df.select(col(idCol).as("doc_id"), col(textCol).as("__text"))
-      .withColumn("__n",
-        octet_length(col("__text").cast("binary")).cast("long"))
+      // the whole operator lives in the BYTE domain: boundaries come
+      // from hash60 over UTF-8 byte windows (CdcCuts), so the chunk
+      // slice must be taken from the SAME bytes — substring over the
+      // binary cast, md5 over the sliced bytes. Slicing the STRING
+      // (character-indexed) would disagree with the cut positions on
+      // any multi-byte text: chunk_md5/len drift off the
+      // content-defined boundaries (identical digests for pure-ASCII
+      // corpora, where byte index == character index).
+      .withColumn("__bytes", col("__text").cast("binary"))
+      .withColumn("__n", octet_length(col("__bytes")).cast("long"))
       .filter(col("__n") >= win)
-      .select(col("doc_id"), col("__text"),
+      .select(col("doc_id"), col("__bytes"),
         graft.functions.NativeExpressions
           .cdcCuts(col("__text"), win, mod).as("__cuts"))
-      .select(col("doc_id"), col("__text"), col("__cuts"),
+      .select(col("doc_id"), col("__bytes"), col("__cuts"),
         posexplode(col("__cuts")).as(Seq("__k", "__cut")))
       .withColumn("__prev", expr(
         "CASE WHEN __k = 0 THEN CAST(0 AS BIGINT) " +
           "ELSE element_at(__cuts, __k) END"))
       .select(col("doc_id"), (col("__cut") - col("__prev")).as("len"),
-        md5(expr("substring(__text, CAST(__prev + 1 AS INT), " +
+        md5(expr("substring(__bytes, CAST(__prev + 1 AS INT), " +
           "CAST(__cut - __prev AS INT))")).as("chunk_md5"))
 
   /** Chunk statistics per document — the sizing signal a pipeline uses

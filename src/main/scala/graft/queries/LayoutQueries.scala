@@ -1503,6 +1503,222 @@ object LayoutQueries {
            |  true AS versions_ok
            |FROM final GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q213: SQL SCHEMA EVOLUTION — `ALTER TABLE … ADD COLUMNS` through
+    * the catalog ([[graft.sources.GraftCatalog.alterTable]]), mapped
+    * onto the SAME manifest-recorded evolution
+    * [[graft.sources.ManagedTable.merge]] performs implicitly
+    * (reference anchor: the DLT tables' declarative schema authority,
+    * /root/reference/notebooks/03_Data_Ingestion.py:59-64). The shape
+    * a real lakehouse user hits first: create + insert on the narrow
+    * schema, ALTER ADD COLUMNS, insert on the wide schema, read
+    * everything back — pre-evolution rows null-filled by the
+    * manifest-schema scan, never by footer inference. Invariants
+    * folded into the hashed row: the ALTER is METADATA-ONLY (the
+    * pre-evolution data files are carried byte-identical — on 100 TB
+    * adding a column costs one manifest write), and the version chain
+    * is exactly create/insert/alter/insert.
+    */
+  val q213SqlAlterTable = NamedQuery(
+    "q213_sql_alter_table",
+    "SQL ALTER TABLE ADD COLUMNS: metadata-only manifest schema " +
+      "evolution by name; old segments null-fill, post-evolution " +
+      "insert lands typed; per-lang aggregates vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("altwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq213_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 600)
+        .select("doc_id", "lang", "n_chars", "source")
+        .createOrReplaceTempView("q213_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, n_chars FROM q213_docs WHERE doc_id < 400")
+      val dir = s"$wh/corpus/docs"
+      val filesBefore = graft.sources.ManagedTable.read(s, dir)
+        .inputFiles.toSet
+      s.sql(s"ALTER TABLE $cat.corpus.docs " +
+        "ADD COLUMNS (n_tokens BIGINT, note STRING)")
+      // metadata-only: identical data files, one more version
+      val metadataOnly = graft.sources.ManagedTable.read(s, dir)
+        .inputFiles.toSet == filesBefore
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, n_chars, n_chars * 2, source " +
+        "FROM q213_docs WHERE doc_id >= 400")
+      val versionsOk = graft.sources.ManagedTable
+        .versions(s, dir) == Seq(1, 2, 3, 4)
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                |  count(n_tokens) AS n_evolved,
+                |  CAST(coalesce(sum(n_tokens), 0) AS BIGINT)
+                |    AS sum_tokens,
+                |  count(note) AS n_notes
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("metadata_only", lit(metadataOnly))
+        .withColumn("versions_ok", lit(versionsOk))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  COUNT(CASE WHEN doc_id >= 400 THEN 1 END) AS n_evolved,
+           |  CAST(coalesce(SUM(CASE WHEN doc_id >= 400
+           |    THEN n_chars * 2 END), 0) AS BIGINT) AS sum_tokens,
+           |  COUNT(CASE WHEN doc_id >= 400 THEN source END) AS n_notes,
+           |  true AS metadata_only, true AS versions_ok
+           |FROM documents WHERE doc_id < 600
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** q214: HISTORY RETENTION GC —
+    * [[graft.sources.ManagedTable.vacuumHistory]], the Delta
+    * `logRetentionDuration` + VACUUM pairing the manifest log needed
+    * so history stops growing forever: a table is driven through
+    * full-replace versions (each strands its predecessor's segment),
+    * the horizon keeps the newest 2, and the invariants fold into the
+    * hashed row — the dropped manifests are GONE (version chain =
+    * exactly the survivors), their private segments' BYTES came back
+    * (reclaimed > 0, counted before deletion), below-horizon time
+    * travel fails cleanly, retained-version reads are bit-exact vs
+    * the oracle, and a replayed micro-batch whose idempotence tag
+    * lived in a dropped manifest is STILL deduped (the retired-tags
+    * ledger — streaming exactly-once survives retention). At 100 TB:
+    * history cost O(retained versions), reclamation cost O(dead
+    * segments), never a table scan.
+    */
+  val q214VacuumHistory = NamedQuery(
+    "q214_vacuum_history",
+    "vacuumHistory retention GC: drop below-horizon manifests, " +
+      "reclaim dead segments' bytes, keep reads + replay idempotence " +
+      "(retired-tags ledger) intact; final state vs raw-parquet oracle.",
+    (s, d) => {
+      val M = graft.sources.ManagedTable
+      val dir = graft.Scratch.dir("vhist", d)
+      val p = new org.apache.hadoop.fs.Path(dir)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "lang", "n_chars")
+      // v1..v3: full-replace snapshots of growing prefixes (each
+      // strands its predecessor's segment); v4: a tagged append —
+      // the micro-batch idempotence shape
+      Seq(200, 400, 600).foreach { hi =>
+        M.commit(docs.filter(col("doc_id") < hi).coalesce(1), dir)
+      }
+      M.idempotentAppend(
+        docs.filter(col("doc_id") >= 600 && col("doc_id") < 700)
+          .coalesce(1), dir, batchId = 42L)
+      val stats = M.vacuumHistory(s, dir, retainVersions = 2,
+        retentionMs = 0)
+      val versionsOk = M.versions(s, dir) == Seq(3, 4) &&
+        stats.droppedVersions == Seq(1, 2)
+      val reclaimed = stats.sweptSegments.size == 2 &&
+        stats.reclaimedBytes > 0
+      val travelFails =
+        try { M.read(s, dir, Some(2)); false }
+        catch { case _: IllegalArgumentException => true }
+      // the replayed batch 42 must dedupe THROUGH the ledger — its
+      // tag's manifest (v4) is retained here, so also probe a second
+      // vacuum that retires v3 and replay again
+      val replaySkipped = !M.idempotentAppend(
+        docs.filter(col("doc_id") >= 600 && col("doc_id") < 700)
+          .coalesce(1), dir, batchId = 42L)
+      M.vacuumHistory(s, dir, retainVersions = 1, retentionMs = 0)
+      val replayAfterRetire = !M.idempotentAppend(
+        docs.filter(col("doc_id") >= 600 && col("doc_id") < 700)
+          .coalesce(1), dir, batchId = 42L)
+      M.read(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .withColumn("versions_ok", lit(versionsOk))
+        .withColumn("reclaimed", lit(reclaimed))
+        .withColumn("travel_fails", lit(travelFails))
+        .withColumn("replay_skipped",
+          lit(replaySkipped && replayAfterRetire))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS versions_ok, true AS reclaimed,
+           |  true AS travel_fails, true AS replay_skipped
+           |FROM documents WHERE doc_id < 700
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
+  /** q215: the NAME-BASED STREAMING LOOP — `readStream.table` →
+    * `writeStream.toTable`, closing what q202 (path stream read),
+    * q203 (path stream write) and q204 (path pipe) left open: the
+    * same version-offset micro-batches and per-epoch tagged commits,
+    * now with ZERO paths in user code — both ends resolve through
+    * [[graft.sources.GraftCatalog]], so any driver sharing the
+    * warehouse runs the identical pipeline by name. Invariants in the
+    * hashed row: the drain is admission-controlled (one version per
+    * micro-batch — versions arrive as distinct epochs), the target's
+    * manifest log carries the `b<epoch>` idempotence tags (the
+    * exactly-once ledger), and an idle re-run with the same
+    * checkpoint commits NOTHING (no empty-version pile-up).
+    */
+  val q215StreamToTable = NamedQuery(
+    "q215_stream_to_table",
+    "readStream.table -> writeStream.toTable by catalog name: " +
+      "version-offset batches, b<epoch> tagged exactly-once commits, " +
+      "idle resume commits nothing; per-lang aggregates vs oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("stwwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq215_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      val srcDir = s"$wh/corpus/src"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 600)
+        .select("doc_id", "lang", "n_chars")
+      (0 until 3).foreach { i =>
+        graft.sources.ManagedTable.appendCommit(
+          docs.filter(col("doc_id") >= i * 200 &&
+            col("doc_id") < (i + 1) * 200).coalesce(1), srcDir)
+      }
+      s.sql(s"CREATE TABLE $cat.corpus.tgt " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      val ckpt = graft.Scratch.dir("stwck", d)
+      val cp = new org.apache.hadoop.fs.Path(ckpt)
+      cp.getFileSystem(s.sparkContext.hadoopConfiguration).delete(cp, true)
+      def run(): Unit = {
+        val q = s.readStream.option("maxVersionsPerTrigger", 1)
+          .table(s"$cat.corpus.src")
+          .writeStream.option("checkpointLocation", ckpt)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .toTable(s"$cat.corpus.tgt")
+        q.awaitTermination()
+      }
+      run()
+      val tgtDir = s"$wh/corpus/tgt"
+      val M = graft.sources.ManagedTable
+      val afterFirst = M.versions(s, tgtDir).size
+      run() // idle resume: nothing may land
+      val idleOk = M.versions(s, tgtDir).size == afterFirst
+      val tags = M.tags(s, tgtDir).map(_._2)
+      // 3 source versions drain as 3 tagged epochs (+ the create)
+      val epochsOk = tags.count(_.startsWith("b")) == 3
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.tgt GROUP BY lang""".stripMargin)
+        .withColumn("idle_ok", lit(idleOk))
+        .withColumn("epochs_ok", lit(epochsOk))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS idle_ok, true AS epochs_ok
+           |FROM documents WHERE doc_id < 600
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -1512,5 +1728,6 @@ object LayoutQueries {
       q203ConnectorWrite, q204ConnectorPipe, q205CatalogSql,
       q206MetadataAgg, q207LimitCount, q208TopnPushdown,
       q209SqlDelete, q210SqlReplaceWhere, q211SqlUpdate,
-      q212MergeInto)
+      q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
+      q215StreamToTable)
 }

@@ -93,7 +93,10 @@ object MultimodalQueries {
     * real corpus.
     */
   private[graft] def cdcCutsHof: org.apache.spark.sql.Column = {
-    val h = s"CAST(conv(substring(md5(substring(text, " +
+    // BYTE-domain reference, matching the native kernel for all
+    // inputs: the window is sliced from the UTF-8 bytes (substring
+    // over the binary cast), never from the character-indexed string
+    val h = s"CAST(conv(substring(md5(substring(CAST(text AS BINARY), " +
       s"CAST(e - ${CdcWin - 1} AS INT), $CdcWin)), 1, 15), 16, 10) AS BIGINT)"
     expr(s"""array_sort(array_distinct(concat(
       filter(transform(sequence(CAST($CdcWin AS BIGINT), n),
@@ -133,6 +136,14 @@ object MultimodalQueries {
   /** DuckDB CTEs for [[cdcChunkTable]] over a source CTE
     * `src(doc_id, text)`: emits `<p>base`, `<p>bounds`, `<p>cuts`,
     * `<p>payload(doc_id, len, chunk_md5)` with the given prefix.
+    *
+    * ASCII-exact only: the Spark side is byte-domain end to end, but
+    * DuckDB 1.0 has no BLOB substring/md5, so this fragment slices the
+    * VARCHAR — identical digests whenever byte index == character
+    * index, i.e. pure-ASCII text, which the synthetic corpora are. The
+    * byte-domain definition is cross-checked for non-ASCII inputs by
+    * the Spark-side property specs instead (CdcCutsPropertySpec /
+    * ChunkerSpec).
     */
   private[queries] def cdcCtesSql(src: String, p: String): String =
     s"""${p}base AS (SELECT doc_id, text,

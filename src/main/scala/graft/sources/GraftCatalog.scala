@@ -54,9 +54,12 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *     the commit instant the filesystem itself records).
   *   - `INSERT INTO` appends; `INSERT OVERWRITE` truncates (the
   *     [[GraftWriteBuilder]] write path with its schema gate).
-  *   - `DROP TABLE` / `DROP NAMESPACE [CASCADE]` delete directories;
-  *     `ALTER` is rejected (schema evolution goes through
-  *     [[ManagedTable.merge]], which records it in the manifest).
+  *   - `DROP TABLE` / `DROP NAMESPACE [CASCADE]` delete directories.
+  *   - `ALTER TABLE … ADD COLUMNS` widens the schema as ONE
+  *     metadata-only manifest commit ([[ManagedTable.evolveSchema]] —
+  *     the same evolution [[ManagedTable.merge]] records implicitly);
+  *     pre-evolution segments null-fill at read time. Drops/renames/
+  *     retypes stay rejected (they would strand committed data).
   *
   * Reference anchor: the catalog/schema DDL of
   * /root/reference/notebooks/01_Environment_Setup.py:21-38 (CREATE
@@ -129,7 +132,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (!isTable(dir)) throw new NoSuchTableException(ident)
     val v = version.toIntOption.getOrElse(throw new IllegalArgumentException(
       s"graft: VERSION AS OF wants an integer version, got '$version'"))
-    new GraftTable(GraftTableMeta.resolve(dir, Some(v)))
+    new GraftTable(GraftTableMeta.resolve(dir, Some(v)), pinned = true)
   }
 
   /** `TIMESTAMP AS OF <t>` (µs since epoch): newest version whose
@@ -150,7 +153,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(vs.nonEmpty,
       s"graft: no version of ${ident} committed at or before " +
         s"timestamp ${timestampMicros}µs")
-    new GraftTable(GraftTableMeta.resolve(dir, Some(vs.max)))
+    new GraftTable(GraftTableMeta.resolve(dir, Some(vs.max)),
+      pinned = true)
   }
 
   override def createTable(ident: Identifier, schema: StructType,
@@ -176,12 +180,49 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     new GraftTable(GraftTableMeta.resolve(dir, None))
   }
 
+  /** `ALTER TABLE … ADD COLUMNS (…)` — mapped onto the SAME
+    * manifest-recorded schema evolution [[ManagedTable.merge]]
+    * performs implicitly: one metadata-only commit widens the schema,
+    * existing segments null-fill at read time, and post-evolution
+    * INSERTs flow through the ordinary write gate. Only ADD COLUMN is
+    * supported (top-level, nullable, stats-tier type, appended last) —
+    * drops/renames/retypes would strand committed data bytes and stay
+    * rejected.
+    */
   override def alterTable(ident: Identifier,
-      changes: TableChange*): Table =
-    throw new UnsupportedOperationException(
-      "graft: ALTER TABLE is not supported — schema evolution goes " +
-        "through ManagedTable.merge, which records the evolved schema " +
-        "in the manifest")
+      changes: TableChange*): Table = {
+    val dir = tableDir(ident)
+    if (!isTable(dir)) throw new NoSuchTableException(ident)
+    var schema = GraftTableMeta.resolve(dir, None).schema
+    changes.foreach {
+      case add: TableChange.AddColumn =>
+        require(add.fieldNames().length == 1,
+          "graft: ALTER TABLE ADD COLUMNS supports top-level columns " +
+            s"only, got ${add.fieldNames().mkString(".")}")
+        val colName = add.fieldNames()(0)
+        require(!schema.fieldNames.contains(colName),
+          s"graft: column '$colName' already exists in $ident")
+        require(add.isNullable,
+          s"graft: added column '$colName' must be nullable — " +
+            "existing segments read null there")
+        require(add.position() == null,
+          "graft: ALTER TABLE ADD COLUMNS appends at the end — " +
+            "FIRST/AFTER positions are not supported")
+        require(GraftTableMeta.supported(add.dataType()),
+          s"graft: unsupported column type ${add.dataType().sql} for " +
+            s"'$colName'")
+        schema = schema.add(org.apache.spark.sql.types.StructField(
+          colName, add.dataType(), nullable = true))
+      case other =>
+        throw new UnsupportedOperationException(
+          s"graft: ALTER TABLE change ${other.getClass.getSimpleName} " +
+            "is not supported — only ADD COLUMNS (schema evolution " +
+            "may only widen; drops/renames/retypes would strand " +
+            "committed data)")
+    }
+    ManagedTable.evolveSchema(spark, dir, schema, tag = "alter")
+    loadTable(ident)
+  }
 
   override def dropTable(ident: Identifier): Boolean = {
     val dir = tableDir(ident)

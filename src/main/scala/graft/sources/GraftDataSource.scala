@@ -40,16 +40,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - **Column pruning** ([[SupportsPushDownRequiredColumns]]): only
   *     the requested columns are decoded from parquet.
   *   - **Filter-driven file skipping**
-  *     ([[SupportsPushDownFilters]]): range-shaped conjuncts
-  *     (`=`, `<`, `<=`, `>`, `>=`, `AND`) are translated to
-  *     [[ManagedTable.planFilesMulti]] bounds and pruned against the
-  *     manifest's per-file min/max stats AT PLANNING TIME — a
-  *     selective probe of a large table plans only the files that can
-  *     match, which is the zone-map behavior `readWhere` offers, now
-  *     triggered by any ordinary `.filter(...)`. Pruning is
-  *     advisory-safe: every filter is also returned to Spark as a
-  *     post-scan filter, so a file kept conservatively (missing
-  *     stats, unparseable endpoints) never leaks wrong rows.
+  *     ([[SupportsPushDownFilters]]): range conjuncts
+  *     (`=`, `<`, `<=`, `>`, `>=`), `IN` value lists, and arbitrary
+  *     `AND`/`OR` nestings of those are evaluated as a file-level
+  *     may-match test against the manifest's per-file min/max stats
+  *     AT PLANNING TIME ([[GraftScanBuilder.mayMatch]]) — a selective
+  *     probe of a large table plans only the files that can match,
+  *     which is the zone-map behavior `readWhere` offers, now
+  *     triggered by any ordinary `.filter(...)`; a selective
+  *     `WHERE k IN (…)` prunes exactly like the equality probes it
+  *     unions. Pruning is advisory-safe: every filter is also
+  *     returned to Spark as a post-scan filter, so a file kept
+  *     conservatively (missing stats, unparseable endpoints) never
+  *     leaks wrong rows.
   *   - **Deletion vectors**: the plan loads the version's DV once,
   *     keyed by relative file path, and each reader skips its file's
   *     tombstoned row positions while decoding — same semantics as
@@ -62,12 +65,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * One [[InputPartition]] per surviving data file — on a cluster the
   * scan parallelizes file-per-task exactly like a parquet scan.
-  * Decoding uses parquet-hadoop's record-level Group API (no Spark
-  * internals), which is row-oriented: correct and pruning-equivalent
-  * to the vectorized path, slower per-byte on wide scans — the graded
-  * query surface keeps [[ManagedTable.read]] (Spark's vectorized
-  * parquet reader) for bulk scans and uses this connector where scan
-  * ergonomics and Catalyst-driven pruning matter.
+  * Decoding is TIERED: DV-free versions (the overwhelmingly common
+  * case) decode through Spark's own vectorized parquet reader as
+  * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+  * ([[GraftColumnarPartitionReader]]) — the same per-byte cost as
+  * `spark.read.parquet` under [[ManagedTable.read]], so the connector
+  * IS a first-class bulk-scan path; versions carrying deletion
+  * vectors fall back to the record-level Group API reader
+  * ([[GraftPartitionReader]]), which skips tombstoned row positions
+  * while decoding (row-level work by nature).
   *
   * Supported column types: the stats-typed scalar tier (integral,
   * float/double, string, boolean, binary) plus arrays of those —
@@ -109,8 +115,22 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     if (versionAsOf.isEmpty && schema != null && schema.nonEmpty &&
         ManagedTable.versions(SparkSession.active, dir).isEmpty)
       new GraftTable(GraftTableMeta(dir, 0, schema, Nil, Nil, Map.empty))
-    else
-      new GraftTable(GraftTableMeta.resolve(dir, versionAsOf))
+    else {
+      val meta = GraftTableMeta.resolve(dir, versionAsOf)
+      // A caller-supplied schema on an EXISTING table cannot override
+      // the manifest (the manifest is the schema authority), so a
+      // mismatched one must ERROR on read instead of being silently
+      // ignored — but the same getTable serves writes, where the
+      // query schema legitimately differs (overwrite evolves the
+      // schema; GraftWriteBuilder has its own gate). The mismatch is
+      // therefore recorded here and thrown at newScanBuilder, the
+      // first point that is provably a read.
+      val mismatch = schema != null && schema.nonEmpty &&
+        GraftTable.normSchema(schema) != GraftTable.normSchema(meta.schema)
+      new GraftTable(meta, pinned = versionAsOf.isDefined,
+        callerSchemaMismatch =
+          if (mismatch) Some(schema.simpleString) else None)
+    }
   }
 }
 
@@ -166,7 +186,8 @@ private[graft] object GraftTableMeta {
   }
 }
 
-private[sources] class GraftTable(meta: GraftTableMeta)
+private[sources] class GraftTable(meta: GraftTableMeta,
+    pinned: Boolean = false, callerSchemaMismatch: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -184,12 +205,30 @@ private[sources] class GraftTable(meta: GraftTableMeta)
       TableCapability.STREAMING_WRITE).asJava
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    // a handle pinned with versionAsOf resolved a SNAPSHOT; a write
+    // through it would commit on the current head — a different state
+    // than the one the user named. Refuse at build (deleteWhere's
+    // guard, extended to batch append/overwrite).
+    require(!pinned,
+      s"graft: write refused — this handle is pinned at " +
+        s"v${meta.version} by versionAsOf; writes always target the " +
+        "table head, so re-resolve the table without time travel")
     new GraftWriteBuilder(meta.dir, info)
+  }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new GraftScanBuilder(meta,
-    Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-    options.getBoolean("ignoreChanges", false))
+      : ScanBuilder = {
+    callerSchemaMismatch.foreach { caller =>
+      throw new IllegalArgumentException(
+        s"graft: the caller-supplied read schema ($caller) does not " +
+          s"match the manifest schema of ${meta.dir} v${meta.version} " +
+          s"(${meta.schema.simpleString}) — the manifest is the " +
+          "schema authority; drop .schema(...) or make it match")
+    }
+    new GraftScanBuilder(meta,
+      Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+      options.getBoolean("ignoreChanges", false))
+  }
 
   /** SQL `DELETE FROM` ([[org.apache.spark.sql.connector.catalog
     * .SupportsDelete]]) — and, via its default `truncateTable`,
@@ -266,6 +305,16 @@ private[sources] object GraftTable {
   /** Name of the file-identity metadata column (Iceberg's `_file`). */
   val FileMetaCol = "_file"
 
+  /** Schema as a comparable (name, type) set — nullability normalized
+    * away (parquet reads always surface nullable), field order
+    * irrelevant. The equality every schema gate in this file uses.
+    */
+  def normSchema(s: StructType): Set[(String, DataType)] =
+    s.fields.map(f => (f.name, f.dataType match {
+      case ArrayType(et, _) => ArrayType(et, containsNull = true)
+      case dt => dt
+    })).toSet
+
   /** EXACT Column translation of one pushed v1 filter — `None` means
     * "refuse the DELETE", never "approximate". Nested attributes are
     * rejected (the connector's scalar tier has no nested columns).
@@ -323,7 +372,9 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
     * timestamps, q151's OPTIMIZE for anything else), `ORDER BY ts
     * DESC LIMIT 100` over 100 TB plans the newest segment(s) only.
     * Declared partially pushed, so Spark still sorts and limits the
-    * survivors — pruning stays advisory, like every stats decision.
+    * SURVIVORS — which makes the file selection itself load-bearing
+    * (a discarded file never reaches Spark's sort); see
+    * [[GraftScan.selectTopN]]'s soundness argument.
     */
   override def pushTopN(orders: Array[SortOrder], n: Int): Boolean = {
     if (orders.length != 1 || n <= 0) return false
@@ -364,10 +415,10 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
 
   /** Keep EVERY filter post-scan (returned array) — stats pruning is a
     * file-level may-contain test, never a row-level guarantee — while
-    * recording the range-translatable ones for [[build]]'s file plan.
+    * recording the stats-evaluable ones for [[build]]'s file plan.
     */
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    usable = filters.filter(f => GraftScanBuilder.toBounds(f).nonEmpty)
+    usable = filters.filter(GraftScanBuilder.prunable)
     filters
   }
   override def pushedFilters(): Array[Filter] = usable
@@ -495,11 +546,14 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
       return new GraftAggScan(meta, schema, row)
     }
     val spark = SparkSession.active
-    val bounds = usable.toSeq.flatMap(GraftScanBuilder.toBounds)
-    val (kept, all) =
-      if (bounds.isEmpty) (meta.files, meta.files)
-      else ManagedTable.planFilesMulti(spark, meta.dir, bounds,
-        Some(meta.version))
+    // stats pruning directly over THIS version's manifest stats (the
+    // meta already carries them — no manifest re-read): a file
+    // survives unless some pushed filter provably excludes it
+    val kept =
+      if (usable.isEmpty) meta.files
+      else meta.files.filter(rel =>
+        usable.forall(f => GraftScanBuilder.mayMatch(f, meta, rel)))
+    val all = meta.files
     // the version's DV, restricted to surviving files and keyed by
     // relative path — loaded once at planning (deleted-rows-sized,
     // like Delta's per-file DV descriptors; a 100 TB deployment
@@ -523,24 +577,77 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
 }
 
 private[sources] object GraftScanBuilder {
-  /** Range bounds of one pushed conjunct; Nil = not translatable
-    * (the file plan ignores it; Spark still applies it post-scan).
+  private def simple(a: String): Boolean = !a.contains(".")
+
+  /** Can this filter shape contribute to stats-based file pruning?
+    * The evaluable tier: range conjuncts (`=`, `<`, `<=`, `>`, `>=`),
+    * `IN` (a union of equality probes — the shape a selective
+    * dimension filter or an `IN (…)` key list pushes), and arbitrary
+    * `AND`/`OR` nestings of those. An `AND` prunes when EITHER side
+    * can (the other side stays post-scan); an `OR` needs BOTH sides
+    * evaluable, or it can never exclude a file.
     */
-  def toBounds(f: Filter): Seq[(String, Option[Any], Option[Any])] = {
-    def simple(a: String): Boolean = !a.contains(".")
+  def prunable(f: Filter): Boolean = f match {
+    case EqualTo(a, v) => simple(a) && v != null
+    case GreaterThan(a, v) => simple(a) && v != null
+    case GreaterThanOrEqual(a, v) => simple(a) && v != null
+    case LessThan(a, v) => simple(a) && v != null
+    case LessThanOrEqual(a, v) => simple(a) && v != null
+    case In(a, vs) => simple(a) && vs != null &&
+      vs.exists(_ != null)
+    case And(l, r) => prunable(l) || prunable(r)
+    case Or(l, r) => prunable(l) && prunable(r)
+    case _ => false
+  }
+
+  /** May file `rel` contain a row matching `f`, judged from the
+    * manifest's per-file [min, max] alone? TRUE on ANY uncertainty —
+    * missing stats, unparseable endpoints, unsupported shapes — so
+    * pruning only ever drops provably-disjoint files (every filter is
+    * re-applied post-scan regardless). Range endpoints stay INCLUSIVE
+    * on both strict and non-strict comparisons (`k < 100` keeps a
+    * min=100 file), matching [[ManagedTable.planFilesMulti]]'s
+    * conservative contract, which downstream carried-files invariants
+    * rely on.
+    */
+  def mayMatch(f: Filter, meta: GraftTableMeta, rel: String): Boolean = {
+    def bounds(a: String): Option[(String, String)] =
+      meta.stats.get(rel).flatMap(_.get(a))
+    def cmp(a: String)(x: String, y: String): Int =
+      GraftScan.cmp(meta.schema, a)(x, y)
+    // value v may fall within the file's [min, max]
+    def contains(a: String, v: Any): Boolean = bounds(a) match {
+      case Some((mn, mx)) =>
+        try cmp(a)(mn, String.valueOf(v)) <= 0 &&
+          cmp(a)(String.valueOf(v), mx) <= 0
+        catch { case _: Exception => true }
+      case None => true
+    }
+    def atLeast(a: String, v: Any): Boolean = bounds(a) match {
+      case Some((_, mx)) =>
+        try cmp(a)(mx, String.valueOf(v)) >= 0
+        catch { case _: Exception => true }
+      case None => true
+    }
+    def atMost(a: String, v: Any): Boolean = bounds(a) match {
+      case Some((mn, _)) =>
+        try cmp(a)(mn, String.valueOf(v)) <= 0
+        catch { case _: Exception => true }
+      case None => true
+    }
     f match {
-      case EqualTo(a, v) if simple(a) && v != null =>
-        Seq((a, Some(v), Some(v)))
-      case GreaterThan(a, v) if simple(a) && v != null =>
-        Seq((a, Some(v), None))
-      case GreaterThanOrEqual(a, v) if simple(a) && v != null =>
-        Seq((a, Some(v), None))
-      case LessThan(a, v) if simple(a) && v != null =>
-        Seq((a, None, Some(v)))
-      case LessThanOrEqual(a, v) if simple(a) && v != null =>
-        Seq((a, None, Some(v)))
-      case And(l, r) => toBounds(l) ++ toBounds(r)
-      case _ => Nil
+      case EqualTo(a, v) if v != null => contains(a, v)
+      case GreaterThan(a, v) if v != null => atLeast(a, v)
+      case GreaterThanOrEqual(a, v) if v != null => atLeast(a, v)
+      case LessThan(a, v) if v != null => atMost(a, v)
+      case LessThanOrEqual(a, v) if v != null => atMost(a, v)
+      // IN = union of equality probes; null list entries match no row
+      // (three-valued IN) and contribute nothing to the union
+      case In(a, vs) if vs != null && vs.exists(_ != null) =>
+        vs.exists(v => v != null && contains(a, v))
+      case And(l, r) => mayMatch(l, meta, rel) && mayMatch(r, meta, rel)
+      case Or(l, r) => mayMatch(l, meta, rel) || mayMatch(r, meta, rel)
+      case _ => true
     }
   }
 }
@@ -653,8 +760,12 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     *     so they're covered once K provably holds n live rows; the
     *     non-null condition is as above (without the null credit).
     * Any file missing a needed fact keeps EVERYTHING — sufficiency
-    * would be unprovable. Spark re-sorts and re-limits the survivors
-    * (partial pushdown), so this is advisory, never load-bearing.
+    * would be unprovable. NOTE: unlike the stats pruning elsewhere in
+    * this file, this selection is LOAD-BEARING — under partial top-n
+    * pushdown Spark only re-sorts the rows the scan returns, so a
+    * wrongly discarded file holding a true top-n row would corrupt
+    * the result. The coverage proof above is the correctness
+    * argument; weaken it and the query is wrong, not just slow.
     */
   private def selectTopN(files: Seq[String]): Seq[String] = topN match {
     case None => files
@@ -679,12 +790,16 @@ private[graft] class GraftScan(meta: GraftTableMeta,
       if (facts.exists(_.isEmpty)) return files
       val fs = facts.flatten
       val c = GraftScan.cmp(meta.schema, column) _
-      // "a ranks no worse than b" among non-null values; an
-      // unparseable endpoint disables the whole selection
-      var parseOk = true
+      // EVERY endpoint must parse BEFORE any comparison is ordered:
+      // swallowing a parse failure inside the sort comparator would
+      // make it inconsistent mid-sort (TimSort throws "Comparison
+      // method violates its general contract" at planning time) —
+      // a malformed stats entry must mean keep-every-file, not crash
+      if (!fs.forall(f => Seq(f.lo, f.hi).flatten.forall(v =>
+          try { c(v, v); true } catch { case _: Exception => false })))
+        return files
       def leq(a: String, b: String): Boolean =
-        try { if (desc) c(a, b) >= 0 else c(a, b) <= 0 }
-        catch { case _: Exception => parseOk = false; true }
+        if (desc) c(a, b) >= 0 else c(a, b) <= 0
       def best(f: F) = if (desc) f.hi else f.lo // first-possible value
       def worst(f: F) = if (desc) f.lo else f.hi
       // NULLS FIRST: a possibly-null file can never be discarded (its
@@ -697,7 +812,6 @@ private[graft] class GraftScan(meta: GraftTableMeta,
         leq(x, y) && !leq(y, x)
       }
       val sorted = valued.sortWith(lt)
-      if (!parseOk) return files
       // smallest prefix p of `sorted` (plus keepAlways) covering every
       // discarded row n times over
       val choice = (0 to sorted.size).iterator.map { p =>
@@ -721,7 +835,7 @@ private[graft] class GraftScan(meta: GraftTableMeta,
         // (b) every discarded null (NULLS LAST only) ranks behind all
         // live kept rows, so n of those suffice
         val coveredNulls = !dNulls || k.map(_.live).sum >= n
-        coveredNonNull && coveredNulls && parseOk
+        coveredNonNull && coveredNulls
       }
       choice match {
         case Some((k, _)) if k.size < fs.size =>
@@ -745,8 +859,14 @@ private[graft] class GraftScan(meta: GraftTableMeta,
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(rel => GraftInputPartition(s"${meta.dir}/$rel",
       dv.getOrElse(rel, Array.empty)): InputPartition).toArray
+  // columnar (vectorized) decode whenever the version carries no DV
+  // and at least one column is requested — the flag must be UNIFORM
+  // across the scan's partitions (Spark refuses mixed row/columnar
+  // partition sets), so it keys on the VERSION's DV set, not the
+  // per-file one
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.json)
+    new GraftReaderFactory(required.json,
+      columnar = meta.dvFiles.isEmpty && required.nonEmpty)
 
   /** JOIN-DRIVEN file pruning ([[SupportsRuntimeV2Filtering]]): when
     * this table is the big side of a join whose other side is small
@@ -957,9 +1077,26 @@ private[sources] class GraftMicroBatchStream(dir: String,
   private def head: Int =
     availableNowTarget.getOrElse(liveHead)
 
-  override def initialOffset(): SOffset = GraftStreamOffset(0)
-  override def deserializeOffset(json: String): SOffset =
-    GraftStreamOffset(json.trim.toInt)
+  /** A fresh stream starts just below the OLDEST RETAINED version and
+    * consumes it as a FULL INITIAL SNAPSHOT (marked in the offset —
+    * see [[GraftStreamOffset.initialSnapshot]]). For a never-vacuumed
+    * table that is version 0 / plain semantics, byte-identical to the
+    * original contract; after [[ManagedTable.vacuumHistory]] it is
+    * what keeps fresh streams startable at all — version 1's manifest
+    * is gone, but the oldest retained manifest IS the cumulative
+    * snapshot of everything before it.
+    */
+  override def initialOffset(): SOffset = {
+    val head = ManagedTable.versions(spark, dir).headOption.getOrElse(1)
+    GraftStreamOffset(math.max(0, head - 1),
+      initialSnapshot = head > 1)
+  }
+  override def deserializeOffset(json: String): SOffset = {
+    val t = json.trim
+    if (t.endsWith("i"))
+      GraftStreamOffset(t.dropRight(1).toInt, initialSnapshot = true)
+    else GraftStreamOffset(t.toInt)
+  }
   override def latestOffset(): SOffset = GraftStreamOffset(head)
   override def getDefaultReadLimit: ReadLimit =
     maxVersionsPerTrigger.map(n => ReadLimit.maxFiles(n))
@@ -976,23 +1113,39 @@ private[sources] class GraftMicroBatchStream(dir: String,
 
   override def planInputPartitions(start: SOffset, end: SOffset)
       : Array[InputPartition] = {
-    val s = start.asInstanceOf[GraftStreamOffset].version
+    val s0 = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset].version
-    ((s + 1) to e).flatMap { v =>
-      versionAdds(v, ignoreChanges)
+    ((s0.version + 1) to e).flatMap { v =>
+      versionAdds(v, ignoreChanges,
+        snapshotBase = s0.initialSnapshot && v == s0.version + 1)
     }.map(abs => GraftInputPartition(abs, Array.empty): InputPartition)
       .toArray
   }
 
-  /** Absolute paths of the data files version `v` ADDED over `v-1`;
-    * fails fast on a non-append version unless relaxed.
+  /** Absolute paths of the data files version `v` ADDED over `v-1`
+    * (`snapshotBase`: the initial-snapshot version of a fresh stream —
+    * emitted whole, no predecessor); fails fast on a non-append
+    * version unless relaxed, and on offsets whose manifests
+    * [[ManagedTable.vacuumHistory]] dropped — computing an append
+    * delta from a vacuumed predecessor would silently re-emit or skip
+    * rows, so the stream names the remedy instead.
     */
-  private def versionAdds(v: Int, ignoreChanges: Boolean): Seq[String] = {
+  private def versionAdds(v: Int, ignoreChanges: Boolean,
+      snapshotBase: Boolean): Seq[String] = {
+    val vs = ManagedTable.versions(spark, dir)
+    def vacuumed(missing: Int): Nothing = throw new IllegalStateException(
+      s"graft streaming: version $missing of $dir has been removed by " +
+        "history retention (vacuumHistory) — this checkpoint predates " +
+        "the horizon; restart the stream with a FRESH checkpoint (it " +
+        s"will emit the oldest retained version ${vs.headOption
+          .getOrElse(0)} as an initial snapshot and tail from there)")
+    if (!vs.contains(v)) vacuumed(v)
     val (_, all, _, _) = ManagedTable.readManifest(spark, dir, v)
     val (files, _) = ManagedTable.splitDv(all)
     val prev: Set[String] =
-      if (v <= ManagedTable.versions(spark, dir).head) Set.empty
+      if (v == 1 || snapshotBase) Set.empty
       else {
+        if (!vs.contains(v - 1)) vacuumed(v - 1)
         val (_, pAll, _, _) = ManagedTable.readManifest(spark, dir, v - 1)
         ManagedTable.splitDv(pAll)._1.toSet
       }
@@ -1015,17 +1168,27 @@ private[sources] class GraftMicroBatchStream(dir: String,
   * `SerializedOffset` from the offset log with a live instance — a
   * case-class `equals` would break that bridge (observed as
   * AvailableNow stopping after one micro-batch).
+  *
+  * `initialSnapshot` (json suffix `i`) marks the fresh-stream start
+  * offset of a history-vacuumed table: the NEXT version is consumed
+  * as a full snapshot (no predecessor manifest needed). The marker
+  * rides in the json so a crash-replayed batch 0 keeps snapshot
+  * semantics, while a PRE-vacuum checkpoint (plain json) can never be
+  * misread as one — its resume fails fast instead of double-emitting.
   */
-private[sources] final class GraftStreamOffset(val version: Int)
+private[sources] final class GraftStreamOffset(val version: Int,
+    val initialSnapshot: Boolean = false)
     extends org.apache.spark.sql.connector.read.streaming.Offset {
-  override def json(): String = version.toString
+  override def json(): String =
+    if (initialSnapshot) s"${version}i" else version.toString
 }
 private[sources] object GraftStreamOffset {
-  def apply(version: Int): GraftStreamOffset =
-    new GraftStreamOffset(version)
+  def apply(version: Int, initialSnapshot: Boolean = false): GraftStreamOffset =
+    new GraftStreamOffset(version, initialSnapshot)
 }
 
-private[sources] class GraftReaderFactory(requiredJson: String)
+private[sources] class GraftReaderFactory(requiredJson: String,
+    columnar: Boolean = false)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
@@ -1034,6 +1197,88 @@ private[sources] class GraftReaderFactory(requiredJson: String)
       DataType.fromJson(requiredJson).asInstanceOf[StructType],
       p.dvPositions)
   }
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    columnar
+
+  override def createColumnarReader(partition: InputPartition)
+      : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    require(p.dvPositions.isEmpty,
+      "graft: columnar decode is only planned for DV-free versions")
+    new GraftColumnarPartitionReader(p.absPath,
+      DataType.fromJson(requiredJson).asInstanceOf[StructType])
+  }
+}
+
+/** VECTORIZED decode of one data file — Spark's own
+  * [[org.apache.spark.sql.execution.datasources.parquet
+  * .VectorizedParquetRecordReader]] (the engine under every
+  * `spark.read.parquet`) driving the scan as [[org.apache.spark.sql
+  * .vectorized.ColumnarBatch]]es, so `format("graft")` wide scans
+  * decode at the same per-byte cost as [[ManagedTable.read]] instead
+  * of the row-oriented Group API's. Planned only for DV-free versions
+  * (row-level tombstone skipping needs the row reader); requested
+  * columns absent from a pre-evolution segment — and the `_file`
+  * metadata column — ride as zero-copy
+  * [[org.apache.spark.sql.execution.vectorized.ConstantColumnVector]]s
+  * next to the decoded ones, permuted into the exact requested order
+  * (the batch is a thin view over the reader's vectors — no copy).
+  */
+private[sources] class GraftColumnarPartitionReader(absPath: String,
+    required: StructType)
+    extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
+  import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+  import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
+  import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
+
+  private val Capacity = 4096
+
+  private val fileSchema: MessageType = {
+    val fr = ParquetFileReader.open(
+      HadoopInputFile.fromPath(new HPath(absPath), new Configuration()))
+    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+  }
+  private val present: Array[StructField] =
+    required.fields.filter(f => fileSchema.containsField(f.name))
+
+  private val reader = new VectorizedParquetRecordReader(false, Capacity)
+  private val inner: ColumnarBatch =
+    try {
+      // a fully-pruned projection (every requested column missing from
+      // this segment) still needs ONE decoded column to drive the row
+      // count — same dummy-column rule as the row reader
+      val cols =
+        if (present.nonEmpty) present.map(_.name).toSeq
+        else Seq(fileSchema.getFields.get(0).getName)
+      reader.initialize(absPath, java.util.List.of(cols: _*))
+      reader.initBatch(new StructType(), InternalRow.empty)
+      reader.enableReturningBatches()
+      reader.resultBatch()
+    } catch { case e: Throwable => reader.close(); throw e }
+
+  private val batch: ColumnarBatch = {
+    val presentIdx = present.map(_.name).zipWithIndex.toMap
+    val vectors: Array[ColumnVector] = required.fields.map { f =>
+      presentIdx.get(f.name) match {
+        case Some(i) => inner.column(i)
+        case None =>
+          val cv = new ConstantColumnVector(Capacity, f.dataType)
+          if (f.name == GraftTable.FileMetaCol)
+            cv.setUtf8String(UTF8String.fromString(absPath))
+          else cv.setNull() // column absent from this segment
+          cv
+      }
+    }
+    new ColumnarBatch(vectors)
+  }
+
+  override def next(): Boolean = reader.nextBatch()
+  override def get(): ColumnarBatch = {
+    batch.setNumRows(inner.numRows())
+    batch
+  }
+  override def close(): Unit = reader.close()
 }
 
 /** Row-level parquet decode of ONE data file against the manifest
@@ -1228,11 +1473,7 @@ private[sources] class GraftWriteBuilder(dir: String,
     if (!truncateFirst &&
         ManagedTable.versions(spark, dir).nonEmpty) {
       val existing = GraftTableMeta.resolve(dir, None).schema
-      def norm(s: StructType): Set[(String, DataType)] =
-        s.fields.map(f => (f.name, f.dataType match {
-          case ArrayType(et, _) => ArrayType(et, containsNull = true)
-          case dt => dt
-        })).toSet
+      def norm(s: StructType) = GraftTable.normSchema(s)
       require(norm(existing) == norm(schema),
         s"graft: append schema ${schema.simpleString} does not match " +
           s"table schema ${existing.simpleString} of $dir — schema " +
@@ -1459,6 +1700,7 @@ private[sources] class GraftRowLevelOperation(dir: String,
     extends org.apache.spark.sql.connector.write.RowLevelOperation {
 
   @volatile private var scan: GraftScan = _
+  @volatile private var resolved: GraftTableMeta = _
 
   override def command()
       : org.apache.spark.sql.connector.write.RowLevelOperation.Command =
@@ -1467,13 +1709,15 @@ private[sources] class GraftRowLevelOperation(dir: String,
   override def description(): String = s"GraftCow $cmd $dir"
 
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder =
-    new GraftScanBuilder(GraftTableMeta.resolve(dir, None)) {
+      : ScanBuilder = {
+    resolved = GraftTableMeta.resolve(dir, None)
+    new GraftScanBuilder(resolved) {
       override def build(): Scan = super.build() match {
         case g: GraftScan => scan = g; g
         case other => other // agg-pushed scans never reach a rewrite
       }
     }
+  }
 
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
@@ -1484,8 +1728,9 @@ private[sources] class GraftRowLevelOperation(dir: String,
           override def description(): String = s"GraftCowWrite $dir"
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
-            new GraftCowBatchWrite(dir, info.schema(), () =>
-              Option(scan).map(_.keptFiles).getOrElse(Seq.empty))
+            new GraftCowBatchWrite(dir, info.schema(),
+              () => Option(scan).map(_.keptFiles).getOrElse(Seq.empty),
+              () => Option(resolved))
         }
     }
 
@@ -1500,10 +1745,19 @@ private[sources] class GraftRowLevelOperation(dir: String,
   * A concurrent commit that touched any replaced file fails the swap
   * (the row images this rewrite was computed from are stale) — the
   * same optimistic discipline as every manifest writer, surfaced as
-  * an error instead of a silent lost update.
+  * an error instead of a silent lost update. "Touched" covers BOTH
+  * ways a replaced file's live rows can change: the file leaving the
+  * data-file list (rewrite/compaction — the subset check) AND a
+  * DV-only commit gaining tombstones on it (a concurrent `deleteWhere`
+  * keeps the file list identical and moves only the deletion vector;
+  * replacing the file from the pre-delete row image would silently
+  * resurrect the deleted rows). The DV comparison is restricted to the
+  * replaced files and runs only when the DV segment set moved —
+  * deleted-rows-scale, never table-scale.
   */
 private[sources] class GraftCowBatchWrite(dir: String,
-    schema: StructType, scanned: () => Seq[String])
+    schema: StructType, scanned: () => Seq[String],
+    resolvedAt: () => Option[GraftTableMeta] = () => None)
     extends org.apache.spark.sql.connector.write.BatchWrite {
   import org.apache.spark.sql.connector.write.{DataWriterFactory,
     PhysicalWriteInfo, WriterCommitMessage}
@@ -1537,6 +1791,25 @@ private[sources] class GraftCowBatchWrite(dir: String,
       require(removed.subsetOf(files.toSet),
         "graft: a concurrent write replaced files this row-level " +
           s"operation was rewriting in $dir — re-run the statement")
+      // DV-only conflicts: tombstones on a replaced file that changed
+      // since the operation's scan resolved mean the staged rows were
+      // computed from a stale row image (a concurrent DELETE's
+      // tombstones would silently vanish in the swap) — refuse as a
+      // retryable conflict, same as the file-list check above
+      resolvedAt().foreach { rm =>
+        if (dvFiles.toSet != rm.dvFiles.toSet && removed.nonEmpty) {
+          import org.apache.spark.sql.functions.col
+          def dvOnRemoved(dv: Seq[String]): Set[(String, Long)] =
+            if (dv.isEmpty) Set.empty
+            else ManagedTable.dvRows(spark, dir, dv)
+              .filter(col("__file").isin(removed.toSeq: _*))
+              .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+          require(dvOnRemoved(dvFiles) == dvOnRemoved(rm.dvFiles),
+            "graft: a concurrent DELETE changed tombstones on files " +
+              s"this row-level operation was rewriting in $dir — " +
+              "re-run the statement")
+        }
+      }
       val keptData = files.filterNot(removed)
       // DV entries for removed files die with them (their tombstones
       // were materialized by the rewrite); kept files keep theirs

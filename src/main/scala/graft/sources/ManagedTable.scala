@@ -479,7 +479,11 @@ object ManagedTable {
 
   private def committedTags(spark: SparkSession, dir: String): Set[String] = {
     val vs = versions(spark, dir)
-    if (vs.isEmpty) { tagIndex.remove(dir); return Set.empty }
+    // tags of versions [[vacuumHistory]] dropped live on in the
+    // retired-tags ledger — one extra listStatus per call, the same
+    // cost class as versions()'s own listing
+    val retired = retiredTags(spark, dir)._2.toSet
+    if (vs.isEmpty) { tagIndex.remove(dir); return retired }
     // validity probe: beyond "newest cached version still exists with
     // its cached tag", also require the HISTORY SHAPE to match — same
     // number of versions up to maxV and the same first version's tag.
@@ -503,7 +507,7 @@ object ManagedTable {
         (vs.last, vs.map(v => readManifest(spark, dir, v)._1))
     }
     tagIndex.put(dir, entry)
-    entry._2.toSet
+    entry._2.toSet ++ retired
   }
 
   /** Streaming append sink: each micro-batch commits as one table
@@ -815,6 +819,50 @@ object ManagedTable {
     -1 // unreachable
   }
 
+  /** Record a WIDENED schema as a new table version — the declarative
+    * half of the schema evolution [[merge]] performs implicitly
+    * (Delta's `ALTER TABLE ADD COLUMNS`, and the DLT tables' implicit
+    * schema authority — reference:
+    * notebooks/03_Data_Ingestion.py:59-64): the new manifest carries
+    * the SAME file list and stats and only the schema line changes, so
+    * the commit is metadata-only — on a 100 TB table adding a column
+    * costs one manifest write, zero data bytes. Existing segments
+    * simply lack the new columns and every read path null-fills them
+    * from the manifest schema (the [[read]] rule evolved segments
+    * already rely on). Evolution may only ADD columns: every existing
+    * column must survive with its exact type (drops/retypes would
+    * strand data bytes the schema can no longer describe), and added
+    * columns must be nullable (old segments read null there).
+    * Returns the new version.
+    */
+  def evolveSchema(spark: SparkSession, dir: String,
+      newSchema: org.apache.spark.sql.types.StructType,
+      tag: String = ""): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.evolveSchema: no versions in $dir")
+    val current = vs.last
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val old = schemaJson.map(schemaOf).getOrElse(
+      throw new IllegalStateException(
+        s"ManagedTable.evolveSchema: version $current of $dir has no schema"))
+    old.fields.foreach { f =>
+      val kept = newSchema.fields.find(_.name == f.name)
+      require(kept.exists(_.dataType == f.dataType),
+        s"ManagedTable.evolveSchema: column '${f.name}' " +
+          s"${f.dataType.sql} must survive unchanged — evolution may " +
+          "only ADD columns")
+    }
+    newSchema.fields.filterNot(f => old.fieldNames.contains(f.name))
+      .foreach { f =>
+        require(f.nullable,
+          s"ManagedTable.evolveSchema: added column '${f.name}' must " +
+            "be nullable (existing segments read null there)")
+      }
+    val next = current + 1
+    writeManifest(spark, dir, next, tag, all, newSchema.json, stats)
+    next
+  }
+
   /** RESTORE to an earlier version (Delta's `RESTORE TABLE … TO VERSION
     * AS OF`): re-publish version `toVersion`'s exact manifest — file
     * list (data segments AND deletion vectors), schema, per-file
@@ -932,6 +980,154 @@ object ManagedTable {
       }
     }
     abs
+  }
+
+  /** What one [[vacuumHistory]] call did: the versions whose manifests
+    * were dropped, the data/DV segments swept because no retained
+    * manifest references them, and the bytes those segments held.
+    */
+  final case class HistoryVacuumStats(droppedVersions: Seq[Int],
+      sweptSegments: Seq[String], reclaimedBytes: Long)
+
+  private def ledgerName(upto: Int) = s"retired-v$upto.json"
+
+  /** The retired-tags LEDGER: `(highest retired version, all tags of
+    * every retired version)` — what keeps streaming replay idempotence
+    * alive across [[vacuumHistory]]: a replayed micro-batch whose
+    * `b<id>`/`m<id>` tag landed in a since-dropped manifest must STILL
+    * be recognized as committed, or the replay would double-apply it.
+    * One file `_manifest/retired-v<N>.json` (newest N wins; content is
+    * deterministic for a given N — the union of every retired tag — so
+    * racing maintenance writers produce identical bytes). `(0, Nil)`
+    * for tables never history-vacuumed.
+    */
+  private[sources] def retiredTags(spark: SparkSession,
+      dir: String): (Int, Seq[String]) = {
+    val f = fs(spark, dir)
+    val md = manifestDir(dir)
+    if (!f.exists(md)) return (0, Nil)
+    val uptos = f.listStatus(md).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("retired-v") && n.endsWith(".json"))
+      .flatMap(n =>
+        n.stripPrefix("retired-v").stripSuffix(".json").toIntOption)
+    if (uptos.isEmpty) return (0, Nil)
+    val upto = uptos.max
+    // spin through an in-flight writer's claim/content window, same
+    // discipline as readManifest; the JSON parsing IS the completeness
+    // check (one document — it parses iff every byte landed)
+    var waitedMs = 0
+    var result: Option[Seq[String]] = None
+    var lastErr: Throwable = null
+    while (result.isEmpty && waitedMs <= 2000) {
+      try {
+        val in = f.open(new Path(md, ledgerName(upto)))
+        val raw = try {
+          val bytes = new java.io.ByteArrayOutputStream()
+          val buf = new Array[Byte](8192)
+          var n = in.read(buf)
+          while (n >= 0) { bytes.write(buf, 0, n); n = in.read(buf) }
+          bytes.toString("UTF-8")
+        } finally in.close()
+        val root = mapper.readTree(raw)
+        require(root.get("tags") != null, "ledger incomplete")
+        val tags = Seq.newBuilder[String]
+        root.get("tags").forEach(t => tags += t.asText())
+        result = Some(tags.result())
+      } catch {
+        case scala.util.control.NonFatal(e) =>
+          lastErr = e; Thread.sleep(10); waitedMs += 10
+      }
+    }
+    (upto, result.getOrElse(throw new java.io.IOException(
+      s"ManagedTable: retired-tags ledger v$upto of $dir unreadable " +
+        s"after ${waitedMs}ms", lastErr)))
+  }
+
+  /** Retention GC for TABLE HISTORY — the missing half of [[vacuum]]
+    * (which only sweeps segments no manifest references): versions and
+    * their dead segments otherwise accumulate FOREVER, because every
+    * retained manifest protects its files. Keep the newest
+    * `retainVersions` manifests and drop the rest, in an order that is
+    * crash-safe at every step:
+    *
+    *   1. the dropped versions' committer TAGS are folded into the
+    *      retired-tags ledger FIRST ([[retiredTags]]) — streaming
+    *      replay idempotence must survive the manifests' deletion, or
+    *      a replayed old micro-batch would re-commit;
+    *   2. the dropped manifests are deleted (time travel below the
+    *      horizon now fails cleanly with "version not in …"; a stream
+    *      resuming from a below-horizon offset fails fast naming the
+    *      remedy, and a FRESH stream start emits the oldest retained
+    *      version as its initial snapshot — see GraftMicroBatchStream);
+    *   3. data/DV segments referenced ONLY by dropped manifests are
+    *      swept (same orphan rule and `retentionMs` window as
+    *      [[vacuum]] — an in-flight commit's segment is never raced).
+    *
+    * A crash between any two steps leaves a table that is merely
+    * LESS vacuumed than asked: extra ledger tags are harmless
+    * (idempotence is a superset property), undropped manifests keep
+    * protecting their segments, unswept segments fall to the next
+    * vacuum. At 100 TB this is the Delta `logRetentionDuration` +
+    * VACUUM pairing: history cost becomes O(retained), not O(all
+    * commits ever), and reclaiming N old versions costs O(their
+    * private segments), never a table scan.
+    */
+  def vacuumHistory(spark: SparkSession, dir: String,
+      retainVersions: Int,
+      retentionMs: Long = DefaultVacuumRetentionMs): HistoryVacuumStats = {
+    require(retainVersions >= 1,
+      s"ManagedTable.vacuumHistory: retainVersions must be >= 1, " +
+        s"got $retainVersions")
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.vacuumHistory: no versions in $dir")
+    val dropped = vs.dropRight(retainVersions)
+    if (dropped.isEmpty) return HistoryVacuumStats(Nil, Nil, 0L)
+    val f = fs(spark, dir)
+    // 1. ledger first: tags of dropped versions survive the deletion
+    val droppedTags = dropped.map(v => readManifest(spark, dir, v)._1)
+      .filter(_.nonEmpty)
+    val (prevUpto, prevTags) = retiredTags(spark, dir)
+    val newUpto = dropped.max
+    if (newUpto > prevUpto) {
+      val root = new java.util.LinkedHashMap[String, Object]()
+      root.put("upto", Integer.valueOf(newUpto))
+      val list = new java.util.ArrayList[String]()
+      (prevTags ++ droppedTags).distinct.sorted.foreach(list.add)
+      root.put("tags", list)
+      val target = new Path(manifestDir(dir), ledgerName(newUpto))
+      val out = f.create(target, false)
+      try { out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+        out.hsync() }
+      finally out.close()
+    }
+    // 2. drop the manifests; old ledgers only after the new one landed
+    dropped.foreach(v =>
+      f.delete(new Path(manifestDir(dir), s"v$v.json"), false))
+    if (newUpto > prevUpto && prevUpto > 0)
+      f.delete(new Path(manifestDir(dir), ledgerName(prevUpto)), false)
+    tagIndex.remove(dir) // history shape changed; rebuild from survivors
+    // 3. sweep segments no retained manifest references (size first,
+    // for the byte accounting; same orphan + retention rule as vacuum)
+    val dataDir = new Path(dir, "data")
+    val (swept, bytes) =
+      if (!f.exists(dataDir)) (Seq.empty[String], 0L)
+      else {
+        val referenced = versions(spark, dir).flatMap { v =>
+          readManifest(spark, dir, v)._2
+            .map(_.stripPrefix("dv:").split("/")(1))
+        }.toSet
+        val cutoff = System.currentTimeMillis() - retentionMs
+        val orphans = f.listStatus(dataDir).toSeq
+          .filter(st => !referenced(st.getPath.getName) &&
+            st.getModificationTime <= cutoff)
+        val sized = orphans.map { st =>
+          st.getPath.getName ->
+            f.getContentSummary(st.getPath).getLength
+        }
+        orphans.foreach(st => f.delete(st.getPath, true))
+        (sized.map(_._1).sorted, sized.map(_._2).sum)
+      }
+    HistoryVacuumStats(dropped, swept, bytes)
   }
 
   /** Default [[vacuum]] retention: long enough that a writer whose data

@@ -19,7 +19,10 @@ class CdcCutsPropertySpec extends SparkSpec {
     // a SMALL alphabet makes 8-byte windows repeat, exercising the
     // dedup/ordering edges (repeated boundaries, boundary at n)
     val alphabets = Vector("ab", "abc ", "abcdefgh",
-      (' ' to '~').mkString)
+      (' ' to '~').mkString,
+      // non-ASCII: both native kernel and HOF reference live in the
+      // UTF-8 BYTE domain, so multi-byte code points must agree too
+      "aé€ 東ß")
     (1 to n).map { _ =>
       val a = alphabets(rnd.nextInt(alphabets.size))
       val len = rnd.nextInt(200)
@@ -40,7 +43,8 @@ class CdcCutsPropertySpec extends SparkSpec {
   }
 
   test("cut arrays satisfy the structural chunking contract") {
-    val rows = randomBlobs(200).filter(_.length >= 8)
+    val rows = randomBlobs(200)
+      .filter(_.getBytes("UTF-8").length >= 8)
       .toDF("text")
       .select(col("text"),
         NativeExpressions.cdcCuts(col("text"), 8, 64).as("cuts"))
@@ -48,7 +52,10 @@ class CdcCutsPropertySpec extends SparkSpec {
     rows.foreach { r =>
       val text = r.getString(0)
       val cuts = r.getSeq[Long](1)
-      assert(cuts.nonEmpty && cuts.last == text.length,
+      // positions are BYTE offsets: the final cut closes the UTF-8
+      // byte length, not the character count
+      assert(cuts.nonEmpty &&
+          cuts.last == text.getBytes("UTF-8").length,
         "the final cut must close the blob exactly")
       assert(cuts == cuts.sorted && cuts.distinct == cuts,
         "cuts must be strictly ascending")

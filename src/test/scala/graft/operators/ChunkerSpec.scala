@@ -90,4 +90,55 @@ class ChunkerSpec extends SparkSpec {
       .filter(col("orig") =!= col("rebuilt"))
     assert(diff.count() == 0)
   }
+
+  test("cdcChunks is byte-exact on non-ASCII text (cuts, slices and " +
+      "digests all share the UTF-8 byte domain)") {
+    // seeded blobs mixing 1-, 2- and 3-byte code points, so character
+    // index != byte index almost everywhere — the regression the
+    // string-sliced chunker had: boundaries from byte windows, slices
+    // from characters
+    val rnd = new scala.util.Random(4242)
+    val alphabet = "ab €éü東京 ß" // 1B, 2B and 3B UTF-8 units
+    val blobs = (1 to 60).map { i =>
+      (i.toLong, (1 to (8 + rnd.nextInt(160)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }.filter(_._2.getBytes("UTF-8").length >= 8)
+    val df = spark.createDataFrame(blobs).toDF("doc_id", "text")
+    val (win, mod) = (8, 16)
+    val got = Chunker.cdcChunks(df, "doc_id", "text", win, mod)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).view.mapValues(_.map(t => (t._2, t._3)).toSet).toMap
+    // JVM reference: same hash60 windows over raw bytes, chunks as raw
+    // byte slices, md5 over the slice bytes
+    def hash60(bytes: Array[Byte]): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(bytes)
+      java.lang.Long.parseLong(
+        d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val want = blobs.map { case (id, text) =>
+      val b = text.getBytes("UTF-8")
+      val cuts = ((win to b.length).filter { e =>
+        hash60(b.slice(e - win, e)) % mod == 0
+      } :+ b.length).distinct.sorted
+      val md = java.security.MessageDigest.getInstance("MD5")
+      id -> cuts.zip(0L +: cuts.map(_.toLong)).map { case (cut, prev) =>
+        val slice = b.slice(prev.toInt, cut)
+        (cut - prev,
+          md.digest(slice).map("%02x".format(_)).mkString)
+      }.toSet
+    }.toMap
+    assert(got.keySet == want.keySet)
+    want.foreach { case (id, chunks) =>
+      assert(got(id) == chunks, s"doc $id: byte-domain chunk mismatch")
+    }
+    // total coverage in BYTES: chunk lengths sum to octet_length
+    val cov = Chunker.cdcChunks(df, "doc_id", "text", win, mod)
+      .groupBy("doc_id").agg(sum("len").as("bytes"))
+      .join(df.select(col("doc_id"),
+        octet_length(col("text").cast("binary")).cast("long").as("n")),
+        "doc_id")
+      .filter(col("bytes") =!= col("n"))
+    assert(cov.count() == 0, "chunk lengths must cover every byte")
+  }
 }

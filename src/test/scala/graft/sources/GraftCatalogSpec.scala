@@ -97,7 +97,9 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](
       sql("CREATE TABLE gcat.g.p (k BIGINT) PARTITIONED BY (k)"))
     sql("CREATE TABLE gcat.g.t (k BIGINT)")
-    intercept[Exception](sql("ALTER TABLE gcat.g.t ADD COLUMN s STRING"))
+    // ALTER: only ADD COLUMNS is supported (covered in its own test);
+    // destructive shapes refuse
+    intercept[Exception](sql("ALTER TABLE gcat.g.t DROP COLUMN k"))
     intercept[Exception](sql("CREATE TABLE gcat.g.t (k BIGINT)"))
     // non-cascade drop of a non-empty namespace refuses
     intercept[Exception](sql("DROP NAMESPACE gcat.g"))
@@ -177,6 +179,89 @@ class GraftCatalogSpec extends SparkSpec {
     assert(seen.sorted == (0L until 30L),
       "three appended versions must drain as version-offset batches")
     sql("DROP TABLE gcat.st.t"); sql("DROP NAMESPACE gcat.st")
+  }
+
+  test("ALTER TABLE ADD COLUMNS evolves the schema as one " +
+      "metadata-only commit; old segments null-fill") {
+    sql("CREATE NAMESPACE gcat.ev")
+    sql("CREATE TABLE gcat.ev.t (k BIGINT, s STRING)")
+    sql("INSERT INTO gcat.ev.t VALUES (1, 'a'), (2, 'b')")
+    val dir = s"$warehouse/ev/t"
+    val filesBefore = ManagedTable.read(spark, dir).inputFiles.toSet
+    sql("ALTER TABLE gcat.ev.t ADD COLUMNS (w BIGINT, note STRING)")
+    // metadata-only: same data files, one new version, widened schema
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2, 3))
+    assert(ManagedTable.read(spark, dir).inputFiles.toSet == filesBefore,
+      "evolution must not touch a single data byte")
+    // pre-evolution rows read back null-filled — by SQL name
+    assert(sortedRows(sql("SELECT k, s, w, note FROM gcat.ev.t")) ==
+      Seq(Row(1L, "a", null, null), Row(2L, "b", null, null)))
+    // post-evolution INSERT provides the full schema
+    sql("INSERT INTO gcat.ev.t VALUES (3, 'c', 30, 'n3')")
+    assert(sortedRows(sql(
+      "SELECT k, w FROM gcat.ev.t WHERE w IS NOT NULL")) ==
+      Seq(Row(3L, 30L)))
+    assert(sql("SELECT count(*) AS n FROM gcat.ev.t")
+      .head().getLong(0) == 3L)
+    // time travel below the evolution sees the NARROW schema
+    assert(sql("SELECT * FROM gcat.ev.t VERSION AS OF 2")
+      .schema.fieldNames.toSeq == Seq("k", "s"))
+    // guarded shapes: duplicate column, drop, rename, retype
+    intercept[Exception] {
+      sql("ALTER TABLE gcat.ev.t ADD COLUMNS (k BIGINT)") }
+    intercept[Exception] {
+      sql("ALTER TABLE gcat.ev.t DROP COLUMN s") }
+    intercept[Exception] {
+      sql("ALTER TABLE gcat.ev.t RENAME COLUMN s TO s2") }
+    intercept[Exception] {
+      sql("ALTER TABLE gcat.ev.t ALTER COLUMN w TYPE STRING") }
+    // nothing above may have landed a version
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2, 3, 4))
+    sql("DROP TABLE gcat.ev.t"); sql("DROP NAMESPACE gcat.ev")
+  }
+
+  test("writeStream.toTable lands tagged exactly-once epochs by " +
+      "catalog name; resume re-emits nothing") {
+    import org.apache.spark.sql.streaming.Trigger
+    sql("CREATE NAMESPACE gcat.stw")
+    val srcDir = s"$warehouse/stw/src"
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        spark.range(i * 10, (i + 1) * 10).select(col("id").as("k"))
+          .coalesce(1), srcDir)
+    }
+    sql("CREATE TABLE gcat.stw.tgt (k BIGINT)")
+    val ckpt = Files.createTempDirectory("graft-cat-stw").toString
+    def run(): Unit = {
+      val q = spark.readStream.option("maxVersionsPerTrigger", 1)
+        .table("gcat.stw.src")
+        .writeStream.option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .toTable("gcat.stw.tgt")
+      q.awaitTermination()
+    }
+    run()
+    assert(sql("SELECT k FROM gcat.stw.tgt").collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 30L))
+    val tgtDir = s"$warehouse/stw/tgt"
+    val afterFirst = ManagedTable.versions(spark, tgtDir).size
+    // idle re-run: the checkpoint says everything is consumed —
+    // nothing lands, no empty versions pile up
+    run()
+    assert(ManagedTable.versions(spark, tgtDir).size == afterFirst,
+      "an idle resume must commit nothing")
+    // new source data: exactly the delta arrives, once
+    ManagedTable.appendCommit(
+      spark.range(30, 40).select(col("id").as("k")).coalesce(1), srcDir)
+    run()
+    assert(sql("SELECT k FROM gcat.stw.tgt").collect()
+      .map(_.getLong(0)).sorted.toSeq == (0L until 40L))
+    // epochs committed under their b<epochId> idempotence tags — the
+    // same two-ledger discipline as the path-based streaming sink
+    val tags = ManagedTable.tags(spark, tgtDir).map(_._2)
+    assert(tags.count(_.startsWith("b")) >= 2, s"tags: $tags")
+    sql("DROP TABLE gcat.stw.tgt"); sql("DROP TABLE gcat.stw.src")
+    sql("DROP NAMESPACE gcat.stw")
   }
 
   test("a catalog table is the SAME table the path API maintains: merge then SQL read") {

@@ -367,4 +367,95 @@ class GraftDataSourceSpec extends SparkSpec {
     val desc = probe.queryExecution.executedPlan.toString
     assert(desc.contains("files=1/3"), s"expected files=1/3 in:\n$desc")
   }
+
+  test("DV-free scans decode COLUMNAR (vectorized) and match the " +
+      "row path bit for bit; DV versions fall back to row decode") {
+    val dir = tmp("columnar")
+    ManagedTable.commit(mixed(513, "a"), dir)
+    val t = spark.read.format("graft").load(dir)
+    val q = t.select("k", "s", "d", "i", "flag", "maybe", "emb", "bin")
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("ColumnarToRow"),
+      s"expected the vectorized (columnar) scan path:\n$plan")
+    assert(sortedRows(q) == sortedRows(ManagedTable.read(spark, dir)
+      .select("k", "s", "d", "i", "flag", "maybe", "emb", "bin")))
+    // _file rides the columnar batch as a constant vector
+    val withFile = t.select(col("k"), col("_file")).collect()
+    assert(withFile.forall(_.getString(1).startsWith(dir)))
+    // a DV version must drop to the row reader AND stay correct
+    ManagedTable.deleteWhere(spark, dir, col("k") === 7L)
+    val dv = spark.read.format("graft").load(dir).select("k", "s")
+    dv.collect()
+    val meta = GraftTableMeta.resolve(dir, None)
+    val factory = new GraftScanBuilder(meta).build()
+      .asInstanceOf[GraftScan].createReaderFactory()
+    assert(!factory.supportColumnarReads(GraftInputPartition("x",
+      Array.empty)), "DV versions must use the row reader")
+    assert(dv.count() == 512)
+    assert(!dv.collect().exists(_.getLong(0) == 7L))
+  }
+
+  test("columnar decode null-fills evolved columns per segment, " +
+      "same as the row path") {
+    val dir = tmp("colevolve")
+    ManagedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    // widen via merge's evolution seam: new columns w, tags
+    ManagedTable.merge(
+      Seq((3L, "c", 30L, Seq(1.5f, 2.5f), 1L))
+        .toDF("k", "s", "w", "emb", "seq")
+        .withColumn("emb", col("emb").cast("array<float>")),
+      dir, keys = Seq("k"), sequenceBy = Seq(col("seq")))
+    val q = spark.read.format("graft").load(dir)
+      .select("k", "s", "w", "emb")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    val rows = sortedRows(q)
+    assert(rows == sortedRows(ManagedTable.read(spark, dir)
+      .select("k", "s", "w", "emb")))
+    // pre-evolution rows: nulls in w/emb; post: typed values
+    assert(rows.count(r => r.isNullAt(2) && r.isNullAt(3)) == 2)
+    assert(rows.exists(r => !r.isNullAt(2) && r.getLong(2) == 30L))
+    // a projection of ONLY evolved columns over the old segment
+    // (zero file columns in that partition) stays correct
+    assert(spark.read.format("graft").load(dir)
+      .select("w").collect().count(_.isNullAt(0)) >= 2)
+  }
+
+  test("a versionAsOf-pinned handle refuses writes (they would target " +
+      "a different snapshot than the one resolved)") {
+    val dir = tmp("pinwrite")
+    ManagedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir)
+    ManagedTable.appendCommit(Seq((2L, "b")).toDF("k", "s"), dir)
+    val e = intercept[Exception] {
+      Seq((3L, "c")).toDF("k", "s").write.format("graft")
+        .option("versionAsOf", 1).mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("pinned"),
+      s"expected the pinned-write refusal, got: ${e.getMessage}")
+    // reads through the pinned handle still work; head is untouched
+    assert(spark.read.format("graft").option("versionAsOf", 1)
+      .load(dir).count() == 1L)
+    assert(ManagedTable.versions(spark, dir) == Seq(1, 2))
+  }
+
+  test("a mismatched caller read schema errors instead of being " +
+      "silently replaced by the manifest schema") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("callerschema")
+    ManagedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir)
+    val e = intercept[IllegalArgumentException] {
+      spark.read.schema(StructType(Seq(StructField("k", IntegerType))))
+        .format("graft").load(dir).collect()
+    }
+    assert(e.getMessage.contains("schema authority"),
+      s"expected the schema-mismatch error, got: ${e.getMessage}")
+    // a MATCHING caller schema (order/nullability-normalized) is fine
+    val ok = spark.read.schema(StructType(Seq(
+        StructField("s", StringType, nullable = true),
+        StructField("k", LongType, nullable = true))))
+      .format("graft").load(dir)
+    assert(ok.count() == 1L)
+  }
 }

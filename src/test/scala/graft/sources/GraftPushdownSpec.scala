@@ -246,6 +246,52 @@ class GraftPushdownSpec extends SparkSpec {
     assert(s4.planInputPartitions().length == 1)
   }
 
+  test("planning-time IN and OR filters prune files like the " +
+      "equality probes they union") {
+    val dir = tmp("inor")
+    threeSegments(dir) // disjoint k ranges [0,99] [100,199] [200,299]
+    val t = spark.read.format("graft").load(dir)
+
+    // selective IN: both values live in the middle segment
+    val in = t.filter(col("k").isin(150L, 199L))
+    assert(in.collect().map(_.getLong(0)).sorted.toSeq == Seq(150L, 199L))
+    val inPlan = planString(in)
+    assert(inPlan.contains("files=1/3"),
+      s"IN probe must prune to the one matching file:\n$inPlan")
+
+    // IN spanning two segments keeps exactly those two
+    val span = t.filter(col("k").isin(10L, 250L))
+    assert(span.count() == 2)
+    assert(planString(span).contains("files=2/3"))
+
+    // IN with no containable value prunes everything
+    val none = t.filter(col("k").isin(1000L, 2000L))
+    assert(none.count() == 0)
+    assert(planString(none).contains("files=0/3"))
+
+    // OR of two ranges keeps the union of their files
+    val or = t.filter(col("k") < 50 || col("k") > 250)
+    assert(or.count() == 50 + 49)
+    assert(planString(or).contains("files=2/3"))
+
+    // OR where one side is unsupported keeps everything (it can
+    // never exclude), but stays correct
+    val mixed = t.filter(col("k") < 50 || col("k") % 97 === 3)
+    assert(mixed.count() ==
+      (0L until 300L).count(k => k < 50 || k % 97 == 3))
+    assert(planString(mixed).contains("files=3/3"))
+
+    // AND composes with IN: intersection of the prunable sides
+    val and = t.filter(col("k").isin(10L, 250L) && col("k") >= 200)
+    assert(and.collect().map(_.getLong(0)).toSeq == Seq(250L))
+    assert(planString(and).contains("files=1/3"))
+
+    // string IN uses UTF8 order against string stats
+    val sIn = t.filter(col("s").isin("s0150", "s0199"))
+    assert(sIn.count() == 2)
+    assert(planString(sIn).contains("files=1/3"))
+  }
+
   test("a selective dim join injects runtime filters and drops fact files") {
     val dir = tmp("dpp")
     threeSegments(dir)

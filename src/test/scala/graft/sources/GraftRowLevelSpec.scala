@@ -111,6 +111,51 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(ManagedTable.read(spark, dir).count() == 398L)
   }
 
+  test("a concurrent DV-only delete between scan and commit fails " +
+      "the COW swap (deleted rows never resurrect)") {
+    val dir = fourSegments("dvrace")
+    import org.apache.spark.sql.connector.write.{LogicalWriteInfo,
+      RowLevelOperation}
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val op = new GraftRowLevelOperation(dir,
+      RowLevelOperation.Command.UPDATE)
+    // the operation resolves its snapshot and builds its scan...
+    op.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+    // ...then a concurrent deleteWhere lands: DV-ONLY — the data-file
+    // list is unchanged, so the old subset-only check passed and the
+    // COW swap silently dropped the tombstones (advisor finding)
+    ManagedTable.deleteWhere(spark, dir, col("k") === 5L)
+    val tblSchema = ManagedTable.read(spark, dir).schema
+    val info = new LogicalWriteInfo {
+      override def queryId(): String = "dvrace"
+      override def schema(): org.apache.spark.sql.types.StructType =
+        tblSchema
+      override def options(): CaseInsensitiveStringMap =
+        CaseInsensitiveStringMap.empty()
+    }
+    val write = op.newWriteBuilder(info).build().toBatch
+    val e = intercept[IllegalArgumentException] {
+      write.commit(Array.empty)
+    }
+    assert(e.getMessage.contains("tombstones"),
+      s"expected a DV-conflict refusal, got: ${e.getMessage}")
+    // the concurrent delete survives, untouched
+    assert(ManagedTable.read(spark, dir)
+      .filter(col("k") === 5L).count() == 0L)
+    assert(ManagedTable.read(spark, dir).count() == 399L)
+  }
+
+  test("a serial UPDATE after a delete still works (DV check only " +
+      "fires on a genuine race)") {
+    val dir = fourSegments("dvser")
+    ManagedTable.deleteWhere(spark, dir, col("k") === 5L)
+    sql("UPDATE gcow.ns.dvser SET v = -1 WHERE k < 10")
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.dvser WHERE v = -1")
+      .head().getLong(0) == 9L)
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.dvser")
+      .head().getLong(0) == 399L)
+  }
+
   test("the _file metadata column is queryable and file-accurate") {
     val dir = fourSegments("meta")
     val byFile = spark.read.format("graft").load(dir)
