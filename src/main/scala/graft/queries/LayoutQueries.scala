@@ -1719,6 +1719,73 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 600
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q216: MAINTENANCE BY `CALL` — the scheduled-operations surface
+    * ([[graft.sources.GraftProcedures]], Spark's DSv2 procedure SPI)
+    * driving a full table lifecycle with pure SQL: inserts build
+    * history, `CALL …history` reads the manifest log as rows,
+    * `CALL …restore` undoes a bad write metadata-only,
+    * `CALL …compact` bins the small segments, and
+    * `CALL …vacuum_history` retires below-horizon versions and
+    * reclaims their bytes — the four operations a 100 TB table's cron
+    * job runs nightly, none needing a line of Scala. Invariants in
+    * the hashed row: history row count tracks the version chain, the
+    * restore undoes exactly the bad insert, vacuum drops the right
+    * version count with bytes > 0, and the final state is bit-exact
+    * vs the oracle's recomputation.
+    */
+  val q216SqlMaintenance = NamedQuery(
+    "q216_sql_maintenance",
+    "CALL graft.system.{history,restore,compact,vacuum_history}: the " +
+      "nightly maintenance lifecycle by pure SQL; final state + " +
+      "version/byte invariants vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("mntwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq216_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q216_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT * FROM q216_docs WHERE doc_id < 250")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT * FROM q216_docs WHERE doc_id >= 250")
+      // a BAD write lands (doubled slice) … and restore undoes it
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT * FROM q216_docs WHERE doc_id < 100")
+      val restoredTo = s.sql(
+        s"CALL $cat.system.restore(`table` => 'corpus.docs', " +
+          "version => 3)").head().getInt(0)
+      val histRows = s.sql(
+        s"CALL $cat.system.history(`table` => 'corpus.docs')").count()
+      val compactV = s.sql(
+        s"CALL $cat.system.compact(`table` => 'corpus.docs')")
+        .head().getInt(0)
+      val vac = s.sql(
+        s"CALL $cat.system.vacuum_history('corpus.docs', 2, 0)").head()
+      val M = graft.sources.ManagedTable
+      val lifecycleOk = restoredTo == 5 && histRows == 5 &&
+        compactV == 6 && vac.getInt(0) == 4 && vac.getLong(2) > 0 &&
+        M.versions(s, s"$wh/corpus/docs") == Seq(5, 6)
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("lifecycle_ok", lit(lifecycleOk))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS lifecycle_ok
+           |FROM documents WHERE doc_id < 500
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -1729,5 +1796,5 @@ object LayoutQueries {
       q206MetadataAgg, q207LimitCount, q208TopnPushdown,
       q209SqlDelete, q210SqlReplaceWhere, q211SqlUpdate,
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
-      q215StreamToTable)
+      q215StreamToTable, q216SqlMaintenance)
 }

@@ -55,6 +55,10 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   *   - `INSERT INTO` appends; `INSERT OVERWRITE` truncates (the
   *     [[GraftWriteBuilder]] write path with its schema gate).
   *   - `DROP TABLE` / `DROP NAMESPACE [CASCADE]` delete directories.
+  *   - `CALL <catalog>.system.compact|vacuum|vacuum_history|restore|
+  *     history(…)` runs table MAINTENANCE by name
+  *     ([[GraftProcedures]]) — the scheduled-operations surface a
+  *     pure-SQL operator needs.
   *   - `ALTER TABLE … ADD COLUMNS` widens the schema as ONE
   *     metadata-only manifest commit ([[ManagedTable.evolveSchema]] —
   *     the same evolution [[ManagedTable.merge]] records implicitly);
@@ -66,7 +70,8 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * CATALOG/SCHEMA/TABLE over managed storage), re-expressed as a
   * Spark-native catalog plugin.
   */
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var warehouse: String = _
@@ -242,6 +247,34 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     require(fs(new HPath(from)).rename(new HPath(from), new HPath(to)),
       s"graft: rename $from -> $to failed")
   }
+
+  // ---- procedures (SQL CALL — maintenance by name) ---------------
+
+  /** `'ns.sub.table'` (a procedure's table argument) → directory,
+    * through the same pure mapping every table identifier uses.
+    */
+  private[sources] def resolveTableDir(qualified: String): String = {
+    val parts = qualified.split("\\.")
+    require(parts.nonEmpty && parts.forall(_.nonEmpty),
+      s"graft: procedure table argument '$qualified' must be " +
+        "'ns….table' relative to this catalog")
+    val dir = tableDir(Identifier.of(parts.dropRight(1), parts.last))
+    if (!isTable(dir))
+      throw new NoSuchTableException(
+        Identifier.of(parts.dropRight(1), parts.last))
+    dir
+  }
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure =
+    GraftProcedures.load(this, ident)
+
+  override def listProcedures(namespace: Array[String])
+      : Array[Identifier] =
+    if (namespace.sameElements(GraftProcedures.Namespace))
+      GraftProcedures.Names
+        .map(n => Identifier.of(GraftProcedures.Namespace, n)).toArray
+    else Array.empty
 
   // ---- namespaces -------------------------------------------------
 

@@ -264,6 +264,56 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP NAMESPACE gcat.stw")
   }
 
+  test("CALL maintenance procedures: history, restore, compact, " +
+      "vacuum_history — table lifecycle by pure SQL") {
+    sql("CREATE NAMESPACE gcat.mt")
+    sql("CREATE TABLE gcat.mt.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gcat.mt.t SELECT id, id * 2 FROM range(100)")
+    sql("INSERT INTO gcat.mt.t SELECT id, id * 2 FROM range(100, 200)")
+    val dir = s"$warehouse/mt/t"
+
+    // history: one row per version, straight off the manifest log
+    val hist = sql("CALL gcat.system.history(`table` => 'mt.t')")
+    assert(hist.select("version").collect().map(_.getInt(0)).sorted
+      .toSeq == Seq(1, 2, 3))
+    assert(hist.schema.fieldNames.contains("n_data_files"))
+
+    // restore: metadata-only re-publish of v2's state as v4
+    assert(sql("CALL gcat.system.restore(`table` => 'mt.t', " +
+      "version => 2)").head().getInt(0) == 4)
+    assert(sql("SELECT count(*) AS n FROM gcat.mt.t")
+      .head().getLong(0) == 100L)
+    sql("INSERT INTO gcat.mt.t SELECT id, id * 2 FROM range(100, 200)")
+
+    // compact: bins the small insert segments into one
+    val v = sql("CALL gcat.system.compact(`table` => 'mt.t')")
+      .head().getInt(0)
+    assert(v == 6)
+    assert(sql("SELECT count(*) AS n FROM gcat.mt.t")
+      .head().getLong(0) == 200L)
+
+    // vacuum_history: keep 2, sweep the stranded segments (positional
+    // argument syntax also works)
+    val st = sql(
+      "CALL gcat.system.vacuum_history('mt.t', 2, 0)").head()
+    assert(st.getInt(0) == 4, "dropped versions") // v1..v4 dropped
+    assert(st.getInt(1) >= 1, "swept segments")
+    assert(st.getLong(2) > 0L, "reclaimed bytes")
+    assert(ManagedTable.versions(spark, dir) == Seq(5, 6))
+    assert(sql("SELECT count(*) AS n FROM gcat.mt.t")
+      .head().getLong(0) == 200L)
+
+    // plain vacuum is callable too (nothing left to sweep)
+    assert(sql("CALL gcat.system.vacuum(`table` => 'mt.t', " +
+      "retention_ms => 0)").head().getInt(0) == 0)
+
+    // guard rails: unknown procedure, missing table
+    intercept[Exception](sql("CALL gcat.system.nope('mt.t')"))
+    intercept[Exception](
+      sql("CALL gcat.system.compact(`table` => 'mt.gone')").collect())
+    sql("DROP TABLE gcat.mt.t"); sql("DROP NAMESPACE gcat.mt")
+  }
+
   test("a catalog table is the SAME table the path API maintains: merge then SQL read") {
     sql("CREATE NAMESPACE gcat.mx")
     sql("CREATE TABLE gcat.mx.kv (k BIGINT, s STRING, seq BIGINT, op STRING)")
