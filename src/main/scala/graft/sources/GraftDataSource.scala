@@ -1159,8 +1159,12 @@ private[sources] class GraftMicroBatchStream(dir: String,
     files.filterNot(prev.contains).map(rel => s"$dir/$rel")
   }
 
+  // stream batches are APPENDED files by construction — never DV'd —
+  // so every micro-batch decodes through the vectorized columnar path
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(requiredJson)
+    new GraftReaderFactory(requiredJson,
+      columnar = DataType.fromJson(requiredJson)
+        .asInstanceOf[StructType].nonEmpty)
 }
 
 /** NOT a case class: the connector Offset base compares BY JSON,

@@ -81,11 +81,19 @@ private[sources] object GraftProcedures {
     case "compact" => Spec(
       Seq(in("table", StringType),
         inDefault("small_file_bytes", LongType,
-          (32L * 1024 * 1024).toString)),
+          (32L * 1024 * 1024).toString),
+        // comma-separated cluster columns = OPTIMIZE ZORDER BY: packed
+        // segments carry disjoint key ranges so stats pruning works
+        // across them (empty = arrival-order packing)
+        inDefault("cluster_by", StringType, "''")),
       StructType(Seq(StructField("version", IntegerType, nullable = false))),
       (cat, args) => {
+        val cluster = Option(args.getUTF8String(2)).map(_.toString)
+          .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
+          .toSeq.map(org.apache.spark.sql.functions.col)
         val v = ManagedTable.compact(spark, cat.resolveTableDir(
-          args.getUTF8String(0).toString), args.getLong(1))
+          args.getUTF8String(0).toString), args.getLong(1),
+          clusterBy = cluster)
         Seq(row(v))
       })
     case "vacuum" => Spec(

@@ -307,6 +307,14 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("CALL gcat.system.vacuum(`table` => 'mt.t', " +
       "retention_ms => 0)").head().getInt(0) == 0)
 
+    // clustered compaction (OPTIMIZE ZORDER BY) through CALL: new
+    // small segments land, then pack ordered by k
+    sql("INSERT INTO gcat.mt.t SELECT id, id * 2 FROM range(200, 300)")
+    assert(sql("CALL gcat.system.compact(`table` => 'mt.t', " +
+      "cluster_by => 'k')").head().getInt(0) == 8)
+    assert(sql("SELECT count(*) AS n FROM gcat.mt.t")
+      .head().getLong(0) == 300L)
+
     // guard rails: unknown procedure, missing table
     intercept[Exception](sql("CALL gcat.system.nope('mt.t')"))
     intercept[Exception](
