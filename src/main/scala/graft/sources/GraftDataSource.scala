@@ -227,7 +227,8 @@ private[sources] class GraftTable(meta: GraftTableMeta,
     }
     new GraftScanBuilder(meta,
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
-      options.getBoolean("ignoreChanges", false))
+      options.getBoolean("ignoreChanges", false),
+      Option(options.get("startingVersion")))
   }
 
   /** SQL `DELETE FROM` ([[org.apache.spark.sql.connector.catalog
@@ -349,7 +350,8 @@ private[sources] object GraftTable {
 
 private[graft] class GraftScanBuilder(meta: GraftTableMeta,
     maxVersionsPerTrigger: Option[Int] = None,
-    ignoreChanges: Boolean = false)
+    ignoreChanges: Boolean = false,
+    startingVersion: Option[String] = None)
     extends ScanBuilder with SupportsPushDownFilters
     with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates
@@ -572,7 +574,8 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
         f -> (p._1.toLong - dv.getOrElse(f, Array.empty[Long]).length))
     }.toMap
     new GraftScan(meta, required, kept, all.size, dv,
-      maxVersionsPerTrigger, ignoreChanges, limit, liveRows, topN)
+      maxVersionsPerTrigger, ignoreChanges, limit, liveRows, topN,
+      startingVersion)
   }
 }
 
@@ -716,7 +719,8 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     ignoreChanges: Boolean = false,
     limit: Option[Int] = None,
     liveRows: Map[String, Long] = Map.empty,
-    topN: Option[GraftTopN] = None)
+    topN: Option[GraftTopN] = None,
+    startingVersion: Option[String] = None)
     extends Scan with Batch
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
     with SupportsRuntimeV2Filtering {
@@ -958,7 +962,7 @@ private[graft] class GraftScan(meta: GraftTableMeta,
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new GraftMicroBatchStream(meta.dir, required.json,
-      maxVersionsPerTrigger, ignoreChanges)
+      maxVersionsPerTrigger, ignoreChanges, startingVersion)
 }
 
 /** One pushed `ORDER BY column [ASC|DESC] [NULLS FIRST|LAST] LIMIT n`. */
@@ -1057,7 +1061,7 @@ private[sources] final case class GraftInputPartition(absPath: String,
   */
 private[sources] class GraftMicroBatchStream(dir: String,
     requiredJson: String, maxVersionsPerTrigger: Option[Int],
-    ignoreChanges: Boolean)
+    ignoreChanges: Boolean, startingVersion: Option[String] = None)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset => SOffset,
@@ -1085,11 +1089,34 @@ private[sources] class GraftMicroBatchStream(dir: String,
     * what keeps fresh streams startable at all — version 1's manifest
     * is gone, but the oldest retained manifest IS the cumulative
     * snapshot of everything before it.
+    *
+    * `.option("startingVersion", n | "latest")` overrides the initial
+    * snapshot (Delta's option of the same name): `n` consumes the
+    * COMMITS from version n onward as deltas (n's predecessor manifest
+    * must be retained, or the start fails fast like any vacuumed
+    * offset; n = the oldest retained version streams it as a
+    * snapshot); `"latest"` tails only commits made after the stream
+    * starts.
     */
   override def initialOffset(): SOffset = {
-    val head = ManagedTable.versions(spark, dir).headOption.getOrElse(1)
-    GraftStreamOffset(math.max(0, head - 1),
-      initialSnapshot = head > 1)
+    val vs = ManagedTable.versions(spark, dir)
+    val head = vs.headOption.getOrElse(1)
+    startingVersion match {
+      case Some(s) if s.equalsIgnoreCase("latest") =>
+        GraftStreamOffset(liveHead)
+      case Some(s) =>
+        val n = s.toIntOption.getOrElse(throw new IllegalArgumentException(
+          s"graft streaming: startingVersion wants an integer or " +
+            s"'latest', got '$s'"))
+        require(n >= 1,
+          s"graft streaming: startingVersion must be >= 1, got $n")
+        // n == oldest retained: its predecessor can never exist —
+        // stream it as the snapshot base, same as a fresh start
+        GraftStreamOffset(n - 1, initialSnapshot = n == head && n > 1)
+      case None =>
+        GraftStreamOffset(math.max(0, head - 1),
+          initialSnapshot = head > 1)
+    }
   }
   override def deserializeOffset(json: String): SOffset = {
     val t = json.trim

@@ -368,6 +368,55 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(desc.contains("files=1/3"), s"expected files=1/3 in:\n$desc")
   }
 
+  test("streaming startingVersion: a number consumes commits from " +
+      "that version on; 'latest' tails only new commits") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("startver")
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        spark.range(i * 10, (i + 1) * 10).select(col("id").as("k"))
+          .coalesce(1), dir)
+    }
+    def drain(opts: Map[String, String], ckpt: String): Seq[Long] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val r = opts.foldLeft(spark.readStream.format("graft")) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      val q = r.load(dir).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.select("k").collect().map(_.getLong(0)) }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      seen.sorted.toSeq
+    }
+    // from version 2 on: versions 2 and 3's adds only
+    assert(drain(Map("startingVersion" -> "2"),
+      Files.createTempDirectory("sv2").toString) == (10L until 30L))
+    // 'latest': nothing now; only commits made after the start
+    val ckptL = Files.createTempDirectory("svL").toString
+    assert(drain(Map("startingVersion" -> "latest"), ckptL).isEmpty)
+    ManagedTable.appendCommit(
+      spark.range(30, 40).select(col("id").as("k")).coalesce(1), dir)
+    assert(drain(Map("startingVersion" -> "latest"), ckptL) ==
+      (30L until 40L), "the same checkpoint tails the new commit")
+    // startingVersion = oldest retained after a vacuum = snapshot base
+    ManagedTable.vacuumHistory(spark, dir, retainVersions = 2,
+      retentionMs = 0) // keep v3, v4
+    assert(drain(Map("startingVersion" -> "3"),
+      Files.createTempDirectory("sv3").toString) == (0L until 40L),
+      "oldest retained version streams as a full snapshot")
+    // a startingVersion below the horizon fails fast
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(Map("startingVersion" -> "2"),
+        Files.createTempDirectory("sv2b").toString)
+    }
+    assert(e.getMessage.contains("vacuumHistory") ||
+      e.getCause.getMessage.contains("vacuumHistory"))
+  }
+
   test("DV-free scans decode COLUMNAR (vectorized) and match the " +
       "row path bit for bit; DV versions fall back to row decode") {
     val dir = tmp("columnar")
