@@ -57,7 +57,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *     keyed by relative file path, and each reader skips its file's
   *     tombstoned row positions while decoding — same semantics as
   *     every [[ManagedTable]] read path.
-  *   - **Time travel**: `.option("versionAsOf", n)`.
+  *   - **Time travel**: `.option("versionAsOf", n)` or
+  *     `.option("timestampAsOf", epochMillis | "yyyy-MM-dd HH:mm:ss")`
+  *     (newest version whose manifest landed at or before the
+  *     instant — the same rule as [[ManagedTable.readAsOf]] and the
+  *     catalog's `TIMESTAMP AS OF`).
   *   - **Schema evolution**: files are decoded against the MANIFEST
   *     schema; columns a pre-evolution segment lacks are null-filled
   *     per file (never footer-inferred), matching
@@ -99,15 +103,45 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GraftTableMeta.resolve(pathOf(options.asCaseSensitiveMap()),
-      Option(options.get("versionAsOf")).map(_.toInt)).schema
+  /** `versionAsOf` / `timestampAsOf` (epoch millis or any
+    * `java.sql.Timestamp`-parseable string) → the pinned version, or
+    * None for the head. Timestamp resolution matches
+    * [[ManagedTable.readAsOf]]: newest version whose manifest landed
+    * at or before the instant.
+    */
+  private def pinnedVersion(m: CaseInsensitiveStringMap,
+      dir: String): Option[Int] = {
+    val v = Option(m.get("versionAsOf")).map(_.toInt)
+    val ts = Option(m.get("timestampAsOf"))
+    require(v.isEmpty || ts.isEmpty,
+      "graft: versionAsOf and timestampAsOf are mutually exclusive")
+    v.orElse(ts.map { s =>
+      val tsMs = s.trim.toLongOption.getOrElse(
+        java.sql.Timestamp.valueOf(s.trim).getTime)
+      val spark = SparkSession.active
+      val conf = spark.sparkContext.hadoopConfiguration
+      val md = new HPath(dir, "_manifest")
+      val eligible = ManagedTable.versions(spark, dir).filter { n =>
+        md.getFileSystem(conf)
+          .getFileStatus(new HPath(md, s"v$n.json"))
+          .getModificationTime <= tsMs
+      }
+      require(eligible.nonEmpty,
+        s"graft: no version of $dir committed at or before $s")
+      eligible.max
+    })
+  }
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
+    val dir = pathOf(options.asCaseSensitiveMap())
+    GraftTableMeta.resolve(dir, pinnedVersion(options, dir)).schema
+  }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table = {
     val m = new CaseInsensitiveStringMap(properties)
     val dir = pathOf(properties)
-    val versionAsOf = Option(m.get("versionAsOf")).map(_.toInt)
+    val versionAsOf = pinnedVersion(m, dir)
     // an uncommitted dir with a caller-provided schema is a table
     // about to be CREATED by a write (or an empty read of that
     // schema); an existing table always resolves from its manifest —

@@ -368,6 +368,37 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(desc.contains("files=1/3"), s"expected files=1/3 in:\n$desc")
   }
 
+  test("timestampAsOf pins the newest version at or before the " +
+      "instant, and refuses writes like any pinned handle") {
+    val dir = tmp("tsasof")
+    ManagedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir)
+    Thread.sleep(1100) // manifest mtime resolution can be 1 s
+    val cut = System.currentTimeMillis()
+    ManagedTable.appendCommit(Seq((2L, "b")).toDF("k", "s"), dir)
+    val pinned = spark.read.format("graft")
+      .option("timestampAsOf", cut.toString).load(dir)
+    assert(pinned.count() == 1L)
+    assert(spark.read.format("graft").load(dir).count() == 2L)
+    // both option spellings: epoch millis and a timestamp string
+    val iso = new java.sql.Timestamp(cut).toString
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", iso).load(dir).count() == 1L)
+    // pinned handles refuse writes; the two options are exclusive
+    intercept[Exception] {
+      Seq((3L, "c")).toDF("k", "s").write.format("graft")
+        .option("timestampAsOf", cut.toString).mode("append").save(dir)
+    }
+    intercept[Exception] {
+      spark.read.format("graft").option("timestampAsOf", cut.toString)
+        .option("versionAsOf", 1).load(dir).collect()
+    }
+    // before the first commit: clean refusal
+    intercept[Exception] {
+      spark.read.format("graft").option("timestampAsOf", "1000")
+        .load(dir).collect()
+    }
+  }
+
   test("streaming startingVersion: a number consumes commits from " +
       "that version on; 'latest' tails only new commits") {
     import org.apache.spark.sql.streaming.Trigger
