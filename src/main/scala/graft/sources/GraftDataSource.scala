@@ -103,11 +103,14 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     p
   }
 
-  /** `versionAsOf` / `timestampAsOf` (epoch millis or any
-    * `java.sql.Timestamp`-parseable string) → the pinned version, or
-    * None for the head. Timestamp resolution matches
-    * [[ManagedTable.readAsOf]]: newest version whose manifest landed
-    * at or before the instant.
+  /** `versionAsOf` / `timestampAsOf` (epoch millis or a timestamp
+    * string) → the pinned version, or None for the head. Timestamp
+    * STRINGS are interpreted in the SESSION time zone
+    * (`spark.sql.session.timeZone`), exactly like a `TIMESTAMP AS OF`
+    * literal through [[GraftCatalog]] — never the JVM default zone,
+    * so the same string pins the same version on every driver.
+    * Resolution matches [[ManagedTable.readAsOf]]: newest version
+    * whose manifest landed at or before the instant.
     */
   private def pinnedVersion(m: CaseInsensitiveStringMap,
       dir: String): Option[Int] = {
@@ -116,9 +119,17 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
     require(v.isEmpty || ts.isEmpty,
       "graft: versionAsOf and timestampAsOf are mutually exclusive")
     v.orElse(ts.map { s =>
-      val tsMs = s.trim.toLongOption.getOrElse(
-        java.sql.Timestamp.valueOf(s.trim).getTime)
       val spark = SparkSession.active
+      val tsMs = s.trim.toLongOption.getOrElse {
+        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+        val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+          .stringToTimestamp(UTF8String.fromString(s.trim), zone)
+          .getOrElse(throw new IllegalArgumentException(
+            s"graft: cannot parse timestampAsOf '$s' as a timestamp " +
+              "(epoch millis or an ANSI timestamp string)"))
+        Math.floorDiv(micros, 1000L)
+      }
       val conf = spark.sparkContext.hadoopConfiguration
       val md = new HPath(dir, "_manifest")
       val eligible = ManagedTable.versions(spark, dir).filter { n =>
@@ -158,7 +169,12 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       // query schema legitimately differs (overwrite evolves the
       // schema; GraftWriteBuilder has its own gate). The mismatch is
       // therefore recorded here and thrown at newScanBuilder, the
-      // first point that is provably a read.
+      // first point that is provably a read. The gate is
+      // order/nullability-INSENSITIVE and validation-ONLY: a caller
+      // schema that lists the same columns in a different order
+      // passes, and the relation still exposes the MANIFEST's column
+      // order (select by name; positional assumptions about a
+      // reordered caller schema do not apply).
       val mismatch = schema != null && schema.nonEmpty &&
         GraftTable.normSchema(schema) != GraftTable.normSchema(meta.schema)
       new GraftTable(meta, pinned = versionAsOf.isDefined,
@@ -1057,8 +1073,15 @@ private[sources] object GraftScan {
     else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
 }
 
+/** `rowOnly` forces the row reader even when the scan-level columnar
+  * flag is on — set UNIFORMLY across a streaming micro-batch whose
+  * initial-snapshot files carry deletion vectors (Spark refuses a
+  * mixed row/columnar partition set, so one DV'd file demotes the
+  * whole batch).
+  */
 private[sources] final case class GraftInputPartition(absPath: String,
-    dvPositions: Array[Long]) extends InputPartition
+    dvPositions: Array[Long], rowOnly: Boolean = false)
+    extends InputPartition
 
 /** `spark.readStream.format("graft")` — a managed table AS A STREAM of
   * its appended versions, the reading half of the table-streaming
@@ -1144,6 +1167,14 @@ private[sources] class GraftMicroBatchStream(dir: String,
             s"'latest', got '$s'"))
         require(n >= 1,
           s"graft streaming: startingVersion must be >= 1, got $n")
+        // a start past the NEXT commit slot would silently tail
+        // nothing forever — fail fast like every other invalid start
+        // (n == liveHead + 1 is legal: tail from the next commit)
+        require(n <= liveHead + 1,
+          s"graft streaming: startingVersion $n is beyond the table " +
+            s"head (current head ${liveHead}; the largest valid " +
+            s"start is ${liveHead + 1}, which tails from the next " +
+            "commit)")
         // n == oldest retained: its predecessor can never exist —
         // stream it as the snapshot base, same as a fresh start
         GraftStreamOffset(n - 1, initialSnapshot = n == head && n > 1)
@@ -1176,23 +1207,34 @@ private[sources] class GraftMicroBatchStream(dir: String,
       : Array[InputPartition] = {
     val s0 = start.asInstanceOf[GraftStreamOffset]
     val e = end.asInstanceOf[GraftStreamOffset].version
-    ((s0.version + 1) to e).flatMap { v =>
+    val adds = ((s0.version + 1) to e).flatMap { v =>
       versionAdds(v, ignoreChanges,
         snapshotBase = s0.initialSnapshot && v == s0.version + 1)
-    }.map(abs => GraftInputPartition(abs, Array.empty): InputPartition)
-      .toArray
+    }
+    // columnar support must be UNIFORM across a batch's partitions
+    // (Spark refuses mixed row/columnar sets), so one DV'd snapshot
+    // file demotes the whole batch to the row reader
+    val anyDv = adds.exists(_._2.nonEmpty)
+    adds.map { case (abs, dvPos) =>
+      GraftInputPartition(abs, dvPos, rowOnly = anyDv): InputPartition
+    }.toArray
   }
 
-  /** Absolute paths of the data files version `v` ADDED over `v-1`
-    * (`snapshotBase`: the initial-snapshot version of a fresh stream —
-    * emitted whole, no predecessor); fails fast on a non-append
-    * version unless relaxed, and on offsets whose manifests
-    * [[ManagedTable.vacuumHistory]] dropped — computing an append
-    * delta from a vacuumed predecessor would silently re-emit or skip
-    * rows, so the stream names the remedy instead.
+  /** (absolute path, DV positions) of the data files version `v`
+    * ADDED over `v-1` (`snapshotBase`: the initial-snapshot version of
+    * a fresh stream — emitted whole, no predecessor, MINUS the rows
+    * the base version's deletion vectors tombstone, so the snapshot a
+    * fresh stream sees equals what `spark.read` of that version sees;
+    * Delta's initial snapshot applies deletes the same way). Append
+    * deltas carry no DV (appended files are never born tombstoned).
+    * Fails fast on a non-append version unless relaxed, and on offsets
+    * whose manifests [[ManagedTable.vacuumHistory]] dropped —
+    * computing an append delta from a vacuumed predecessor would
+    * silently re-emit or skip rows, so the stream names the remedy
+    * instead.
     */
   private def versionAdds(v: Int, ignoreChanges: Boolean,
-      snapshotBase: Boolean): Seq[String] = {
+      snapshotBase: Boolean): Seq[(String, Array[Long])] = {
     val vs = ManagedTable.versions(spark, dir)
     def vacuumed(missing: Int): Nothing = throw new IllegalStateException(
       s"graft streaming: version $missing of $dir has been removed by " +
@@ -1202,7 +1244,16 @@ private[sources] class GraftMicroBatchStream(dir: String,
           .getOrElse(0)} as an initial snapshot and tail from there)")
     if (!vs.contains(v)) vacuumed(v)
     val (_, all, _, _) = ManagedTable.readManifest(spark, dir, v)
-    val (files, _) = ManagedTable.splitDv(all)
+    val (files, dvFiles) = ManagedTable.splitDv(all)
+    // the snapshot base is the one emission that can carry tombstones
+    // (deleted-rows-sized, loaded once at planning, like the batch
+    // scan's DV map); append deltas below never do
+    val dv: Map[String, Array[Long]] =
+      if (!snapshotBase || dvFiles.isEmpty) Map.empty
+      else ManagedTable.dvRows(spark, dir, dvFiles)
+        .collect()
+        .groupBy(_.getString(0))
+        .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
     val prev: Set[String] =
       if (v == 1 || snapshotBase) Set.empty
       else {
@@ -1217,11 +1268,13 @@ private[sources] class GraftMicroBatchStream(dir: String,
           "cannot stream as an append; use ManagedTable.changes for " +
           "CDC-shaped consumption, or .option(\"ignoreChanges\", " +
           "true) to re-emit rewritten files")
-    files.filterNot(prev.contains).map(rel => s"$dir/$rel")
+    files.filterNot(prev.contains)
+      .map(rel => (s"$dir/$rel", dv.getOrElse(rel, Array.empty[Long])))
   }
 
-  // stream batches are APPENDED files by construction — never DV'd —
-  // so every micro-batch decodes through the vectorized columnar path
+  // append micro-batches decode through the vectorized columnar path;
+  // a DV-carrying initial-snapshot batch is demoted to the row reader
+  // per-partition (rowOnly, set uniformly in planInputPartitions)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(requiredJson,
       columnar = DataType.fromJson(requiredJson)
@@ -1264,7 +1317,7 @@ private[sources] class GraftReaderFactory(requiredJson: String,
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar
+    columnar && !partition.asInstanceOf[GraftInputPartition].rowOnly
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {

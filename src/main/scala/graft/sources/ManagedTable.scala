@@ -1095,10 +1095,19 @@ object ManagedTable {
       (prevTags ++ droppedTags).distinct.sorted.foreach(list.add)
       root.put("tags", list)
       val target = new Path(manifestDir(dir), ledgerName(newUpto))
-      val out = f.create(target, false)
-      try { out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
-        out.hsync() }
-      finally out.close()
+      // ledger content is a pure function of `upto` (tags of every
+      // version ≤ upto, deduped and sorted), so a racing maintenance
+      // writer that landed the same ledger first wrote THESE bytes —
+      // losing the create race is success, not an error
+      try {
+        val out = f.create(target, false)
+        try { out.write(mapper.writeValueAsString(root).getBytes("UTF-8"))
+          out.hsync() }
+        finally out.close()
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException => ()
+        case _: java.nio.file.FileAlreadyExistsException => ()
+      }
     }
     // 2. drop the manifests; old ledgers only after the new one landed
     dropped.foreach(v =>

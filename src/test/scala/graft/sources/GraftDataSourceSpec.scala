@@ -531,11 +531,120 @@ class GraftDataSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("schema authority"),
       s"expected the schema-mismatch error, got: ${e.getMessage}")
-    // a MATCHING caller schema (order/nullability-normalized) is fine
+    // a MATCHING caller schema (order/nullability-normalized) is a
+    // validation gate only: the relation keeps the MANIFEST's column
+    // order, so values must flow correctly when the caller listed the
+    // columns in a different order (selecting by name is unaffected)
     val ok = spark.read.schema(StructType(Seq(
         StructField("s", StringType, nullable = true),
         StructField("k", LongType, nullable = true))))
       .format("graft").load(dir)
-    assert(ok.count() == 1L)
+    assert(ok.schema.fieldNames.toSeq == Seq("k", "s"),
+      "the manifest is the schema authority: its order wins")
+    val row = ok.select("k", "s").collect().head
+    assert(row.getLong(0) == 1L && row.getString(1) == "a")
+  }
+
+  test("timestampAsOf strings parse in the SESSION time zone, not " +
+      "the JVM default (same semantics as SQL TIMESTAMP AS OF)") {
+    val dir = tmp("tstz")
+    ManagedTable.commit(Seq((1L, "a")).toDF("k", "s"), dir)
+    Thread.sleep(1100)
+    val cut = System.currentTimeMillis()
+    ManagedTable.appendCommit(Seq((2L, "b")).toDF("k", "s"), dir)
+    val prevTz = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      // +05:30 — far from the JVM default (UTC in this container);
+      // the string below renders `cut` as Kolkata wall-clock time, so
+      // a JVM-default parse would land 5.5 h early and find NO
+      // version, while a session-zone parse pins version 1
+      spark.conf.set("spark.sql.session.timeZone", "Asia/Kolkata")
+      val wall = java.time.Instant.ofEpochMilli(cut)
+        .atZone(java.time.ZoneId.of("Asia/Kolkata")).toLocalDateTime
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))
+      assert(spark.read.format("graft")
+        .option("timestampAsOf", wall).load(dir).count() == 1L,
+        s"session-zone string '$wall' must pin version 1")
+      // an unparseable string names the option in its error
+      val e = intercept[Exception] {
+        spark.read.format("graft")
+          .option("timestampAsOf", "not a time").load(dir).collect()
+      }
+      assert(e.getMessage.contains("timestampAsOf"))
+    } finally spark.conf.set("spark.sql.session.timeZone", prevTz)
+  }
+
+  test("startingVersion beyond head+1 fails fast instead of tailing " +
+      "nothing forever; head+1 is the legal 'next commit' start") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("svbeyond")
+    (0 until 2).foreach { i =>
+      ManagedTable.appendCommit(
+        spark.range(i * 10, (i + 1) * 10).select(col("id").as("k"))
+          .coalesce(1), dir)
+    }
+    def drain(sv: String, ckpt: String): Seq[Long] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val q = spark.readStream.format("graft")
+        .option("startingVersion", sv).load(dir).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.select("k").collect().map(_.getLong(0)) }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      seen.sorted.toSeq
+    }
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain("4", Files.createTempDirectory("svb4").toString)
+    }
+    assert(e.getMessage.contains("beyond the table head") ||
+      e.getCause.getMessage.contains("beyond the table head"))
+    // head+1 = 3: legal, drains nothing now, tails the next commit
+    val ckpt = Files.createTempDirectory("svb3").toString
+    assert(drain("3", ckpt).isEmpty)
+    ManagedTable.appendCommit(
+      spark.range(20, 30).select(col("id").as("k")).coalesce(1), dir)
+    assert(drain("3", ckpt) == (20L until 30L))
+  }
+
+  test("a fresh stream's initial snapshot APPLIES the base version's " +
+      "deletion vectors (matches spark.read of that version)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("snapdv")
+    (0 until 2).foreach { i =>
+      ManagedTable.appendCommit(
+        spark.range(i * 10, (i + 1) * 10).select(col("id").as("k"))
+          .coalesce(1), dir)
+    }
+    ManagedTable.deleteWhere(spark, dir, col("k") % 3 === 0) // v3: DVs
+    ManagedTable.vacuumHistory(spark, dir, retainVersions = 1,
+      retentionMs = 0) // only v3 retained → fresh start snapshots it
+    // one more append so the FIRST AvailableNow batch mixes the DV'd
+    // snapshot files with a clean appended file — exercising the
+    // uniform row-reader demotion of that batch
+    ManagedTable.appendCommit(
+      spark.range(20, 25).select(col("id").as("k")).coalesce(1), dir)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = spark.readStream.format("graft").load(dir).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        seen.synchronized {
+          seen ++= b.select("k").collect().map(_.getLong(0)) }; ()
+      }
+      .option("checkpointLocation",
+        Files.createTempDirectory("snapdv").toString)
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    val expected = spark.read.format("graft").load(dir)
+      .select("k").collect().map(_.getLong(0)).sorted.toSeq
+    assert(seen.sorted.toSeq == expected,
+      "snapshot + tail must equal the batch read: tombstoned rows " +
+        "stay deleted")
+    // rows deleted before the vacuum stay gone; the post-delete
+    // append (20..24) is untouched by the old predicate
+    assert(!expected.exists(k => k < 20 && k % 3 == 0) &&
+      expected.size == 18)
   }
 }

@@ -158,4 +158,31 @@ class VacuumHistorySpec extends SparkSpec {
     drain(ckptC, seenC)
     assert(seenC.sorted.toSeq == (0L until 60L))
   }
+
+  test("losing the retired-tags ledger create race is SUCCESS: a " +
+      "racing maintenance writer's identical ledger doesn't fail the " +
+      "vacuum") {
+    val dir = tmp("race")
+    (0 until 3).foreach(i => ManagedTable.appendCommit(
+      kv(i * 10, (i + 1) * 10), dir))
+    // simulate the racing winner: retainVersions=2 drops exactly {1},
+    // so the loser will try to create retired-v1.json with these
+    // deterministic bytes — which already exist
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ledger = new org.apache.hadoop.fs.Path(dir, "_manifest/retired-v1.json")
+    val fs = ledger.getFileSystem(conf)
+    val out = fs.create(ledger, false)
+    try out.write("""{"upto":1,"tags":[]}""".getBytes("UTF-8"))
+    finally out.close()
+    val stats = ManagedTable.vacuumHistory(spark, dir,
+      retainVersions = 2, retentionMs = 0) // must NOT throw
+    assert(ManagedTable.versions(spark, dir) == Seq(2, 3),
+      "the losing racer still completes the manifest drop")
+    assert(spark.read.format("graft").load(dir).count() == 30L)
+    // the ledger survives with the winner's (identical) content
+    val in = fs.open(ledger)
+    val body = try scala.io.Source.fromInputStream(in).mkString
+      finally in.close()
+    assert(body.contains("\"upto\":1"))
+  }
 }
