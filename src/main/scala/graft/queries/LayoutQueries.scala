@@ -1786,6 +1786,86 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 500
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q217: COLUMN MAPPING — `ALTER TABLE RENAME COLUMN` / `DROP
+    * COLUMN` as METADATA-ONLY operations
+    * ([[graft.sources.ColumnMapping]]; Delta's column mapping, name
+    * mode, over the manifest log — reference anchor: the DLT tables'
+    * schema authority, /root/reference/notebooks/03_Data_Ingestion
+    * .py:59-64). The lifecycle a schema refactor actually runs:
+    * create + insert, RENAME a column (old segments keep their
+    * physical name; reads translate), insert under the new name, DROP
+    * a column (bytes stay, unread), re-ADD the same name (the retired
+    * ledger maps it to a FRESH physical column — the dead bytes MUST
+    * NOT resurrect), insert real values, read everything back.
+    * Invariants folded into the hashed row: both DDLs carried the
+    * data files byte-identical (on 100 TB each costs ONE manifest
+    * write), the re-added column is NULL on every pre-drop row, and
+    * the final manifest maps it away from the dead physical name.
+    */
+  val q217ColumnMapping = NamedQuery(
+    "q217_column_mapping",
+    "ALTER TABLE RENAME/DROP COLUMN via logical→physical column " +
+      "mapping: metadata-only DDL, stats keep pruning, re-added name " +
+      "reads fresh (never the dropped bytes); vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("cmwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq217_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 600)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q217_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, n_chars FROM q217_docs WHERE doc_id < 300")
+      val dir = s"$wh/corpus/docs"
+      val M = graft.sources.ManagedTable
+      def files(): Set[String] = M.read(s, dir).inputFiles.toSet
+      // RENAME: logical name moves, physical stays in the old files
+      val before1 = files()
+      s.sql(s"ALTER TABLE $cat.corpus.docs " +
+        "RENAME COLUMN n_chars TO char_count")
+      val renameMetaOnly = files() == before1
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, n_chars FROM q217_docs " +
+        "WHERE doc_id >= 300 AND doc_id < 400")
+      // DROP + re-ADD: the retired ledger must keep the dead bytes dead
+      val before2 = files()
+      s.sql(s"ALTER TABLE $cat.corpus.docs DROP COLUMN lang")
+      s.sql(s"ALTER TABLE $cat.corpus.docs ADD COLUMNS (lang STRING)")
+      val dropMetaOnly = files() == before2
+      val resurrectFree = s.sql(
+        s"SELECT count(lang) FROM $cat.corpus.docs").head.getLong(0) == 0L
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, n_chars, lang FROM q217_docs WHERE doc_id >= 400")
+      // the re-added field maps AWAY from the dead physical column
+      val mappedAway = graft.sources.GraftTableMeta.resolve(dir, None)
+        .physOf("lang") != "lang"
+      s.sql(s"""SELECT coalesce(lang, '~none~') AS lang_g,
+                |  count(*) AS n_docs,
+                |  CAST(sum(char_count) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.docs GROUP BY 1""".stripMargin)
+        .withColumn("rename_meta_only", lit(renameMetaOnly))
+        .withColumn("drop_meta_only", lit(dropMetaOnly))
+        .withColumn("resurrect_free", lit(resurrectFree))
+        .withColumn("mapped_away", lit(mappedAway))
+        .orderBy("lang_g")
+    },
+    Some("""SELECT coalesce(CASE WHEN doc_id >= 400 THEN lang END,
+           |    '~none~') AS lang_g,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS rename_meta_only, true AS drop_meta_only,
+           |  true AS resurrect_free, true AS mapped_away
+           |FROM documents WHERE doc_id < 600
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -1796,5 +1876,5 @@ object LayoutQueries {
       q206MetadataAgg, q207LimitCount, q208TopnPushdown,
       q209SqlDelete, q210SqlReplaceWhere, q211SqlUpdate,
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
-      q215StreamToTable, q216SqlMaintenance)
+      q215StreamToTable, q216SqlMaintenance, q217ColumnMapping)
 }

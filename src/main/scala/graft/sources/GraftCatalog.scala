@@ -185,27 +185,50 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     new GraftTable(GraftTableMeta.resolve(dir, None))
   }
 
-  /** `ALTER TABLE … ADD COLUMNS (…)` — mapped onto the SAME
-    * manifest-recorded schema evolution [[ManagedTable.merge]]
-    * performs implicitly: one metadata-only commit widens the schema,
-    * existing segments null-fill at read time, and post-evolution
-    * INSERTs flow through the ordinary write gate. Only ADD COLUMN is
-    * supported (top-level, nullable, stats-tier type, appended last) —
-    * drops/renames/retypes would strand committed data bytes and stay
-    * rejected.
+  /** `ALTER TABLE …` schema DDL, each shape ONE metadata-only
+    * manifest commit regardless of table size:
+    *
+    *   - **ADD COLUMNS (…)** — the SAME manifest-recorded schema
+    *     evolution [[ManagedTable.merge]] performs implicitly:
+    *     existing segments null-fill at read time, and post-evolution
+    *     INSERTs flow through the ordinary write gate (top-level,
+    *     nullable, stats-tier type, appended last). Re-adding a
+    *     previously DROPPED name maps to a fresh physical column (the
+    *     retired ledger — see [[ColumnMapping]]), never the dead
+    *     one's bytes.
+    *   - **RENAME COLUMN a TO b** — [[ManagedTable.renameColumn]]:
+    *     the field keeps the physical name baked into committed
+    *     segments; only the logical name moves.
+    *   - **DROP COLUMN a** — [[ManagedTable.dropColumn]]: the field
+    *     leaves the schema, its bytes stay (unread) and age out with
+    *     history retention.
+    *
+    * Retypes stay rejected (they would strand committed data bytes —
+    * a widening CAST rewrite is a different, data-moving operation).
     */
   override def alterTable(ident: Identifier,
       changes: TableChange*): Table = {
     val dir = tableDir(ident)
     if (!isTable(dir)) throw new NoSuchTableException(ident)
-    var schema = GraftTableMeta.resolve(dir, None).schema
+    def topLevel(what: String, names: Array[String]): String = {
+      require(names.length == 1,
+        s"graft: ALTER TABLE $what supports top-level columns " +
+          s"only, got ${names.mkString(".")}")
+      names(0)
+    }
+    // ADDs batch into one evolution commit (Spark sends one AddColumn
+    // per added column of a single statement); renames/drops are one
+    // commit each, applied in statement order
+    var pendingAdds = GraftTableMeta.resolve(dir, None).schema
+    var addsPending = false
+    def flushAdds(): Unit = if (addsPending) {
+      ManagedTable.evolveSchema(spark, dir, pendingAdds, tag = "alter")
+      addsPending = false
+    }
     changes.foreach {
       case add: TableChange.AddColumn =>
-        require(add.fieldNames().length == 1,
-          "graft: ALTER TABLE ADD COLUMNS supports top-level columns " +
-            s"only, got ${add.fieldNames().mkString(".")}")
-        val colName = add.fieldNames()(0)
-        require(!schema.fieldNames.contains(colName),
+        val colName = topLevel("ADD COLUMNS", add.fieldNames())
+        require(!pendingAdds.fieldNames.contains(colName),
           s"graft: column '$colName' already exists in $ident")
         require(add.isNullable,
           s"graft: added column '$colName' must be nullable — " +
@@ -216,16 +239,28 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         require(GraftTableMeta.supported(add.dataType()),
           s"graft: unsupported column type ${add.dataType().sql} for " +
             s"'$colName'")
-        schema = schema.add(org.apache.spark.sql.types.StructField(
+        pendingAdds = pendingAdds.add(org.apache.spark.sql.types.StructField(
           colName, add.dataType(), nullable = true))
+        addsPending = true
+      case rn: TableChange.RenameColumn =>
+        flushAdds()
+        ManagedTable.renameColumn(spark, dir,
+          topLevel("RENAME COLUMN", rn.fieldNames()), rn.newName(),
+          tag = "alter")
+        pendingAdds = GraftTableMeta.resolve(dir, None).schema
+      case del: TableChange.DeleteColumn =>
+        flushAdds()
+        val colName = topLevel("DROP COLUMN", del.fieldNames())
+        ManagedTable.dropColumn(spark, dir, colName, tag = "alter")
+        pendingAdds = GraftTableMeta.resolve(dir, None).schema
       case other =>
         throw new UnsupportedOperationException(
           s"graft: ALTER TABLE change ${other.getClass.getSimpleName} " +
-            "is not supported — only ADD COLUMNS (schema evolution " +
-            "may only widen; drops/renames/retypes would strand " +
-            "committed data)")
+            "is not supported — ADD COLUMNS, RENAME COLUMN and DROP " +
+            "COLUMN are (all metadata-only); retypes would strand " +
+            "committed data")
     }
-    ManagedTable.evolveSchema(spark, dir, schema, tag = "alter")
+    flushAdds()
     loadTable(ident)
   }
 

@@ -145,7 +145,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options.asCaseSensitiveMap())
-    GraftTableMeta.resolve(dir, pinnedVersion(options, dir)).schema
+    GraftTableMeta.resolve(dir, pinnedVersion(options, dir)).userSchema
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -189,7 +189,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
   */
 private[graft] final case class GraftTableMeta(dir: String, version: Int,
     schema: StructType, files: Seq[String], dvFiles: Seq[String],
-    stats: ManagedTable.FileStats)
+    stats: ManagedTable.FileStats) {
+  /** PHYSICAL (file-side) name of a logical column — identity for
+    * unmapped tables and for names outside the schema (`_file`). Every
+    * per-file STATS lookup must key on this, never the logical name
+    * (stats are computed from the written segment, whose columns are
+    * physical — see [[ColumnMapping]]).
+    */
+  def physOf(logical: String): String =
+    ColumnMapping.physOf(schema, logical)
+
+  /** The schema as users see it: mapping metadata stripped. */
+  def userSchema: StructType = ColumnMapping.strip(schema)
+}
 
 private[graft] object GraftTableMeta {
   def resolve(dir: String, versionAsOf: Option[Int]): GraftTableMeta = {
@@ -244,7 +256,7 @@ private[sources] class GraftTable(meta: GraftTableMeta,
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`${meta.dir}`"
-  override def schema(): StructType = meta.schema
+  override def schema(): StructType = meta.userSchema
   override def version(): String = meta.version.toString
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ,
@@ -537,7 +549,7 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
           case _ => return None
         }
         val counts = meta.files
-          .map(f => meta.stats(f).get(ManagedTable.nnStat(name)))
+          .map(f => meta.stats(f).get(ManagedTable.nnStat(meta.physOf(name))))
         if (counts.exists(_.isEmpty)) return None
         Some((StructField(s"count_$name", LongType, nullable = false),
           counts.flatten.map(_._1.toLong).sum: Any))
@@ -562,7 +574,7 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
     val field = meta.schema.fields.find(_.name == name)
       .getOrElse(return None)
     val endpoints = meta.files
-      .flatMap(f => meta.stats(f).get(name))
+      .flatMap(f => meta.stats(f).get(meta.physOf(name)))
       .map(p => if (isMin) p._1 else p._2)
     def pick[T](vs: Seq[T])(implicit o: Ordering[T]): T =
       if (isMin) vs.min else vs.max
@@ -664,8 +676,9 @@ private[sources] object GraftScanBuilder {
     * rely on.
     */
   def mayMatch(f: Filter, meta: GraftTableMeta, rel: String): Boolean = {
+    // stats key on the PHYSICAL name; the comparator on the logical
     def bounds(a: String): Option[(String, String)] =
-      meta.stats.get(rel).flatMap(_.get(a))
+      meta.stats.get(rel).flatMap(_.get(meta.physOf(a)))
     def cmp(a: String)(x: String, y: String): Int =
       GraftScan.cmp(meta.schema, a)(x, y)
     // value v may fall within the file's [min, max]
@@ -829,14 +842,15 @@ private[graft] class GraftScan(meta: GraftTableMeta,
       final case class F(rel: String, lo: Option[String],
           hi: Option[String], liveNn: Long, liveNulls: Long,
           live: Long, mayNull: Boolean)
+      val physCol = meta.physOf(column)
       val facts = files.map { rel =>
         for {
           st <- meta.stats.get(rel)
           rows <- st.get(ManagedTable.RowsStat).map(_._1.toLong)
-          nn <- st.get(ManagedTable.nnStat(column)).map(_._1.toLong)
+          nn <- st.get(ManagedTable.nnStat(physCol)).map(_._1.toLong)
         } yield {
           val d = dv.getOrElse(rel, Array.empty[Long]).length.toLong
-          F(rel, st.get(column).map(_._1), st.get(column).map(_._2),
+          F(rel, st.get(physCol).map(_._1), st.get(physCol).map(_._2),
             math.max(0L, nn - d), math.max(0L, rows - nn - d),
             rows - d, rows - nn > 0)
         }
@@ -917,9 +931,12 @@ private[graft] class GraftScan(meta: GraftTableMeta,
   // and at least one column is requested — the flag must be UNIFORM
   // across the scan's partitions (Spark refuses mixed row/columnar
   // partition sets), so it keys on the VERSION's DV set, not the
-  // per-file one
+  // per-file one. The reader decodes by PHYSICAL column name (the
+  // name in the file — logical positions and types are preserved, so
+  // the emitted rows need no re-projection).
   override def createReaderFactory(): PartitionReaderFactory =
-    new GraftReaderFactory(required.json,
+    new GraftReaderFactory(
+      ColumnMapping.physicalFor(required, meta.schema).json,
       columnar = meta.dvFiles.isEmpty && required.nonEmpty)
 
   /** JOIN-DRIVEN file pruning ([[SupportsRuntimeV2Filtering]]): when
@@ -975,7 +992,7 @@ private[graft] class GraftScan(meta: GraftTableMeta,
           // shadows the metadata column and takes the stats path)
           values.contains(s"${meta.dir}/$rel")
         case (column, values) =>
-          meta.stats.get(rel).flatMap(_.get(column)) match {
+          meta.stats.get(rel).flatMap(_.get(meta.physOf(column))) match {
             case Some((mn, mx)) =>
               values.exists(v =>
                 try GraftScan.cmp(meta.schema, column)(mn, v) <= 0 &&
@@ -1011,7 +1028,8 @@ private[graft] class GraftScan(meta: GraftTableMeta,
 
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
-    new GraftMicroBatchStream(meta.dir, required.json,
+    new GraftMicroBatchStream(meta.dir,
+      ColumnMapping.physicalFor(required, meta.schema).json,
       maxVersionsPerTrigger, ignoreChanges, startingVersion)
 }
 
@@ -1648,7 +1666,9 @@ private[sources] class GraftStreamingWrite(dir: String,
 
   override def createStreamingWriterFactory(info: PhysicalWriteInfo)
       : org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory =
-    new GraftStreamingWriterFactory(dir, segment, schema.json)
+    new GraftStreamingWriterFactory(dir, segment,
+      GraftBatchWrite.writerSchema(dir, schema,
+        truncateFirst = false).json)
 
   override def commit(epochId: Long,
       messages: Array[WriterCommitMessage]): Unit = {
@@ -1735,9 +1755,13 @@ private[sources] class GraftBatchWrite(dir: String, schema: StructType,
   private val segment =
     s"data/w-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  // appends to a MAPPED table stage files under physical names (a
+  // truncate/new table resets the layout authority to the query
+  // schema); resolved on the driver, shipped to executors as json
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new GraftWriterFactory(dir, segment, schema.json)
+    new GraftWriterFactory(dir, segment,
+      GraftBatchWrite.writerSchema(dir, schema, truncateFirst).json)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active
@@ -1789,6 +1813,24 @@ private[sources] class GraftBatchWrite(dir: String, schema: StructType,
       }
       case _ => ()
     }
+  }
+}
+
+private[sources] object GraftBatchWrite {
+  /** Parquet-facing schema for a staged connector write: the query
+    * schema translated to the table's PHYSICAL column names when
+    * appending to a mapped table; the query schema verbatim for a
+    * truncate or a table being created (a full replace resets the
+    * layout authority, exactly like [[ManagedTable.commit]]). Field
+    * order/types follow the QUERY (rows are positional).
+    */
+  def writerSchema(dir: String, query: StructType,
+      truncateFirst: Boolean): StructType = {
+    if (truncateFirst) return query
+    val spark = SparkSession.active
+    if (ManagedTable.versions(spark, dir).isEmpty) query
+    else ColumnMapping.physicalFor(query,
+      GraftTableMeta.resolve(dir, None).schema)
   }
 }
 
@@ -1883,9 +1925,13 @@ private[sources] class GraftCowBatchWrite(dir: String,
   private val segment =
     s"data/w-${java.util.UUID.randomUUID().toString.take(8)}"
 
+  // the rewrite stages files under the table's PHYSICAL column names
+  // (the operation's resolved snapshot carries the mapping)
   override def createBatchWriterFactory(info: PhysicalWriteInfo)
       : DataWriterFactory =
-    new GraftWriterFactory(dir, segment, schema.json)
+    new GraftWriterFactory(dir, segment,
+      resolvedAt().map(rm => ColumnMapping.physicalFor(schema, rm.schema))
+        .getOrElse(schema).json)
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val spark = SparkSession.active

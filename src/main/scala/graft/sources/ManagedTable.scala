@@ -95,6 +95,35 @@ object ManagedTable {
     (data, dv.map(_.stripPrefix("dv:")))
   }
 
+  /** Reserved STATS key for table-level facts (never a real file —
+    * data files all live under `data/`). Today it holds the RETIRED
+    * PHYSICAL COLUMN ledger: each `retired:<physical>` entry names a
+    * column some [[dropColumn]] removed, so a later ADD of the same
+    * logical name maps to a fresh physical name instead of
+    * resurrecting the dead column's bytes (see [[ColumnMapping]]).
+    * Rides the ordinary stats carry-forward of every append-shaped
+    * commit; the rewriting commits ([[compact]], [[merge]], COW) carry
+    * it explicitly.
+    */
+  private[sources] val TableStatsFile = "__table"
+  private[sources] val RetiredPrefix = "retired:"
+
+  /** The retired-physical-column ledger of a stats map. */
+  private[sources] def retiredPhysical(stats: FileStats): Set[String] =
+    stats.getOrElse(TableStatsFile, Map.empty).keysIterator
+      .filter(_.startsWith(RetiredPrefix))
+      .map(_.stripPrefix(RetiredPrefix)).toSet
+
+  /** The `__table` pseudo-entry of `stats`, as a FileStats fragment to
+    * `++` onto a rewritten stats map — the carry every
+    * filterKeys-style stats rewrite must include.
+    */
+  private[sources] def tableStats(stats: FileStats): FileStats =
+    stats.get(TableStatsFile) match {
+      case Some(m) => Map(TableStatsFile -> m)
+      case None => Map.empty
+    }
+
   private[sources] def readManifest(spark: SparkSession, dir: String,
       v: Int): (String, Seq[String], Option[String], FileStats) = {
     val f = fs(spark, dir)
@@ -334,7 +363,9 @@ object ManagedTable {
     val (files, dvFiles) = splitDv(all)
     val next = current + 1
     val ordered = schema.map(sch =>
-      df.select(sch.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+      ColumnMapping.toPhysicalFrame(
+        df.select(sch.fieldNames.map(org.apache.spark.sql.functions.col): _*),
+        sch))
       .getOrElse(df)
     val newData = writeSegment(ordered, dir, next)
     writeManifest(spark, dir, next, tag,
@@ -550,7 +581,8 @@ object ManagedTable {
     if (files.nonEmpty) scanMinusDv(spark, dir, files, schema, dvFiles)
     else
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ColumnMapping.strip(schema))
   }
 
   /** The relative `data/<segment>/<file>` form of the scanned file's
@@ -580,13 +612,33 @@ object ManagedTable {
       files: Seq[String], schema: org.apache.spark.sql.types.StructType,
       dvFiles: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions._
-    val base = spark.read.schema(schema).parquet(files.map(p => s"$dir/$p"): _*)
-    if (dvFiles.isEmpty) base
-    else base
-      .withColumn("__file", relPathCol)
-      .withColumn("__pos", col("_metadata.row_index"))
-      .join(dvRows(spark, dir, dvFiles), Seq("__file", "__pos"), "left_anti")
-      .drop("__file", "__pos")
+    // segments are written under PHYSICAL names (identical to logical
+    // until a rename/drop activates mapping — see [[ColumnMapping]]);
+    // the scan reads physical and re-projects to logical at the end
+    val physS = ColumnMapping.physSchema(schema)
+    val base = spark.read.schema(physS).parquet(files.map(p => s"$dir/$p"): _*)
+    val deDv =
+      if (dvFiles.isEmpty) base
+      else base
+        .withColumn("__file", relPathCol)
+        .withColumn("__pos", col("_metadata.row_index"))
+        .join(dvRows(spark, dir, dvFiles), Seq("__file", "__pos"), "left_anti")
+        .drop("__file", "__pos")
+    if (physS eq schema) deDv else deDv.toDF(schema.fieldNames: _*)
+  }
+
+  /** A physical-named scan (optionally carrying `__file`/`__pos`
+    * bookkeeping columns) re-projected to LOGICAL names — what lets
+    * the DML paths evaluate user predicates after a mapped read.
+    * Identity for unmapped schemas.
+    */
+  private def relogical(df: DataFrame,
+      schema: org.apache.spark.sql.types.StructType,
+      aux: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    if (!ColumnMapping.isMapped(schema)) df
+    else df.select(schema.fields.toSeq.map(f =>
+      col(ColumnMapping.phys(f)).as(f.name)) ++ aux.map(col): _*)
   }
 
   /** DELETE WHERE, by DELETION VECTOR — row-level delete that rewrites
@@ -621,7 +673,7 @@ object ManagedTable {
     val schema = schemaJson.map(schemaOf).getOrElse(
       throw new IllegalStateException(
         s"ManagedTable.deleteWhere: version $current of $dir has no schema"))
-    val tagged = spark.read.schema(schema)
+    val tagged = spark.read.schema(ColumnMapping.physSchema(schema))
       .parquet(files.map(p => s"$dir/$p"): _*)
       .withColumn("__file", relPathCol)
       .withColumn("__pos", col("_metadata.row_index"))
@@ -629,7 +681,8 @@ object ManagedTable {
       if (dvFiles.isEmpty) tagged
       else tagged.join(dvRows(spark, dir, dvFiles),
         Seq("__file", "__pos"), "left_anti")
-    val fresh = live.filter(predicate).select("__file", "__pos")
+    val fresh = relogical(live, schema, Seq("__file", "__pos"))
+      .filter(predicate).select("__file", "__pos")
     if (fresh.isEmpty) return current
     val union =
       if (dvFiles.isEmpty) fresh
@@ -703,11 +756,13 @@ object ManagedTable {
     // before throwing (a crash between write and manifest leaves the
     // same unreferenced files [[vacuum]] already handles).
     val newDataAll = writeSegment(
-      replacement.select(schema.fieldNames.map(col): _*), dir, next)
+      ColumnMapping.toPhysicalFrame(
+        replacement.select(schema.fieldNames.map(col): _*), schema),
+      dir, next)
     val written =
       if (newDataAll.isEmpty) spark.emptyDataFrame
-      else spark.read.schema(schema)
-        .parquet(newDataAll.map(p => s"$dir/$p"): _*)
+      else relogical(spark.read.schema(ColumnMapping.physSchema(schema))
+        .parquet(newDataAll.map(p => s"$dir/$p"): _*), schema)
     val writtenEmpty = newDataAll.isEmpty || written.isEmpty
     val constraintOk = writtenEmpty ||
       written.filter(!coalesce(predicate, lit(false))).isEmpty
@@ -729,7 +784,7 @@ object ManagedTable {
         dropSegments(); Seq.empty }
     // tombstone the live rows the predicate selects (deleteWhere's scan)
     val dvSeg: Seq[String] = if (files.isEmpty) Seq.empty else {
-      val tagged = spark.read.schema(schema)
+      val tagged = spark.read.schema(ColumnMapping.physSchema(schema))
         .parquet(files.map(p => s"$dir/$p"): _*)
         .withColumn("__file", relPathCol)
         .withColumn("__pos", col("_metadata.row_index"))
@@ -737,7 +792,8 @@ object ManagedTable {
         if (dvFiles.isEmpty) tagged
         else tagged.join(dvRows(spark, dir, dvFiles),
           Seq("__file", "__pos"), "left_anti")
-      val fresh = live.filter(predicate).select("__file", "__pos")
+      val fresh = relogical(live, schema, Seq("__file", "__pos"))
+        .filter(predicate).select("__file", "__pos")
       val union =
         if (dvFiles.isEmpty) fresh
         else dvRows(spark, dir, dvFiles).unionByName(fresh)
@@ -771,8 +827,13 @@ object ManagedTable {
     require(versions(spark, dir).nonEmpty,
       s"graft: REPLACE WHERE needs an existing table at $dir")
     if (newFiles.nonEmpty) {
-      val written = spark.read.schema(writeSchema)
-        .parquet(newFiles.map(p => s"$dir/$p"): _*)
+      // staged files carry PHYSICAL names (the executor writers used
+      // the table's mapping); the predicate speaks logical
+      val headSchema = readManifest(spark, dir, versions(spark, dir).last)
+        ._3.map(schemaOf).getOrElse(writeSchema)
+      val written = relogical(
+        spark.read.schema(ColumnMapping.physSchema(headSchema))
+          .parquet(newFiles.map(p => s"$dir/$p"): _*), headSchema)
       require(written.filter(!coalesce(predicate, lit(false))).isEmpty,
         "graft: every REPLACE WHERE row must satisfy the predicate " +
           "(Delta's replaceWhere constraint — it is what makes the " +
@@ -788,7 +849,7 @@ object ManagedTable {
       val (files, dvFiles) = splitDv(all)
       val schema = schemaJson.map(schemaOf).getOrElse(writeSchema)
       val dvSeg: Seq[String] = if (files.isEmpty) Seq.empty else {
-        val tagged = spark.read.schema(schema)
+        val tagged = spark.read.schema(ColumnMapping.physSchema(schema))
           .parquet(files.map(p => s"$dir/$p"): _*)
           .withColumn("__file", relPathCol)
           .withColumn("__pos", col("_metadata.row_index"))
@@ -796,7 +857,8 @@ object ManagedTable {
           if (dvFiles.isEmpty) tagged
           else tagged.join(dvRows(spark, dir, dvFiles),
             Seq("__file", "__pos"), "left_anti")
-        val fresh = live.filter(predicate).select("__file", "__pos")
+        val fresh = relogical(live, schema, Seq("__file", "__pos"))
+          .filter(predicate).select("__file", "__pos")
         val union =
           if (dvFiles.isEmpty) fresh
           else dvRows(spark, dir, dvFiles).unionByName(fresh)
@@ -859,7 +921,81 @@ object ManagedTable {
             "be nullable (existing segments read null there)")
       }
     val next = current + 1
-    writeManifest(spark, dir, next, tag, all, newSchema.json, stats)
+    // on a mapped table (or one with retired physical columns) the
+    // manifest's mapping is re-attached to surviving fields and added
+    // columns get collision-checked physical names; byte-identical to
+    // the caller's json otherwise
+    val recorded =
+      if (!ColumnMapping.isMapped(old) && retiredPhysical(stats).isEmpty)
+        newSchema
+      else ColumnMapping.evolve(old, newSchema, retiredPhysical(stats), next)
+    writeManifest(spark, dir, next, tag, all, recorded.json, stats)
+    next
+  }
+
+  /** RENAME a column — METADATA-ONLY (Delta's column mapping, name
+    * mode, via [[ColumnMapping]]): the field keeps the PHYSICAL name
+    * already baked into every committed segment and only the logical
+    * name changes, so the commit is one manifest write on a table of
+    * any size. Per-file stats are keyed by physical name and keep
+    * pruning; time travel below the rename sees the old name.
+    * Returns the new version.
+    */
+  def renameColumn(spark: SparkSession, dir: String, from: String,
+      to: String, tag: String = ""): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.renameColumn: no versions in $dir")
+    val current = vs.last
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val old = schemaJson.map(schemaOf).getOrElse(
+      throw new IllegalStateException(
+        s"ManagedTable.renameColumn: version $current of $dir has no schema"))
+    require(old.fieldNames.contains(from),
+      s"ManagedTable.renameColumn: no column '$from' in " +
+        s"${old.fieldNames.mkString("(", ", ", ")")}")
+    require(!old.fieldNames.contains(to),
+      s"ManagedTable.renameColumn: column '$to' already exists")
+    val renamed = org.apache.spark.sql.types.StructType(old.fields.map { f =>
+      if (f.name != from) f
+      else ColumnMapping.withPhys(f.copy(name = to), ColumnMapping.phys(f))
+    })
+    val next = current + 1
+    writeManifest(spark, dir, next, tag, all, renamed.json, stats)
+    next
+  }
+
+  /** DROP a column — METADATA-ONLY: the field leaves the schema (its
+    * bytes stay in the segments, unread, and age out with their
+    * manifests under [[vacuumHistory]]), and its PHYSICAL name joins
+    * the retired ledger ([[TableStatsFile]]) so a later ADD of the
+    * same name maps to a fresh physical column instead of resurrecting
+    * the dead one's data. One manifest write on a table of any size;
+    * time travel below the drop still sees the column. Returns the
+    * new version.
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String,
+      tag: String = ""): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.dropColumn: no versions in $dir")
+    val current = vs.last
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val old = schemaJson.map(schemaOf).getOrElse(
+      throw new IllegalStateException(
+        s"ManagedTable.dropColumn: version $current of $dir has no schema"))
+    val field = old.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ManagedTable.dropColumn: no column '$name' in " +
+          s"${old.fieldNames.mkString("(", ", ", ")")}"))
+    require(old.fields.length > 1,
+      s"ManagedTable.dropColumn: cannot drop the only column '$name'")
+    val remaining = org.apache.spark.sql.types.StructType(
+      old.fields.filterNot(_.name == name))
+    val ledger = stats.getOrElse(TableStatsFile, Map.empty) +
+      (RetiredPrefix + ColumnMapping.phys(field) ->
+        (s"v${current + 1}", s"v${current + 1}"))
+    val next = current + 1
+    writeManifest(spark, dir, next, tag, all, remaining.json,
+      stats + (TableStatsFile -> ledger))
     next
   }
 
@@ -943,12 +1079,18 @@ object ManagedTable {
     val v = version.getOrElse(vs.last)
     require(vs.contains(v),
       s"ManagedTable.exportManifest: version $v not in $vs")
-    val (_, all, _, _) = readManifest(spark, dir, v)
+    val (_, all, exSchemaJ, _) = readManifest(spark, dir, v)
     val (files, dvFiles) = splitDv(all)
     require(dvFiles.isEmpty,
       s"ManagedTable.exportManifest: version $v of $dir carries " +
         "deletion vectors — a symlink manifest would resurrect the " +
         "deleted rows in external engines; compact() first")
+    require(!exSchemaJ.map(schemaOf).exists(ColumnMapping.isMapped),
+      s"ManagedTable.exportManifest: version $v of $dir uses column " +
+        "mapping (renamed/re-added columns) — an external engine " +
+        "reading the raw files would see PHYSICAL column names; " +
+        "reset the layout with commit(read(...)) first, or read " +
+        "through graft")
     val f = fs(spark, dir)
     val abs = files.map(p =>
       f.makeQualified(new Path(s"$dir/$p")).toString)
@@ -1247,9 +1389,14 @@ object ManagedTable {
         graft.operators.ApplyChanges.latestByKey(changes, keys, sequenceBy),
         dir, tag)
     val current = versions(spark, dir).last
-    val (_, currentAll, _, currentStats) = readManifest(spark, dir, current)
+    val (_, currentAll, currentSchemaJ, currentStats) =
+      readManifest(spark, dir, current)
     val (currentFiles, currentDv) = splitDv(currentAll)
     val base = read(spark, dir, Some(current))
+    // the MANIFEST schema (its column mapping included) drives every
+    // segment-facing read/write below; `base.schema` is its logical,
+    // metadata-free projection
+    val tableSchema = currentSchemaJ.map(schemaOf).getOrElse(base.schema)
     // step 1: which files contain a changed key? (file paths only —
     // driver-side metadata, same scale as the manifest itself).
     // _metadata must be tagged ON the scan, before any DV anti-join
@@ -1260,7 +1407,8 @@ object ManagedTable {
     val affectedPaths =
       if (currentFiles.isEmpty) Set.empty[String]
       else {
-        val tagged = spark.read.schema(base.schema)
+        val tagged = spark.read
+          .schema(ColumnMapping.physSchema(tableSchema))
           .parquet(currentFiles.map(p => s"$dir/$p"): _*)
           .withColumn("__file", relPathCol)
           .withColumn("__pos", col("_metadata.row_index"))
@@ -1268,7 +1416,8 @@ object ManagedTable {
           if (currentDv.isEmpty) tagged
           else tagged.join(dvRows(spark, dir, currentDv),
             Seq("__file", "__pos"), "left_anti")
-        live.select((keys.map(col) :+ col("__file")): _*)
+        relogical(live, tableSchema, Seq("__file"))
+          .select((keys.map(col) :+ col("__file")): _*)
           .join(broadcast(changeKeys), keys, "left_semi")
           .select("__file").distinct()
           .collect().map(_.getString(0)).toSet
@@ -1288,19 +1437,31 @@ object ManagedTable {
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], base.schema)
       // DV-aware: rewriting an affected file must not resurrect its
       // deletion-vectored rows
-      else scanMinusDv(spark, dir, affected, base.schema, currentDv)
+      else scanMinusDv(spark, dir, affected, tableSchema, currentDv)
     val merged = graft.operators.ApplyChanges.latestByKey(
       affectedRows.unionByName(changes, allowMissingColumns = true),
       keys, sequenceBy)
-    val newFiles = writeSegment(merged, dir, next)
+    // the evolved schema re-attaches the manifest's column mapping to
+    // surviving fields (the union stripped field metadata) and assigns
+    // fresh physical names to changeset-introduced columns, checked
+    // against the retired ledger — identical json to before when the
+    // table is unmapped and nothing was ever dropped
+    val mergedSchema =
+      if (!ColumnMapping.isMapped(tableSchema) &&
+          retiredPhysical(currentStats).isEmpty) merged.schema
+      else ColumnMapping.evolve(tableSchema, merged.schema,
+        retiredPhysical(currentStats), next)
+    val newFiles = writeSegment(
+      ColumnMapping.toPhysicalFrame(merged, mergedSchema), dir, next)
     // untouched files keep their recorded stats (and their DV entries —
     // tombstones naming rewritten files match nothing and age out);
     // only the fresh segment is scanned for new ones
     writeManifest(spark, dir, next, tag,
       untouched ++ newFiles ++
         (if (untouched.isEmpty) Nil else currentDv.map("dv:" + _)),
-      merged.schema.json,
+      mergedSchema.json,
       currentStats.view.filterKeys(untouched.contains).toMap ++
+        tableStats(currentStats) ++
         segmentStats(spark, dir, newFiles))
     next
   }
@@ -1384,9 +1545,9 @@ object ManagedTable {
     val dvTouched = fromFiles0.intersect(toFiles0).filter(dvChanged)
     val fromFiles = fromFiles0.diff(toFiles0) ++ dvTouched
     val toFiles = toFiles0.diff(fromFiles0) ++ dvTouched
-    val toSchema = toSchemaJ.map(schemaOf).getOrElse(
+    val toSchema = ColumnMapping.strip(toSchemaJ.map(schemaOf).getOrElse(
       throw new IllegalStateException(
-        s"ManagedTable.changes: version $toVersion of $dir has no schema"))
+        s"ManagedTable.changes: version $toVersion of $dir has no schema")))
     val outCols = toSchema.filterNot(f => exceptColumns.contains(f.name))
     require(keys.forall(k => outCols.exists(_.name == k)),
       s"ManagedTable.changes: keys $keys must survive exceptColumns")
@@ -1514,12 +1675,14 @@ object ManagedTable {
       if (clusterBy.isEmpty) packed0.coalesce(outFiles)
       else packed0.repartitionByRange(outFiles, clusterBy: _*)
         .sortWithinPartitions(clusterBy: _*)
-    val newFiles = writeSegment(packed, dir, next)
+    val newFiles = writeSegment(
+      ColumnMapping.toPhysicalFrame(packed, schema), dir, next)
     writeManifest(spark, dir, next, tag,
       keep ++ newFiles ++
         (if (keep.isEmpty) Nil else dvFiles.map("dv:" + _)),
       schema.json,
       stats.view.filterKeys(keep.contains).toMap ++
+        tableStats(stats) ++
         segmentStats(spark, dir, newFiles))
     next
   }
@@ -1560,8 +1723,8 @@ object ManagedTable {
     // plan over DATA files only (a DV can only remove rows, so stats
     // stay sound and DV presence never changes which files can match)
     val (files, _) = splitDv(all)
-    val stringCols: Set[String] = schemaJson.map(sj =>
-      schemaOf(sj).fields.collect {
+    val tableSchema = schemaJson.map(schemaOf)
+    val stringCols: Set[String] = tableSchema.map(_.fields.collect {
         case f if f.dataType == org.apache.spark.sql.types.StringType =>
           f.name
       }.toSet).getOrElse(Set.empty)
@@ -1570,9 +1733,12 @@ object ManagedTable {
         org.apache.spark.unsafe.types.UTF8String.fromString(a)
           .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b))
       else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
+    // stats are keyed by PHYSICAL column name (the name in the file)
+    def physOf(column: String): String = tableSchema
+      .map(ColumnMapping.physOf(_, column)).getOrElse(column)
     val kept = files.filter { p =>
       bounds.forall { case (column, lower, upper) =>
-        stats.get(p).flatMap(_.get(column)) match {
+        stats.get(p).flatMap(_.get(physOf(column))) match {
           case Some((mn, mx)) =>
             try
               lower.forall(l => cmp(column)(mx, String.valueOf(l)) >= 0) &&

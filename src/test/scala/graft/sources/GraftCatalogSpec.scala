@@ -206,13 +206,10 @@ class GraftCatalogSpec extends SparkSpec {
     // time travel below the evolution sees the NARROW schema
     assert(sql("SELECT * FROM gcat.ev.t VERSION AS OF 2")
       .schema.fieldNames.toSeq == Seq("k", "s"))
-    // guarded shapes: duplicate column, drop, rename, retype
+    // guarded shapes: duplicate column and retype stay rejected
+    // (RENAME/DROP are now metadata-only features — ColumnMappingSpec)
     intercept[Exception] {
       sql("ALTER TABLE gcat.ev.t ADD COLUMNS (k BIGINT)") }
-    intercept[Exception] {
-      sql("ALTER TABLE gcat.ev.t DROP COLUMN s") }
-    intercept[Exception] {
-      sql("ALTER TABLE gcat.ev.t RENAME COLUMN s TO s2") }
     intercept[Exception] {
       sql("ALTER TABLE gcat.ev.t ALTER COLUMN w TYPE STRING") }
     // nothing above may have landed a version
