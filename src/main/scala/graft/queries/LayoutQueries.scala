@@ -1866,6 +1866,90 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 600
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q218: TABLE PROPERTIES + CHECK CONSTRAINTS — the reference's DLT
+    * `table_properties={'quality': 'silver'}` tier
+    * (/root/reference/notebooks/03_Data_Ingestion.py:62,91,117) plus
+    * its `expect_or_fail` data-quality gate, re-expressed as
+    * manifest-versioned TBLPROPERTIES and `graft.constraints.<name>`
+    * CHECK constraints ([[graft.sources.ManagedTable
+    * .setTableProperties]]): SET/UNSET are one metadata-only commit,
+    * the constraint is validated against the schema at SET time, and
+    * EVERY row-adding writer (INSERT, UPDATE's COW rewrite) enforces
+    * it at new-rows scale — a violation throws and commits NOTHING.
+    * Invariants folded into the hashed row: properties round-trip
+    * through SHOW TBLPROPERTIES, the violating INSERT and the
+    * violating UPDATE both bounced (row count and version chain
+    * unchanged), and valid writes kept flowing.
+    */
+  val q218Constraints = NamedQuery(
+    "q218_constraints",
+    "TBLPROPERTIES + CHECK constraints: quality-tier properties and " +
+      "an expect_or_fail write gate, metadata-only SET/UNSET, " +
+      "violations commit nothing; final state vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("ctwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq218_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q218_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+        "TBLPROPERTIES ('quality' = 'silver')")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT * FROM q218_docs WHERE doc_id < 300")
+      s.sql(s"ALTER TABLE $cat.corpus.docs SET TBLPROPERTIES (" +
+        s"'${graft.sources.ManagedTable.ConstraintPrefix}chars_ok' " +
+        "= 'n_chars >= 0')")
+      val props = s.sql(s"SHOW TBLPROPERTIES $cat.corpus.docs")
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      val propsOk = props.get("quality").contains("silver") &&
+        props.get(graft.sources.ManagedTable.ConstraintPrefix +
+          "chars_ok").contains("n_chars >= 0")
+      // valid rows pass the gate …
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT * FROM q218_docs WHERE doc_id >= 300")
+      val M = graft.sources.ManagedTable
+      val dir = s"$wh/corpus/docs"
+      val versionsBefore = M.versions(s, dir)
+      // … a violating INSERT bounces, committing NOTHING …
+      val insertBlocked =
+        try { s.sql(s"INSERT INTO $cat.corpus.docs " +
+            "SELECT doc_id, lang, -n_chars - 1 FROM q218_docs " +
+            "WHERE doc_id < 10"); false }
+        catch { case e: Exception =>
+          (e.getMessage + Option(e.getCause).map(_.getMessage)
+            .getOrElse("")).contains("chars_ok") }
+      // … and so does an UPDATE that rewrites rows INTO violation
+      val updateBlocked =
+        try { s.sql(s"UPDATE $cat.corpus.docs SET n_chars = -1 " +
+            "WHERE doc_id = 5"); false }
+        catch { case e: Exception =>
+          (e.getMessage + Option(e.getCause).map(_.getMessage)
+            .getOrElse("")).contains("chars_ok") }
+      val nothingLanded = M.versions(s, dir) == versionsBefore
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("props_ok", lit(propsOk))
+        .withColumn("insert_blocked", lit(insertBlocked))
+        .withColumn("update_blocked", lit(updateBlocked))
+        .withColumn("nothing_landed", lit(nothingLanded))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           |  true AS props_ok, true AS insert_blocked,
+           |  true AS update_blocked, true AS nothing_landed
+           |FROM documents WHERE doc_id < 500
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -1876,5 +1960,6 @@ object LayoutQueries {
       q206MetadataAgg, q207LimitCount, q208TopnPushdown,
       q209SqlDelete, q210SqlReplaceWhere, q211SqlUpdate,
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
-      q215StreamToTable, q216SqlMaintenance, q217ColumnMapping)
+      q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
+      q218Constraints)
 }

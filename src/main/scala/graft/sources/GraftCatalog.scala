@@ -182,6 +182,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema),
       dir, tag = "create")
+    // user TBLPROPERTIES (the reference declares quality tiers this
+    // way on every DLT table — notebooks/03_Data_Ingestion.py:62) land
+    // in the __table ledger; engine-reserved keys are not properties
+    val userProps = properties.asScala.toMap --
+      Seq("provider", "location", "owner", "comment", "external", "path")
+    if (userProps.nonEmpty)
+      ManagedTable.setTableProperties(spark, dir, userProps,
+        tag = "create")
     new GraftTable(GraftTableMeta.resolve(dir, None))
   }
 
@@ -216,15 +224,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           s"only, got ${names.mkString(".")}")
       names(0)
     }
-    // ADDs batch into one evolution commit (Spark sends one AddColumn
-    // per added column of a single statement); renames/drops are one
-    // commit each, applied in statement order
+    // ADDs batch into one evolution commit, SET/UNSET TBLPROPERTIES
+    // into one ledger commit (Spark sends one change per column /
+    // property of a single statement); renames/drops are one commit
+    // each, applied in statement order
     var pendingAdds = GraftTableMeta.resolve(dir, None).schema
     var addsPending = false
     def flushAdds(): Unit = if (addsPending) {
       ManagedTable.evolveSchema(spark, dir, pendingAdds, tag = "alter")
       addsPending = false
     }
+    var pendingSet = Map.empty[String, String]
+    var pendingUnset = Seq.empty[String]
+    def flushProps(): Unit =
+      if (pendingSet.nonEmpty || pendingUnset.nonEmpty) {
+        ManagedTable.setTableProperties(spark, dir, pendingSet,
+          pendingUnset, tag = "alter")
+        pendingSet = Map.empty; pendingUnset = Nil
+      }
     changes.foreach {
       case add: TableChange.AddColumn =>
         val colName = topLevel("ADD COLUMNS", add.fieldNames())
@@ -243,24 +260,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           colName, add.dataType(), nullable = true))
         addsPending = true
       case rn: TableChange.RenameColumn =>
-        flushAdds()
+        flushAdds(); flushProps()
         ManagedTable.renameColumn(spark, dir,
           topLevel("RENAME COLUMN", rn.fieldNames()), rn.newName(),
           tag = "alter")
         pendingAdds = GraftTableMeta.resolve(dir, None).schema
       case del: TableChange.DeleteColumn =>
-        flushAdds()
+        flushAdds(); flushProps()
         val colName = topLevel("DROP COLUMN", del.fieldNames())
         ManagedTable.dropColumn(spark, dir, colName, tag = "alter")
         pendingAdds = GraftTableMeta.resolve(dir, None).schema
+      case sp: TableChange.SetProperty =>
+        pendingSet += sp.property -> sp.value
+      case rp: TableChange.RemoveProperty =>
+        pendingUnset :+= rp.property
       case other =>
         throw new UnsupportedOperationException(
           s"graft: ALTER TABLE change ${other.getClass.getSimpleName} " +
-            "is not supported — ADD COLUMNS, RENAME COLUMN and DROP " +
-            "COLUMN are (all metadata-only); retypes would strand " +
-            "committed data")
+            "is not supported — ADD COLUMNS, RENAME COLUMN, DROP " +
+            "COLUMN and SET/UNSET TBLPROPERTIES are (all " +
+            "metadata-only); retypes would strand committed data")
     }
     flushAdds()
+    flushProps()
     loadTable(ident)
   }
 

@@ -201,6 +201,9 @@ private[graft] final case class GraftTableMeta(dir: String, version: Int,
 
   /** The schema as users see it: mapping metadata stripped. */
   def userSchema: StructType = ColumnMapping.strip(schema)
+
+  /** Table properties (the `prop:` tier of the `__table` ledger). */
+  def properties: Map[String, String] = ManagedTable.propertiesOf(stats)
 }
 
 private[graft] object GraftTableMeta {
@@ -257,6 +260,8 @@ private[sources] class GraftTable(meta: GraftTableMeta,
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`${meta.dir}`"
   override def schema(): StructType = meta.userSchema
+  override def properties(): JMap[String, String] =
+    meta.properties.asJava
   override def version(): String = meta.version.toString
   override def capabilities(): JSet[TableCapability] =
     Set(TableCapability.BATCH_READ,
@@ -1684,6 +1689,8 @@ private[sources] class GraftStreamingWrite(dir: String,
       abort(epochId, messages)
       return
     }
+    ManagedTable.enforceConstraintsOnFiles(spark, dir, newFiles,
+      s"streaming epoch $epochId")
     val newStats = ManagedTable.segmentStats(spark, dir, newFiles)
     var attempt = 0
     var done = false
@@ -1773,6 +1780,12 @@ private[sources] class GraftBatchWrite(dir: String, schema: StructType,
       ManagedTable.replaceStaged(spark, dir, cond, newFiles, schema)
       return
     }
+    // a truncate resets the table's properties (constraints included),
+    // so only appends enforce; one scan of the staged files, only
+    // when constraints are set
+    if (!truncateFirst)
+      ManagedTable.enforceConstraintsOnFiles(spark, dir, newFiles,
+        "INSERT INTO")
     val newStats = ManagedTable.segmentStats(spark, dir, newFiles)
     // optimistic create-fails-if-exists loop, same discipline as the
     // DataFrame writers: losing a version race re-reads the head and
@@ -1941,6 +1954,9 @@ private[sources] class GraftCowBatchWrite(dir: String,
     }.toSeq.sorted
     val removed = scanned().toSet
     if (staged.isEmpty && removed.isEmpty) return // matched nothing
+    // an UPDATE/MERGE may not rewrite rows INTO violation
+    ManagedTable.enforceConstraintsOnFiles(spark, dir, staged,
+      "row-level operation")
     val newStats = ManagedTable.segmentStats(spark, dir, staged)
     var attempt = 0
     var done = false

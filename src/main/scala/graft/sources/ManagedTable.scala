@@ -124,6 +124,139 @@ object ManagedTable {
       case None => Map.empty
     }
 
+  /** TABLE PROPERTIES ride the same `__table` ledger as `prop:<key>`
+    * entries — the manifest-versioned analogue of the reference's DLT
+    * `table_properties={'quality': 'silver'}`
+    * (/root/reference/notebooks/03_Data_Ingestion.py:62,91,117) and
+    * Delta's TBLPROPERTIES. Properties whose key starts with
+    * [[ConstraintPrefix]] are CHECK CONSTRAINTS: the value is a SQL
+    * boolean expression every row-adding commit enforces (the DLT
+    * `expect_or_fail` tier; the drop/quarantine tier is
+    * [[graft.operators.Expectations]]).
+    */
+  private[sources] val PropPrefix = "prop:"
+
+  /** Property-key prefix marking a CHECK constraint (Delta's
+    * `delta.constraints.<name>` convention): `graft.constraints.<name>`
+    * → SQL expression.
+    */
+  val ConstraintPrefix = "graft.constraints."
+
+  /** The table properties of a stats map. */
+  private[sources] def propertiesOf(stats: FileStats): Map[String, String] =
+    stats.getOrElse(TableStatsFile, Map.empty).collect {
+      case (k, (v, _)) if k.startsWith(PropPrefix) =>
+        k.stripPrefix(PropPrefix) -> v
+    }
+
+  /** Current table properties (empty before any SET). */
+  def tableProperties(spark: SparkSession, dir: String): Map[String, String] = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) Map.empty
+    else propertiesOf(readManifest(spark, dir, vs.last)._4)
+  }
+
+  /** SET / UNSET table properties as ONE metadata-only commit (same
+    * files, same schema, updated `__table` ledger). A key under
+    * [[ConstraintPrefix]] is validated at SET time: the value must
+    * parse and resolve as a boolean expression against the CURRENT
+    * schema — a constraint that can't be evaluated must fail here,
+    * not at the first write. Returns the new version.
+    */
+  def setTableProperties(spark: SparkSession, dir: String,
+      set: Map[String, String], unset: Seq[String] = Nil,
+      tag: String = ""): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty,
+      s"ManagedTable.setTableProperties: no versions in $dir")
+    val current = vs.last
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val schema = schemaJson.map(schemaOf).getOrElse(
+      org.apache.spark.sql.types.StructType(Nil))
+    set.foreach { case (k, v) =>
+      require(!k.contains("\n") && !v.contains("\n"),
+        s"ManagedTable.setTableProperties: no newlines in '$k'")
+      if (k.startsWith(ConstraintPrefix))
+        requireConstraintResolves(spark, schema,
+          k.stripPrefix(ConstraintPrefix), v)
+    }
+    val entry = stats.getOrElse(TableStatsFile, Map.empty)
+    val updated = (entry -- unset.map(PropPrefix + _)) ++
+      set.map { case (k, v) => (PropPrefix + k) -> (v, v) }
+    val next = current + 1
+    writeManifest(spark, dir, next, tag, all,
+      schemaJson.getOrElse(""), stats + (TableStatsFile -> updated))
+    next
+  }
+
+  /** The CHECK constraints of a property map: name → SQL expression. */
+  def constraintsOf(props: Map[String, String]): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(ConstraintPrefix) =>
+      k.stripPrefix(ConstraintPrefix) -> v
+    }
+
+  /** Fail unless `expr` parses and resolves as a filter against
+    * `schema` — the gate both SET TBLPROPERTIES and the schema DDLs
+    * (rename/drop of a referenced column) run.
+    */
+  private[sources] def requireConstraintResolves(spark: SparkSession,
+      schema: org.apache.spark.sql.types.StructType, name: String,
+      expr: String): Unit =
+    try {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        ColumnMapping.strip(schema))
+        .filter(org.apache.spark.sql.functions.expr(expr))
+        .queryExecution.analyzed
+      ()
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        throw new IllegalArgumentException(
+          s"graft: CHECK constraint '$name' ($expr) does not resolve " +
+            s"against schema ${schema.map(_.name).mkString("(", ", ", ")")}" +
+            s": ${e.getMessage}", e)
+    }
+
+  /** Enforce every CHECK constraint on rows about to COMMIT — SQL
+    * CHECK semantics: a row violates only when the expression is
+    * FALSE (NULL passes). One job over the new/rewritten rows only
+    * (never the table), and zero cost when no constraints are set.
+    */
+  private[sources] def enforceConstraints(df: DataFrame,
+      props: Map[String, String], op: String): Unit = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val cs = constraintsOf(props)
+    if (cs.isEmpty) return
+    cs.foreach { case (name, sql) =>
+      val bad = df.filter(not(coalesce(expr(sql), lit(true))))
+      if (!bad.isEmpty)
+        throw new IllegalArgumentException(
+          s"graft: $op violates CHECK constraint '$name' ($sql) — " +
+            "no rows were committed")
+    }
+  }
+
+  /** [[enforceConstraints]] over STAGED segment files (the DSv2
+    * writers: rows already on disk, manifest not yet claimed) — read
+    * back under the head schema's mapping, logical names, one scan of
+    * the staged files only. A violation throws BEFORE any manifest
+    * write; the staged orphans fall to [[vacuum]] like any abort.
+    */
+  private[sources] def enforceConstraintsOnFiles(spark: SparkSession,
+      dir: String, relFiles: Seq[String], op: String): Unit = {
+    if (relFiles.isEmpty) return
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) return
+    val (_, _, schemaJson, stats) = readManifest(spark, dir, vs.last)
+    val props = propertiesOf(stats)
+    if (constraintsOf(props).isEmpty) return
+    val schema = schemaJson.map(schemaOf).getOrElse(return)
+    val written = relogical(
+      spark.read.schema(ColumnMapping.physSchema(schema))
+        .parquet(relFiles.map(p => s"$dir/$p"): _*), schema)
+    enforceConstraints(written, props, op)
+  }
+
   private[sources] def readManifest(spark: SparkSession, dir: String,
       v: Int): (String, Seq[String], Option[String], FileStats) = {
     val f = fs(spark, dir)
@@ -362,10 +495,12 @@ object ManagedTable {
     schema.foreach(requireSchemaCompatible("appendCommit", df, _))
     val (files, dvFiles) = splitDv(all)
     val next = current + 1
+    val logicalOrdered = schema.map(sch =>
+      df.select(sch.fieldNames.map(org.apache.spark.sql.functions.col): _*))
+      .getOrElse(df)
+    enforceConstraints(logicalOrdered, propertiesOf(stats), "appendCommit")
     val ordered = schema.map(sch =>
-      ColumnMapping.toPhysicalFrame(
-        df.select(sch.fieldNames.map(org.apache.spark.sql.functions.col): _*),
-        sch))
+      ColumnMapping.toPhysicalFrame(logicalOrdered, sch))
       .getOrElse(df)
     val newData = writeSegment(ordered, dir, next)
     writeManifest(spark, dir, next, tag,
@@ -778,6 +913,9 @@ object ManagedTable {
           "the predicate (Delta's replaceWhere constraint — it is what " +
           "makes the backfill idempotent)")
     }
+    if (!writtenEmpty)
+      try enforceConstraints(written, propertiesOf(stats), "replaceWhere")
+      catch { case e: Throwable => dropSegments(); throw e }
     val newData =
       if (!writtenEmpty) newDataAll
       else { // empty replacement degrades to a delete: drop the empty segment
@@ -839,6 +977,7 @@ object ManagedTable {
           "(Delta's replaceWhere constraint — it is what makes the " +
           "backfill idempotent)")
     }
+    enforceConstraintsOnFiles(spark, dir, newFiles, "REPLACE WHERE")
     val newStats = segmentStats(spark, dir, newFiles)
     var attempt = 0
     while (true) {
@@ -959,6 +1098,11 @@ object ManagedTable {
       if (f.name != from) f
       else ColumnMapping.withPhys(f.copy(name = to), ColumnMapping.phys(f))
     })
+    // a CHECK constraint referencing the old name would stop
+    // resolving — refuse the rename (Delta's rule), naming the culprit
+    constraintsOf(propertiesOf(stats)).foreach { case (n, e) =>
+      requireConstraintResolves(spark, renamed, n, e)
+    }
     val next = current + 1
     writeManifest(spark, dir, next, tag, all, renamed.json, stats)
     next
@@ -990,6 +1134,11 @@ object ManagedTable {
       s"ManagedTable.dropColumn: cannot drop the only column '$name'")
     val remaining = org.apache.spark.sql.types.StructType(
       old.fields.filterNot(_.name == name))
+    // a CHECK constraint referencing the dropped column would stop
+    // resolving — refuse the drop, naming the culprit
+    constraintsOf(propertiesOf(stats)).foreach { case (n, e) =>
+      requireConstraintResolves(spark, remaining, n, e)
+    }
     val ledger = stats.getOrElse(TableStatsFile, Map.empty) +
       (RetiredPrefix + ColumnMapping.phys(field) ->
         (s"v${current + 1}", s"v${current + 1}"))
@@ -1451,6 +1600,7 @@ object ManagedTable {
           retiredPhysical(currentStats).isEmpty) merged.schema
       else ColumnMapping.evolve(tableSchema, merged.schema,
         retiredPhysical(currentStats), next)
+    enforceConstraints(merged, propertiesOf(currentStats), "merge")
     val newFiles = writeSegment(
       ColumnMapping.toPhysicalFrame(merged, mergedSchema), dir, next)
     // untouched files keep their recorded stats (and their DV entries —
