@@ -1950,6 +1950,75 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 500
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q219: TYPE WIDENING — `ALTER COLUMN … TYPE BIGINT` as a
+    * METADATA-ONLY commit ([[graft.sources.ManagedTable.widenColumn]];
+    * Delta's type widening over the manifest log). The manifest
+    * records the wider type and every reader upcasts the narrower
+    * committed segments at decode time — the connector's columnar
+    * path through a zero-copy widening vector, its row path by file
+    * footer, the path API through Spark's own parquet promotion — so
+    * the retype costs one manifest write on a table of any size.
+    * The post-widen insert lands values ABOVE Int.MaxValue (the
+    * reason a user widens at all), both generations aggregate
+    * together, and the invariants fold into the hashed row: the DDL
+    * carried the data files byte-identical and pre-widen time travel
+    * still sees INT.
+    */
+  val q219TypeWidening = NamedQuery(
+    "q219_type_widening",
+    "ALTER COLUMN TYPE INT→BIGINT metadata-only: readers upcast old " +
+      "segments at decode, post-widen rows exceed INT range, one " +
+      "manifest write; mixed-generation agg vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("twwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq219_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q219_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars INT)")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, CAST(n_chars AS INT) FROM q219_docs " +
+        "WHERE doc_id < 300")
+      val dir = s"$wh/corpus/docs"
+      val M = graft.sources.ManagedTable
+      val before = M.read(s, dir).inputFiles.toSet
+      s.sql(s"ALTER TABLE $cat.corpus.docs " +
+        "ALTER COLUMN n_chars TYPE BIGINT")
+      val metadataOnly = M.read(s, dir).inputFiles.toSet == before
+      // the whole point of widening: values an INT cannot hold
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, n_chars + 3000000000 FROM q219_docs " +
+        "WHERE doc_id >= 300")
+      val narrowBelow = M.read(s, dir, Some(2))
+        .schema("n_chars").dataType ==
+        org.apache.spark.sql.types.IntegerType
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                |  CAST(max(n_chars) AS BIGINT) AS max_chars
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("metadata_only", lit(metadataOnly))
+        .withColumn("narrow_below", lit(narrowBelow))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN doc_id >= 300
+           |    THEN n_chars + 3000000000 ELSE n_chars END)
+           |    AS BIGINT) AS sum_chars,
+           |  CAST(MAX(CASE WHEN doc_id >= 300
+           |    THEN n_chars + 3000000000 ELSE n_chars END)
+           |    AS BIGINT) AS max_chars,
+           |  true AS metadata_only, true AS narrow_below
+           |FROM documents WHERE doc_id < 500
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -1961,5 +2030,5 @@ object LayoutQueries {
       q209SqlDelete, q210SqlReplaceWhere, q211SqlUpdate,
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
       q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
-      q218Constraints)
+      q218Constraints, q219TypeWidening)
 }

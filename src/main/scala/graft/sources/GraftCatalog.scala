@@ -274,12 +274,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
         pendingSet += sp.property -> sp.value
       case rp: TableChange.RemoveProperty =>
         pendingUnset :+= rp.property
+      case ut: TableChange.UpdateColumnType =>
+        flushAdds(); flushProps()
+        ManagedTable.widenColumn(spark, dir,
+          topLevel("ALTER COLUMN TYPE", ut.fieldNames()),
+          ut.newDataType(), tag = "alter")
+        pendingAdds = GraftTableMeta.resolve(dir, None).schema
       case other =>
         throw new UnsupportedOperationException(
           s"graft: ALTER TABLE change ${other.getClass.getSimpleName} " +
             "is not supported — ADD COLUMNS, RENAME COLUMN, DROP " +
-            "COLUMN and SET/UNSET TBLPROPERTIES are (all " +
-            "metadata-only); retypes would strand committed data")
+            "COLUMN, SET/UNSET TBLPROPERTIES and widening ALTER " +
+            "COLUMN TYPE are (all metadata-only); narrowing or " +
+            "cross-family retypes would strand committed data")
     }
     flushAdds()
     flushProps()

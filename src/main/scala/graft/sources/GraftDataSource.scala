@@ -1402,7 +1402,20 @@ private[sources] class GraftColumnarPartitionReader(absPath: String,
     val presentIdx = present.map(_.name).zipWithIndex.toMap
     val vectors: Array[ColumnVector] = required.fields.map { f =>
       presentIdx.get(f.name) match {
-        case Some(i) => inner.column(i)
+        case Some(i) =>
+          // a pre-widening segment stores the NARROW type under a
+          // now-wider manifest column: answer the wide getters from
+          // the narrow vector, zero copy (the columnar half of
+          // metadata-only ALTER COLUMN … TYPE)
+          val fileT = GraftPartitionReader.fileScalarType(
+            fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+          fileT match {
+            case Some(ft) if ft != f.dataType &&
+                ManagedTable.widenable(ft, f.dataType) =>
+              new GraftWideningColumnVector(inner.column(i), ft,
+                f.dataType)
+            case _ => inner.column(i)
+          }
         case None =>
           val cv = new ConstantColumnVector(Capacity, f.dataType)
           if (f.name == GraftTable.FileMetaCol)
@@ -1420,6 +1433,53 @@ private[sources] class GraftColumnarPartitionReader(absPath: String,
     batch
   }
   override def close(): Unit = reader.close()
+}
+
+/** A zero-copy WIDENING view over a narrower decoded vector: the wide
+  * getters ([[getLong]]/[[getDouble]]/…) answer from the file-typed
+  * inner vector, so a pre-widening INT32 segment serves a BIGINT
+  * column at full vectorized speed — the columnar half of
+  * metadata-only `ALTER COLUMN … TYPE` ([[ManagedTable.widenColumn]]).
+  * Only the [[ManagedTable.widenable]] pairs are constructed, so the
+  * getter matrix below is total for every reachable (from, to).
+  */
+private[sources] class GraftWideningColumnVector(
+    inner: org.apache.spark.sql.vectorized.ColumnVector,
+    from: DataType, to: DataType)
+    extends org.apache.spark.sql.vectorized.ColumnVector(to) {
+  private def narrowLong(i: Int): Long = from match {
+    case ByteType => inner.getByte(i).toLong
+    case ShortType => inner.getShort(i).toLong
+    case IntegerType => inner.getInt(i).toLong
+    case _ => inner.getLong(i)
+  }
+  override def getLong(i: Int): Long = narrowLong(i)
+  override def getInt(i: Int): Int = narrowLong(i).toInt
+  override def getShort(i: Int): Short = narrowLong(i).toShort
+  override def getByte(i: Int): Byte = inner.getByte(i)
+  override def getDouble(i: Int): Double = from match {
+    case FloatType => inner.getFloat(i).toDouble
+    case _ => inner.getDouble(i)
+  }
+  override def getFloat(i: Int): Float = inner.getFloat(i)
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(i)
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(i)
+  override def hasNull: Boolean = inner.hasNull
+  override def numNulls(): Int = inner.numNulls()
+  override def getUTF8String(i: Int): UTF8String = inner.getUTF8String(i)
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(i)
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray = inner.getArray(i)
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap = inner.getMap(i)
+  override def getDecimal(i: Int, p: Int, s: Int)
+      : org.apache.spark.sql.types.Decimal = inner.getDecimal(i, p, s)
+  override def getInterval(i: Int)
+      : org.apache.spark.unsafe.types.CalendarInterval =
+    inner.getInterval(i)
+  override def getChild(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnVector = inner.getChild(i)
+  override def close(): Unit = inner.close()
 }
 
 /** Row-level parquet decode of ONE data file against the manifest
@@ -1445,6 +1505,16 @@ private[sources] class GraftPartitionReader(absPath: String,
   private val present: Array[StructField] =
     required.fields.filter(f => fileSchema.containsField(f.name))
   private val presentNames = present.map(_.name).toSet
+  // decode by the FILE's type, upcast to the requested one — what
+  // makes ALTER COLUMN … TYPE (type widening) metadata-only: a
+  // pre-widening segment stores INT32 under a now-BIGINT column
+  private val decodeTypes: Array[DataType] = present.map { f =>
+    GraftPartitionReader
+      .fileScalarType(fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+      .filter(ft => ft != f.dataType &&
+        ManagedTable.widenable(ft, f.dataType))
+      .getOrElse(f.dataType)
+  }
 
   private val reader: ParquetReader[Group] = {
     // a projection must be non-empty: for a fully-pruned read (e.g.
@@ -1490,7 +1560,9 @@ private[sources] class GraftPartitionReader(absPath: String,
       if (presentNames.contains(f.name)) {
         out(i) =
           if (current.getFieldRepetitionCount(gi) == 0) null
-          else GraftPartitionReader.value(current, gi, f.dataType)
+          else GraftPartitionReader.widen(
+            GraftPartitionReader.value(current, gi, decodeTypes(gi)),
+            f.dataType)
         gi += 1
       } else if (f.name == GraftTable.FileMetaCol) {
         out(i) = fileMeta // the _file metadata column (COW group id)
@@ -1504,6 +1576,57 @@ private[sources] class GraftPartitionReader(absPath: String,
 }
 
 private[sources] object GraftPartitionReader {
+  /** The Spark type a parquet SCALAR field decodes as — `None` for
+    * groups (arrays) and exotic annotations. Drives the
+    * file-vs-manifest type comparison of the widening tier.
+    */
+  def fileScalarType(t: org.apache.parquet.schema.Type)
+      : Option[DataType] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
+    if (!t.isPrimitive) return None
+    t.asPrimitiveType().getPrimitiveTypeName match {
+      case INT32 => t.getLogicalTypeAnnotation match {
+        case a: LogicalTypeAnnotation.IntLogicalTypeAnnotation =>
+          a.getBitWidth match {
+            case 8 => Some(ByteType)
+            case 16 => Some(ShortType)
+            case _ => Some(IntegerType)
+          }
+        case null => Some(IntegerType)
+        case _ => None
+      }
+      case INT64 if t.getLogicalTypeAnnotation == null ||
+          t.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
+        Some(LongType)
+      case FLOAT => Some(FloatType)
+      case DOUBLE => Some(DoubleType)
+      case BOOLEAN => Some(BooleanType)
+      case BINARY =>
+        if (t.getLogicalTypeAnnotation
+            .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation])
+          Some(StringType)
+        else Some(BinaryType)
+      case _ => None
+    }
+  }
+
+  /** Upcast one decoded value to the manifest's (possibly wider)
+    * type — identity when the file already stores the wide type.
+    */
+  def widen(v: Any, to: DataType): Any = (v, to) match {
+    case (null, _) => null
+    case (b: Byte, ShortType) => b.toShort
+    case (b: Byte, IntegerType) => b.toInt
+    case (b: Byte, LongType) => b.toLong
+    case (s: Short, IntegerType) => s.toInt
+    case (s: Short, LongType) => s.toLong
+    case (i: Int, LongType) => i.toLong
+    case (f: Float, DoubleType) => f.toDouble
+    case _ => v
+  }
+
   /** One non-null value at (group, fieldIdx) decoded as `dt`. */
   def value(g: Group, fi: Int, dt: DataType): Any = dt match {
     case ArrayType(et, _) =>

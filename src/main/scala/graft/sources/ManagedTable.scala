@@ -1148,6 +1148,65 @@ object ManagedTable {
     next
   }
 
+  /** Is `from` → `to` a lossless, order-preserving WIDENING every
+    * reader can apply at decode time? (Delta's type widening set,
+    * restricted to the connector's scalar tier: integral upcasts and
+    * float→double. Arrays are excluded — a container rewrite, not a
+    * scalar upcast.)
+    */
+  private[sources] def widenable(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** WIDEN a column's type — METADATA-ONLY (Delta's type widening):
+    * the manifest schema records the wider type and every reader
+    * upcasts narrower committed segments at decode time ([[read]] via
+    * Spark's own parquet type promotion; the connector's row and
+    * columnar readers via file-footer-keyed upcast), so `ALTER COLUMN
+    * … TYPE BIGINT` on a 100 TB table costs one manifest write and
+    * zero data bytes. Only the lossless, order-preserving set is
+    * accepted ([[widenable]]): integral upcasts and float→double —
+    * per-file min/max stats parse identically under the wider type,
+    * so pruning is unaffected. Post-widen writes land the wide type;
+    * files of both generations coexist indefinitely. Returns the new
+    * version.
+    */
+  def widenColumn(spark: SparkSession, dir: String, name: String,
+      to: org.apache.spark.sql.types.DataType, tag: String = ""): Int = {
+    val vs = versions(spark, dir)
+    require(vs.nonEmpty, s"ManagedTable.widenColumn: no versions in $dir")
+    val current = vs.last
+    val (_, all, schemaJson, stats) = readManifest(spark, dir, current)
+    val old = schemaJson.map(schemaOf).getOrElse(
+      throw new IllegalStateException(
+        s"ManagedTable.widenColumn: version $current of $dir has no schema"))
+    val field = old.fields.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"ManagedTable.widenColumn: no column '$name' in " +
+          s"${old.fieldNames.mkString("(", ", ", ")")}"))
+    require(widenable(field.dataType, to),
+      s"ManagedTable.widenColumn: ${field.dataType.sql} → ${to.sql} " +
+        "is not a supported widening (integral upcasts and " +
+        "FLOAT → DOUBLE only — anything else would strand or corrupt " +
+        "committed bytes)")
+    val widened = org.apache.spark.sql.types.StructType(old.fields.map(f =>
+      if (f.name == name) f.copy(dataType = to) else f))
+    constraintsOf(propertiesOf(stats)).foreach { case (n, e) =>
+      requireConstraintResolves(spark, widened, n, e)
+    }
+    val next = current + 1
+    writeManifest(spark, dir, next, tag, all, widened.json, stats)
+    next
+  }
+
   /** RESTORE to an earlier version (Delta's `RESTORE TABLE … TO VERSION
     * AS OF`): re-publish version `toVersion`'s exact manifest — file
     * list (data segments AND deletion vectors), schema, per-file
@@ -1713,9 +1772,13 @@ object ManagedTable {
             spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         else scanMinusDv(spark, dir, files, schema, dv)
       val have = schema.map(_.name).toSet
+      // the explicit cast aligns a pre-widening side (narrower type)
+      // to the to-version's type, exactly like the null-fill aligns a
+      // pre-evolution side
       df.filter(!coalesce(deleteExpr, lit(false)))
         .select(outCols.map(f =>
-          (if (have(f.name)) col(f.name) else lit(null).cast(f.dataType))
+          (if (have(f.name)) col(f.name).cast(f.dataType)
+           else lit(null).cast(f.dataType))
             .as(f.name)): _*)
     }
     val f = side(fromFiles, fromSchemaJ, fromDv)
