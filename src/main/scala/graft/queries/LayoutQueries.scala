@@ -2019,6 +2019,99 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 500
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q220: DECLARATIVE CLUSTERING — `CREATE TABLE … CLUSTER BY (k)`
+    * persists the layout contract as a table property
+    * ([[graft.sources.ManagedTable.ClusterByProp]]), and EVERY plain
+    * INSERT honors it through the DSv2 write's declared
+    * distribution+ordering (Spark plans the range shuffle; AQE sizes
+    * the partitions to `graft.targetFileSize`) — so a selective
+    * IN-probe prunes files from the FIRST insert onward, with no
+    * maintenance CALL establishing the layout. Each INSERT slice is
+    * deliberately full-range (doc_id % 3), so nothing but the
+    * declared clustering can make the files range-disjoint.
+    * Invariants folded into the hashed row: the probe's plan kept
+    * strictly fewer files than the table holds, the clustering
+    * property round-trips through SHOW TBLPROPERTIES, and compaction
+    * (CALL system.compact with no cluster_by argument) preserves the
+    * declared key.
+    */
+  val q220ClusteredCreate = NamedQuery(
+    "q220_clustered_create",
+    "CREATE TABLE CLUSTER BY: declarative clustering via write-time " +
+      "distribution+ordering, IN-probe prunes files right after " +
+      "plain INSERTs (no CALL), property round-trips; vs raw-parquet " +
+      "oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("ccwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq220_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 600)
+        .select("doc_id", "text", "lang", "n_chars")
+        .createOrReplaceTempView("q220_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, text STRING, lang STRING, n_chars BIGINT) " +
+        "CLUSTER BY (doc_id) " +
+        s"TBLPROPERTIES ('${graft.sources.ManagedTable
+          .TargetFileSizeProp}' = '2048')")
+      // three PLAIN inserts, each slice spanning the full doc_id
+      // range — only the declared clustering can split them into
+      // range-disjoint files. AQE's parallelism-first coalescing
+      // ignores sub-MB advisory sizes, so honor the tiny
+      // demonstration targetFileSize for the duration of the inserts
+      // (at production scale the property would be 64 MB+ and the
+      // default coalescing behavior already respects it).
+      s.conf.set(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst",
+        "false")
+      s.conf.set(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        "1024")
+      try {
+        (0 to 2).foreach { r =>
+          s.sql(s"INSERT INTO $cat.corpus.docs SELECT doc_id, text, " +
+            s"lang, n_chars FROM q220_docs WHERE doc_id % 3 = $r")
+        }
+      } finally {
+        s.conf.unset(
+          "spark.sql.adaptive.coalescePartitions.parallelismFirst")
+        s.conf.unset(
+          "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+      }
+      val probe = s.sql(s"SELECT doc_id, lang, n_chars FROM " +
+        s"$cat.corpus.docs WHERE doc_id IN (5, 250, 577)")
+      val desc = probe.queryExecution.executedPlan.toString
+      val prunes = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+        .exists(m => m.group(1).toInt < m.group(2).toInt &&
+          m.group(2).toInt > 3)
+      val declared = s.sql(s"SHOW TBLPROPERTIES $cat.corpus.docs")
+        .collect().exists(r => r.getString(0) ==
+          graft.sources.ManagedTable.ClusterByProp &&
+          r.getString(1) == "doc_id")
+      // parameterless maintenance compaction inherits the declared key
+      s.sql(s"CALL $cat.system.compact(" +
+        s"`table` => 'corpus.docs', small_file_bytes => ${32 * 1024})")
+      val probe2 = s.sql(s"SELECT doc_id, lang, n_chars FROM " +
+        s"$cat.corpus.docs WHERE doc_id IN (5, 250, 577)")
+      val desc2 = probe2.queryExecution.executedPlan.toString
+      val prunesAfterCompact =
+        "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc2)
+          .exists(m => m.group(1).toInt <= m.group(2).toInt)
+      probe2.withColumn("clustered_prunes", lit(prunes))
+        .withColumn("cluster_by_declared", lit(declared))
+        .withColumn("prunes_after_compact", lit(prunesAfterCompact))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars, true AS clustered_prunes,
+           |  true AS cluster_by_declared, true AS prunes_after_compact
+           |FROM documents WHERE doc_id IN (5, 250, 577)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -2030,5 +2123,5 @@ object LayoutQueries {
       q209SqlDelete, q210SqlReplaceWhere, q211SqlUpdate,
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
       q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
-      q218Constraints, q219TypeWidening)
+      q218Constraints, q219TypeWidening, q220ClusteredCreate)
 }

@@ -165,9 +165,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform],
       properties: JMap[String, String]): Table = {
-    require(partitions.isEmpty,
-      "graft: PARTITIONED BY is not supported — file-level stats " +
-        "pruning plays the partition role (q67/q116 layout discipline)")
+    // `CLUSTER BY (a, b)` is the DECLARATIVE layout contract: persist
+    // it as the graft.clusterBy property, and every data-landing
+    // write range-clusters on it from the first INSERT (file-level
+    // stats pruning then plays the partition role with no manual
+    // CALL). Hash/bucket/identity PARTITIONED BY stays rejected —
+    // stats pruning subsumes it without directory explosion.
+    val clusterCols: Seq[String] = partitions.toSeq.flatMap {
+      case org.apache.spark.sql.connector.expressions
+          .ClusterByTransform(refs) =>
+        refs.map { r =>
+          require(r.fieldNames.length == 1,
+            "graft: CLUSTER BY supports top-level columns only, got " +
+              r.fieldNames.mkString("."))
+          r.fieldNames()(0)
+        }
+      case other => throw new UnsupportedOperationException(
+        s"graft: PARTITIONED BY ($other) is not supported — " +
+          "file-level stats pruning plays the partition role " +
+          "(q67/q116 layout discipline); declare layout with " +
+          "CLUSTER BY instead")
+    }
+    clusterCols.foreach { c =>
+      require(schema.fieldNames.contains(c),
+        s"graft: CLUSTER BY column '$c' is not in the table schema")
+    }
     val dir = tableDir(ident)
     if (isTable(dir)) throw new TableAlreadyExistsException(ident)
     val parent = nsPath(ident.namespace())
@@ -186,7 +208,19 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     // way on every DLT table — notebooks/03_Data_Ingestion.py:62) land
     // in the __table ledger; engine-reserved keys are not properties
     val userProps = properties.asScala.toMap --
-      Seq("provider", "location", "owner", "comment", "external", "path")
+      Seq("provider", "location", "owner", "comment", "external",
+        "path") ++
+      (if (clusterCols.nonEmpty)
+        Map(ManagedTable.ClusterByProp -> clusterCols.mkString(","))
+      else Map.empty)
+    userProps.get(ManagedTable.ClusterByProp).foreach { v =>
+      // a clusterBy set via raw TBLPROPERTIES gets the same validation
+      ManagedTable.clusterByOf(Map(ManagedTable.ClusterByProp -> v))
+        .foreach { c =>
+          require(schema.fieldNames.contains(c),
+            s"graft: clusterBy column '$c' is not in the table schema")
+        }
+    }
     if (userProps.nonEmpty)
       ManagedTable.setTableProperties(spark, dir, userProps,
         tag = "create")

@@ -69,15 +69,17 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * One [[InputPartition]] per surviving data file — on a cluster the
   * scan parallelizes file-per-task exactly like a parquet scan.
-  * Decoding is TIERED: DV-free versions (the overwhelmingly common
-  * case) decode through Spark's own vectorized parquet reader as
-  * [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
-  * ([[GraftColumnarPartitionReader]]) — the same per-byte cost as
+  * Decoding is VECTORIZED throughout: every version — deletion
+  * vectors or not — decodes through Spark's own vectorized parquet
+  * reader as [[org.apache.spark.sql.vectorized.ColumnarBatch]]es
+  * ([[GraftColumnarPartitionReader]]) at the same per-byte cost as
   * `spark.read.parquet` under [[ManagedTable.read]], so the connector
-  * IS a first-class bulk-scan path; versions carrying deletion
-  * vectors fall back to the record-level Group API reader
-  * ([[GraftPartitionReader]]), which skips tombstoned row positions
-  * while decoding (row-level work by nature).
+  * IS a first-class bulk-scan path. DV'd files apply their tombstones
+  * INSIDE the vectorized reader through a zero-copy per-batch
+  * selection view ([[GraftSelectionColumnVector]]) — a 100 TB table
+  * under trickle deletes keeps columnar decode between compactions.
+  * The record-level Group API reader ([[GraftPartitionReader]])
+  * remains only for projection-less scans (pure `count(*)`).
   *
   * Supported column types: the stats-typed scalar tier (integral,
   * float/double, string, boolean, binary) plus arrays of those —
@@ -179,7 +181,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
         GraftTable.normSchema(schema) != GraftTable.normSchema(meta.schema)
       new GraftTable(meta, pinned = versionAsOf.isDefined,
         callerSchemaMismatch =
-          if (mismatch) Some(schema.simpleString) else None)
+          if (mismatch) Some(schema.simpleString) else None,
+        acceptAnySchema = m.getBoolean("mergeSchema", false) ||
+          SparkSession.active.conf
+            .getOption("spark.graft.mergeSchema")
+            .exists(_.equalsIgnoreCase("true")))
     }
   }
 }
@@ -252,7 +258,8 @@ private[graft] object GraftTableMeta {
 }
 
 private[sources] class GraftTable(meta: GraftTableMeta,
-    pinned: Boolean = false, callerSchemaMismatch: Option[String] = None)
+    pinned: Boolean = false, callerSchemaMismatch: Option[String] = None,
+    acceptAnySchema: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
@@ -264,12 +271,23 @@ private[sources] class GraftTable(meta: GraftTableMeta,
     meta.properties.asJava
   override def version(): String = meta.version.toString
   override def capabilities(): JSet[TableCapability] =
-    Set(TableCapability.BATCH_READ,
+    (Set(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.BATCH_WRITE,
       TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE).asJava
+      TableCapability.STREAMING_WRITE,
+      // lets `MERGE WITH SCHEMA EVOLUTION` hand its AddColumn
+      // changes to the catalog's alterTable (ADD COLUMNS path);
+      // inert unless the user writes the clause
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION) ++
+      // a mergeSchema write asks the analyzer to stand down from
+      // arity validation so the WIDER source schema reaches the
+      // write builder, whose additive-only gate then evolves the
+      // table (Delta's mergeSchema shape). Scoped to writes that
+      // opted in — everything else keeps Spark's strict validation.
+      (if (acceptAnySchema) Set(TableCapability.ACCEPT_ANY_SCHEMA)
+      else Set.empty)).asJava
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
       : org.apache.spark.sql.connector.write.WriteBuilder = {
@@ -932,17 +950,17 @@ private[graft] class GraftScan(meta: GraftTableMeta,
   override def planInputPartitions(): Array[InputPartition] =
     kept.map(rel => GraftInputPartition(s"${meta.dir}/$rel",
       dv.getOrElse(rel, Array.empty)): InputPartition).toArray
-  // columnar (vectorized) decode whenever the version carries no DV
-  // and at least one column is requested — the flag must be UNIFORM
-  // across the scan's partitions (Spark refuses mixed row/columnar
-  // partition sets), so it keys on the VERSION's DV set, not the
-  // per-file one. The reader decodes by PHYSICAL column name (the
-  // name in the file — logical positions and types are preserved, so
-  // the emitted rows need no re-projection).
+  // columnar (vectorized) decode whenever at least one column is
+  // requested — deletion vectors apply INSIDE the vectorized reader
+  // (per-batch selection view), so a trickle of tombstones no longer
+  // demotes the scan to the row reader. The reader decodes by
+  // PHYSICAL column name (the name in the file — logical positions
+  // and types are preserved, so the emitted rows need no
+  // re-projection).
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(
       ColumnMapping.physicalFor(required, meta.schema).json,
-      columnar = meta.dvFiles.isEmpty && required.nonEmpty)
+      columnar = required.nonEmpty)
 
   /** JOIN-DRIVEN file pruning ([[SupportsRuntimeV2Filtering]]): when
     * this table is the big side of a join whose other side is small
@@ -962,17 +980,26 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     // only attributes present in THIS scan's output: Spark's dynamic
     // pruning resolves every listed attribute against the scan's
     // output and fails analysis on a miss (a projected-out column can
-    // never receive a runtime filter anyway); `_file` appears exactly
-    // when a row-level operation requested it as metadata
+    // never receive a runtime filter anyway)
     val out = required.fieldNames.toSet
-    meta.schema.fields.collect {
-      case f if out.contains(f.name) &&
-          GraftScan.runtimePrunable(f.dataType) =>
-        Expressions.column(f.name)
-    } ++ (if (out.contains(GraftTable.FileMetaCol) &&
-            !meta.schema.fieldNames.contains(GraftTable.FileMetaCol))
-        Seq(Expressions.column(GraftTable.FileMetaCol))
-      else Nil)
+    if (out.contains(GraftTable.FileMetaCol) &&
+        !meta.schema.fieldNames.contains(GraftTable.FileMetaCol))
+      // `_file` rides as metadata exactly when this scan feeds a
+      // row-level operation (UPDATE/DELETE/MERGE re-scan). Advertise
+      // ONLY the file identity: it IS the copy-on-write group key, and
+      // a single pruning key makes Spark's runtime group filter a
+      // plain `_file IN (subquery)` — translatable to a V2 predicate
+      // and answered by the exact-match prune below. Listing user
+      // columns too would turn the filter into a multi-column
+      // `named_struct(...) IN subquery`, which DSv2 can't translate,
+      // so the re-scan would lose file pruning entirely.
+      Array(Expressions.column(GraftTable.FileMetaCol))
+    else
+      meta.schema.fields.collect {
+        case f if out.contains(f.name) &&
+            GraftScan.runtimePrunable(f.dataType) =>
+          Expressions.column(f.name)
+      }
   }
 
   /** The files this scan will actually read, AFTER every runtime
@@ -1096,14 +1123,8 @@ private[sources] object GraftScan {
     else new java.math.BigDecimal(a).compareTo(new java.math.BigDecimal(b))
 }
 
-/** `rowOnly` forces the row reader even when the scan-level columnar
-  * flag is on — set UNIFORMLY across a streaming micro-batch whose
-  * initial-snapshot files carry deletion vectors (Spark refuses a
-  * mixed row/columnar partition set, so one DV'd file demotes the
-  * whole batch).
-  */
 private[sources] final case class GraftInputPartition(absPath: String,
-    dvPositions: Array[Long], rowOnly: Boolean = false)
+    dvPositions: Array[Long])
     extends InputPartition
 
 /** `spark.readStream.format("graft")` — a managed table AS A STREAM of
@@ -1234,12 +1255,8 @@ private[sources] class GraftMicroBatchStream(dir: String,
       versionAdds(v, ignoreChanges,
         snapshotBase = s0.initialSnapshot && v == s0.version + 1)
     }
-    // columnar support must be UNIFORM across a batch's partitions
-    // (Spark refuses mixed row/columnar sets), so one DV'd snapshot
-    // file demotes the whole batch to the row reader
-    val anyDv = adds.exists(_._2.nonEmpty)
     adds.map { case (abs, dvPos) =>
-      GraftInputPartition(abs, dvPos, rowOnly = anyDv): InputPartition
+      GraftInputPartition(abs, dvPos): InputPartition
     }.toArray
   }
 
@@ -1295,9 +1312,9 @@ private[sources] class GraftMicroBatchStream(dir: String,
       .map(rel => (s"$dir/$rel", dv.getOrElse(rel, Array.empty[Long])))
   }
 
-  // append micro-batches decode through the vectorized columnar path;
-  // a DV-carrying initial-snapshot batch is demoted to the row reader
-  // per-partition (rowOnly, set uniformly in planInputPartitions)
+  // micro-batches decode through the vectorized columnar path — a
+  // DV-carrying initial snapshot included (the reader applies DV
+  // positions through its per-batch selection view)
   override def createReaderFactory(): PartitionReaderFactory =
     new GraftReaderFactory(requiredJson,
       columnar = DataType.fromJson(requiredJson)
@@ -1340,15 +1357,14 @@ private[sources] class GraftReaderFactory(requiredJson: String,
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
-    columnar && !partition.asInstanceOf[GraftInputPartition].rowOnly
+    columnar
 
   override def createColumnarReader(partition: InputPartition)
       : PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftInputPartition]
-    require(p.dvPositions.isEmpty,
-      "graft: columnar decode is only planned for DV-free versions")
     new GraftColumnarPartitionReader(p.absPath,
-      DataType.fromJson(requiredJson).asInstanceOf[StructType])
+      DataType.fromJson(requiredJson).asInstanceOf[StructType],
+      p.dvPositions)
   }
 }
 
@@ -1358,16 +1374,23 @@ private[sources] class GraftReaderFactory(requiredJson: String,
   * `spark.read.parquet`) driving the scan as [[org.apache.spark.sql
   * .vectorized.ColumnarBatch]]es, so `format("graft")` wide scans
   * decode at the same per-byte cost as [[ManagedTable.read]] instead
-  * of the row-oriented Group API's. Planned only for DV-free versions
-  * (row-level tombstone skipping needs the row reader); requested
-  * columns absent from a pre-evolution segment — and the `_file`
-  * metadata column — ride as zero-copy
+  * of the row-oriented Group API's. Requested columns absent from a
+  * pre-evolution segment — and the `_file` metadata column — ride as
+  * zero-copy
   * [[org.apache.spark.sql.execution.vectorized.ConstantColumnVector]]s
   * next to the decoded ones, permuted into the exact requested order
   * (the batch is a thin view over the reader's vectors — no copy).
+  *
+  * Deletion vectors stay columnar: a batch whose file-order row range
+  * intersects `dvPositions` is served through a SELECTION view
+  * ([[GraftSelectionColumnVector]] — getters remap output ordinal →
+  * surviving inner ordinal via a per-batch int map; no data copied),
+  * while DV-free batches (the overwhelming majority of a trickle-
+  * delete table) take the untouched direct path. One tombstone no
+  * longer demotes a 100 TB scan to the row-at-a-time Group reader.
   */
 private[sources] class GraftColumnarPartitionReader(absPath: String,
-    required: StructType)
+    required: StructType, dvPositions: Array[Long] = Array.empty)
     extends PartitionReader[org.apache.spark.sql.vectorized.ColumnarBatch] {
   import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
   import org.apache.spark.sql.execution.vectorized.ConstantColumnVector
@@ -1427,12 +1450,111 @@ private[sources] class GraftColumnarPartitionReader(absPath: String,
     new ColumnarBatch(vectors)
   }
 
-  override def next(): Boolean = reader.nextBatch()
-  override def get(): ColumnarBatch = {
-    batch.setNumRows(inner.numRows())
-    batch
+  // ---- deletion-vector selection tier (built only when DVs exist) --
+  // `sel` maps output ordinal -> surviving inner ordinal for the
+  // CURRENT batch; `selBatch` wraps every positional vector of `batch`
+  // in a view that answers through that map. ConstantColumnVectors are
+  // position-independent and ride unwrapped.
+  private val sel: Array[Int] =
+    if (dvPositions.isEmpty) null else new Array[Int](Capacity)
+  private val selBatch: ColumnarBatch =
+    if (dvPositions.isEmpty) null
+    else new ColumnarBatch(Array.tabulate(required.length) { i =>
+      batch.column(i) match {
+        case c: ConstantColumnVector => c
+        case v => new GraftSelectionColumnVector(v, sel)
+      }
+    })
+  private var selCount = 0
+  private var selected = false // current batch served through selBatch
+  private var baseRow = 0L // file-order index of the batch's first row
+
+  override def next(): Boolean = {
+    while (reader.nextBatch()) {
+      val n = inner.numRows()
+      if (dvPositions.isEmpty) return true
+      val lo = baseRow
+      baseRow += n
+      // first DV position at or after this batch's range
+      var d = java.util.Arrays.binarySearch(dvPositions, lo)
+      if (d < 0) d = -d - 1
+      if (d >= dvPositions.length || dvPositions(d) >= lo + n) {
+        selected = false // no tombstone in range: direct path
+        return true
+      }
+      selCount = 0
+      var i = 0
+      while (i < n) {
+        if (d < dvPositions.length && dvPositions(d) == lo + i) d += 1
+        else { sel(selCount) = i; selCount += 1 }
+        i += 1
+      }
+      if (selCount > 0) { selected = true; return true }
+      // every row of this batch tombstoned: fall through to the next
+    }
+    false
   }
+
+  override def get(): ColumnarBatch =
+    if (selected) { selBatch.setNumRows(selCount); selBatch }
+    else { batch.setNumRows(inner.numRows()); batch }
+
   override def close(): Unit = reader.close()
+}
+
+/** Zero-copy SELECTION view over a decoded vector: getters remap the
+  * output ordinal through the reader-owned survivor map (`sel(i)` =
+  * surviving inner ordinal), which is how deletion vectors apply
+  * INSIDE the vectorized path — O(survivors) ints per batch, no
+  * column data copied. For struct columns [[getChild]] re-wraps the
+  * child with the SAME map (a `ColumnarRow` reads children by the
+  * parent's row id); arrays/maps need no child wrapping because their
+  * offsets are read via the already-remapped [[getArray]]/[[getMap]].
+  * `hasNull`/`numNulls` delegate (conservative over-report is safe —
+  * Spark uses them only to pick the null-checking decode path).
+  */
+private[sources] class GraftSelectionColumnVector(
+    inner: org.apache.spark.sql.vectorized.ColumnVector,
+    sel: Array[Int])
+    extends org.apache.spark.sql.vectorized.ColumnVector(inner.dataType) {
+  override def isNullAt(i: Int): Boolean = inner.isNullAt(sel(i))
+  override def hasNull: Boolean = inner.hasNull
+  override def numNulls(): Int = inner.numNulls()
+  override def getBoolean(i: Int): Boolean = inner.getBoolean(sel(i))
+  override def getByte(i: Int): Byte = inner.getByte(sel(i))
+  override def getShort(i: Int): Short = inner.getShort(sel(i))
+  override def getInt(i: Int): Int = inner.getInt(sel(i))
+  override def getLong(i: Int): Long = inner.getLong(sel(i))
+  override def getFloat(i: Int): Float = inner.getFloat(sel(i))
+  override def getDouble(i: Int): Double = inner.getDouble(sel(i))
+  override def getUTF8String(i: Int): UTF8String =
+    inner.getUTF8String(sel(i))
+  override def getBinary(i: Int): Array[Byte] = inner.getBinary(sel(i))
+  override def getDecimal(i: Int, p: Int, s: Int)
+      : org.apache.spark.sql.types.Decimal =
+    inner.getDecimal(sel(i), p, s)
+  override def getInterval(i: Int)
+      : org.apache.spark.unsafe.types.CalendarInterval =
+    inner.getInterval(sel(i))
+  override def getArray(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarArray =
+    inner.getArray(sel(i))
+  override def getMap(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnarMap = inner.getMap(sel(i))
+  private lazy val children =
+    new java.util.concurrent.ConcurrentHashMap[Integer,
+      GraftSelectionColumnVector]()
+  override def getChild(i: Int)
+      : org.apache.spark.sql.vectorized.ColumnVector =
+    children.computeIfAbsent(i,
+      o => new GraftSelectionColumnVector(inner.getChild(o), sel))
+  // ColumnarToRowExec calls closeIfFreeable() after EVERY consumed
+  // batch; the base class routes it to close(). This view is reused
+  // across batches over reader-owned buffers — freeing here would
+  // tear down the parquet reader's vectors mid-stream (same no-op
+  // contract as WritableColumnVector).
+  override def closeIfFreeable(): Unit = ()
+  override def close(): Unit = inner.close()
 }
 
 /** A zero-copy WIDENING view over a narrower decoded vector: the wide
@@ -1479,6 +1601,9 @@ private[sources] class GraftWideningColumnVector(
     inner.getInterval(i)
   override def getChild(i: Int)
       : org.apache.spark.sql.vectorized.ColumnVector = inner.getChild(i)
+  // reused across batches over reader-owned buffers — see
+  // GraftSelectionColumnVector.closeIfFreeable
+  override def closeIfFreeable(): Unit = ()
   override def close(): Unit = inner.close()
 }
 
@@ -1738,10 +1863,34 @@ private[sources] class GraftWriteBuilder(dir: String,
         ManagedTable.versions(spark, dir).nonEmpty) {
       val existing = GraftTableMeta.resolve(dir, None).schema
       def norm(s: StructType) = GraftTable.normSchema(s)
-      require(norm(existing) == norm(schema),
+      // AUTO-EVOLUTION (Delta's mergeSchema): a widened source evolves
+      // the table in the same statement instead of requiring a manual
+      // ALTER first — opt-in per write (.option("mergeSchema", true))
+      // or per session (spark.graft.mergeSchema). Strictly additive:
+      // every existing column must arrive type-identical; extra
+      // source columns append via the SAME one-manifest-write
+      // evolution ALTER TABLE ADD COLUMNS runs, so old segments
+      // null-fill and nothing is rewritten.
+      val mergeRequested =
+        info.options.getBoolean("mergeSchema",
+          spark.conf.getOption("spark.graft.mergeSchema")
+            .exists(_.equalsIgnoreCase("true")))
+      val widens = mergeRequested && norm(existing) != norm(schema) &&
+        existing.fields.forall(f =>
+          schema.fields.exists(g => g.name == f.name &&
+            g.dataType == f.dataType))
+      if (widens)
+        ManagedTable.evolveSchema(spark, dir, StructType(
+          existing.fields ++
+            schema.fields.filterNot(g =>
+              existing.fieldNames.contains(g.name))
+              .map(_.copy(nullable = true))),
+          tag = "mergeSchema")
+      else require(norm(existing) == norm(schema),
         s"graft: append schema ${schema.simpleString} does not match " +
-          s"table schema ${existing.simpleString} of $dir — schema " +
-          "evolution goes through ManagedTable.merge")
+          s"table schema ${existing.simpleString} of $dir — add " +
+          "columns via .option(\"mergeSchema\", true) / ALTER TABLE " +
+          "ADD COLUMNS, or evolve through ManagedTable.merge")
     }
     val replaceCond = replaceFilters.map(_.toSeq
       .map(f => GraftTable.toColumn(f).getOrElse(
@@ -1756,10 +1905,54 @@ private[sources] class GraftWriteBuilder(dir: String,
 private[sources] class GraftWrite(dir: String, schema: StructType,
     truncateFirst: Boolean,
     replaceCond: Option[org.apache.spark.sql.Column] = None)
-    extends org.apache.spark.sql.connector.write.Write {
+    extends org.apache.spark.sql.connector.write.Write
+    with org.apache.spark.sql.connector.write
+      .RequiresDistributionAndOrdering {
   override def description(): String =
     s"GraftWrite $dir ${if (truncateFirst) "overwrite"
       else if (replaceCond.isDefined) "replaceWhere" else "append"}"
+
+  // DECLARED CLUSTERING on the DSv2 seam: when the table carries
+  // graft.clusterBy, declare an ordered distribution + in-partition
+  // ordering on the cluster key and let SPARK plan the range shuffle
+  // and sort before the write executes — INSERT INTO then lands
+  // range-disjoint, internally sorted files whose min/max stats prune
+  // from the first probe onward. Spark sizes the shuffle (AQE), which
+  // is the 1000-executor-correct division of labor; the connector
+  // never materializes rows on the driver.
+  private lazy val tableProps: Map[String, String] =
+    ManagedTable.tableProperties(SparkSession.active, dir)
+
+  private lazy val clusterOrdering
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    ManagedTable.clusterByOf(tableProps)
+      .filter(schema.fieldNames.contains)
+      .map(c => Expressions.sort(Expressions.column(c),
+        org.apache.spark.sql.connector.expressions
+          .SortDirection.ASCENDING))
+      .toArray
+
+  override def requiredDistribution()
+      : org.apache.spark.sql.connector.distributions.Distribution =
+    if (clusterOrdering.isEmpty)
+      org.apache.spark.sql.connector.distributions.Distributions
+        .unspecified()
+    else org.apache.spark.sql.connector.distributions.Distributions
+      .ordered(clusterOrdering)
+
+  override def requiredOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    clusterOrdering
+
+  // graft.targetFileSize sizes the range partitions AQE coalesces the
+  // clustered shuffle into — i.e. the approximate on-disk file size
+  // every clustered INSERT lands (0 = Spark's default advisory size)
+  override def advisoryPartitionSizeInBytes(): Long =
+    if (clusterOrdering.isEmpty) 0L
+    else tableProps.get(ManagedTable.TargetFileSizeProp)
+      .flatMap(v => scala.util.Try(v.toLong).toOption)
+      .filter(_ > 0L)
+      .getOrElse(0L)
   override def toBatch
       : org.apache.spark.sql.connector.write.BatchWrite =
     new GraftBatchWrite(dir, schema, truncateFirst, replaceCond)
@@ -2020,13 +2213,37 @@ private[sources] class GraftRowLevelOperation(dir: String,
       : org.apache.spark.sql.connector.write.WriteBuilder =
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
-        new org.apache.spark.sql.connector.write.Write {
+        new org.apache.spark.sql.connector.write.Write
+            with org.apache.spark.sql.connector.write
+              .RequiresDistributionAndOrdering {
           override def description(): String = s"GraftCowWrite $dir"
           override def toBatch
               : org.apache.spark.sql.connector.write.BatchWrite =
             new GraftCowBatchWrite(dir, info.schema(),
               () => Option(scan).map(_.keptFiles).getOrElse(Seq.empty),
               () => Option(resolved))
+          // a rewrite of a CLUSTERED table re-sorts the replacement
+          // rows on the declared key, so UPDATE/MERGE preserve the
+          // layout discipline instead of eroding it
+          private lazy val cowOrdering: Array[
+              org.apache.spark.sql.connector.expressions.SortOrder] =
+            ManagedTable.clusterByOf(
+              ManagedTable.tableProperties(SparkSession.active, dir))
+              .filter(info.schema().fieldNames.contains)
+              .map(c => Expressions.sort(Expressions.column(c),
+                org.apache.spark.sql.connector.expressions
+                  .SortDirection.ASCENDING))
+              .toArray
+          override def requiredDistribution(): org.apache.spark.sql
+              .connector.distributions.Distribution =
+            if (cowOrdering.isEmpty)
+              org.apache.spark.sql.connector.distributions
+                .Distributions.unspecified()
+            else org.apache.spark.sql.connector.distributions
+              .Distributions.ordered(cowOrdering)
+          override def requiredOrdering(): Array[
+              org.apache.spark.sql.connector.expressions.SortOrder] =
+            cowOrdering
         }
     }
 

@@ -142,6 +142,45 @@ object ManagedTable {
     */
   val ConstraintPrefix = "graft.constraints."
 
+  /** Declarative clustering (`CREATE TABLE … CLUSTER BY (a, b)` /
+    * `TBLPROPERTIES('graft.clusterBy'='a,b')`): comma-separated
+    * LOGICAL column names every data-landing write range-clusters by,
+    * so file-level min/max stats prune selective probes immediately
+    * after plain INSERTs — no maintenance CALL needed to establish
+    * layout discipline. Honored by [[appendCommit]], the DSv2 write
+    * (as a declared distribution+ordering Spark plans the shuffle
+    * for), the COW rewrite, and [[compact]]'s default cluster key.
+    */
+  val ClusterByProp = "graft.clusterBy"
+
+  /** Advisory clustered-write file size in bytes (Delta's
+    * `targetFileSize`): when set on a CLUSTERED table, the DSv2 write
+    * passes it to AQE as the advisory partition size, so each INSERT
+    * splits into range-disjoint files of roughly this size instead of
+    * one full-range file — the knob that sizes clustered files to the
+    * executor/scan sweet spot at any scale.
+    */
+  val TargetFileSizeProp = "graft.targetFileSize"
+
+  /** The clustering columns recorded in `props` (empty = unclustered). */
+  private[sources] def clusterByOf(props: Map[String, String]): Seq[String] =
+    props.get(ClusterByProp).toSeq
+      .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+
+  /** Range-cluster `df` on the table's clustering columns (columns
+    * absent from this frame are skipped — e.g. a physical-named frame
+    * mid-rename). Global range partition + in-file sort = disjoint
+    * per-file key ranges = stats pruning works from the first INSERT.
+    */
+  private def clusterFrame(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val present = cols.filter(df.columns.contains)
+    if (present.isEmpty) df
+    else {
+      val cs = present.map(org.apache.spark.sql.functions.col)
+      df.repartitionByRange(cs: _*).sortWithinPartitions(cs: _*)
+    }
+  }
+
   /** The table properties of a stats map. */
   private[sources] def propertiesOf(stats: FileStats): Map[String, String] =
     stats.getOrElse(TableStatsFile, Map.empty).collect {
@@ -499,9 +538,14 @@ object ManagedTable {
       df.select(sch.fieldNames.map(org.apache.spark.sql.functions.col): _*))
       .getOrElse(df)
     enforceConstraints(logicalOrdered, propertiesOf(stats), "appendCommit")
+    // declared clustering: range-sort the staged rows on the cluster
+    // key (logical names) so this append's files carry disjoint
+    // min/max ranges from the start
+    val clustered = clusterFrame(logicalOrdered,
+      clusterByOf(propertiesOf(stats)))
     val ordered = schema.map(sch =>
-      ColumnMapping.toPhysicalFrame(logicalOrdered, sch))
-      .getOrElse(df)
+      ColumnMapping.toPhysicalFrame(clustered, sch))
+      .getOrElse(clustered)
     val newData = writeSegment(ordered, dir, next)
     writeManifest(spark, dir, next, tag,
       files ++ newData ++ dvFiles.map("dv:" + _),
@@ -1884,10 +1928,19 @@ object ManagedTable {
     // the compacted segments, which arrival-order packing can never
     // offer. Same rows, same schema (the key is an expression, not a
     // stored column) — only the layout changes.
+    // explicit clusterBy wins; otherwise the table's DECLARED
+    // clustering (graft.clusterBy) keys the packed layout, so
+    // maintenance compaction preserves the clustering discipline
+    // without the caller restating it
+    val effectiveCluster =
+      if (clusterBy.nonEmpty) clusterBy
+      else clusterByOf(propertiesOf(stats))
+        .filter(schema.fieldNames.contains)
+        .map(org.apache.spark.sql.functions.col)
     val packed =
-      if (clusterBy.isEmpty) packed0.coalesce(outFiles)
-      else packed0.repartitionByRange(outFiles, clusterBy: _*)
-        .sortWithinPartitions(clusterBy: _*)
+      if (effectiveCluster.isEmpty) packed0.coalesce(outFiles)
+      else packed0.repartitionByRange(outFiles, effectiveCluster: _*)
+        .sortWithinPartitions(effectiveCluster: _*)
     val newFiles = writeSegment(
       ColumnMapping.toPhysicalFrame(packed, schema), dir, next)
     writeManifest(spark, dir, next, tag,

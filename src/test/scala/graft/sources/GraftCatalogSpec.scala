@@ -108,6 +108,80 @@ class GraftCatalogSpec extends SparkSpec {
       .map(_.getString(0)).toSeq.contains("g"))
   }
 
+  test("CREATE TABLE CLUSTER BY: inserts land range-disjoint sorted " +
+      "files and a selective probe prunes immediately") {
+    sql("CREATE NAMESPACE gcat.cl")
+    sql("CREATE TABLE gcat.cl.t (k BIGINT, s STRING) CLUSTER BY (k) " +
+      s"TBLPROPERTIES ('${ManagedTable.TargetFileSizeProp}' = '2048')")
+    val dir = s"$warehouse/cl/t"
+    assert(ManagedTable.tableProperties(spark, dir)
+      .get(ManagedTable.ClusterByProp).contains("k"))
+    // a full-range unsorted insert: only the declared clustering can
+    // make the landed files range-disjoint
+    spark.range(2000).select(
+      (col("id") * 977 % 2000).as("k"),
+      concat(lit("pad-pad-pad-"), col("id")).as("s"))
+      .createOrReplaceTempView("cl_src")
+    // AQE's parallelism-first coalescing ignores sub-MB advisory
+    // sizes; pin it down so the 2 KB targetFileSize is honored at
+    // test scale (at real scale the default 64 MB advisory is fine)
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+    spark.conf.set(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "1024")
+    try {
+      sql("INSERT INTO gcat.cl.t SELECT k, s FROM cl_src")
+    } finally {
+      spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.parallelismFirst")
+      spark.conf.unset(
+        "spark.sql.adaptive.coalescePartitions.minPartitionSize")
+    }
+    val (kept, total) = ManagedTable.planFiles(spark, dir, "k", 10L, 20L)
+    assert(total.size > 1,
+      s"expected the clustered insert to split into multiple files, " +
+        s"got ${total.size}")
+    assert(kept.size < total.size,
+      s"expected a selective range probe to prune: ${kept.size}/" +
+        s"${total.size}")
+    // correctness: every row survives the clustered landing
+    assert(sql("SELECT count(*) AS n FROM gcat.cl.t").head.getLong(0)
+      == 2000L)
+    assert(sql("SELECT count(DISTINCT k) AS n FROM gcat.cl.t")
+      .head.getLong(0) == 2000L)
+    // a second insert stays clustered and pruning still holds
+    sql("INSERT INTO gcat.cl.t SELECT k + 2000, s FROM cl_src")
+    val (kept2, total2) = ManagedTable.planFiles(spark, dir, "k", 10L, 20L)
+    assert(kept2.size < total2.size)
+    // a CLUSTER BY column missing from the schema refuses at CREATE
+    intercept[Exception](
+      sql("CREATE TABLE gcat.cl.bad (k BIGINT) CLUSTER BY (nope)"))
+    // COW UPDATE preserves clustering (runs the declared sort)
+    sql("UPDATE gcat.cl.t SET s = 'x' WHERE k % 1009 = 5")
+    assert(sql("SELECT count(*) AS n FROM gcat.cl.t WHERE s = 'x'")
+      .head.getLong(0) > 0L)
+    val (kept3, total3) = ManagedTable.planFiles(spark, dir, "k", 10L, 20L)
+    assert(kept3.size < total3.size)
+  }
+
+  test("MERGE INTO ... WITH SCHEMA EVOLUTION widens the target " +
+      "through the catalog's ADD COLUMNS path") {
+    sql("CREATE NAMESPACE gcat.se")
+    sql("CREATE TABLE gcat.se.t (k BIGINT, v BIGINT)")
+    sql("INSERT INTO gcat.se.t VALUES (1, 10), (2, 20)")
+    Seq((2L, 99L, "upd"), (3L, 30L, "new"))
+      .toDF("k", "v", "note").createOrReplaceTempView("se_src")
+    sql("""MERGE WITH SCHEMA EVOLUTION INTO gcat.se.t t
+          |USING se_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET *
+          |WHEN NOT MATCHED THEN INSERT *
+          |""".stripMargin)
+    assert(sql("SELECT * FROM gcat.se.t").schema.fieldNames.toSeq ==
+      Seq("k", "v", "note"))
+    assert(sortedRows(sql("SELECT k, v, note FROM gcat.se.t")) ==
+      Seq(Row(1L, 10L, null), Row(2L, 99L, "upd"), Row(3L, 30L, "new")))
+  }
+
   test("SQL DELETE FROM lands as a deletion-vector version; TRUNCATE empties") {
     sql("CREATE NAMESPACE gcat.del")
     sql("CREATE TABLE gcat.del.t AS " +

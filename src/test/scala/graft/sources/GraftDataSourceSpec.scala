@@ -449,7 +449,8 @@ class GraftDataSourceSpec extends SparkSpec {
   }
 
   test("DV-free scans decode COLUMNAR (vectorized) and match the " +
-      "row path bit for bit; DV versions fall back to row decode") {
+      "row path bit for bit; DV versions STAY columnar via the " +
+      "selection view") {
     val dir = tmp("columnar")
     ManagedTable.commit(mixed(513, "a"), dir)
     val t = spark.read.format("graft").load(dir)
@@ -463,17 +464,62 @@ class GraftDataSourceSpec extends SparkSpec {
     // _file rides the columnar batch as a constant vector
     val withFile = t.select(col("k"), col("_file")).collect()
     assert(withFile.forall(_.getString(1).startsWith(dir)))
-    // a DV version must drop to the row reader AND stay correct
+    // a DV version KEEPS vectorized decode (tombstones apply inside
+    // the reader through the per-batch selection view) AND stays
+    // correct across every supported column type
     ManagedTable.deleteWhere(spark, dir, col("k") === 7L)
-    val dv = spark.read.format("graft").load(dir).select("k", "s")
-    dv.collect()
     val meta = GraftTableMeta.resolve(dir, None)
     val factory = new GraftScanBuilder(meta).build()
       .asInstanceOf[GraftScan].createReaderFactory()
-    assert(!factory.supportColumnarReads(GraftInputPartition("x",
-      Array.empty)), "DV versions must use the row reader")
+    assert(factory.supportColumnarReads(GraftInputPartition("x",
+      Array(7L))), "DV versions must keep the vectorized reader")
+    val dv = spark.read.format("graft").load(dir)
+      .select("k", "s", "d", "i", "flag", "maybe", "emb", "bin")
+    dv.collect()
+    val dvPlan = dv.queryExecution.executedPlan.toString
+    assert(dvPlan.contains("ColumnarToRow"),
+      s"expected columnar decode on the DV'd version:\n$dvPlan")
     assert(dv.count() == 512)
-    assert(!dv.collect().exists(_.getLong(0) == 7L))
+    assert(sortedRows(dv) == sortedRows(ManagedTable.read(spark, dir)
+      .select("k", "s", "d", "i", "flag", "maybe", "emb", "bin")),
+      "DV'd columnar scan must hash-match the parquet+antijoin path")
+    assert(!dv.select("k").collect().exists(_.getLong(0) == 7L))
+    // pile up tombstones across batch boundaries (the vectorized
+    // reader batches at 4096 rows; 513 rows = 1 batch, so also delete
+    // the batch's first and last rows and a contiguous run)
+    ManagedTable.deleteWhere(spark, dir,
+      col("k") === 0L || col("k") === 512L ||
+        (col("k") >= 100L && col("k") < 140L))
+    val dv2 = spark.read.format("graft").load(dir)
+      .select("k", "s", "d", "emb")
+    assert(dv2.count() == 470)
+    assert(sortedRows(dv2) == sortedRows(ManagedTable.read(spark, dir)
+      .select("k", "s", "d", "emb")))
+  }
+
+  test("selection-view columnar decode survives a multi-batch file " +
+      "with a FULLY tombstoned middle batch and edge deletes") {
+    val dir = tmp("dvbatches")
+    // one data file spanning 3 vectorized batches (capacity 4096)
+    ManagedTable.commit(spark.range(10000)
+      .select(col("id").as("k"),
+        concat(lit("s"), col("id")).as("s")).coalesce(1), dir)
+    // tombstone every row of the middle batch, plus the file's first
+    // and last rows (batch-boundary off-by-ones)
+    ManagedTable.deleteWhere(spark, dir,
+      (col("k") >= 4096L && col("k") < 8192L) ||
+        col("k") === 0L || col("k") === 9999L)
+    val q = spark.read.format("graft").load(dir).select("k", "s")
+    q.collect()
+    assert(q.queryExecution.executedPlan.toString
+      .contains("ColumnarToRow"))
+    assert(q.count() == 10000 - 4096 - 2)
+    assert(sortedRows(q) ==
+      sortedRows(ManagedTable.read(spark, dir).select("k", "s")))
+    // aggregate over the selection view (exercises non-collect paths)
+    assert(q.agg(sum("k")).head.getLong(0) ==
+      (0L until 10000L).filterNot(k =>
+        (k >= 4096L && k < 8192L) || k == 0L || k == 9999L).sum)
   }
 
   test("columnar decode null-fills evolved columns per segment, " +
@@ -501,6 +547,48 @@ class GraftDataSourceSpec extends SparkSpec {
     // (zero file columns in that partition) stays correct
     assert(spark.read.format("graft").load(dir)
       .select("w").collect().count(_.isNullAt(0)) >= 2)
+  }
+
+  test("mergeSchema appends: a widened source auto-evolves the table " +
+      "in one statement; without the option the write still refuses") {
+    val dir = tmp("mergeschema")
+    ManagedTable.commit(Seq((1L, "a"), (2L, "b")).toDF("k", "s"), dir)
+    // widened source WITHOUT the option: Spark's own arity validation
+    // refuses before the connector runs (strict by default)
+    val e = intercept[Exception] {
+      Seq((3L, "c", 30L)).toDF("k", "s", "w").write.format("graft")
+        .mode("append").save(dir)
+    }
+    assert(e.getMessage.contains("TOO_MANY_DATA_COLUMNS") ||
+      e.getMessage.contains("mergeSchema"))
+    // with the option: ONE statement evolves (metadata-only) + appends
+    val filesBefore = ManagedTable.read(spark, dir).inputFiles.toSet
+    Seq((3L, "c", 30L)).toDF("k", "s", "w").write.format("graft")
+      .option("mergeSchema", "true").mode("append").save(dir)
+    val t = spark.read.format("graft").load(dir)
+    assert(t.schema.fieldNames.toSeq == Seq("k", "s", "w"))
+    assert(t.count() == 3)
+    assert(t.filter(col("w").isNull).count() == 2) // old rows null-fill
+    assert(t.filter(col("w") === 30L).count() == 1)
+    assert(filesBefore.subsetOf(
+      ManagedTable.read(spark, dir).inputFiles.toSet),
+      "evolution must not rewrite existing segments")
+    // session-level opt-in works too
+    spark.conf.set("spark.graft.mergeSchema", "true")
+    try {
+      Seq((4L, "d", 40L, true)).toDF("k", "s", "w", "flag")
+        .write.format("graft").mode("append").save(dir)
+    } finally spark.conf.unset("spark.graft.mergeSchema")
+    assert(spark.read.format("graft").load(dir)
+      .filter(col("flag")).count() == 1)
+    // an INCOMPATIBLE source (type change) still refuses even with
+    // the option — mergeSchema is strictly additive
+    val e2 = intercept[Exception] {
+      Seq(("5", "e", 50L, false)).toDF("k", "s", "w", "flag")
+        .write.format("graft").option("mergeSchema", "true")
+        .mode("append").save(dir)
+    }
+    assert(e2.getMessage.contains("does not match"))
   }
 
   test("a versionAsOf-pinned handle refuses writes (they would target " +

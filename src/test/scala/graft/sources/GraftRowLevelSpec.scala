@@ -49,15 +49,41 @@ class GraftRowLevelSpec extends SparkSpec {
     val before = dataFiles(dir)
     sql("UPDATE gcow.ns.upd SET v = v * 10 WHERE k < 10")
     val after = dataFiles(dir)
-    // the three untouched segments survive by identity; one swapped
-    assert((before & after).size == 3,
-      s"expected 3 carried files, got ${(before & after).size}")
+    // every untouched segment survives by identity; EXACTLY the one
+    // segment holding k<10 is swapped (the runtime `_file IN` group
+    // filter is exact, so even the stats-less empty CREATE-TABLE file
+    // is carried, not rewritten)
+    assert((before -- after).size == 1,
+      s"expected exactly 1 swapped file, got ${before -- after}")
+    assert((before & after).size == before.size - 1)
     assert(sql("SELECT sum(v) AS s FROM gcow.ns.upd WHERE k < 10")
       .head().getLong(0) == (0 until 10).map(_ * 20).sum)
     assert(sql("SELECT sum(v) AS s FROM gcow.ns.upd WHERE k >= 10")
       .head().getLong(0) == (10 until 400).map(_ * 2L).sum)
     assert(sql("SELECT count(*) AS n FROM gcow.ns.upd")
       .head().getLong(0) == 400L)
+  }
+
+  test("the runtime group filter prunes a COW rewrite to matching " +
+      "files even when the predicate is NOT stats-prunable") {
+    val dir = fourSegments("updrt")
+    val before = dataFiles(dir)
+    // v % 1000 = 10 matches only v=10 (k=5, segment 0) but has no
+    // min/max translation — planning-time stats pruning keeps all 4
+    // files, so ONLY Spark's runtime group filter (`_file IN
+    // (subquery)` via filterAttributes -> filter()) can shrink the
+    // rewrite; before the single-key filterAttributes fix this
+    // rewrote the whole table
+    sql("UPDATE gcow.ns.updrt SET v = 0 WHERE v % 1000 = 10")
+    val after = dataFiles(dir)
+    assert((before -- after).size == 1,
+      s"expected exactly 1 swapped file (runtime-pruned rewrite), " +
+        s"got ${before -- after}")
+    assert((before & after).size == before.size - 1)
+    assert(sql("SELECT v FROM gcow.ns.updrt WHERE k = 5")
+      .head().getLong(0) == 0L)
+    assert(sql("SELECT count(*) AS n FROM gcow.ns.updrt " +
+      "WHERE v = k * 2").head().getLong(0) == 399L)
   }
 
   test("MERGE INTO: matched update, matched delete, not-matched insert") {
