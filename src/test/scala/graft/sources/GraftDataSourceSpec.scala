@@ -217,6 +217,60 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(rows.sorted == Seq(0L, 1L))
   }
 
+  test("mid-stream ADD COLUMNS: in-flight batches keep the planned " +
+      "schema, a restart from the same checkpoint reads the wide one") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("streamevolve")
+    ManagedTable.appendCommit(Seq((1L, "a")).toDF("k", "s"), dir)
+    val ckpt = ckptDir("graft-evolve-stream")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val schemas = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        schemas += b.schema.fieldNames.toSeq
+        seen ++= b.collect().map(r => (r.getLong(0), r.getString(1))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // evolve WHILE the stream is active, then land post-evolution
+      // rows carrying the new column
+      ManagedTable.evolveSchema(spark, dir, StructType(Seq(
+        StructField("k", LongType), StructField("s", StringType),
+        StructField("w", LongType))))
+      ManagedTable.appendCommit(
+        Seq((2L, "b", 20L)).toDF("k", "s", "w"), dir)
+      q.processAllAvailable()
+    } finally q.stop()
+    // CONTRACT: an in-flight stream keeps the schema it was planned
+    // with — post-evolution segments project down to it (the new
+    // column stays invisible until a restart); nothing crashes and
+    // no rows are lost
+    assert(schemas.forall(_ == Seq("k", "s")),
+      s"in-flight batches must keep the planned schema, got $schemas")
+    assert(seen.sorted == Seq((1L, "a"), (2L, "b")))
+    // restart from the SAME checkpoint: the stream re-plans with the
+    // evolved schema and the remaining log replays wide
+    ManagedTable.appendCommit(
+      Seq((3L, "c", 30L)).toDF("k", "s", "w"), dir)
+    val seen2 =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    val schemas2 = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q2 = spark.readStream.format("graft").load(dir)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        schemas2 += b.schema.fieldNames.toSeq
+        seen2 ++= b.collect().map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2)))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(schemas2.forall(_ == Seq("k", "s", "w")),
+      s"a restarted stream must plan the evolved schema, got $schemas2")
+    assert(seen2.sorted == Seq((3L, Some(30L))))
+  }
+
   test("write: a first write creates the table; both readers round-trip it") {
     val dir = tmp("wcreate")
     val df = mixed(211, "w")
