@@ -70,6 +70,19 @@ object ProfileScan {
     val conn = time("connector") {
       spark.read.format("graft").load(dir) }
     println(f"[profscan] connector/path ratio: ${conn / path}%.3f")
+
+    // trickle-delete leg: a DV'd version must stay on the vectorized
+    // reader (round-12 selection-view decode) at near-parity cost —
+    // before, one tombstone dropped the whole scan to the row reader
+    graft.sources.ManagedTable.deleteWhere(spark, dir,
+      pmod(col("doc_id"), lit(97)) === 3)
+    val dvDf = spark.read.format("graft").load(dir)
+    dvDf.write.format("noop").mode("overwrite").save() // warm
+    println("[profscan] DV'd scan columnar: " +
+      dvDf.queryExecution.executedPlan.toString.contains("ColumnarToRow"))
+    val dv = time("connector+dv") {
+      spark.read.format("graft").load(dir) }
+    println(f"[profscan] connector+dv/path ratio: ${dv / path}%.3f")
     spark.stop()
   }
 }

@@ -2112,6 +2112,86 @@ object LayoutQueries {
            |FROM documents WHERE doc_id IN (5, 250, 577)
            |ORDER BY doc_id""".stripMargin))
 
+  /** q221: WRITE-TIME SCHEMA AUTO-EVOLUTION — the two seams a widened
+    * source evolves a table through WITHOUT a manual ALTER first:
+    * `MERGE INTO … WITH SCHEMA EVOLUTION` (Spark hands its AddColumn
+    * changes to the catalog's ADD COLUMNS path via the
+    * AUTOMATIC_SCHEMA_EVOLUTION capability, ONE metadata-only manifest
+    * write, then the merge runs against the widened target) and the
+    * DataFrame write's `.option("mergeSchema", true)` (Delta's
+    * mergeSchema: strictly additive, analyzer arity gate stood down
+    * only for the opted-in write). Lifecycle: create narrow → insert →
+    * widening MERGE (updates overlap, inserts the rest, new column
+    * lands) → mergeSchema append adding a second new column → read
+    * everything back; rows from each generation carry exactly the
+    * columns that existed when they landed (older rows null-fill).
+    * Invariants folded into the hashed row: the schema after each
+    * evolution step is exactly the expected column sequence.
+    */
+  val q221AutoEvolution = NamedQuery(
+    "q221_auto_evolution",
+    "MERGE WITH SCHEMA EVOLUTION + mergeSchema append: a widened " +
+      "source evolves the table in the same statement (metadata-only " +
+      "ADD COLUMNS), older generations null-fill; vs raw-parquet " +
+      "oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("aewh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq221_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q221_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs (doc_id BIGINT, lang STRING)")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang FROM q221_docs WHERE doc_id < 300")
+      // a WIDER source merges without a manual ALTER: n_chars appends
+      // through the catalog's ADD COLUMNS path, matched rows update,
+      // unmatched insert
+      s.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.corpus.docs t
+                |USING (SELECT doc_id, lang, n_chars FROM q221_docs
+                |  WHERE doc_id >= 200 AND doc_id < 400) s
+                |ON t.doc_id = s.doc_id
+                |WHEN MATCHED THEN UPDATE SET *
+                |WHEN NOT MATCHED THEN INSERT *
+                |""".stripMargin)
+      val dir = s"$wh/corpus/docs"
+      val afterMerge = graft.sources.GraftTableMeta.resolve(dir, None)
+        .schema.fieldNames.toSeq == Seq("doc_id", "lang", "n_chars")
+      // the DataFrame seam: mergeSchema appends a SECOND new column
+      Tables.documents(s, d)
+        .filter(col("doc_id") >= 400 && col("doc_id") < 500)
+        .select(col("doc_id"), col("lang"), col("n_chars"),
+          (col("n_chars") % 7).as("quality"))
+        .write.format("graft").option("mergeSchema", "true")
+        .mode("append").save(dir)
+      val afterAppend = graft.sources.GraftTableMeta.resolve(dir, None)
+        .schema.fieldNames.toSeq ==
+        Seq("doc_id", "lang", "n_chars", "quality")
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                |  count(quality) AS n_quality,
+                |  CAST(sum(quality) AS BIGINT) AS sum_quality
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .withColumn("merge_evolved", lit(afterMerge))
+        .withColumn("append_evolved", lit(afterAppend))
+        .orderBy("lang")
+    },
+    Some("""SELECT lang, COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN doc_id >= 200 THEN n_chars END)
+           |    AS BIGINT) AS sum_chars,
+           |  COUNT(CASE WHEN doc_id >= 400 THEN 1 END) AS n_quality,
+           |  CAST(SUM(CASE WHEN doc_id >= 400 THEN n_chars % 7 END)
+           |    AS BIGINT) AS sum_quality,
+           |  true AS merge_evolved, true AS append_evolved
+           |FROM documents WHERE doc_id < 500
+           |GROUP BY lang ORDER BY lang""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -2123,5 +2203,6 @@ object LayoutQueries {
       q209SqlDelete, q210SqlReplaceWhere, q211SqlUpdate,
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
       q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
-      q218Constraints, q219TypeWidening, q220ClusteredCreate)
+      q218Constraints, q219TypeWidening, q220ClusteredCreate,
+      q221AutoEvolution)
 }
