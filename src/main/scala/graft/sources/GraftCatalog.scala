@@ -314,6 +314,24 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           topLevel("ALTER COLUMN TYPE", ut.fieldNames()),
           ut.newDataType(), tag = "alter")
         pendingAdds = GraftTableMeta.resolve(dir, None).schema
+      case cb: TableChange.ClusterBy =>
+        // `ALTER TABLE … CLUSTER BY (a, b)` re-declares the layout
+        // contract; `CLUSTER BY NONE` (empty list) drops it. Purely a
+        // property move — already-landed files keep their layout and
+        // age into the new one through writes and compaction.
+        flushAdds()
+        val cols = cb.clusteringColumns().toSeq.map { r =>
+          require(r.fieldNames.length == 1,
+            "graft: CLUSTER BY supports top-level columns only, got " +
+              r.fieldNames.mkString("."))
+          r.fieldNames()(0)
+        }
+        cols.foreach { c =>
+          require(pendingAdds.fieldNames.contains(c),
+            s"graft: CLUSTER BY column '$c' is not in the table schema")
+        }
+        if (cols.isEmpty) pendingUnset :+= ManagedTable.ClusterByProp
+        else pendingSet += ManagedTable.ClusterByProp -> cols.mkString(",")
       case other =>
         throw new UnsupportedOperationException(
           s"graft: ALTER TABLE change ${other.getClass.getSimpleName} " +

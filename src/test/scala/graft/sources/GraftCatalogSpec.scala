@@ -162,6 +162,29 @@ class GraftCatalogSpec extends SparkSpec {
       .head.getLong(0) > 0L)
     val (kept3, total3) = ManagedTable.planFiles(spark, dir, "k", 10L, 20L)
     assert(kept3.size < total3.size)
+    // ALTER TABLE re-declares / drops the contract (property move only)
+    sql("ALTER TABLE gcat.cl.t CLUSTER BY NONE")
+    assert(!ManagedTable.tableProperties(spark, dir)
+      .contains(ManagedTable.ClusterByProp))
+    sql("ALTER TABLE gcat.cl.t CLUSTER BY (k)")
+    assert(ManagedTable.tableProperties(spark, dir)
+      .get(ManagedTable.ClusterByProp).contains("k"))
+    intercept[Exception](sql("ALTER TABLE gcat.cl.t CLUSTER BY (nope)"))
+  }
+
+  test("CREATE OR REPLACE TABLE swaps schema and contents atomically " +
+      "from the reader's view") {
+    sql("CREATE NAMESPACE gcat.cor")
+    sql("CREATE TABLE gcat.cor.t (k BIGINT)")
+    sql("INSERT INTO gcat.cor.t VALUES (1), (2)")
+    sql("CREATE OR REPLACE TABLE gcat.cor.t (k BIGINT, s STRING)")
+    assert(sql("SELECT * FROM gcat.cor.t").schema.fieldNames.toSeq ==
+      Seq("k", "s"))
+    assert(sql("SELECT * FROM gcat.cor.t").collect().isEmpty)
+    sql("INSERT INTO gcat.cor.t VALUES (9, 'x')")
+    assert(sql("SELECT s FROM gcat.cor.t").head.getString(0) == "x")
+    // plain CREATE still refuses to clobber
+    intercept[Exception](sql("CREATE TABLE gcat.cor.t (z BIGINT)"))
   }
 
   test("MERGE INTO ... WITH SCHEMA EVOLUTION widens the target " +
