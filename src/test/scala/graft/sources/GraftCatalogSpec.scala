@@ -172,6 +172,35 @@ class GraftCatalogSpec extends SparkSpec {
     intercept[Exception](sql("ALTER TABLE gcat.cl.t CLUSTER BY (nope)"))
   }
 
+  test("a streaming write to a CLUSTERED table lands sorted epochs") {
+    import org.apache.spark.sql.streaming.Trigger
+    sql("CREATE NAMESPACE gcat.scl")
+    sql("CREATE TABLE gcat.scl.t (k BIGINT, s STRING) CLUSTER BY (k)")
+    val dir = s"$warehouse/scl/t"
+    val src = java.nio.file.Files.createTempDirectory("sclsrc").toString
+    // one unsorted source version -> one micro-batch epoch
+    ManagedTable.appendCommit(spark.range(500)
+      .select((col("id") * 877 % 500).as("k"),
+        concat(lit("s"), col("id")).as("s")).coalesce(1), src)
+    val q = spark.readStream.format("graft").load(src)
+      .writeStream.format("graft")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("sclck").toString)
+      .trigger(Trigger.AvailableNow()).toTable("gcat.scl.t")
+    q.awaitTermination()
+    assert(sql("SELECT count(*) AS n FROM gcat.scl.t")
+      .head.getLong(0) == 500L)
+    // the epoch's files: each internally sorted on the cluster key
+    // (the declared write ordering applies to micro-batches too)
+    val files = ManagedTable.read(spark, dir).inputFiles.toSet
+    files.foreach { f =>
+      val ks = spark.read.parquet(f).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted,
+        s"expected cluster-key-sorted file, got unsorted $f")
+    }
+  }
+
   test("CREATE OR REPLACE TABLE swaps schema and contents atomically " +
       "from the reader's view") {
     sql("CREATE NAMESPACE gcat.cor")
