@@ -269,6 +269,16 @@ private[sources] class GraftTable(meta: GraftTableMeta,
   override def schema(): StructType = meta.userSchema
   override def properties(): JMap[String, String] =
     meta.properties.asJava
+  // surface the declared clustering as a ClusterByTransform so SHOW
+  // CREATE TABLE / catalog introspection render the CLUSTER BY clause
+  override def partitioning()
+      : Array[org.apache.spark.sql.connector.expressions.Transform] = {
+    val cols = ManagedTable.clusterByOf(meta.properties)
+    if (cols.isEmpty) Array.empty
+    else Array(org.apache.spark.sql.connector.expressions
+      .ClusterByTransform(cols.map(c => Expressions.column(c)
+        : org.apache.spark.sql.connector.expressions.NamedReference)))
+  }
   override def version(): String = meta.version.toString
   override def capabilities(): JSet[TableCapability] =
     (Set(TableCapability.BATCH_READ,

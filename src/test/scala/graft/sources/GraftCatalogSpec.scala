@@ -170,6 +170,11 @@ class GraftCatalogSpec extends SparkSpec {
     assert(ManagedTable.tableProperties(spark, dir)
       .get(ManagedTable.ClusterByProp).contains("k"))
     intercept[Exception](sql("ALTER TABLE gcat.cl.t CLUSTER BY (nope)"))
+    // the declaration surfaces through catalog introspection (Spark
+    // renders the ClusterByTransform generically as cluster_by(k))
+    val create = sql("SHOW CREATE TABLE gcat.cl.t").head.getString(0)
+    assert(create.contains("cluster_by(k)"),
+      s"expected the clustering transform in SHOW CREATE TABLE:\n$create")
   }
 
   test("a streaming write to a CLUSTERED table lands sorted epochs") {
