@@ -2192,6 +2192,59 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 500
            |GROUP BY lang ORDER BY lang""".stripMargin))
 
+  /** q222: COLUMN DEFAULT VALUES — `CREATE TABLE (… lang STRING
+    * DEFAULT 'xx', score BIGINT DEFAULT 100)` through the catalog's
+    * SUPPORT_COLUMN_DEFAULT_VALUE capability: the default rides the
+    * manifest schema's column metadata and Spark's analyzer fills it
+    * into every INSERT that omits the column (or names DEFAULT
+    * explicitly) — zero connector code in the fill path, which is the
+    * point: the manifest is the schema authority and the engine's own
+    * default resolution works against it. ALTER ADD COLUMNS with a
+    * DEFAULT is REJECTED (old segments null-fill; reading null where
+    * the user declared a default would be a silent wrong answer).
+    * Three insert shapes land: key-only (both defaults), key+lang
+    * (score defaults), full row (no defaults).
+    */
+  val q222ColumnDefaults = NamedQuery(
+    "q222_column_defaults",
+    "CREATE TABLE with column DEFAULTs: analyzer fills omitted " +
+      "columns on INSERT from manifest schema metadata; mixed-shape " +
+      "inserts aggregate vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("dfwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq222_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 500)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q222_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs (doc_id BIGINT, " +
+        "lang STRING DEFAULT 'xx', score BIGINT DEFAULT 100)")
+      s.sql(s"INSERT INTO $cat.corpus.docs (doc_id) " +
+        "SELECT doc_id FROM q222_docs WHERE doc_id < 200")
+      s.sql(s"INSERT INTO $cat.corpus.docs (doc_id, lang) " +
+        "SELECT doc_id, lang FROM q222_docs " +
+        "WHERE doc_id >= 200 AND doc_id < 400")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, n_chars FROM q222_docs WHERE doc_id >= 400")
+      s.sql(s"""SELECT lang, count(*) AS n_docs,
+                |  CAST(sum(score) AS BIGINT) AS sum_score
+                |FROM $cat.corpus.docs GROUP BY lang""".stripMargin)
+        .orderBy("lang")
+    },
+    Some("""SELECT CASE WHEN doc_id < 200 THEN 'xx' ELSE lang END
+           |    AS lang,
+           |  COUNT(*) AS n_docs,
+           |  CAST(SUM(CASE WHEN doc_id < 400 THEN 100 ELSE n_chars END)
+           |    AS BIGINT) AS sum_score
+           |FROM documents WHERE doc_id < 500
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -2204,5 +2257,5 @@ object LayoutQueries {
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
       q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
       q218Constraints, q219TypeWidening, q220ClusteredCreate,
-      q221AutoEvolution)
+      q221AutoEvolution, q222ColumnDefaults)
 }

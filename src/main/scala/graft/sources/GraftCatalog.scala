@@ -76,6 +76,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
   private var catalogName: String = _
   private var warehouse: String = _
 
+  /** Column DEFAULT values at CREATE TABLE: Spark's analyzer stores
+    * the default in the column metadata (which rides the manifest's
+    * schema json) and fills it into INSERTs that omit the column —
+    * the catalog only has to declare the capability and persist the
+    * metadata. ALTER ADD COLUMNS with a DEFAULT is rejected
+    * ([[alterTable]]): existing segments null-fill at read, and
+    * silently reading null where the user declared a default would be
+    * a wrong answer, not a missing feature.
+    */
+  override def capabilities()
+      : java.util.Set[org.apache.spark.sql.connector.catalog
+        .TableCatalogCapability] =
+    java.util.EnumSet.of(org.apache.spark.sql.connector.catalog
+      .TableCatalogCapability.SUPPORT_COLUMN_DEFAULT_VALUE)
+
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
@@ -279,6 +294,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     changes.foreach {
       case add: TableChange.AddColumn =>
         val colName = topLevel("ADD COLUMNS", add.fieldNames())
+        require(add.defaultValue() == null,
+          s"graft: ADD COLUMNS '$colName' with a DEFAULT is not " +
+            "supported — existing segments read null for added " +
+            "columns (declare defaults at CREATE TABLE, or backfill " +
+            "with UPDATE after adding)")
         require(!pendingAdds.fieldNames.contains(colName),
           s"graft: column '$colName' already exists in $ident")
         require(add.isNullable,

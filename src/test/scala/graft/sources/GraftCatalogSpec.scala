@@ -206,6 +206,30 @@ class GraftCatalogSpec extends SparkSpec {
     }
   }
 
+  test("column DEFAULT values: declared at CREATE, filled into " +
+      "INSERTs that omit the column; rejected on ALTER ADD") {
+    sql("CREATE NAMESPACE gcat.dft")
+    sql("CREATE TABLE gcat.dft.t (k BIGINT, " +
+      "lang STRING DEFAULT 'en', score BIGINT DEFAULT 100)")
+    sql("INSERT INTO gcat.dft.t (k) VALUES (1)")
+    sql("INSERT INTO gcat.dft.t (k, lang) VALUES (2, 'de')")
+    sql("INSERT INTO gcat.dft.t VALUES (3, 'fr', 7)")
+    sql("INSERT INTO gcat.dft.t (k, score) VALUES (4, DEFAULT)")
+    assert(sortedRows(sql("SELECT * FROM gcat.dft.t")) ==
+      Seq(Row(1L, "en", 100L), Row(2L, "de", 100L),
+        Row(3L, "fr", 7L), Row(4L, "en", 100L)))
+    // a default on ALTER ADD COLUMNS refuses: old segments read null
+    // for added columns, which would contradict the declared default
+    val e = intercept[Exception](
+      sql("ALTER TABLE gcat.dft.t ADD COLUMNS (w BIGINT DEFAULT 5)"))
+    assert(e.getMessage.contains("DEFAULT"))
+    // plain ALTER ADD still works alongside declared defaults
+    sql("ALTER TABLE gcat.dft.t ADD COLUMNS (w BIGINT)")
+    sql("INSERT INTO gcat.dft.t (k) VALUES (5)")
+    assert(sql("SELECT lang FROM gcat.dft.t WHERE k = 5")
+      .head.getString(0) == "en")
+  }
+
   test("CREATE OR REPLACE TABLE swaps schema and contents atomically " +
       "from the reader's view") {
     sql("CREATE NAMESPACE gcat.cor")
