@@ -645,6 +645,60 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(e2.getMessage.contains("does not match"))
   }
 
+  test("racing mergeSchema appends: no lost columns, no torn rows — " +
+      "each loser fails whole or lands after the winner's evolution") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("mergerace")
+    ManagedTable.commit(Seq((0L, "base")).toDF("k", "s"), dir)
+    val cols = Seq("w1", "w2", "w3", "w4")
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    val attempts = cols.zipWithIndex.map { case (c, i) =>
+      scala.concurrent.Future {
+        // each writer widens by a DISTINCT column; the version-claim
+        // protocol must never let one evolution erase another's
+        try {
+          spark.range(1).select(lit(i + 1L).as("k"),
+            lit(s"row$c").as("s"), lit(i * 10L).as(c))
+            .write.format("graft").option("mergeSchema", "true")
+            .mode("append").save(dir)
+          Right(c)
+        } catch { case e: Exception => Left((c, e)) }
+      }
+    }
+    val results = attempts.map(f =>
+      scala.concurrent.Await.result(f,
+        scala.concurrent.duration.Duration(120, "s")))
+    pool.shutdown()
+    val landed = results.collect { case Right(c) => c }
+    val failed = results.collect { case Left((c, e)) => (c, e) }
+    // failures must be the retryable version-claim refusal, nothing else
+    failed.foreach { case (c, e) =>
+      def chain(t: Throwable): Seq[String] =
+        if (t == null) Nil else t.toString +: chain(t.getCause)
+      assert(chain(e).exists(m => m.contains("already claimed") ||
+        m.contains("re-run") || m.contains("concurrent")),
+        s"writer $c failed with a non-retryable error: $e")
+    }
+    assert(landed.nonEmpty, "at least one racing writer must land")
+    val t = spark.read.format("graft").load(dir)
+    // every landed writer's column AND rows are present — no lost
+    // update; failed writers contribute NOTHING (no torn rows)
+    landed.foreach { c =>
+      assert(t.schema.fieldNames.contains(c),
+        s"landed writer $c lost its column: ${t.schema.fieldNames.toSeq}")
+      assert(t.filter(col("s") === s"row$c").count() == 1)
+    }
+    failed.foreach { case (c, _) =>
+      if (!t.schema.fieldNames.contains(c))
+        assert(t.schema.fieldNames.count(_ == c) == 0)
+      assert(t.filter(col("s") === s"row$c").count() == 0,
+        s"failed writer $c left torn rows")
+    }
+    assert(t.filter(col("s") === "base").count() == 1)
+  }
+
   test("a versionAsOf-pinned handle refuses writes (they would target " +
       "a different snapshot than the one resolved)") {
     val dir = tmp("pinwrite")
