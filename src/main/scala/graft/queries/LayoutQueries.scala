@@ -2245,6 +2245,71 @@ object LayoutQueries {
            |FROM documents WHERE doc_id < 500
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** q223: BLOOM-FILTER FILE SKIPPING — per-file membership digests
+    * ([[graft.sources.BloomSkipping]]) for the columns declared under
+    * `graft.bloomFilterColumns`, the pruner for the shape zone maps
+    * cannot touch: a point lookup on a high-cardinality UNCLUSTERED
+    * column. The table is deliberately NOT clustered and each INSERT
+    * slice (doc_id % 3 = r) spans the full doc_id range, so every
+    * file's [min, max] contains every probe value — any file the
+    * IN-probe plan drops was dropped by its digest answering
+    * "definitely absent". Digests live as sidecars inside the segment
+    * (~1.2 B per distinct value at fpp 1%), built distributed on the
+    * executors at write time, probed fail-open at planning time and
+    * by join-driven runtime pruning. Invariants folded into the
+    * hashed row: the probe kept strictly fewer files than the table
+    * holds (≥3 full-range files), and the digest property
+    * round-trips through SHOW TBLPROPERTIES.
+    */
+  val q223BloomSkipping = NamedQuery(
+    "q223_bloom_skipping",
+    "Bloom-filter file skipping: per-file sidecar digests prune a " +
+      "point IN-probe on an unclustered full-range column where " +
+      "min/max keeps everything; vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("bfwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq223_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 600)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q223_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+        s"TBLPROPERTIES ('${graft.sources.BloomSkipping.ColumnsProp}'" +
+        " = 'doc_id')")
+      // three UNCLUSTERED inserts, each a full-range residue slice —
+      // overlapping [min, max] by construction, digests or nothing
+      (0 to 2).foreach { r =>
+        s.sql(s"INSERT INTO $cat.corpus.docs SELECT doc_id, lang, " +
+          s"n_chars FROM q223_docs WHERE doc_id % 3 = $r")
+      }
+      // 5 ≡ 2, 250 ≡ 1, 577 ≡ 1 (mod 3): two residue files hold all
+      // three probe keys; the third survives min/max but not its digest
+      val probe = s.sql(s"SELECT doc_id, lang, n_chars FROM " +
+        s"$cat.corpus.docs WHERE doc_id IN (5, 250, 577)")
+      val desc = probe.queryExecution.executedPlan.toString
+      val digestPrunes = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(desc)
+        .exists(m => m.group(1).toInt < m.group(2).toInt &&
+          m.group(2).toInt >= 3)
+      val declared = s.sql(s"SHOW TBLPROPERTIES $cat.corpus.docs")
+        .collect().exists(r => r.getString(0) ==
+          graft.sources.BloomSkipping.ColumnsProp &&
+          r.getString(1) == "doc_id")
+      probe.withColumn("digest_prunes", lit(digestPrunes))
+        .withColumn("digest_declared", lit(declared))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars, true AS digest_prunes,
+           |  true AS digest_declared
+           |FROM documents WHERE doc_id IN (5, 250, 577)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -2257,5 +2322,5 @@ object LayoutQueries {
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
       q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
       q218Constraints, q219TypeWidening, q220ClusteredCreate,
-      q221AutoEvolution, q222ColumnDefaults)
+      q221AutoEvolution, q222ColumnDefaults, q223BloomSkipping)
 }

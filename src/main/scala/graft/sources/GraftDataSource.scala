@@ -709,6 +709,11 @@ private[sources] object GraftScanBuilder {
     * rely on.
     */
   def mayMatch(f: Filter, meta: GraftTableMeta, rel: String): Boolean = {
+    // a file with a RECORDED zero row count provably matches nothing —
+    // the empty part a CREATE or an empty write partition leaves
+    // behind; it has no min/max or digest entries (nothing to record),
+    // so without this fact it would survive every filtered scan forever
+    if (GraftScan.recordedEmpty(meta, rel)) return false
     // stats key on the PHYSICAL name; the comparator on the logical
     def bounds(a: String): Option[(String, String)] =
       meta.stats.get(rel).flatMap(_.get(meta.physOf(a)))
@@ -734,8 +739,22 @@ private[sources] object GraftScanBuilder {
         catch { case _: Exception => true }
       case None => true
     }
+    // equality probes additionally consult the file's Bloom digest
+    // when the column declares one ([[BloomSkipping]]) — the pruner
+    // for point lookups on columns whose [min, max] spans everything;
+    // digests answer "definitely absent", so they only ever EXCLUDE
+    def bloomOk(a: String, v: Any): Boolean =
+      meta.stats.get(rel)
+        .flatMap(_.get(BloomSkipping.statKey(meta.physOf(a)))) match {
+        case Some((sidecar, scheme))
+            if meta.schema.fields.exists(fd =>
+              fd.name == a && BloomSkipping.eligible(fd.dataType)) =>
+          BloomSkipping.mightContain(meta.dir, sidecar, scheme,
+            String.valueOf(v))
+        case _ => true
+      }
     f match {
-      case EqualTo(a, v) if v != null => contains(a, v)
+      case EqualTo(a, v) if v != null => contains(a, v) && bloomOk(a, v)
       case GreaterThan(a, v) if v != null => atLeast(a, v)
       case GreaterThanOrEqual(a, v) if v != null => atLeast(a, v)
       case LessThan(a, v) if v != null => atMost(a, v)
@@ -743,7 +762,7 @@ private[sources] object GraftScanBuilder {
       // IN = union of equality probes; null list entries match no row
       // (three-valued IN) and contribute nothing to the union
       case In(a, vs) if vs != null && vs.exists(_ != null) =>
-        vs.exists(v => v != null && contains(a, v))
+        vs.exists(v => v != null && contains(a, v) && bloomOk(a, v))
       case And(l, r) => mayMatch(l, meta, rel) && mayMatch(r, meta, rel)
       case Or(l, r) => mayMatch(l, meta, rel) || mayMatch(r, meta, rel)
       case _ => true
@@ -1026,7 +1045,7 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     // limit-sufficient prefix must be taken from the files that
     // survive the join keys, not the other way around)
     runtimeKept = runtimeKept.filter { rel =>
-      sets.forall {
+      !GraftScan.recordedEmpty(meta, rel) && sets.forall {
         case (GraftTable.FileMetaCol, values)
             if !meta.schema.fieldNames.contains(GraftTable.FileMetaCol) =>
           // file identity is EXACT, not a may-contain test — this is
@@ -1034,14 +1053,26 @@ private[graft] class GraftScan(meta: GraftTableMeta,
           // shadows the metadata column and takes the stats path)
           values.contains(s"${meta.dir}/$rel")
         case (column, values) =>
-          meta.stats.get(rel).flatMap(_.get(meta.physOf(column))) match {
-            case Some((mn, mx)) =>
-              values.exists(v =>
+          // a runtime key survives the file if it passes BOTH the
+          // [min, max] test and (when the column is digested) the
+          // Bloom probe — on an unclustered key the range test keeps
+          // everything and the digest does the real pruning
+          val bloomEntry = meta.stats.get(rel)
+            .flatMap(_.get(BloomSkipping.statKey(meta.physOf(column))))
+            .filter(_ => meta.schema.fields.exists(fd =>
+              fd.name == column && BloomSkipping.eligible(fd.dataType)))
+          val rangeOk: String => Boolean =
+            meta.stats.get(rel).flatMap(_.get(meta.physOf(column))) match {
+              case Some((mn, mx)) => v =>
                 try GraftScan.cmp(meta.schema, column)(mn, v) <= 0 &&
                   GraftScan.cmp(meta.schema, column)(v, mx) <= 0
-                catch { case _: Exception => true })
-            case None => true // no stats — may contain anything
-          }
+                catch { case _: Exception => true }
+              case None => _ => true // no stats — may contain anything
+            }
+          values.exists(v => rangeOk(v) && bloomEntry.forall {
+            case (sidecar, scheme) =>
+              BloomSkipping.mightContain(meta.dir, sidecar, scheme, v)
+          })
       }
     }
     kept = truncate(runtimeKept)
@@ -1088,6 +1119,13 @@ private[sources] object GraftScan {
     case LongType | IntegerType | ShortType | ByteType | StringType => true
     case _ => false
   }
+
+  /** Does the manifest RECORD this file as zero-row? (Parse failures
+    * and absent entries answer false — never prune on uncertainty.)
+    */
+  def recordedEmpty(meta: GraftTableMeta, rel: String): Boolean =
+    meta.stats.get(rel).flatMap(_.get(ManagedTable.RowsStat)).exists(p =>
+      try p._1.toLong == 0L catch { case _: NumberFormatException => false })
 
   /** `(column, candidate values as strings)` of one runtime predicate;
     * Nil = untranslatable (ignored — no pruning from it).
@@ -2017,7 +2055,9 @@ private[sources] class GraftStreamingWrite(dir: String,
     }
     ManagedTable.enforceConstraintsOnFiles(spark, dir, newFiles,
       s"streaming epoch $epochId")
-    val newStats = ManagedTable.segmentStats(spark, dir, newFiles)
+    val (headProps, headSchema) = ManagedTable.headContext(spark, dir)
+    val newStats = ManagedTable.segmentStats(spark, dir, newFiles,
+      headProps, headSchema)
     var attempt = 0
     var done = false
     while (!done) {
@@ -2112,7 +2152,10 @@ private[sources] class GraftBatchWrite(dir: String, schema: StructType,
     if (!truncateFirst)
       ManagedTable.enforceConstraintsOnFiles(spark, dir, newFiles,
         "INSERT INTO")
-    val newStats = ManagedTable.segmentStats(spark, dir, newFiles)
+    // a truncate ALSO resets properties, so digests only ride appends
+    val (headProps, headSchema) = ManagedTable.headContext(spark, dir)
+    val newStats = ManagedTable.segmentStats(spark, dir, newFiles,
+      if (truncateFirst) Map.empty else headProps, headSchema)
     // optimistic create-fails-if-exists loop, same discipline as the
     // DataFrame writers: losing a version race re-reads the head and
     // re-commits on top of it (the staged files never move)
@@ -2307,7 +2350,9 @@ private[sources] class GraftCowBatchWrite(dir: String,
     // an UPDATE/MERGE may not rewrite rows INTO violation
     ManagedTable.enforceConstraintsOnFiles(spark, dir, staged,
       "row-level operation")
-    val newStats = ManagedTable.segmentStats(spark, dir, staged)
+    val (headProps, headSchema) = ManagedTable.headContext(spark, dir)
+    val newStats = ManagedTable.segmentStats(spark, dir, staged,
+      headProps, headSchema)
     var attempt = 0
     var done = false
     while (!done) {

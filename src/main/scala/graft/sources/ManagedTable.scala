@@ -188,6 +188,21 @@ object ManagedTable {
         k.stripPrefix(PropPrefix) -> v
     }
 
+  /** (current properties, current schema) of the table head — the
+    * context a pre-commit stats pass (bloom digest columns, mapped
+    * names) needs; empty for a not-yet-created table.
+    */
+  private[sources] def headContext(spark: SparkSession, dir: String)
+      : (Map[String, String],
+         Option[org.apache.spark.sql.types.StructType]) = {
+    val vs = versions(spark, dir)
+    if (vs.isEmpty) (Map.empty, None)
+    else {
+      val (_, _, schemaJson, stats) = readManifest(spark, dir, vs.last)
+      (propertiesOf(stats), schemaJson.map(schemaOf))
+    }
+  }
+
   /** Current table properties (empty before any SET). */
   def tableProperties(spark: SparkSession, dir: String): Map[String, String] = {
     val vs = versions(spark, dir)
@@ -416,6 +431,28 @@ object ManagedTable {
     * their zero non-null count.
     */
   private[sources] def segmentStats(spark: SparkSession, dir: String,
+      relFiles: Seq[String], props: Map[String, String] = Map.empty,
+      logical: Option[org.apache.spark.sql.types.StructType] = None)
+      : FileStats = {
+    val base = minMaxStats(spark, dir, relFiles)
+    val bloomLogical = BloomSkipping.bloomColsOf(props)
+    if (bloomLogical.isEmpty) return base
+    // the digest property names LOGICAL columns; files carry PHYSICAL
+    // names — translate through the schema being committed (identity
+    // for unmapped tables / names outside it)
+    val phys = logical match {
+      case Some(sch) => bloomLogical.filter(sch.fieldNames.contains)
+        .map(c => ColumnMapping.physOf(sch, c))
+      case None => bloomLogical
+    }
+    val bf = BloomSkipping.build(spark, dir, relFiles, phys, props)
+    if (bf.isEmpty) base
+    else (base.keySet ++ bf.keySet).map(rel =>
+      rel -> (base.getOrElse(rel, Map.empty) ++
+        bf.getOrElse(rel, Map.empty))).toMap
+  }
+
+  private def minMaxStats(spark: SparkSession, dir: String,
       relFiles: Seq[String]): FileStats = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     if (relFiles.isEmpty) return Map.empty
@@ -550,7 +587,8 @@ object ManagedTable {
     writeManifest(spark, dir, next, tag,
       files ++ newData ++ dvFiles.map("dv:" + _),
       schema.map(_.json).getOrElse(df.schema.json),
-      stats ++ segmentStats(spark, dir, newData))
+      stats ++ segmentStats(spark, dir, newData,
+        propertiesOf(stats), schema))
     next
   }
 
@@ -984,7 +1022,8 @@ object ManagedTable {
     }
     writeManifest(spark, dir, next, tag,
       files ++ newData ++ dvSeg.map("dv:" + _), schema.json,
-      stats ++ segmentStats(spark, dir, newData))
+      stats ++ segmentStats(spark, dir, newData,
+        propertiesOf(stats), Some(schema)))
     next
   }
 
@@ -1022,7 +1061,9 @@ object ManagedTable {
           "backfill idempotent)")
     }
     enforceConstraintsOnFiles(spark, dir, newFiles, "REPLACE WHERE")
-    val newStats = segmentStats(spark, dir, newFiles)
+    val head = readManifest(spark, dir, versions(spark, dir).last)
+    val newStats = segmentStats(spark, dir, newFiles,
+      propertiesOf(head._4), head._3.map(schemaOf).orElse(Some(writeSchema)))
     var attempt = 0
     while (true) {
       attempt += 1
@@ -1715,7 +1756,8 @@ object ManagedTable {
       mergedSchema.json,
       currentStats.view.filterKeys(untouched.contains).toMap ++
         tableStats(currentStats) ++
-        segmentStats(spark, dir, newFiles))
+        segmentStats(spark, dir, newFiles,
+          propertiesOf(currentStats), Some(mergedSchema)))
     next
   }
 
@@ -1949,7 +1991,8 @@ object ManagedTable {
       schema.json,
       stats.view.filterKeys(keep.contains).toMap ++
         tableStats(stats) ++
-        segmentStats(spark, dir, newFiles))
+        segmentStats(spark, dir, newFiles,
+          propertiesOf(stats), Some(schema)))
     next
   }
 

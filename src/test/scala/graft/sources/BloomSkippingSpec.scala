@@ -1,0 +1,215 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.connector.expressions.Expressions
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+/** Bloom-filter file skipping ([[BloomSkipping]]): point lookups on a
+  * high-cardinality UNCLUSTERED column — the shape where every file's
+  * [min, max] spans the whole domain and zone maps prune nothing.
+  */
+class BloomSkippingSpec extends SparkSpec {
+
+  private def tmp(name: String): String =
+    Files.createTempDirectory(s"graft-bloom-$name").toString + "/t"
+
+  /** Three single-file segments whose `u` values INTERLEAVE across the
+    * full domain (file i holds u ≡ i mod 6, i ∈ {0,1,2}), so every
+    * file's [min, max] covers nearly everything — min/max pruning is
+    * useless by construction and only the digest can exclude a file.
+    * Residues 3–5 never occur: in-range values provably in NO file.
+    * `s` is a string twin (`v<u>`) of the same interleaving.
+    */
+  private def threeInterleaved(dir: String): Unit = {
+    ManagedTable.commit(
+      spark.range(0).select(col("id").as("k"), col("id").as("u"),
+        col("id").cast("string").as("s")), dir)
+    ManagedTable.setTableProperties(spark, dir,
+      Map(BloomSkipping.ColumnsProp -> "u,s"))
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        spark.range(100).select(
+          (col("id") * 6 + i).as("k"),
+          (col("id") * 6 + i).as("u"),
+          concat(lit("v"), (col("id") * 6 + i).cast("string")).as("s"))
+          .coalesce(1), dir)
+    }
+  }
+
+  private def planString(df: DataFrame): String = {
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  /** Planned file count from the scan description (`files=k/n`). */
+  private def filesPlanned(plan: String): Int = {
+    val m = "files=(\\d+)/(\\d+)".r.findFirstMatchIn(plan)
+    assert(m.isDefined, s"no GraftScan files= marker in:\n$plan")
+    m.get.group(1).toInt
+  }
+
+  test("equality on an interleaved column prunes to the one holding file") {
+    val dir = tmp("eq")
+    threeInterleaved(dir)
+    val t = spark.read.format("graft").load(dir)
+
+    // u=151 ≡ 1 (mod 6) → only file 1 can hold it; its [min, max] =
+    // [1, 595] contains 151, so only the digest prunes
+    val q = t.filter(col("u") === 151L)
+    assert(q.collect().map(_.getLong(1)).toSeq == Seq(151L))
+    assert(filesPlanned(planString(q)) == 1)
+
+    // string digest: same interleaving, same pruning
+    val qs = t.filter(col("s") === "v152")
+    assert(qs.collect().map(_.getString(2)).toSeq == Seq("v152"))
+    assert(filesPlanned(planString(qs)) == 1)
+
+    // IN across two residue classes keeps exactly the two holders
+    val qin = t.filter(col("u").isin(151L, 152L))
+    assert(qin.collect().map(_.getLong(1)).sorted.toSeq == Seq(151L, 152L))
+    assert(filesPlanned(planString(qin)) == 2)
+
+    // an in-range value with residue 4 exists in NO file: min/max
+    // keeps everything, every digest answers definitely-absent
+    val qmiss = t.filter(col("u") === 100L)
+    assert(qmiss.collect().isEmpty)
+    assert(filesPlanned(planString(qmiss)) == 0)
+
+    // range probes never consult digests (shape mismatch): kept wide.
+    // [100, 110] holds 102,103,104,108,109,110 (residues 0,1,2 mod 6)
+    val qr = t.filter(col("u") >= 100L && col("u") <= 110L)
+    assert(qr.count() == 6)
+    assert(filesPlanned(planString(qr)) == 3)
+  }
+
+  test("no false negatives: every stored value still found after digesting") {
+    val dir = tmp("sweep")
+    threeInterleaved(dir)
+    val t = spark.read.format("graft").load(dir)
+    (0 until 100 by 5).foreach { i =>
+      (0 until 3).foreach { f =>
+        val v = i * 6 + f
+        val hit = t.filter(col("u") === v.toLong).collect()
+        assert(hit.length == 1 && hit.head.getLong(1) == v.toLong,
+          s"digest false negative at u=$v")
+        val hs = t.filter(col("s") === s"v$v").collect()
+        assert(hs.length == 1, s"digest false negative at s=v$v")
+      }
+    }
+  }
+
+  test("fail-open: a deleted sidecar keeps the file (correct, just unpruned)") {
+    val dir = tmp("failopen")
+    threeInterleaved(dir)
+    // destroy every sidecar under data/
+    def rmBf(f: java.io.File): Unit =
+      if (f.isDirectory) {
+        if (f.getName == "_bf") { f.listFiles().foreach(_.delete()); f.delete(); () }
+        else Option(f.listFiles()).foreach(_.foreach(rmBf))
+      }
+    rmBf(new java.io.File(dir, "data"))
+    val t = spark.read.format("graft").load(dir)
+    val q = t.filter(col("u") === 151L)
+    assert(q.collect().map(_.getLong(1)).toSeq == Seq(151L))
+    assert(filesPlanned(planString(q)) == 3,
+      "missing sidecars must keep files, never drop them")
+  }
+
+  test("join-driven runtime pruning probes the digest per build-side key") {
+    val dir = tmp("runtime")
+    threeInterleaved(dir)
+    val meta = GraftTableMeta.resolve(dir, None)
+    def freshScan(): GraftScan =
+      new GraftScanBuilder(meta).build().asInstanceOf[GraftScan]
+
+    // both keys ≡ 1 (mod 6) — every [min, max] contains them, but only
+    // file 1's digest can: runtime pruning lands on one file
+    val scan = freshScan()
+    val before = scan.planInputPartitions().length
+    scan.filter(Array(new Predicate("IN", Array(
+      Expressions.column("u"),
+      Expressions.literal(151L), Expressions.literal(157L)))))
+    assert(scan.planInputPartitions().length == 1,
+      s"expected 1 of $before files after digest-backed runtime pruning")
+
+    // a key no file holds: zero files survive
+    val s2 = freshScan()
+    s2.filter(Array(new Predicate("=", Array(
+      Expressions.column("u"), Expressions.literal(100L)))))
+    assert(s2.planInputPartitions().isEmpty)
+  }
+
+  test("compaction rebuilds digests for the packed files") {
+    val dir = tmp("compact")
+    threeInterleaved(dir)
+    ManagedTable.compact(spark, dir)
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 300)
+    val q = t.filter(col("u") === 151L)
+    assert(q.collect().map(_.getLong(1)).toSeq == Seq(151L))
+    val head = ManagedTable.readManifest(spark, dir,
+      ManagedTable.versions(spark, dir).last)
+    val dataStats = head._4.filter { case (k, st) =>
+      k.startsWith("data/") &&
+        st.get(ManagedTable.RowsStat).exists(_._1 != "0")
+    }
+    assert(dataStats.nonEmpty && dataStats.values.forall(m =>
+      m.contains(BloomSkipping.statKey("u")) &&
+        m.contains(BloomSkipping.statKey("s"))),
+      s"compacted files must carry digests: ${dataStats.keySet}")
+  }
+
+  test("replaceWhere keeps digests on the fresh replacement segment") {
+    val dir = tmp("cow")
+    threeInterleaved(dir)
+    ManagedTable.replaceWhere(spark, dir, col("u") <= 2L,
+      spark.range(3).select(col("id").as("k"), col("id").as("u"),
+        concat(lit("v"), col("id").cast("string")).as("s")))
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 300)
+    val q = t.filter(col("u") === 1L)
+    assert(q.collect().map(_.getLong(1)).toSeq == Seq(1L))
+    // the original holder's digest is stale-but-sound (it still
+    // CONTAINS 1 — the row is tombstoned, not un-hashed) and the
+    // replacement's digest holds 1: two files survive, the digest
+    // still drops the other two original files
+    assert(filesPlanned(planString(q)) == 2)
+  }
+
+  test("ineligible types and undeclared columns are never digested") {
+    val dir = tmp("types")
+    ManagedTable.commit(
+      spark.range(0).select(col("id").as("k"),
+        col("id").cast("double").as("d")), dir)
+    ManagedTable.setTableProperties(spark, dir,
+      Map(BloomSkipping.ColumnsProp -> "d,missing"))
+    ManagedTable.appendCommit(
+      spark.range(10).select(col("id").as("k"),
+        col("id").cast("double").as("d")).coalesce(1), dir)
+    val head = ManagedTable.readManifest(spark, dir,
+      ManagedTable.versions(spark, dir).last)
+    assert(head._4.values.forall(m =>
+      !m.keys.exists(_.startsWith(BloomSkipping.StatPrefix))),
+      "double/absent columns must not produce digests")
+    assert(spark.read.format("graft").load(dir).count() == 10)
+  }
+
+  test("a recorded zero-row file is pruned under any pushed filter") {
+    val dir = tmp("zerorow")
+    // the empty CREATE part: no min/max, no digest — but its recorded
+    // __rows=0 proves it can never match, so filtered scans skip it
+    ManagedTable.commit(
+      spark.range(0).select(col("id").as("k")), dir)
+    ManagedTable.appendCommit(
+      spark.range(10).select(col("id").as("k")).coalesce(1), dir)
+    val t = spark.read.format("graft").load(dir)
+    val q = t.filter(col("k") === 5L)
+    assert(q.collect().map(_.getLong(0)).toSeq == Seq(5L))
+    assert(filesPlanned(planString(q)) == 1,
+      "the zero-row create part must not be planned under a filter")
+  }
+}
