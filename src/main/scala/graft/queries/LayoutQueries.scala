@@ -2310,6 +2310,73 @@ object LayoutQueries {
            |FROM documents WHERE doc_id IN (5, 250, 577)
            |ORDER BY doc_id""".stripMargin))
 
+  /** q224: CDF AND DETAIL THROUGH SQL — `CALL system.changes` (the
+    * Delta `table_changes` shape over [[graft.sources.ManagedTable
+    * .changes]]: plans only the files the two manifests do NOT share,
+    * ∝ changed data, never a table scan) and `CALL system.detail`
+    * (DESCRIBE DETAIL parity: one metadata-only row from the manifest
+    * — layout counts, bytes, recorded live rows, declared layout
+    * contracts). The lifecycle: full insert → COW UPDATE of a key
+    * range → DV DELETE of another; the CALL returns exactly the
+    * update pre/post image pairs and the deleted rows. `detail`
+    * invariants fold in as flag columns: the manifest counts match
+    * the lifecycle (data files > 0, DV present after DELETE,
+    * live_rows null under DVs — counting tombstoned positions would
+    * need a scan, and detail never scans).
+    */
+  val q224SqlChangesDetail = NamedQuery(
+    "q224_sql_changes_detail",
+    "CALL system.changes/detail: change-data-feed diff and DESCRIBE " +
+      "DETAIL parity through pure SQL; update pre/post images and DV " +
+      "deletes vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("cdwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq224_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q224_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT)")          // v1
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, n_chars FROM q224_docs")           // v2
+      s.sql(s"UPDATE $cat.corpus.docs SET n_chars = n_chars + 1000 " +
+        "WHERE doc_id < 50")                                     // v3
+      s.sql(s"DELETE FROM $cat.corpus.docs WHERE doc_id >= 350") // v4
+      val changes = s.sql(s"CALL $cat.system.changes(" +
+        s"`table` => 'corpus.docs', from_version => 2, " +
+        "to_version => 4, keys => 'doc_id')")
+      val detail = s.sql(s"CALL $cat.system.detail(" +
+        "`table` => 'corpus.docs')").collect().head
+      val detailOk =
+        detail.getAs[Int]("version") == 4 &&
+          detail.getAs[Int]("num_versions") == 4 &&
+          detail.getAs[Int]("num_data_files") > 0 &&
+          detail.getAs[Int]("num_dv_files") > 0 &&
+          detail.getAs[Long]("size_bytes") > 0 &&
+          detail.isNullAt(detail.fieldIndex("live_rows")) &&
+          detail.getAs[String]("cluster_by") == ""
+      changes.withColumn("detail_ok", lit(detailOk))
+        .orderBy("_change_type", "doc_id")
+    },
+    Some("""SELECT * FROM (
+           |  SELECT 'update_preimage' AS _change_type, doc_id, lang,
+           |    n_chars, true AS detail_ok
+           |  FROM documents WHERE doc_id < 50
+           |  UNION ALL
+           |  SELECT 'update_postimage', doc_id, lang, n_chars + 1000,
+           |    true FROM documents WHERE doc_id < 50
+           |  UNION ALL
+           |  SELECT 'delete', doc_id, lang, n_chars, true
+           |  FROM documents WHERE doc_id >= 350 AND doc_id < 400
+           |) ORDER BY _change_type, doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -2322,5 +2389,6 @@ object LayoutQueries {
       q212MergeInto, q213SqlAlterTable, q214VacuumHistory,
       q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
       q218Constraints, q219TypeWidening, q220ClusteredCreate,
-      q221AutoEvolution, q222ColumnDefaults, q223BloomSkipping)
+      q221AutoEvolution, q222ColumnDefaults, q223BloomSkipping,
+      q224SqlChangesDetail)
 }

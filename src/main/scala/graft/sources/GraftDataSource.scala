@@ -1083,6 +1083,10 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     * in a join, exactly as it would a pruned parquet scan. Column
     * pruning isn't modeled (file bytes are whole-row), so the
     * estimate errs large — the safe direction for broadcast planning.
+    * ROW COUNT comes from the manifest's live counts (file row count
+    * minus its DV positions) when every surviving file records one —
+    * the exact post-pruning cardinality, no sampling; any uncovered
+    * file leaves the estimate empty rather than wrong.
     */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics = {
@@ -1091,11 +1095,14 @@ private[graft] class GraftScan(meta: GraftTableMeta,
       val p = new HPath(s"${meta.dir}/$rel")
       p.getFileSystem(conf).getFileStatus(p).getLen
     }.sum
+    val rows =
+      if (kept.forall(liveRows.contains))
+        java.util.OptionalLong.of(kept.map(liveRows).sum)
+      else java.util.OptionalLong.empty()
     new org.apache.spark.sql.connector.read.Statistics {
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(bytes)
-      override def numRows(): java.util.OptionalLong =
-        java.util.OptionalLong.empty()
+      override def numRows(): java.util.OptionalLong = rows
     }
   }
 

@@ -22,6 +22,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *   CALL graft.system.vacuum(`table` => 'ns.t')
   *   CALL graft.system.restore(`table` => 'ns.t', version => 3)
   *   CALL graft.system.history(`table` => 'ns.t')
+  *   CALL graft.system.changes(`table` => 'ns.t', from_version => 2,
+  *                             to_version => 5, keys => 'id')
+  *   CALL graft.system.detail(`table` => 'ns.t')
   * }}}
   *
   * Each procedure resolves `ns.t` against THIS catalog's warehouse
@@ -38,7 +41,8 @@ private[sources] object GraftProcedures {
   val Namespace: Array[String] = Array("system")
 
   val Names: Seq[String] =
-    Seq("compact", "vacuum", "vacuum_history", "restore", "history")
+    Seq("compact", "vacuum", "vacuum_history", "restore", "history",
+      "changes", "detail")
 
   def load(catalog: GraftCatalog, ident: Identifier): UnboundProcedure = {
     require(ident.namespace().sameElements(Namespace) &&
@@ -68,9 +72,12 @@ private[sources] object GraftProcedures {
     java.util.List.of(scan).iterator()
   }
 
+  /** `run` returns (result schema, rows) — the schema travels WITH the
+    * call because `changes` is table-shaped (its columns are the
+    * target table's); fixed-schema procedures just return theirs.
+    */
   private[sources] final case class Spec(parameters: Seq[ProcedureParameter],
-      outSchema: StructType,
-      run: (GraftCatalog, InternalRow) => Seq[InternalRow])
+      run: (GraftCatalog, InternalRow) => (StructType, Seq[InternalRow]))
 
   private def in(name: String, dt: DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -86,7 +93,6 @@ private[sources] object GraftProcedures {
         // segments carry disjoint key ranges so stats pruning works
         // across them (empty = arrival-order packing)
         inDefault("cluster_by", StringType, "''")),
-      StructType(Seq(StructField("version", IntegerType, nullable = false))),
       (cat, args) => {
         val cluster = Option(args.getUTF8String(2)).map(_.toString)
           .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
@@ -94,58 +100,139 @@ private[sources] object GraftProcedures {
         val v = ManagedTable.compact(spark, cat.resolveTableDir(
           args.getUTF8String(0).toString), args.getLong(1),
           clusterBy = cluster)
-        Seq(row(v))
+        (StructType(Seq(
+          StructField("version", IntegerType, nullable = false))),
+          Seq(row(v)))
       })
     case "vacuum" => Spec(
       Seq(in("table", StringType),
         inDefault("retention_ms", LongType,
           ManagedTable.DefaultVacuumRetentionMs.toString)),
-      StructType(Seq(
-        StructField("swept_segments", IntegerType, nullable = false))),
       (cat, args) => {
         val swept = ManagedTable.vacuum(spark, cat.resolveTableDir(
           args.getUTF8String(0).toString), args.getLong(1))
-        Seq(row(swept.size))
+        (StructType(Seq(
+          StructField("swept_segments", IntegerType, nullable = false))),
+          Seq(row(swept.size)))
       })
     case "vacuum_history" => Spec(
       Seq(in("table", StringType),
         in("retain_versions", IntegerType),
         inDefault("retention_ms", LongType,
           ManagedTable.DefaultVacuumRetentionMs.toString)),
-      StructType(Seq(
-        StructField("dropped_versions", IntegerType, nullable = false),
-        StructField("swept_segments", IntegerType, nullable = false),
-        StructField("reclaimed_bytes", LongType, nullable = false))),
       (cat, args) => {
         val st = ManagedTable.vacuumHistory(spark, cat.resolveTableDir(
           args.getUTF8String(0).toString), args.getInt(1), args.getLong(2))
-        Seq(row(st.droppedVersions.size, st.sweptSegments.size,
-          st.reclaimedBytes))
+        (StructType(Seq(
+          StructField("dropped_versions", IntegerType, nullable = false),
+          StructField("swept_segments", IntegerType, nullable = false),
+          StructField("reclaimed_bytes", LongType, nullable = false))),
+          Seq(row(st.droppedVersions.size, st.sweptSegments.size,
+            st.reclaimedBytes)))
       })
     case "restore" => Spec(
       Seq(in("table", StringType), in("version", IntegerType)),
-      StructType(Seq(StructField("version", IntegerType, nullable = false))),
       (cat, args) => {
         val v = ManagedTable.restore(spark, cat.resolveTableDir(
           args.getUTF8String(0).toString), args.getInt(1))
-        Seq(row(v))
+        (StructType(Seq(
+          StructField("version", IntegerType, nullable = false))),
+          Seq(row(v)))
       })
     case "history" => Spec(
       Seq(in("table", StringType)),
-      StructType(Seq(
-        StructField("version", IntegerType, nullable = false),
-        StructField("tag", StringType, nullable = false),
-        StructField("commit_ms", LongType, nullable = false),
-        StructField("n_data_files", IntegerType, nullable = false),
-        StructField("n_dv_files", IntegerType, nullable = false),
-        StructField("n_columns", IntegerType, nullable = false))),
       (cat, args) => {
-        ManagedTable.history(spark, cat.resolveTableDir(
+        val rows = ManagedTable.history(spark, cat.resolveTableDir(
           args.getUTF8String(0).toString))
           .collect() // |versions| rows — manifest metadata only
           .map(r => row(r.getInt(0), r.getString(1), r.getLong(2),
             r.getInt(3), r.getInt(4), r.getInt(5)))
           .toSeq
+        (StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("tag", StringType, nullable = false),
+          StructField("commit_ms", LongType, nullable = false),
+          StructField("n_data_files", IntegerType, nullable = false),
+          StructField("n_dv_files", IntegerType, nullable = false),
+          StructField("n_columns", IntegerType, nullable = false))),
+          rows)
+      })
+    // CHANGE DATA FEED through SQL — Delta's `table_changes` TVF shape
+    // as a CALL: the row-level diff [[ManagedTable.changes]] plans
+    // (files the two manifests do NOT share, ∝ changed data — never a
+    // table scan), materialized as the CALL's driver-local result.
+    // Result size is DIFF-scale; for changeset-sized consumption in a
+    // pipeline use ManagedTable.changes directly (a distributed frame)
+    // — the CALL is the operator/debug surface.
+    case "changes" => Spec(
+      Seq(in("table", StringType),
+        in("from_version", IntegerType),
+        in("to_version", IntegerType),
+        // comma-separated key columns the diff pairs rows on
+        in("keys", StringType),
+        inDefault("delete_expr", StringType, "'false'"),
+        inDefault("except_columns", StringType, "''")),
+      (cat, args) => {
+        val dir = cat.resolveTableDir(args.getUTF8String(0).toString)
+        def csv(i: Int): Seq[String] =
+          Option(args.getUTF8String(i)).map(_.toString).getOrElse("")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        val delete = org.apache.spark.sql.functions.expr(
+          Option(args.getUTF8String(4)).map(_.toString)
+            .filter(_.nonEmpty).getOrElse("false"))
+        val df = ManagedTable.changes(spark, dir,
+          args.getInt(1), args.getInt(2), csv(3), delete, csv(5))
+        val schema = df.schema
+        val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
+          .createToCatalystConverter(schema)
+        (schema,
+          df.collect().map(r => conv(r).asInstanceOf[InternalRow]).toSeq)
+      })
+    // DESCRIBE DETAIL parity: one metadata-only row about the table's
+    // current version — layout counts and bytes from the manifest and
+    // file statuses, LIVE row count from the recorded per-file counts
+    // (null when any file lacks one or deletion vectors are present:
+    // counting DV'd positions would need a scan, and `detail` never
+    // scans), declared clustering/digest layout contracts verbatim.
+    case "detail" => Spec(
+      Seq(in("table", StringType)),
+      (cat, args) => {
+        val dir = cat.resolveTableDir(args.getUTF8String(0).toString)
+        val vs = ManagedTable.versions(spark, dir)
+        require(vs.nonEmpty, s"graft: no committed versions in $dir")
+        val (_, all, _, stats) =
+          ManagedTable.readManifest(spark, dir, vs.last)
+        val (files, dvFiles) = ManagedTable.splitDv(all)
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val bytes = files.map { rel =>
+          val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
+          p.getFileSystem(conf).getFileStatus(p).getLen
+        }.sum
+        val counts = files.map(f =>
+          stats.get(f).flatMap(_.get(ManagedTable.RowsStat))
+            .flatMap(p => scala.util.Try(p._1.toLong).toOption))
+        val liveRows: Any =
+          if (dvFiles.isEmpty && counts.forall(_.isDefined))
+            counts.flatten.sum
+          else null
+        val props = ManagedTable.propertiesOf(stats)
+        (StructType(Seq(
+          StructField("version", IntegerType, nullable = false),
+          StructField("location", StringType, nullable = false),
+          StructField("num_versions", IntegerType, nullable = false),
+          StructField("num_data_files", IntegerType, nullable = false),
+          StructField("num_dv_files", IntegerType, nullable = false),
+          StructField("size_bytes", LongType, nullable = false),
+          StructField("live_rows", LongType, nullable = true),
+          StructField("cluster_by", StringType, nullable = false),
+          StructField("bloom_filter_columns", StringType,
+            nullable = false),
+          StructField("num_properties", IntegerType, nullable = false))),
+          Seq(row(vs.last, dir, vs.size, files.size, dvFiles.size,
+            bytes, liveRows,
+            props.getOrElse(ManagedTable.ClusterByProp, ""),
+            props.getOrElse(BloomSkipping.ColumnsProp, ""),
+            props.size)))
       })
   }
 
@@ -165,8 +252,10 @@ private[sources] object GraftProcedures {
         // side-effecting table maintenance: never constant-folded,
         // never re-executed speculatively
         override def isDeterministic: Boolean = false
-        override def call(input: InternalRow): java.util.Iterator[Scan] =
-          result(s.outSchema, s.run(catalog, input))
+        override def call(input: InternalRow): java.util.Iterator[Scan] = {
+          val (schema, rows) = s.run(catalog, input)
+          result(schema, rows)
+        }
       }
   }
 }

@@ -474,6 +474,53 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE gcat.mt.t"); sql("DROP NAMESPACE gcat.mt")
   }
 
+  test("CALL system.changes and system.detail: CDF diff and DESCRIBE " +
+      "DETAIL parity by pure SQL") {
+    sql("CREATE NAMESPACE gcat.cd")
+    sql("CREATE TABLE gcat.cd.t (k BIGINT, v BIGINT)")           // v1
+    sql("INSERT INTO gcat.cd.t SELECT id, id * 2 FROM range(100)") // v2
+    sql("UPDATE gcat.cd.t SET v = v + 1 WHERE k < 10")           // v3
+    sql("DELETE FROM gcat.cd.t WHERE k >= 90")                   // v4
+
+    // changes: a table-shaped result (_change_type + the table's own
+    // columns), exactly the update image pairs and the DV deletes
+    val ch = sql("CALL gcat.system.changes(`table` => 'cd.t', " +
+      "from_version => 2, to_version => 4, keys => 'k')")
+    assert(ch.schema.fieldNames.toSeq ==
+      Seq("_change_type", "k", "v"))
+    val byType = ch.collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(r => (r.getLong(1), r.getLong(2)))
+        .sortBy(_._1).toSeq).toMap
+    assert(byType("update_preimage") ==
+      (0L until 10L).map(k => (k, k * 2)))
+    assert(byType("update_postimage") ==
+      (0L until 10L).map(k => (k, k * 2 + 1)))
+    assert(byType("delete") == (90L until 100L).map(k => (k, k * 2)))
+    assert(byType.keySet == Set("update_preimage", "update_postimage",
+      "delete"), "no spurious inserts from carried files")
+
+    // detail: one metadata-only row off the manifest
+    val det = sql("CALL gcat.system.detail(`table` => 'cd.t')").head()
+    assert(det.getAs[Int]("version") == 4)
+    assert(det.getAs[Int]("num_versions") == 4)
+    assert(det.getAs[Int]("num_data_files") > 0)
+    assert(det.getAs[Int]("num_dv_files") > 0, "DELETE left a DV")
+    assert(det.getAs[Long]("size_bytes") > 0L)
+    // live rows are unprovable under DVs without a scan — null, never
+    // a wrong number
+    assert(det.isNullAt(det.fieldIndex("live_rows")))
+    assert(det.getAs[String]("location").nonEmpty)
+
+    // compact away the DVs: live_rows becomes provable from counts
+    sql("CALL gcat.system.compact(`table` => 'cd.t', " +
+      "small_file_bytes => 1073741824)")
+    val det2 = sql("CALL gcat.system.detail(`table` => 'cd.t')").head()
+    assert(det2.getAs[Int]("num_dv_files") == 0)
+    assert(!det2.isNullAt(det2.fieldIndex("live_rows")) &&
+      det2.getAs[Long]("live_rows") == 90L)
+    sql("DROP TABLE gcat.cd.t"); sql("DROP NAMESPACE gcat.cd")
+  }
+
   test("a catalog table is the SAME table the path API maintains: merge then SQL read") {
     sql("CREATE NAMESPACE gcat.mx")
     sql("CREATE TABLE gcat.mx.kv (k BIGINT, s STRING, seq BIGINT, op STRING)")
