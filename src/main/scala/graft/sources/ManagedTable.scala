@@ -1188,8 +1188,22 @@ object ManagedTable {
     constraintsOf(propertiesOf(stats)).foreach { case (n, e) =>
       requireConstraintResolves(spark, renamed, n, e)
     }
+    // layout contracts FOLLOW the rename (Delta updates its clustering
+    // domain metadata the same way): a clusterBy/bloom list naming the
+    // old column would silently stop clustering/digesting new writes —
+    // clusterFrame and the digest build skip names absent from the frame
+    val ledger0 = stats.getOrElse(TableStatsFile, Map.empty)
+    val ledger = ledger0 ++
+      Seq(ClusterByProp, BloomSkipping.ColumnsProp).flatMap { key =>
+        ledger0.get(PropPrefix + key).map { case (v, _) =>
+          val updated = v.split(",").map(_.trim).filter(_.nonEmpty)
+            .map(c => if (c == from) to else c).mkString(",")
+          (PropPrefix + key) -> ((updated, updated))
+        }
+      }
     val next = current + 1
-    writeManifest(spark, dir, next, tag, all, renamed.json, stats)
+    writeManifest(spark, dir, next, tag, all, renamed.json,
+      stats + (TableStatsFile -> ledger))
     next
   }
 
@@ -1224,9 +1238,24 @@ object ManagedTable {
     constraintsOf(propertiesOf(stats)).foreach { case (n, e) =>
       requireConstraintResolves(spark, remaining, n, e)
     }
-    val ledger = stats.getOrElse(TableStatsFile, Map.empty) +
+    // a CLUSTERING column cannot be dropped (Delta's rule): the
+    // declared layout contract depends on it — re-declare with
+    // ALTER TABLE ... CLUSTER BY first. A digest column CAN go: its
+    // name just leaves the list (existing sidecars die with their
+    // segments; no reader consults a digest for an absent column).
+    require(!clusterByOf(propertiesOf(stats)).contains(name),
+      s"ManagedTable.dropColumn: '$name' is a clustering column " +
+        s"($ClusterByProp) — re-declare the clustering first")
+    val ledger0 = stats.getOrElse(TableStatsFile, Map.empty) +
       (RetiredPrefix + ColumnMapping.phys(field) ->
         (s"v${current + 1}", s"v${current + 1}"))
+    val ledger = ledger0 ++
+      ledger0.get(PropPrefix + BloomSkipping.ColumnsProp).map {
+        case (v, _) =>
+          val updated = v.split(",").map(_.trim)
+            .filter(c => c.nonEmpty && c != name).mkString(",")
+          (PropPrefix + BloomSkipping.ColumnsProp) -> ((updated, updated))
+      }
     val next = current + 1
     writeManifest(spark, dir, next, tag, all, remaining.json,
       stats + (TableStatsFile -> ledger))

@@ -238,4 +238,40 @@ class ColumnMappingSpec extends SparkSpec {
     assert(e.getMessage.contains("column mapping") ||
       e.getMessage.contains("PHYSICAL"))
   }
+
+  test("layout contracts follow a rename; dropping a clustering " +
+      "column is refused") {
+    val dir = tmp("layout")
+    ManagedTable.commit(kv(0, 10), dir)
+    ManagedTable.setTableProperties(spark, dir, Map(
+      ManagedTable.ClusterByProp -> "k",
+      BloomSkipping.ColumnsProp -> "k,s"))
+    // rename the clustered+digested column: both property lists must
+    // now name the NEW logical column, or every later write silently
+    // stops clustering/digesting (clusterFrame skips absent names)
+    ManagedTable.renameColumn(spark, dir, "k", "key")
+    val props = ManagedTable.tableProperties(spark, dir)
+    assert(props(ManagedTable.ClusterByProp) == "key")
+    assert(props(BloomSkipping.ColumnsProp) == "key,s")
+    // and a post-rename append still builds digests under the new name
+    ManagedTable.appendCommit(
+      spark.range(10, 20).select(col("id").as("key"),
+        concat(lit("s"), col("id")).as("s")).coalesce(1), dir)
+    val head = ManagedTable.readManifest(spark, dir,
+      ManagedTable.versions(spark, dir).last)
+    assert(head._4.exists(_._2.keys.exists(
+      _.startsWith(BloomSkipping.StatPrefix))),
+      "post-rename appends must keep digesting")
+
+    // dropping the clustering column: refused, names the contract
+    val e = intercept[IllegalArgumentException] {
+      ManagedTable.dropColumn(spark, dir, "key")
+    }
+    assert(e.getMessage.contains("clustering column"))
+    // dropping a digest-only column: allowed, list updated
+    ManagedTable.dropColumn(spark, dir, "s")
+    assert(ManagedTable.tableProperties(spark, dir)(
+      BloomSkipping.ColumnsProp) == "key")
+    assert(ManagedTable.read(spark, dir).columns.toSeq == Seq("key"))
+  }
 }

@@ -37,6 +37,13 @@ class LifecycleFuzzSpec extends SparkSpec {
       var model: Map[Long, Long] =
         (0L until 30L).map(k => k -> rnd.nextLong(1000)).toMap
       ManagedTable.commit(df(model.toSeq, nextSeq()), dir)
+      // digest the key column: every subsequent write builds per-file
+      // blooms, and the per-step point probes below go through the
+      // connector's digest-consulting filtered path — a false negative
+      // anywhere in the lifecycle would drop a live row from a probe.
+      // (v1's segment predates the property: fail-open, never pruned.)
+      ManagedTable.setTableProperties(spark, dir,
+        Map(BloomSkipping.ColumnsProp -> "k"))
       val snapshots = scala.collection.mutable.Map[Int, Map[Long, Long]]()
       snapshots(ManagedTable.versions(spark, dir).last) = model
       var nextKey = 100L
@@ -88,6 +95,19 @@ class LifecycleFuzzSpec extends SparkSpec {
         val probe = vs(rnd.nextInt(vs.size))
         assert(versionState(dir, probe) == snapshots(probe),
           s"step $step: time travel to v$probe diverged")
+        // digest-backed point probes through the connector: a live key
+        // must always be found, an absent key must return nothing
+        if (model.nonEmpty) {
+          val ks = model.keys.toSeq.sorted
+          val k0 = ks(rnd.nextInt(ks.size))
+          val got = spark.read.format("graft").load(dir)
+            .filter(col("k") === k0).select("v").as[Long].collect().toSeq
+          assert(got == Seq(model(k0)),
+            s"step $step: digest point read k=$k0 got $got")
+          assert(spark.read.format("graft").load(dir)
+            .filter(col("k") === (nextKey + 1000L)).isEmpty,
+            s"step $step: absent-key probe must be empty")
+        }
       }
     }
   }
