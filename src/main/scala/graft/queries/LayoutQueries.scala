@@ -2377,6 +2377,85 @@ object LayoutQueries {
            |  FROM documents WHERE doc_id >= 350 AND doc_id < 400
            |) ORDER BY _change_type, doc_id""".stripMargin))
 
+  /** q225: RETRO-DIGESTING AN EXISTING TABLE — the "build an index on
+    * historical data" operation, pure SQL: a table born WITHOUT
+    * digests (3 full-range unclustered inserts, every file's
+    * [min, max] spans the domain) gains them by `ALTER TABLE … SET
+    * TBLPROPERTIES ('graft.bloomFilterColumns' = …)` (validated at
+    * SET: the column must exist and be digest-eligible) followed by
+    * the q179 idempotent-backfill pattern — one `INSERT INTO …
+    * REPLACE WHERE slice` per slice re-lands the same rows from
+    * upstream, and every backfill commit builds digests because the
+    * property is now in effect. Old fully-tombstoned files fail open
+    * (no digest — kept, zero live rows); the probe's proof: before
+    * the ALTER the point probe kept EVERY file, after the backfill it
+    * provably drops digested files that cannot hold the keys.
+    */
+  val q225RetroDigest = NamedQuery(
+    "q225_retro_digest",
+    "ALTER TABLE SET bloomFilterColumns + REPLACE WHERE backfill: " +
+      "retro-build digests on an existing unclustered table; point " +
+      "probe prunes only after; vs raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("rdwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq225_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      // `slice` is the materialized residue (doc_id % 3): REPLACE
+      // WHERE predicates must translate EXACTLY to source filters
+      // (the replaceWhere contract), so the backfill keys on this
+      // plain column while doc_id stays interleaved across slices
+      Tables.documents(s, d).filter(col("doc_id") < 600)
+        .select(col("doc_id"), (col("doc_id") % 3).as("slice"),
+          col("lang"), col("n_chars"))
+        .createOrReplaceTempView("q225_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, slice BIGINT, lang STRING, n_chars BIGINT)")
+      (0 to 2).foreach { r =>
+        s.sql(s"INSERT INTO $cat.corpus.docs SELECT doc_id, slice, " +
+          s"lang, n_chars FROM q225_docs WHERE slice = $r")
+      }
+      def kept(df: org.apache.spark.sql.DataFrame): (Int, Int) = {
+        df.collect() // finalize any adaptive plan before reading it
+        val m = "files=(\\d+)/(\\d+)".r
+          .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        (m.map(_.group(1).toInt).getOrElse(-1),
+          m.map(_.group(2).toInt).getOrElse(-1))
+      }
+      def probe() = s.sql(s"SELECT doc_id, lang, n_chars FROM " +
+        s"$cat.corpus.docs WHERE doc_id IN (5, 250, 577)")
+      // pre-digest: no DATA file can prune (full-range, no digests) —
+      // only the zero-row CREATE part drops (its recorded 0 rows
+      // prove it empty), so kept = total minus at most that one
+      val (kept0, total0) = kept(probe())
+      val preKeepsAll = kept0 >= 3 && kept0 >= total0 - 1
+      // declare the digest, then backfill slice-by-slice from
+      // upstream — each REPLACE WHERE commit digests its fresh file
+      s.sql(s"ALTER TABLE $cat.corpus.docs SET TBLPROPERTIES " +
+        s"('${graft.sources.BloomSkipping.ColumnsProp}' = 'doc_id')")
+      (0 to 2).foreach { r =>
+        s.sql(s"INSERT INTO $cat.corpus.docs REPLACE WHERE " +
+          s"slice = $r SELECT doc_id, slice, lang, n_chars " +
+          s"FROM q225_docs WHERE slice = $r")
+      }
+      // post-backfill: digested replacement files prune; the old
+      // fully-tombstoned files fail open (correct, just unpruned)
+      val (kept1, total1) = kept(probe())
+      val postPrunes = kept1 >= 0 && kept1 < total1
+      probe().withColumn("pre_keeps_all", lit(preKeepsAll))
+        .withColumn("post_prunes", lit(postPrunes))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars, true AS pre_keeps_all,
+           |  true AS post_prunes
+           |FROM documents WHERE doc_id IN (5, 250, 577)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -2390,5 +2469,5 @@ object LayoutQueries {
       q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
       q218Constraints, q219TypeWidening, q220ClusteredCreate,
       q221AutoEvolution, q222ColumnDefaults, q223BloomSkipping,
-      q224SqlChangesDetail)
+      q224SqlChangesDetail, q225RetroDigest)
 }

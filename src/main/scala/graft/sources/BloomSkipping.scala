@@ -1,16 +1,19 @@
 package graft.sources
 
 import java.io.{DataInputStream, DataOutputStream}
-import java.nio.charset.StandardCharsets
+import java.nio.ByteBuffer
 import java.util.{Collections, LinkedHashMap => JLinkedHashMap, Map => JMap}
 
 import scala.util.control.NonFatal
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.XXH64
-import org.apache.spark.sql.functions.{col, lit, xxhash64}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.functions.{when, xxhash64}
+import org.apache.spark.sql.graftshim.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -36,12 +39,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *     `__bf:<physical col>` — the same sidecar discipline as
   *     deletion vectors. Segments are immutable and swept whole, so
   *     vacuum/compaction GC the digests with their segment for free.
-  *   - BUILT DISTRIBUTED: one pass over the freshly written segment
-  *     hashes values to 64-bit on the executors (`xxhash64` — seed 42,
-  *     Spark's codegen'd expression), shuffles ONLY (file, column,
-  *     hash) longs, and each group builds + writes its own sidecar
-  *     from the task. No driver collect of values, ever; the driver
-  *     sees one tiny (file, column, path) row per digest.
+  *   - BUILT IN THE STATS PASS, not a pass of its own:
+  *     [[BloomDigestAgg]] rides the SAME grouped aggregation that
+  *     computes per-file min/max/counts ([[ManagedTable
+  *     .segmentStats]]), so a digested table pays ONE extra read of
+  *     the new segment per commit — exactly what an undigested table
+  *     already pays. Values hash to 64-bit on the executors
+  *     (`xxhash64`, Spark's codegen'd expression); the shuffle moves
+  *     longs; each group's task writes its own sidecar. No driver
+  *     collect of values or digest bytes, ever — the driver sees one
+  *     tiny (file, column, path) cell per digest.
   *   - PROBE PARITY BY CONSTRUCTION: the probe hashes the SAME
   *     canonical string render through the SAME function
   *     ([[XXH64.hashUTF8String]], seed 42) that `xxhash64(cast(c as
@@ -55,9 +62,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *     the absent-stats contract everywhere else in the manifest tier.
   *
   * Old segments written before the property was set simply lack the
-  * entries (never pruned); a later rename of a digested column leaves
-  * existing digests valid (stats key on the PHYSICAL name) but stops
-  * new builds until the property names the new logical column.
+  * entries (never pruned); RENAME COLUMN rewrites the property list
+  * in the same commit ([[ManagedTable.renameColumn]]), and existing
+  * digests stay valid across it (stats key on the PHYSICAL name).
   */
 object BloomSkipping {
   /** Comma-separated LOGICAL column names to digest on every write. */
@@ -94,61 +101,20 @@ object BloomSkipping {
     case _ => false
   }
 
-  private def fppOf(props: Map[String, String]): Double =
+  private[sources] def fppOf(props: Map[String, String]): Double =
     props.get(FppProp).flatMap(s => scala.util.Try(s.toDouble).toOption)
       .filter(p => p > 0 && p < 1).getOrElse(0.01)
 
-  /** Build sidecar digests for freshly written `relFiles` and return
-    * the stats entries to merge into the segment's stats map:
-    * `rel → (__bf:col → (sidecar rel path, scheme))`. `physCols` are
-    * already translated to PHYSICAL names (what the files carry);
-    * names absent from the files or of ineligible type are skipped.
+  /** The digest aggregate as a Column over a data column: hash to
+    * 64-bit FIRST (codegen'd, null-safe — nulls stay null and are
+    * skipped), aggregate the distinct hashes, emit the full sidecar
+    * payload. Rides any groupBy.
     */
-  private[sources] def build(spark: SparkSession, dir: String,
-      relFiles: Seq[String], physCols: Seq[String],
-      props: Map[String, String])
-      : Map[String, Map[String, (String, String)]] = {
-    if (relFiles.isEmpty || physCols.isEmpty) return Map.empty
-    val df = spark.read.parquet(relFiles.map(p => s"$dir/$p"): _*)
-    // a user column in the pseudo namespace would collide in the stats
-    // map — skip digest recording for that table (same discipline as
-    // __rows/__nn:)
-    if (df.schema.fieldNames.exists(_.startsWith(StatPrefix)))
-      return Map.empty
-    val present = physCols.distinct.filter(c =>
-      df.schema.fields.exists(f => f.name == c && eligible(f.dataType)))
-    if (present.isEmpty) return Map.empty
-    val fpp = fppOf(props)
-    import spark.implicits._
-    // hash to 64-bit ON THE EXECUTORS; the shuffle moves longs, not
-    // values — the only per-row payload is (file, column, hash)
-    val hashed = present.map { c =>
-      df.filter(col(c).isNotNull)
-        .select(col("_metadata.file_path").as("_1"), lit(c).as("_2"),
-          xxhash64(col(c).cast("string")).as("_3"))
-    }.reduce(_ union _).as[(String, String, Long)]
-    val dirStr = dir
-    val rels = relFiles
-    val rows = hashed.groupByKey(r => (r._1, r._2)).mapGroups {
-      (key: (String, String), it: Iterator[(String, String, Long)]) =>
-        val (abs, c) = key
-        // distinct hashes first, then size the digest to the distinct
-        // count — duplicates cost a set insert, never digest bits
-        val set = new java.util.HashSet[java.lang.Long]()
-        it.foreach(r => set.add(r._3))
-        val rel = rels.find(abs.endsWith(_)).getOrElse(abs)
-        val (k, mBits) = sizeFor(set.size, fpp)
-        val words = new Array[Long]((mBits >>> 6).toInt)
-        val iter = set.iterator()
-        while (iter.hasNext) insert(words, mBits, k, iter.next())
-        val sidecar = sidecarRel(rel, c)
-        writeSidecar(s"$dirStr/$sidecar", k, mBits, words)
-        (rel, c, sidecar)
-    }.collect()
-    rows.groupBy(_._1).map { case (rel, rs) =>
-      rel -> rs.map(r => statKey(r._2) -> (r._3, Scheme)).toMap
-    }
-  }
+  private[sources] def digestColumn(c: Column, fpp: Double): Column =
+    ColumnBridge.column(BloomDigestAgg(
+      ColumnBridge.expression(
+        when(c.isNotNull, xxhash64(c.cast("string")))),
+      fpp).toAggregateExpression())
 
   /** May the digested (file, column) contain `value`? TRUE on any
     * uncertainty — foreign scheme, unreadable sidecar, IO error.
@@ -187,7 +153,9 @@ object BloomSkipping {
 
   /** (k hashes, m bits — multiple of 64) for `n` distinct values at
     * false-positive rate `p`: the standard m = −n·ln p / ln²2,
-    * k = (m/n)·ln 2, floored at one 64-bit word.
+    * k = (m/n)·ln 2, floored at one 64-bit word. n = 0 (an all-null
+    * file) gives an all-zero digest: every equality probe is
+    * definitely-absent there, which is exact.
     */
   private def sizeFor(n: Int, p: Double): (Int, Long) = {
     val ln2 = math.log(2)
@@ -202,7 +170,7 @@ object BloomSkipping {
     * .<enc col>.bf` — inside the segment (underscore-prefixed dirs are
     * invisible to parquet file listing), swept with it.
     */
-  private def sidecarRel(rel: String, c: String): String = {
+  private[sources] def sidecarRelFor(rel: String, c: String): String = {
     val enc = java.net.URLEncoder.encode(c, "UTF-8")
     val i = rel.lastIndexOf('/')
     if (i < 0) s"_bf/$rel.$enc.bf"
@@ -211,19 +179,26 @@ object BloomSkipping {
 
   private val Magic = 0x47424631 // "GBF1"
 
-  /** Executor-side sidecar write; overwrite=true makes task retries
-    * idempotent (content is deterministic for a given file+column).
+  /** Render a digest as its sidecar payload. */
+  private def payload(k: Int, mBits: Long, words: Array[Long])
+      : Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + 4 + 8 + 8 * words.length)
+    bb.putInt(Magic); bb.putInt(k); bb.putLong(mBits)
+    var i = 0
+    while (i < words.length) { bb.putLong(words(i)); i += 1 }
+    bb.array()
+  }
+
+  /** Executor-side sidecar write of an [[BloomDigestAgg]] payload;
+    * overwrite=true makes task retries idempotent (content is
+    * deterministic for a given file+column).
     */
-  private def writeSidecar(abs: String, k: Int, mBits: Long,
-      words: Array[Long]): Unit = {
+  private[sources] def writeSidecarBytes(abs: String,
+      bytes: Array[Byte]): Unit = {
     val p = new Path(abs)
     val fs = p.getFileSystem(new Configuration())
     val out = new DataOutputStream(fs.create(p, true))
-    try {
-      out.writeInt(Magic); out.writeInt(k); out.writeLong(mBits)
-      var i = 0
-      while (i < words.length) { out.writeLong(words(i)); i += 1 }
-    } finally out.close()
+    try out.write(bytes) finally out.close()
   }
 
   private def readSidecar(abs: String): (Int, Long, Array[Long]) = {
@@ -261,5 +236,79 @@ object BloomSkipping {
       cache.put(abs, loaded)
       loaded
     }
+  }
+
+  /** Per-group Bloom digest aggregate: buffers the DISTINCT 64-bit
+    * hashes (so digest bits are sized per distinct value, and
+    * duplicates cost a set probe), then at eval sizes the filter to
+    * the observed distinct count at `fpp` and emits the full sidecar
+    * payload. Mergeable (set union), so it rides partial aggregation
+    * like any built-in — the map side pre-dedups before the shuffle.
+    * Buffer memory is 8 bytes per distinct value per in-flight group,
+    * bounded by the write's file-target sizing (the same rows are
+    * being held by the min/max agg next to it).
+    */
+  private[sources] case class BloomDigestAgg(
+      child: Expression,
+      fpp: Double,
+      mutableAggBufferOffset: Int = 0,
+      inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.HashSet[java.lang.Long]] {
+
+    override def children: Seq[Expression] = Seq(child)
+    override def nullable: Boolean = false
+    override def dataType: DataType = BinaryType
+    override def prettyName: String = "graft_bloom_digest"
+
+    override def createAggregationBuffer(): java.util.HashSet[java.lang.Long] =
+      new java.util.HashSet[java.lang.Long]()
+
+    override def update(buf: java.util.HashSet[java.lang.Long],
+        input: InternalRow): java.util.HashSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) { buf.add(v.asInstanceOf[Long]); () }
+      buf
+    }
+
+    override def merge(buf: java.util.HashSet[java.lang.Long],
+        other: java.util.HashSet[java.lang.Long])
+        : java.util.HashSet[java.lang.Long] = {
+      buf.addAll(other); buf
+    }
+
+    override def eval(buf: java.util.HashSet[java.lang.Long]): Any = {
+      val (k, mBits) = sizeFor(buf.size(), fpp)
+      val words = new Array[Long]((mBits >>> 6).toInt)
+      val it = buf.iterator()
+      while (it.hasNext) insert(words, mBits, k, it.next().longValue())
+      payload(k, mBits, words)
+    }
+
+    override def serialize(buf: java.util.HashSet[java.lang.Long])
+        : Array[Byte] = {
+      val bb = ByteBuffer.allocate(4 + 8 * buf.size())
+      bb.putInt(buf.size())
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next().longValue())
+      bb.array()
+    }
+
+    override def deserialize(bytes: Array[Byte])
+        : java.util.HashSet[java.lang.Long] = {
+      val bb = ByteBuffer.wrap(bytes)
+      val n = bb.getInt()
+      val buf = createAggregationBuffer()
+      var i = 0
+      while (i < n) { buf.add(bb.getLong()); i += 1 }
+      buf
+    }
+
+    override def withNewMutableAggBufferOffset(newOffset: Int): BloomDigestAgg =
+      copy(mutableAggBufferOffset = newOffset)
+    override def withNewInputAggBufferOffset(newOffset: Int): BloomDigestAgg =
+      copy(inputAggBufferOffset = newOffset)
+    override protected def withNewChildrenInternal(
+        newChildren: IndexedSeq[Expression]): BloomDigestAgg =
+      copy(child = newChildren.head)
   }
 }

@@ -1947,6 +1947,23 @@ private[sources] class GraftWriteBuilder(dir: String,
           "columns via .option(\"mergeSchema\", true) / ALTER TABLE " +
           "ADD COLUMNS, or evolve through ManagedTable.merge")
     }
+    if (truncateFirst && ManagedTable.versions(spark, dir).nonEmpty) {
+      // the table's CONTRACTS survive an overwrite (the commit carries
+      // the __table ledger) — so a CHECK constraint the overwrite's
+      // schema can no longer express must refuse HERE, before any data
+      // stages, naming the remedy
+      ManagedTable.constraintsOf(
+        ManagedTable.tableProperties(spark, dir)).foreach { case (n, e) =>
+        try ManagedTable.requireConstraintResolves(spark, schema, n, e)
+        catch { case ex: IllegalArgumentException =>
+          throw new IllegalArgumentException(
+            s"graft: overwrite schema ${schema.simpleString} breaks " +
+              s"CHECK constraint '$n' ($e) — constraints survive " +
+              "INSERT OVERWRITE; drop it first (ALTER TABLE … UNSET " +
+              "TBLPROPERTIES) or keep the columns it references", ex)
+        }
+      }
+    }
     val replaceCond = replaceFilters.map(_.toSeq
       .map(f => GraftTable.toColumn(f).getOrElse(
         throw new UnsupportedOperationException(
@@ -2153,16 +2170,23 @@ private[sources] class GraftBatchWrite(dir: String, schema: StructType,
       ManagedTable.replaceStaged(spark, dir, cond, newFiles, schema)
       return
     }
-    // a truncate resets the table's properties (constraints included),
-    // so only appends enforce; one scan of the staged files, only
-    // when constraints are set
-    if (!truncateFirst)
+    val (headProps, headSchema) = ManagedTable.headContext(spark, dir)
+    // constraints survive a truncate ([[ManagedTable
+    // .carryLedgerForSchema]]) — enforce them on the overwrite rows
+    // too; the staged files carry the QUERY schema on an overwrite
+    // (layout authority resets), the head's physical mapping otherwise
+    if (truncateFirst) {
+      val cs = ManagedTable.constraintsOf(headProps)
+      if (cs.nonEmpty && newFiles.nonEmpty)
+        ManagedTable.enforceConstraints(
+          spark.read.schema(schema)
+            .parquet(newFiles.map(p => s"$dir/$p"): _*),
+          headProps, "INSERT OVERWRITE")
+    } else
       ManagedTable.enforceConstraintsOnFiles(spark, dir, newFiles,
         "INSERT INTO")
-    // a truncate ALSO resets properties, so digests only ride appends
-    val (headProps, headSchema) = ManagedTable.headContext(spark, dir)
     val newStats = ManagedTable.segmentStats(spark, dir, newFiles,
-      if (truncateFirst) Map.empty else headProps, headSchema)
+      headProps, if (truncateFirst) Some(schema) else headSchema)
     // optimistic create-fails-if-exists loop, same discipline as the
     // DataFrame writers: losing a version race re-reads the head and
     // re-commits on top of it (the staged files never move)
@@ -2173,8 +2197,15 @@ private[sources] class GraftBatchWrite(dir: String, schema: StructType,
       val vs = ManagedTable.versions(spark, dir)
       val next = vs.lastOption.getOrElse(0) + 1
       val (allPrev, schemaJson, prevStats) =
-        if (truncateFirst || vs.isEmpty)
+        if (vs.isEmpty)
           (Seq.empty[String], schema.json, Map.empty: ManagedTable.FileStats)
+        else if (truncateFirst)
+          // full-snapshot replace: fresh file list and schema, but the
+          // table's CONTRACTS (properties, constraints, retired
+          // columns) carry — layout lists filtered to the new schema
+          (Seq.empty[String], schema.json,
+            ManagedTable.carryLedgerForSchema(
+              ManagedTable.readManifest(spark, dir, vs.last)._4, schema))
         else {
           val (_, all, sj, st) =
             ManagedTable.readManifest(spark, dir, vs.last)

@@ -234,6 +234,29 @@ object ManagedTable {
         requireConstraintResolves(spark, schema,
           k.stripPrefix(ConstraintPrefix), v)
     }
+    // layout declarations must name REAL columns — a typo'd list would
+    // silently never cluster/digest anything (the write side skips
+    // absent names); digest columns must also be digest-eligible
+    // types, or no sidecar would ever be built for them
+    if (schema.fields.nonEmpty)
+      Seq(ClusterByProp -> false, BloomSkipping.ColumnsProp -> true)
+        .foreach { case (key, needEligible) =>
+          set.get(key).toSeq
+            .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+            .foreach { c =>
+              val f = schema.fields.find(_.name == c)
+              require(f.isDefined,
+                s"ManagedTable.setTableProperties: $key column '$c' " +
+                  s"is not in the table schema " +
+                  schema.fieldNames.mkString("(", ", ", ")"))
+              if (needEligible)
+                require(BloomSkipping.eligible(f.get.dataType),
+                  s"ManagedTable.setTableProperties: $key column " +
+                    s"'$c' has type ${f.get.dataType.sql} — digests " +
+                    "support integral and string columns (canonical " +
+                    "string render on both build and probe sides)")
+            }
+        }
     val entry = stats.getOrElse(TableStatsFile, Map.empty)
     val updated = (entry -- unset.map(PropPrefix + _)) ++
       set.map { case (k, v) => (PropPrefix + k) -> (v, v) }
@@ -241,6 +264,34 @@ object ManagedTable {
     writeManifest(spark, dir, next, tag, all,
       schemaJson.getOrElse(""), stats + (TableStatsFile -> updated))
     next
+  }
+
+  /** The `__table` ledger carried across a FULL OVERWRITE (INSERT
+    * OVERWRITE / DataFrame overwrite): replacing every row is not
+    * replacing the table's CONTRACTS — properties, constraints and
+    * the retired-physical ledger survive verbatim (Delta keeps
+    * TBLPROPERTIES and constraints across INSERT OVERWRITE), while
+    * the layout lists (clusterBy, digest columns) keep only columns
+    * the overwrite's schema still has — a list naming a vanished
+    * column would silently disable clustering/digesting forever.
+    * Constraints are re-validated against the new schema at write
+    * BUILD time, before any data stages.
+    */
+  private[sources] def carryLedgerForSchema(stats: FileStats,
+      schema: org.apache.spark.sql.types.StructType): FileStats = {
+    val entry = stats.getOrElse(TableStatsFile, Map.empty)
+    if (entry.isEmpty) return Map.empty
+    val names = schema.fieldNames.toSet
+    val layoutKeys = Set(PropPrefix + ClusterByProp,
+      PropPrefix + BloomSkipping.ColumnsProp)
+    val updated = entry.flatMap {
+      case (k, (v, _)) if layoutKeys(k) =>
+        val filtered = v.split(",").map(_.trim)
+          .filter(c => c.nonEmpty && names(c)).mkString(",")
+        if (filtered.isEmpty) None else Some(k -> ((filtered, filtered)))
+      case (k, pv) => Some(k -> pv)
+    }
+    if (updated.isEmpty) Map.empty else Map(TableStatsFile -> updated)
   }
 
   /** The CHECK constraints of a property map: name → SQL expression. */
@@ -434,26 +485,6 @@ object ManagedTable {
       relFiles: Seq[String], props: Map[String, String] = Map.empty,
       logical: Option[org.apache.spark.sql.types.StructType] = None)
       : FileStats = {
-    val base = minMaxStats(spark, dir, relFiles)
-    val bloomLogical = BloomSkipping.bloomColsOf(props)
-    if (bloomLogical.isEmpty) return base
-    // the digest property names LOGICAL columns; files carry PHYSICAL
-    // names — translate through the schema being committed (identity
-    // for unmapped tables / names outside it)
-    val phys = logical match {
-      case Some(sch) => bloomLogical.filter(sch.fieldNames.contains)
-        .map(c => ColumnMapping.physOf(sch, c))
-      case None => bloomLogical
-    }
-    val bf = BloomSkipping.build(spark, dir, relFiles, phys, props)
-    if (bf.isEmpty) base
-    else (base.keySet ++ bf.keySet).map(rel =>
-      rel -> (base.getOrElse(rel, Map.empty) ++
-        bf.getOrElse(rel, Map.empty))).toMap
-  }
-
-  private def minMaxStats(spark: SparkSession, dir: String,
-      relFiles: Seq[String]): FileStats = {
     import org.apache.spark.sql.functions.{col, count, lit, max, min}
     if (relFiles.isEmpty) return Map.empty
     val df = spark.read.parquet(relFiles.map(p => s"$dir/$p"): _*)
@@ -461,36 +492,78 @@ object ManagedTable {
     // a user column literally named like a pseudo-column would collide
     // in the stats map — skip count recording for that table
     val recordRows = !df.schema.fieldNames.exists(n =>
-      n == RowsStat || n.startsWith(NnPrefix))
-    if (cols.isEmpty && !recordRows) return Map.empty
+      n == RowsStat || n.startsWith(NnPrefix) ||
+        n.startsWith(BloomSkipping.StatPrefix))
+    // Bloom digest columns ride the SAME grouped pass: the declared
+    // property names LOGICAL columns; files carry PHYSICAL names —
+    // translate through the schema being committed (identity for
+    // unmapped tables), keep only present + digest-eligible types
+    val bloomPhys: Seq[String] =
+      if (!recordRows) Nil
+      else {
+        val declared = BloomSkipping.bloomColsOf(props)
+        val phys = logical match {
+          case Some(sch) => declared.filter(sch.fieldNames.contains)
+            .map(c => ColumnMapping.physOf(sch, c))
+          case None => declared
+        }
+        phys.distinct.filter(c => df.schema.fields.exists(f =>
+          f.name == c && BloomSkipping.eligible(f.dataType)))
+      }
+    if (cols.isEmpty && !recordRows && bloomPhys.isEmpty) return Map.empty
+    val fpp = BloomSkipping.fppOf(props)
     val aggs = cols.flatMap(c => Seq(
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c")) ++
       (if (recordRows) Seq(count(col(c)).cast("string").as(s"__nn_$c"))
        else Nil)) ++
       (if (recordRows) Seq(count(lit(1)).cast("string").as("__nrows"))
-       else Nil)
-    val rows = df
+       else Nil) ++
+      bloomPhys.map(c =>
+        BloomSkipping.digestColumn(col(c), fpp).as(s"__bf_$c"))
+    val grouped = df
       .groupBy(col("_metadata.file_path").as("__file"))
       .agg(aggs.head, aggs.tail: _*)
-      .collect()
-    val nonEmpty = rows.map { r =>
-      val abs = r.getString(0)
-      val rel = relFiles.find(abs.endsWith(_)).getOrElse(abs)
+    // digest sidecars are written ON THE EXECUTORS as the grouped rows
+    // stream out — the driver collects only (file, small string cells);
+    // digest BYTES never cross the driver boundary
+    val fieldNames = grouped.schema.fieldNames
+    val rels = relFiles
+    val dirStr = dir
+    val collected: Array[(String, Map[String, String])] =
+      grouped.rdd.map { r =>
+        val abs = r.getString(0)
+        val rel = rels.find(abs.endsWith(_)).getOrElse(abs)
+        val kv = fieldNames.zipWithIndex.drop(1).flatMap { case (n, i) =>
+          if (r.isNullAt(i)) None
+          else if (n.startsWith("__bf_")) {
+            val c = n.stripPrefix("__bf_")
+            val sidecar = BloomSkipping.sidecarRelFor(rel, c)
+            BloomSkipping.writeSidecarBytes(s"$dirStr/$sidecar",
+              r.getAs[Array[Byte]](i))
+            Some((BloomSkipping.statKey(c), sidecar))
+          } else Some((n, r.getString(i)))
+        }.toMap
+        (rel, kv)
+      }.collect()
+    val nonEmpty = collected.map { case (rel, kv) =>
       val colStats = cols.flatMap { c =>
-        val lo = r.getAs[String](s"__min_$c")
-        val hi = r.getAs[String](s"__max_$c")
-        if (lo == null || hi == null) None else Some(c -> (lo, hi))
+        for {
+          lo <- kv.get(s"__min_$c")
+          hi <- kv.get(s"__max_$c")
+        } yield c -> (lo, hi)
       }.toMap
       val withRows =
-        if (recordRows) {
-          val n = r.getAs[String]("__nrows")
-          colStats ++ cols.map { c =>
-            val nn = r.getAs[String](s"__nn_$c")
-            nnStat(c) -> (nn, nn)
-          } + (RowsStat -> (n, n))
-        } else colStats
-      rel -> withRows
+        if (recordRows)
+          colStats ++
+            cols.flatMap(c =>
+              kv.get(s"__nn_$c").map(nn => nnStat(c) -> ((nn, nn)))) ++
+            kv.get("__nrows").map(n => RowsStat -> ((n, n)))
+        else colStats
+      val withBf = withRows ++ bloomPhys.flatMap(c =>
+        kv.get(BloomSkipping.statKey(c)).map(s =>
+          BloomSkipping.statKey(c) -> ((s, BloomSkipping.Scheme))))
+      rel -> withBf
     }.toMap
     // a file the grouped pass never saw has ZERO rows (an empty
     // CREATE/empty-partition part file) — record that as a fact, so

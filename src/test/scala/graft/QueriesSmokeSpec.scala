@@ -148,9 +148,11 @@ class QueriesSmokeSpec extends SparkSpec {
 
   test("q67 layout write produces one hive directory per language") {
     queries.LayoutQueries.q67PartitionedLayout.fn(spark, sf("sf0.001")).count()
-    val out = new java.io.File(
-      "/tmp/graft-layout/" +
-        sf("sf0.001").replaceAll("[^A-Za-z0-9.]", "_"))
+    // the query writes under the per-JVM Scratch token — resolve the
+    // SAME path it used, never a hardcoded literal (a stale literal
+    // passed for rounds off a leftover /tmp dir until a clean host
+    // exposed it)
+    val out = new java.io.File(graft.Scratch.dir("layout", sf("sf0.001")))
     val langDirs = out.listFiles().filter(_.getName.startsWith("lang="))
     val langs = Tables.documents(spark, sf("sf0.001"))
       .select("lang").distinct().count()

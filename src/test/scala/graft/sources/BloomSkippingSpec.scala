@@ -180,21 +180,39 @@ class BloomSkippingSpec extends SparkSpec {
     assert(filesPlanned(planString(q)) == 2)
   }
 
-  test("ineligible types and undeclared columns are never digested") {
+  test("ineligible types and absent columns REFUSE at SET — typo " +
+      "feedback, not a silently-inert digest list") {
     val dir = tmp("types")
     ManagedTable.commit(
       spark.range(0).select(col("id").as("k"),
         col("id").cast("double").as("d")), dir)
+    val eMissing = intercept[IllegalArgumentException] {
+      ManagedTable.setTableProperties(spark, dir,
+        Map(BloomSkipping.ColumnsProp -> "missing"))
+    }
+    assert(eMissing.getMessage.contains("not in the table schema"))
+    val eType = intercept[IllegalArgumentException] {
+      ManagedTable.setTableProperties(spark, dir,
+        Map(BloomSkipping.ColumnsProp -> "d"))
+    }
+    assert(eType.getMessage.contains("integral and string"))
+    val eCluster = intercept[IllegalArgumentException] {
+      ManagedTable.setTableProperties(spark, dir,
+        Map(ManagedTable.ClusterByProp -> "nope"))
+    }
+    assert(eCluster.getMessage.contains("not in the table schema"))
+    // a valid declaration passes, and the write side still guards
+    // independently (absent/ineligible names are skipped, fail-open)
     ManagedTable.setTableProperties(spark, dir,
-      Map(BloomSkipping.ColumnsProp -> "d,missing"))
+      Map(BloomSkipping.ColumnsProp -> "k"))
     ManagedTable.appendCommit(
       spark.range(10).select(col("id").as("k"),
         col("id").cast("double").as("d")).coalesce(1), dir)
     val head = ManagedTable.readManifest(spark, dir,
       ManagedTable.versions(spark, dir).last)
+    assert(head._4.exists(_._2.contains(BloomSkipping.statKey("k"))))
     assert(head._4.values.forall(m =>
-      !m.keys.exists(_.startsWith(BloomSkipping.StatPrefix))),
-      "double/absent columns must not produce digests")
+      !m.contains(BloomSkipping.statKey("d"))))
     assert(spark.read.format("graft").load(dir).count() == 10)
   }
 

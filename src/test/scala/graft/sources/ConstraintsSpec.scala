@@ -175,4 +175,65 @@ class ConstraintsSpec extends SparkSpec {
     assert(ManagedTable.versions(spark, dir) == before,
       "a refused epoch must land NO version")
   }
+
+  test("the table's contracts survive INSERT OVERWRITE: constraints " +
+      "enforce on the overwrite rows, layout lists follow the schema") {
+    val dir = tmp("overwrite")
+    ManagedTable.commit(kv(0, 10), dir)
+    ManagedTable.setTableProperties(spark, dir, Map(
+      ManagedTable.ConstraintPrefix + "k_nonneg" -> "k >= 0",
+      "quality" -> "gold",
+      ManagedTable.ClusterByProp -> "k",
+      BloomSkipping.ColumnsProp -> "k,s"))
+
+    // a clean overwrite: contracts carry verbatim
+    kv(100, 120).write.format("graft").mode("overwrite").save(dir)
+    val props = ManagedTable.tableProperties(spark, dir)
+    assert(props("quality") == "gold")
+    assert(props(ManagedTable.ConstraintPrefix + "k_nonneg") == "k >= 0")
+    assert(props(ManagedTable.ClusterByProp) == "k")
+    assert(props(BloomSkipping.ColumnsProp) == "k,s")
+    assert(ManagedTable.read(spark, dir).count() == 20)
+
+    // the carried constraint ENFORCES on overwrite rows
+    val bad = spark.range(-5, 0).select(col("id").as("k"),
+      concat(lit("s"), col("id")).as("s"))
+    val err = intercept[Exception] {
+      bad.write.format("graft").mode("overwrite").save(dir)
+    }
+    assert((err.getMessage + Option(err.getCause).map(_.getMessage)
+      .getOrElse("")).contains("k_nonneg"))
+    assert(ManagedTable.read(spark, dir).count() == 20,
+      "a refused overwrite must not land")
+
+    // an overwrite missing a column NULL-FILLS it (Spark's byName
+    // output resolution against the table schema) and NULL passes
+    // CHECK — the overwrite lands with the table schema intact and
+    // every contract still in place
+    val narrower = spark.range(3).select(
+      concat(lit("s"), col("id")).as("s"))
+    narrower.write.format("graft").mode("overwrite").save(dir)
+    assert(ManagedTable.read(spark, dir).columns.toSeq == Seq("k", "s"))
+    assert(ManagedTable.read(spark, dir).count() == 3)
+    val props2 = ManagedTable.tableProperties(spark, dir)
+    assert(props2("quality") == "gold")
+    assert(props2(ManagedTable.ClusterByProp) == "k")
+
+    // the ledger-carry schema filter itself (the defense for direct
+    // API truncates that CAN change schema): layout lists keep only
+    // surviving columns, everything else carries verbatim
+    val head = ManagedTable.readManifest(spark, dir,
+      ManagedTable.versions(spark, dir).last)._4
+    val carried = ManagedTable.carryLedgerForSchema(head,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("s",
+          org.apache.spark.sql.types.StringType))))
+    val carriedProps = ManagedTable.propertiesOf(carried)
+    assert(carriedProps("quality") == "gold")
+    assert(carriedProps(
+      ManagedTable.ConstraintPrefix + "k_nonneg") == "k >= 0")
+    assert(!carriedProps.contains(ManagedTable.ClusterByProp),
+      "clusterBy on a vanished column must not linger")
+    assert(carriedProps(BloomSkipping.ColumnsProp) == "s")
+  }
 }
