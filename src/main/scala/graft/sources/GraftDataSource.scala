@@ -976,9 +976,13 @@ private[graft] class GraftScan(meta: GraftTableMeta,
       limit.map(n => s" pushedLimit=$n").getOrElse("") +
       topN.map(t => s" pushedTopN=${t.column}:" +
         s"${if (t.desc) "desc" else "asc"}:${t.n}").getOrElse("")
-  override def planInputPartitions(): Array[InputPartition] =
+  override def planInputPartitions(): Array[InputPartition] = {
+    if (sys.env.contains("GRAFT_DEBUG_RUNTIME_FILTER"))
+      println(s"[graft-debug] id=${System.identityHashCode(this)} " +
+        s"planInputPartitions kept=${kept.size}")
     kept.map(rel => GraftInputPartition(s"${meta.dir}/$rel",
       dv.getOrElse(rel, Array.empty)): InputPartition).toArray
+  }
   // columnar (vectorized) decode whenever at least one column is
   // requested — deletion vectors apply INSIDE the vectorized reader
   // (per-batch selection view), so a trickle of tombstones no longer
@@ -1037,6 +1041,13 @@ private[graft] class GraftScan(meta: GraftTableMeta,
   private[sources] def keptFiles: Seq[String] = kept
 
   override def filter(predicates: Array[Predicate]): Unit = {
+    // GRAFT_DEBUG_RUNTIME_FILTER=1 traces runtime-filter delivery and
+    // per-file pruning decisions — NOTE the rendered plan string is a
+    // pre-filter copy (Spark re-plans the node), so this trace is the
+    // honest observation of what the EXECUTED scan pruned
+    if (sys.env.contains("GRAFT_DEBUG_RUNTIME_FILTER"))
+      predicates.foreach(p => println(
+        s"[graft-debug] runtime predicate: ${p.name()} -> $p"))
     val sets = predicates.toSeq.flatMap(GraftScan.toValueSet)
     if (sets.isEmpty) return
     // prune BEFORE limit truncation (a pushed limit and a runtime
@@ -1069,10 +1080,14 @@ private[graft] class GraftScan(meta: GraftTableMeta,
                 catch { case _: Exception => true }
               case None => _ => true // no stats — may contain anything
             }
-          values.exists(v => rangeOk(v) && bloomEntry.forall {
+          val keep = values.exists(v => rangeOk(v) && bloomEntry.forall {
             case (sidecar, scheme) =>
               BloomSkipping.mightContain(meta.dir, sidecar, scheme, v)
           })
+          if (sys.env.contains("GRAFT_DEBUG_RUNTIME_FILTER"))
+            println(s"[graft-debug] file=$rel col=$column " +
+              s"bloomEntry=$bloomEntry keep=$keep")
+          keep
       }
     }
     kept = truncate(runtimeKept)

@@ -68,6 +68,12 @@ class ConcurrentWriterFuzzSpec extends SparkSpec {
       val dir = s"$wh/ns/t"
       ManagedTable.commit(
         seedRows.toDF("k", "v", "seq").coalesce(1), dir)
+      // digest the key column: every racing writer's commit builds
+      // sidecars inside its own segment, so the digest build rides
+      // the same contention the manifest claims race under (losers'
+      // orphan sidecars die with their orphan segments at vacuum)
+      ManagedTable.setTableProperties(spark, dir,
+        Map(BloomSkipping.ColumnsProp -> "k"))
 
       val threads = 4
       val rounds = 26
