@@ -90,14 +90,17 @@ object BloomSkipping {
     props.get(ColumnsProp).toSeq
       .flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
 
-  /** Types whose string render is canonical and identical between the
-    * build side (`cast(c as string)`) and the probe side
-    * (`String.valueOf(filter literal)`): integrals and strings.
+  /** Types whose recorded render is canonical and identical between
+    * the build side and the probe side: integrals and strings
+    * verbatim, date/timestamp through their internal numerics (the
+    * stats pass digests `unix_date`/`unix_micros` and probes convert
+    * the same way — [[graft.sources.GraftScan.renderStatsValue]]).
     * Floats/decimals are excluded — `5.10` vs `5.1` would silently
     * break the no-false-negative contract.
     */
   private[sources] def eligible(dt: DataType): Boolean = dt match {
     case StringType | LongType | IntegerType | ShortType | ByteType => true
+    case DateType | TimestampType => true
     case _ => false
   }
 

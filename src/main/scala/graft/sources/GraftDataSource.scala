@@ -248,6 +248,11 @@ private[graft] object GraftTableMeta {
   private def scalarSupported(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | FloatType |
         DoubleType | StringType | BooleanType | BinaryType => true
+    // decoded as internal days / instant-micros; both readers handle
+    // every encoding Spark's writer produces (INT96, INT64
+    // micros/millis, INT32 date) — TimestampNTZ stays excluded (its
+    // wall-clock semantics need the NTZ-aware decode this tier lacks)
+    case DateType | TimestampType => true
     case _ => false
   }
 
@@ -632,6 +637,29 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
             case _ => return None
           }
         }
+      case DateType | TimestampType =>
+        // stats are epoch-day / epoch-micro numeric strings. These
+        // types JOINED the stats tier after numerics/strings, so a
+        // file with a stats map but no endpoint for the column is
+        // AMBIGUOUS (all-null vs pre-tier manifest) — its recorded
+        // non-null count disambiguates; a file with neither endpoint
+        // nor a provably-zero count blocks the push (never a wrong
+        // answer, just the slow path)
+        val phys = meta.physOf(name)
+        val unambiguous = meta.files.forall { f =>
+          val st = meta.stats(f)
+          st.contains(phys) ||
+            st.get(ManagedTable.nnStat(phys)).exists(_._1.toLong == 0L) ||
+            st.get(ManagedTable.RowsStat).exists(_._1.toLong == 0L)
+        }
+        if (!unambiguous) return None
+        if (endpoints.isEmpty) null
+        else {
+          // internal representations: DateType = days Int,
+          // TimestampType = micros Long
+          val v = pick(endpoints.map(_.toLong))
+          if (field.dataType == DateType) v.toInt else v
+        }
       case _ => return None // float/double NaN/-0.0 order, others: no
     }
     Some((StructField(s"${if (isMin) "min" else "max"}_$name",
@@ -719,23 +747,24 @@ private[sources] object GraftScanBuilder {
       meta.stats.get(rel).flatMap(_.get(meta.physOf(a)))
     def cmp(a: String)(x: String, y: String): Int =
       GraftScan.cmp(meta.schema, a)(x, y)
-    // value v may fall within the file's [min, max]
+    // value v may fall within the file's [min, max]; date/timestamp
+    // values render to the numeric encodings the stats recorded
     def contains(a: String, v: Any): Boolean = bounds(a) match {
       case Some((mn, mx)) =>
-        try cmp(a)(mn, String.valueOf(v)) <= 0 &&
-          cmp(a)(String.valueOf(v), mx) <= 0
+        try cmp(a)(mn, GraftScan.renderStatsValue(v)) <= 0 &&
+          cmp(a)(GraftScan.renderStatsValue(v), mx) <= 0
         catch { case _: Exception => true }
       case None => true
     }
     def atLeast(a: String, v: Any): Boolean = bounds(a) match {
       case Some((_, mx)) =>
-        try cmp(a)(mx, String.valueOf(v)) >= 0
+        try cmp(a)(mx, GraftScan.renderStatsValue(v)) >= 0
         catch { case _: Exception => true }
       case None => true
     }
     def atMost(a: String, v: Any): Boolean = bounds(a) match {
       case Some((mn, _)) =>
-        try cmp(a)(mn, String.valueOf(v)) <= 0
+        try cmp(a)(mn, GraftScan.renderStatsValue(v)) <= 0
         catch { case _: Exception => true }
       case None => true
     }
@@ -750,7 +779,7 @@ private[sources] object GraftScanBuilder {
             if meta.schema.fields.exists(fd =>
               fd.name == a && BloomSkipping.eligible(fd.dataType)) =>
           BloomSkipping.mightContain(meta.dir, sidecar, scheme,
-            String.valueOf(v))
+            GraftScan.renderStatsValue(v))
         case _ => true
       }
     f match {
@@ -811,8 +840,8 @@ private[sources] class GraftAggReaderFactory
         val cells = schema.fields.zipWithIndex.map { case (f, i) =>
           if (ap.nulls(i)) null
           else f.dataType match {
-            case LongType => ap.values(i).toLong
-            case IntegerType => ap.values(i).toInt
+            case LongType | TimestampType => ap.values(i).toLong
+            case IntegerType | DateType => ap.values(i).toInt
             case ShortType => ap.values(i).toShort
             case ByteType => ap.values(i).toByte
             case StringType => UTF8String.fromString(ap.values(i))
@@ -1139,7 +1168,32 @@ private[sources] object GraftScan {
     */
   def runtimePrunable(dt: DataType): Boolean = dt match {
     case LongType | IntegerType | ShortType | ByteType | StringType => true
+    // date/timestamp stats are recorded as epoch-day / epoch-micro
+    // NUMERIC strings ([[ManagedTable.segmentStats]]) and runtime
+    // literals arrive as the same internal numerics — no calendar
+    // rendering on either side, so no timezone/format hazard
+    case DateType | TimestampType => true
     case _ => false
+  }
+
+  /** The STATS-side render of a filter value: date/timestamp external
+    * types convert to the same epoch-day / epoch-micro numerics the
+    * manifest records (timezone-free, format-free — the canonical
+    * render a probe and a digest must agree on); everything else is
+    * the plain string render the stats pass used.
+    */
+  def renderStatsValue(v: Any): String = v match {
+    case t: java.sql.Timestamp =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaTimestamp(t).toString
+    case i: java.time.Instant =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .instantToMicros(i).toString
+    case d: java.sql.Date =>
+      org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .fromJavaDate(d).toString
+    case d: java.time.LocalDate => d.toEpochDay.toString
+    case other => String.valueOf(other)
   }
 
   /** Does the manifest RECORD this file as zero-row? (Parse failures
@@ -1476,16 +1530,59 @@ private[sources] class GraftColumnarPartitionReader(absPath: String,
   private val present: Array[StructField] =
     required.fields.filter(f => fileSchema.containsField(f.name))
 
-  private val reader = new VectorizedParquetRecordReader(false, Capacity)
+  // rebase modes pinned CORRECTED/UTC for BOTH datetime and INT96 so
+  // the columnar decode of timestamps agrees exactly with the row
+  // reader's fromJulianDay / raw-micros arithmetic at every epoch
+  private val reader = new VectorizedParquetRecordReader(
+    null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
   private val inner: ColumnarBatch =
     try {
       // a fully-pruned projection (every requested column missing from
       // this segment) still needs ONE decoded column to drive the row
-      // count — same dummy-column rule as the row reader
-      val cols =
-        if (present.nonEmpty) present.map(_.name).toSeq
-        else Seq(fileSchema.getFields.get(0).getName)
-      reader.initialize(absPath, java.util.List.of(cols: _*))
+      // count — same dummy-column rule as the row reader; prefer a
+      // scalar field (exact file-side type known), fall back to the
+      // first field for all-complex segments
+      val fields: Seq[StructField] =
+        if (present.nonEmpty) present.toSeq.map { f =>
+          StructField(f.name, GraftPartitionReader.fileScalarType(
+            fileSchema.getType(fileSchema.getFieldIndex(f.name)))
+            .getOrElse(f.dataType))
+        } else (0 until fileSchema.getFieldCount)
+          .map(fileSchema.getFields.get(_))
+          .flatMap(t => GraftPartitionReader.fileScalarType(t)
+            .map(dt => StructField(t.getName, dt)).toSeq)
+          .take(1)
+      if (fields.nonEmpty) {
+        // PRODUCTION initialize route (split + context): the schema
+        // converter then honors INT96-as-timestamp and DATE columns —
+        // the convenience (path, columns) overload hardcodes
+        // int96AsTimestamp=false and refuses timestamp segments
+        val conf = new Configuration()
+        conf.setBoolean("spark.sql.parquet.binaryAsString", false)
+        conf.setBoolean("spark.sql.parquet.int96AsTimestamp", true)
+        conf.setBoolean("spark.sql.caseSensitive", false)
+        conf.setBoolean("spark.sql.parquet.inferTimestampNTZ.enabled",
+          false)
+        conf.setBoolean("spark.sql.legacy.parquet.nanosAsLong", false)
+        conf.set("org.apache.spark.sql.parquet.row.requested_schema",
+          StructType(fields.toArray).json)
+        conf.set("parquet.read.support.class",
+          classOf[org.apache.spark.sql.execution.datasources.parquet
+            .ParquetReadSupport].getName)
+        val path = new HPath(absPath)
+        val len = path.getFileSystem(conf).getFileStatus(path).getLen
+        // mapred.FileSplit extends the mapreduce one in Hadoop 3 and
+        // is the concrete type the reader base casts to
+        val split = new org.apache.hadoop.mapred.FileSplit(
+          path, 0, len, Array.empty[String])
+        reader.initialize(split,
+          new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+            conf, new org.apache.hadoop.mapreduce.TaskAttemptID()))
+      } else
+        // all-complex segment with a fully-pruned projection: the
+        // legacy overload types the dummy from the file directly
+        reader.initialize(absPath,
+          java.util.List.of(fileSchema.getFields.get(0).getName))
       reader.initBatch(new StructType(), InternalRow.empty)
       reader.enableReturningBatches()
       reader.resultBatch()
@@ -1788,6 +1885,8 @@ private[sources] object GraftPartitionReader {
             case 16 => Some(ShortType)
             case _ => Some(IntegerType)
           }
+        case _: LogicalTypeAnnotation.DateLogicalTypeAnnotation =>
+          Some(DateType)
         case null => Some(IntegerType)
         case _ => None
       }
@@ -1795,6 +1894,15 @@ private[sources] object GraftPartitionReader {
           t.getLogicalTypeAnnotation
             .isInstanceOf[LogicalTypeAnnotation.IntLogicalTypeAnnotation] =>
         Some(LongType)
+      case INT64 if t.getLogicalTypeAnnotation.isInstanceOf[
+            LogicalTypeAnnotation.TimestampLogicalTypeAnnotation] &&
+          t.getLogicalTypeAnnotation.asInstanceOf[
+            LogicalTypeAnnotation.TimestampLogicalTypeAnnotation]
+            .isAdjustedToUTC =>
+        Some(TimestampType)
+      // Spark's default parquet timestamp encoding (outputTimestampType
+      // INT96): instant semantics, decoded to micros by both readers
+      case INT96 => Some(TimestampType)
       case FLOAT => Some(FloatType)
       case DOUBLE => Some(DoubleType)
       case BOOLEAN => Some(BooleanType)
@@ -1852,6 +1960,34 @@ private[sources] object GraftPartitionReader {
     case BooleanType => g.getBoolean(fi, 0)
     case StringType => UTF8String.fromBytes(g.getBinary(fi, 0).getBytes)
     case BinaryType => g.getBinary(fi, 0).getBytes
+    case DateType => g.getInteger(fi, 0) // epoch days, verbatim
+    case TimestampType =>
+      // the PHYSICAL encoding varies by writer config — inspect the
+      // projected group's own schema: INT96 (Spark's default
+      // outputTimestampType; 12 bytes LE: nanos-in-day + julian day),
+      // or INT64 micros/millis (instant-adjusted)
+      import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName
+      import org.apache.parquet.schema.LogicalTypeAnnotation
+      val pt = g.getType.getType(fi).asPrimitiveType()
+      pt.getPrimitiveTypeName match {
+        case PrimitiveTypeName.INT96 =>
+          val bb = java.nio.ByteBuffer
+            .wrap(g.getInt96(fi, 0).getBytes)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanosInDay = bb.getLong
+          val julianDay = bb.getInt
+          org.apache.spark.sql.catalyst.util.DateTimeUtils
+            .fromJulianDay(julianDay, nanosInDay)
+        case _ =>
+          val unit = pt.getLogicalTypeAnnotation match {
+            case a: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+              a.getUnit
+            case _ => LogicalTypeAnnotation.TimeUnit.MICROS
+          }
+          val raw = g.getLong(fi, 0)
+          if (unit == LogicalTypeAnnotation.TimeUnit.MILLIS) raw * 1000L
+          else raw
+      }
     case other => throw new IllegalStateException(
       s"graft: unreachable decode type $other") // guarded at resolve
   }
@@ -2551,6 +2687,8 @@ private[sources] class GraftDataWriter(dir: String, segment: String,
             Binary.fromConstantByteArray(row.getUTF8String(i).getBytes))
           case BinaryType => g.add(f.name,
             Binary.fromConstantByteArray(row.getBinary(i)))
+          case TimestampType => g.add(f.name, row.getLong(i)) // micros
+          case DateType => g.add(f.name, row.getInt(i)) // epoch days
           case other => throw new IllegalStateException(
             s"graft: unreachable write type $other")
         }
@@ -2602,6 +2740,10 @@ private[sources] object GraftParquetSchema {
       case BooleanType => Types.primitive(BOOLEAN, rep)
       case StringType => Types.primitive(BINARY, rep).as(L.stringType())
       case BinaryType => Types.primitive(BINARY, rep)
+      // standard annotations (never INT96): instant micros / epoch days
+      case TimestampType => Types.primitive(INT64, rep)
+        .as(L.timestampType(true, L.TimeUnit.MICROS))
+      case DateType => Types.primitive(INT32, rep).as(L.dateType())
       case other => throw new IllegalArgumentException(
         s"graft: unsupported parquet primitive for $other")
     }

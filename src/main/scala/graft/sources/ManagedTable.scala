@@ -253,8 +253,9 @@ object ManagedTable {
                 require(BloomSkipping.eligible(f.get.dataType),
                   s"ManagedTable.setTableProperties: $key column " +
                     s"'$c' has type ${f.get.dataType.sql} — digests " +
-                    "support integral and string columns (canonical " +
-                    "string render on both build and probe sides)")
+                    "support integral, string, date and timestamp " +
+                    "columns (canonical render on both build and " +
+                    "probe sides)")
             }
         }
     val entry = stats.getOrElse(TableStatsFile, Map.empty)
@@ -456,17 +457,40 @@ object ManagedTable {
     out.result()
   }
 
-  /** Columns stats are kept for: orderable atomics whose string render
-    * round-trips exactly (numerics via BigDecimal, strings verbatim).
-    * Everything else is skipped — absent stats mean "never pruned",
-    * which is always safe.
+  /** Columns stats are kept for: orderable atomics whose recorded
+    * render round-trips exactly — numerics via BigDecimal, strings
+    * verbatim, and date/timestamp as epoch-day / epoch-micro NUMERIC
+    * strings ([[statExpr]]: no calendar text render ever touches the
+    * manifest, so there is no timezone or format hazard on either the
+    * build or the probe side). Everything else is skipped — absent
+    * stats mean "never pruned", which is always safe.
     */
   private def statsColumns(
       schema: org.apache.spark.sql.types.StructType): Seq[String] =
     schema.fields.toSeq.collect {
       case f if f.dataType.isInstanceOf[org.apache.spark.sql.types.NumericType]
-        || f.dataType == org.apache.spark.sql.types.StringType => f.name
+        || f.dataType == org.apache.spark.sql.types.StringType
+        || f.dataType == org.apache.spark.sql.types.DateType
+        || f.dataType == org.apache.spark.sql.types.TimestampType => f.name
     }
+
+  /** The expression whose min/max/digest the stats pass records for a
+    * column: the column itself, except date/timestamp which convert
+    * to their internal numerics (monotone, so min/max commute with
+    * the conversion). Probes convert their values the same way
+    * ([[GraftScan.renderStatsValue]]); runtime-filter literals arrive
+    * as these numerics natively.
+    */
+  private def statExpr(df: org.apache.spark.sql.DataFrame,
+      c: String): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, unix_date, unix_micros}
+    df.schema.fields.find(_.name == c).map(_.dataType) match {
+      case Some(org.apache.spark.sql.types.TimestampType) =>
+        unix_micros(col(c))
+      case Some(org.apache.spark.sql.types.DateType) => unix_date(col(c))
+      case _ => col(c)
+    }
+  }
 
   /** One aggregation pass over freshly written segment files: per-file
     * min/max for every [[statsColumns]] column, plus the file's ROW
@@ -513,14 +537,14 @@ object ManagedTable {
     if (cols.isEmpty && !recordRows && bloomPhys.isEmpty) return Map.empty
     val fpp = BloomSkipping.fppOf(props)
     val aggs = cols.flatMap(c => Seq(
-      min(col(c)).cast("string").as(s"__min_$c"),
-      max(col(c)).cast("string").as(s"__max_$c")) ++
+      min(statExpr(df, c)).cast("string").as(s"__min_$c"),
+      max(statExpr(df, c)).cast("string").as(s"__max_$c")) ++
       (if (recordRows) Seq(count(col(c)).cast("string").as(s"__nn_$c"))
        else Nil)) ++
       (if (recordRows) Seq(count(lit(1)).cast("string").as("__nrows"))
        else Nil) ++
       bloomPhys.map(c =>
-        BloomSkipping.digestColumn(col(c), fpp).as(s"__bf_$c"))
+        BloomSkipping.digestColumn(statExpr(df, c), fpp).as(s"__bf_$c"))
     val grouped = df
       .groupBy(col("_metadata.file_path").as("__file"))
       .agg(aggs.head, aggs.tail: _*)
@@ -2148,12 +2172,19 @@ object ManagedTable {
     def physOf(column: String): String = tableSchema
       .map(ColumnMapping.physOf(_, column)).getOrElse(column)
     val kept = files.filter { p =>
+      // a file with a RECORDED zero row count provably matches nothing
+      // (same rule as the connector's mayMatch)
+      !stats.get(p).flatMap(_.get(RowsStat)).exists(x =>
+        try x._1.toLong == 0L
+        catch { case _: NumberFormatException => false }) &&
       bounds.forall { case (column, lower, upper) =>
         stats.get(p).flatMap(_.get(physOf(column))) match {
           case Some((mn, mx)) =>
             try
-              lower.forall(l => cmp(column)(mx, String.valueOf(l)) >= 0) &&
-                upper.forall(u => cmp(column)(mn, String.valueOf(u)) <= 0)
+              lower.forall(l => cmp(column)(mx,
+                GraftScan.renderStatsValue(l)) >= 0) &&
+                upper.forall(u => cmp(column)(mn,
+                  GraftScan.renderStatsValue(u)) <= 0)
             catch { case _: NumberFormatException => true }
           case None => true // no stats recorded — never prune blind
         }

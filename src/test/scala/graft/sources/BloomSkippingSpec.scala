@@ -254,7 +254,8 @@ class BloomSkippingSpec extends SparkSpec {
       ManagedTable.setTableProperties(spark, dir,
         Map(BloomSkipping.ColumnsProp -> "d"))
     }
-    assert(eType.getMessage.contains("integral and string"))
+    assert(eType.getMessage.contains("integral, string, date and " +
+      "timestamp"))
     val eCluster = intercept[IllegalArgumentException] {
       ManagedTable.setTableProperties(spark, dir,
         Map(ManagedTable.ClusterByProp -> "nope"))

@@ -120,13 +120,14 @@ class GraftDataSourceSpec extends SparkSpec {
 
   test("unsupported column types are rejected at resolution, by name") {
     val dir = tmp("reject")
+    // timestamp/date joined the decoded tier (DateTimeStatsSpec);
+    // decimals remain outside it
     ManagedTable.commit(
-      Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00")))
-        .toDF("k", "ts"), dir)
+      Seq((1L, BigDecimal("1.50"))).toDF("k", "price"), dir)
     val e = intercept[IllegalArgumentException] {
       spark.read.format("graft").load(dir).count()
     }
-    assert(e.getMessage.contains("'ts'"))
+    assert(e.getMessage.contains("'price'"))
   }
 
   test("streaming: versions drain as micro-batches, restart resumes exactly-once") {
