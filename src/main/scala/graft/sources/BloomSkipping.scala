@@ -2,12 +2,13 @@ package graft.sources
 
 import java.io.{DataInputStream, DataOutputStream}
 import java.nio.ByteBuffer
-import java.util.{Collections, LinkedHashMap => JLinkedHashMap, Map => JMap}
+import java.util.{LinkedHashMap => JLinkedHashMap}
 
 import scala.util.control.NonFatal
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, XXH64}
@@ -194,19 +195,32 @@ object BloomSkipping {
 
   /** Executor-side sidecar write of an [[BloomDigestAgg]] payload;
     * overwrite=true makes task retries idempotent (content is
-    * deterministic for a given file+column).
+    * deterministic for a given file+column). The caller threads the
+    * SESSION's Hadoop configuration in (serialized into the closure) —
+    * a bare `new Configuration()` would drop object-store credentials
+    * and filesystem overrides, and unlike the probe side this path is
+    * NOT fail-open: a failed sidecar write fails the stats job.
     */
   private[sources] def writeSidecarBytes(abs: String,
-      bytes: Array[Byte]): Unit = {
+      bytes: Array[Byte], conf: Configuration): Unit = {
     val p = new Path(abs)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(conf)
     val out = new DataOutputStream(fs.create(p, true))
     try out.write(bytes) finally out.close()
   }
 
+  /** The session's Hadoop configuration when a session is active (the
+    * probe runs on the driver during planning, where one always is),
+    * else a bare default — probes are fail-open so a missing session
+    * costs pruning strength, never correctness.
+    */
+  private def probeConf(): Configuration =
+    try SparkSession.active.sessionState.newHadoopConf()
+    catch { case NonFatal(_) => new Configuration() }
+
   private def readSidecar(abs: String): (Int, Long, Array[Long]) = {
     val p = new Path(abs)
-    val fs = p.getFileSystem(new Configuration())
+    val fs = p.getFileSystem(probeConf())
     val in = new DataInputStream(fs.open(p))
     try {
       require(in.readInt() == Magic, s"not a graft bloom sidecar: $abs")
@@ -219,26 +233,58 @@ object BloomSkipping {
     } finally in.close()
   }
 
-  /** Driver-side digest cache (planning probes run on the driver):
-    * LRU over absolute sidecar paths. Segments are immutable, so an
-    * entry can never go stale — eviction is purely a size bound.
+  /** Cap on the digest cache's accumulated PAYLOAD bytes (below).
+    * Session-configurable because the right number is a driver-memory
+    * decision, not a universal one.
     */
-  private val cache: JMap[String, (Int, Long, Array[Long])] =
-    Collections.synchronizedMap(
-      new JLinkedHashMap[String, (Int, Long, Array[Long])](64, 0.75f, true) {
-        override def removeEldestEntry(
-            e: JMap.Entry[String, (Int, Long, Array[Long])]): Boolean =
-          size() > 1024
-      })
+  private[sources] val CacheBytesConf = "spark.graft.bloom.cacheMaxBytes"
+  private val DefaultCacheBytes = 64L << 20 // 64 MiB
+
+  private def cacheMaxBytes: Long =
+    (try SparkSession.active.conf
+      .getOption(CacheBytesConf).map(_.toLong)
+    catch { case NonFatal(_) => None }).getOrElse(DefaultCacheBytes)
+
+  /** Driver-side digest cache (planning probes run on the driver):
+    * LRU over absolute sidecar paths, bounded by accumulated PAYLOAD
+    * BYTES — digests scale with the file's distinct count (~1.2 B per
+    * distinct value), so a high-cardinality file's entry is megabytes
+    * and an entry-count bound would let the cache retain gigabytes.
+    * An entry bigger than a quarter of the cap is served uncached (it
+    * would evict everything else for one probe pass). Segments are
+    * immutable, so an entry can never go stale — eviction is purely a
+    * size bound.
+    */
+  private val cache: JLinkedHashMap[String, (Int, Long, Array[Long])] =
+    new JLinkedHashMap[String, (Int, Long, Array[Long])](64, 0.75f, true)
+  private var cacheBytes = 0L
+
+  private def entryBytes(e: (Int, Long, Array[Long])): Long =
+    8L * e._3.length + 64 // payload words + fixed overhead estimate
 
   private def cached(abs: String): (Int, Long, Array[Long]) = {
-    val hit = cache.get(abs)
-    if (hit != null) hit
-    else {
-      val loaded = readSidecar(abs)
-      cache.put(abs, loaded)
-      loaded
+    cache.synchronized {
+      val hit = cache.get(abs)
+      if (hit != null) return hit
     }
+    val loaded = readSidecar(abs) // IO outside the lock
+    val bytes = entryBytes(loaded)
+    val cap = cacheMaxBytes
+    if (bytes <= cap / 4) cache.synchronized {
+      if (!cache.containsKey(abs)) {
+        cache.put(abs, loaded)
+        cacheBytes += bytes
+        val it = cache.entrySet().iterator()
+        while (cacheBytes > cap && it.hasNext) {
+          val eldest = it.next()
+          if (eldest.getKey != abs) {
+            cacheBytes -= entryBytes(eldest.getValue)
+            it.remove()
+          }
+        }
+      }
+    }
+    loaded
   }
 
   /** Per-group Bloom digest aggregate: buffers the DISTINCT 64-bit

@@ -92,14 +92,22 @@ private[sources] object GraftProcedures {
         // comma-separated cluster columns = OPTIMIZE ZORDER BY: packed
         // segments carry disjoint key ranges so stats pruning works
         // across them (empty = arrival-order packing)
-        inDefault("cluster_by", StringType, "''")),
+        inDefault("cluster_by", StringType, "''"),
+        // files whose DV tombstones cover ≥ this fraction of their
+        // rows are rewritten regardless of size (purge: deletes
+        // materialize, Bloom digests rebuild from survivors);
+        // ≤ 0 disables the trigger
+        inDefault("rewrite_dv_fraction", DoubleType, "-1.0")),
       (cat, args) => {
         val cluster = Option(args.getUTF8String(2)).map(_.toString)
           .getOrElse("").split(",").map(_.trim).filter(_.nonEmpty)
           .toSeq.map(org.apache.spark.sql.functions.col)
+        val frac =
+          if (args.isNullAt(3) || args.getDouble(3) <= 0) None
+          else Some(args.getDouble(3))
         val v = ManagedTable.compact(spark, cat.resolveTableDir(
           args.getUTF8String(0).toString), args.getLong(1),
-          clusterBy = cluster)
+          clusterBy = cluster, rewriteDvFraction = frac)
         (StructType(Seq(
           StructField("version", IntegerType, nullable = false))),
           Seq(row(v)))
@@ -171,7 +179,12 @@ private[sources] object GraftProcedures {
         // comma-separated key columns the diff pairs rows on
         in("keys", StringType),
         inDefault("delete_expr", StringType, "'false'"),
-        inDefault("except_columns", StringType, "''")),
+        inDefault("except_columns", StringType, "''"),
+        // hard bound on the rows this CALL materializes on the driver
+        // — a CALL's result IS a driver-local row set, so an unbounded
+        // diff would be a driver OOM; past the cap the call fails fast
+        // and names the distributed remedy
+        inDefault("max_rows", LongType, "100000")),
       (cat, args) => {
         val dir = cat.resolveTableDir(args.getUTF8String(0).toString)
         def csv(i: Int): Seq[String] =
@@ -180,13 +193,26 @@ private[sources] object GraftProcedures {
         val delete = org.apache.spark.sql.functions.expr(
           Option(args.getUTF8String(4)).map(_.toString)
             .filter(_.nonEmpty).getOrElse("false"))
+        val cap = args.getLong(6)
+        require(cap > 0, "graft: system.changes max_rows must be > 0")
         val df = ManagedTable.changes(spark, dir,
           args.getInt(1), args.getInt(2), csv(3), delete, csv(5))
         val schema = df.schema
         val conv = org.apache.spark.sql.catalyst.CatalystTypeConverters
           .createToCatalystConverter(schema)
+        // collect cap+1 so over-cap is detected without materializing
+        // the whole diff
+        val capInt = math.min(cap, Int.MaxValue - 1L).toInt
+        val rows = df.limit(capInt + 1).collect()
+        if (rows.length > capInt)
+          throw new IllegalArgumentException(
+            s"graft: system.changes result exceeds max_rows=$cap for " +
+              s"$dir — a CALL materializes its rows on the driver. " +
+              "For changeset-scale consumption use the distributed " +
+              "frame ManagedTable.changes (or raise max_rows " +
+              "deliberately).")
         (schema,
-          df.collect().map(r => conv(r).asInstanceOf[InternalRow]).toSeq)
+          rows.toSeq.map(r => conv(r).asInstanceOf[InternalRow]))
       })
     // DESCRIBE DETAIL parity: one metadata-only row about the table's
     // current version — layout counts and bytes from the manifest and
@@ -203,7 +229,7 @@ private[sources] object GraftProcedures {
         val (_, all, _, stats) =
           ManagedTable.readManifest(spark, dir, vs.last)
         val (files, dvFiles) = ManagedTable.splitDv(all)
-        val conf = new org.apache.hadoop.conf.Configuration()
+        val conf = spark.sessionState.newHadoopConf()
         val bytes = files.map { rel =>
           val p = new org.apache.hadoop.fs.Path(s"$dir/$rel")
           p.getFileSystem(conf).getFileStatus(p).getLen
@@ -216,6 +242,32 @@ private[sources] object GraftProcedures {
             counts.flatten.sum
           else null
         val props = ManagedTable.propertiesOf(stats)
+        // DIGEST STALENESS: Bloom sidecars are built at commit and
+        // never mutated, so deleteWhere tombstones leave a digested
+        // file's digest full of dead values — fail-open (correct) but
+        // its effective fpp decays. Report how many digested files
+        // are tombstoned and the worst tombstoned fraction, so an
+        // operator knows when `CALL system.compact(rewrite_dv_fraction
+        // => …)` is due. Cost: one count-per-file pass over the
+        // deleted-rows-sized DV parquet, only when both digests and
+        // DVs exist.
+        val digested = files.filter(f => stats.get(f).exists(
+          _.keys.exists(_.startsWith(BloomSkipping.StatPrefix))))
+        val tomb: Map[String, Long] =
+          if (digested.isEmpty || dvFiles.isEmpty) Map.empty
+          else ManagedTable.dvRows(spark, dir, dvFiles)
+            .groupBy("__file").count()
+            .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        val staleFracs = digested.flatMap { f =>
+          val t = tomb.getOrElse(f, 0L)
+          if (t == 0L) None
+          else stats.get(f).flatMap(_.get(ManagedTable.RowsStat))
+            .flatMap(p => scala.util.Try(p._1.toLong).toOption)
+            .filter(_ > 0).map(n => t.toDouble / n)
+        }
+        val staleCount = digested.count(f => tomb.getOrElse(f, 0L) > 0L)
+        val maxStale: Any =
+          if (staleFracs.isEmpty) null else staleFracs.max
         (StructType(Seq(
           StructField("version", IntegerType, nullable = false),
           StructField("location", StringType, nullable = false),
@@ -227,11 +279,18 @@ private[sources] object GraftProcedures {
           StructField("cluster_by", StringType, nullable = false),
           StructField("bloom_filter_columns", StringType,
             nullable = false),
+          StructField("num_digested_files", IntegerType,
+            nullable = false),
+          StructField("num_stale_digests", IntegerType,
+            nullable = false),
+          StructField("max_digest_staleness", DoubleType,
+            nullable = true),
           StructField("num_properties", IntegerType, nullable = false))),
           Seq(row(vs.last, dir, vs.size, files.size, dvFiles.size,
             bytes, liveRows,
             props.getOrElse(ManagedTable.ClusterByProp, ""),
             props.getOrElse(BloomSkipping.ColumnsProp, ""),
+            digested.size, staleCount, maxStale,
             props.size)))
       })
   }

@@ -550,10 +550,16 @@ object ManagedTable {
       .agg(aggs.head, aggs.tail: _*)
     // digest sidecars are written ON THE EXECUTORS as the grouped rows
     // stream out — the driver collects only (file, small string cells);
-    // digest BYTES never cross the driver boundary
+    // digest BYTES never cross the driver boundary. The SESSION's
+    // Hadoop configuration rides into the closure (serialized) so the
+    // executor-side sidecar write resolves filesystems exactly as the
+    // session would — object-store credentials and FS overrides live
+    // there, and this path is not fail-open.
     val fieldNames = grouped.schema.fieldNames
     val rels = relFiles
     val dirStr = dir
+    val serConf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val collected: Array[(String, Map[String, String])] =
       grouped.rdd.map { r =>
         val abs = r.getString(0)
@@ -564,7 +570,7 @@ object ManagedTable {
             val c = n.stripPrefix("__bf_")
             val sidecar = BloomSkipping.sidecarRelFor(rel, c)
             BloomSkipping.writeSidecarBytes(s"$dirStr/$sidecar",
-              r.getAs[Array[Byte]](i))
+              r.getAs[Array[Byte]](i), serConf.value)
             Some((BloomSkipping.statKey(c), sidecar))
           } else Some((n, r.getString(i)))
         }.toMap
@@ -2057,7 +2063,8 @@ object ManagedTable {
     */
   def compact(spark: SparkSession, dir: String,
       smallFileBytes: Long = 32L * 1024 * 1024, tag: String = "",
-      clusterBy: Seq[org.apache.spark.sql.Column] = Nil): Int = {
+      clusterBy: Seq[org.apache.spark.sql.Column] = Nil,
+      rewriteDvFraction: Option[Double] = None): Int = {
     val vs = versions(spark, dir)
     require(vs.nonEmpty, s"ManagedTable.compact: no versions in $dir")
     val current = vs.last
@@ -2066,11 +2073,44 @@ object ManagedTable {
     val f = fs(spark, dir)
     val sized = files.map(p => p -> f.getFileStatus(new Path(s"$dir/$p")).getLen)
     val small = sized.filter(_._2 < smallFileBytes).map(_._1)
-    if (small.size < 2) return current
-    val keep = files.diff(small)
-    val totalSmall = sized.filter(s => small.contains(s._1)).map(_._2).sum
-    val outFiles = math.max(1, (totalSmall / smallFileBytes).toInt +
-      (if (totalSmall % smallFileBytes > 0) 1 else 0))
+    // PURGE trigger: with `rewriteDvFraction` set, a file of ANY size
+    // whose deletion-vector tombstones cover at least that fraction of
+    // its recorded rows joins the rewrite set — materializing its
+    // deletes into real bytes and REBUILDING its Bloom digests from
+    // the survivors (the stats pass below digests the packed segment).
+    // This is what keeps digests honest on hot deleteWhere tables:
+    // digests are built at commit and a heavily-tombstoned file's
+    // digest stays full of dead values (fail-open, so correct — but
+    // its effective fpp decays toward no-skipping). Cost is one
+    // tombstone-count aggregation over the DV parquet (deleted-rows-
+    // sized) plus the rewrite of exactly the triggered files. Files
+    // with no recorded row count are skipped (fraction unprovable).
+    val dvHeavy: Seq[String] = rewriteDvFraction match {
+      case Some(frac) if dvFiles.nonEmpty && frac > 0 =>
+        val tomb = dvRows(spark, dir, dvFiles)
+          .groupBy("__file").count()
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        files.filter { rel =>
+          val rows = stats.get(rel).flatMap(_.get(RowsStat))
+            .flatMap(p => scala.util.Try(p._1.toLong).toOption)
+          val t = tomb.getOrElse(rel, 0L)
+          t > 0 && rows.exists(n => n > 0 && t.toDouble / n >= frac)
+        }
+      case _ => Nil
+    }
+    val rewrite = (small ++ dvHeavy).distinct
+    // binning needs ≥2 small files to be worth a commit, but a single
+    // DV-heavy file is a purge in its own right
+    if (dvHeavy.isEmpty && small.size < 2) return current
+    val keep = files.diff(rewrite)
+    val totalSmall = sized.filter(s => rewrite.contains(s._1)).map(_._2).sum
+    // never MORE outputs than inputs: packing bins toward
+    // smallFileBytes-sized files, and a tiny smallFileBytes (size
+    // trigger disabled for a pure DV purge) must not explode the
+    // output count
+    val outFiles = math.min(rewrite.size,
+      math.max(1, (totalSmall / smallFileBytes).toInt +
+        (if (totalSmall % smallFileBytes > 0) 1 else 0)))
     val next = current + 1
     // Read with the MANIFEST schema, never footer inference: after a
     // schema evolution (see [[merge]]) the small segments have
@@ -2086,7 +2126,7 @@ object ManagedTable {
     // this is how DVs eventually become real bytes. Kept files carry
     // their DV entries forward; when nothing is kept the DV reference
     // is dropped entirely (all tombstones were materialized).
-    val packed0 = scanMinusDv(spark, dir, small, schema, dvFiles)
+    val packed0 = scanMinusDv(spark, dir, rewrite, schema, dvFiles)
     // clusterBy = Delta's OPTIMIZE ZORDER BY: instead of packing small
     // files in arrival order, GLOBALLY range-partition the packed rows
     // on the cluster key (pass a Morton-interleave expression for
@@ -2111,9 +2151,19 @@ object ManagedTable {
         .sortWithinPartitions(effectiveCluster: _*)
     val newFiles = writeSegment(
       ColumnMapping.toPhysicalFrame(packed, schema), dir, next)
+    // the DV reference is carried forward ONLY while some KEPT file
+    // still has tombstones — rewritten files materialized theirs, so
+    // once no kept file is tombstoned the DV is dropped and `detail`
+    // stops reporting DV presence (one distinct-files pass over the
+    // deleted-rows-sized DV parquet decides it)
+    val keepsTombstones = keep.nonEmpty && dvFiles.nonEmpty && {
+      val keepSet = keep.toSet
+      dvRows(spark, dir, dvFiles).select("__file").distinct()
+        .collect().exists(r => keepSet.contains(r.getString(0)))
+    }
     writeManifest(spark, dir, next, tag,
       keep ++ newFiles ++
-        (if (keep.isEmpty) Nil else dvFiles.map("dv:" + _)),
+        (if (keepsTombstones) dvFiles.map("dv:" + _) else Nil),
       schema.json,
       stats.view.filterKeys(keep.contains).toMap ++
         tableStats(stats) ++

@@ -276,6 +276,55 @@ class BloomSkippingSpec extends SparkSpec {
     assert(spark.read.format("graft").load(dir).count() == 10)
   }
 
+  test("compact(rewriteDvFraction) purges a tombstoned file and " +
+      "rebuilds its digest from survivors only") {
+    val dir = tmp("purge")
+    threeInterleaved(dir) // v1 props, v2..v4 = one file per residue
+    // tombstone a MID-RANGE slice of residue-1's file (u ≡ 1 mod 6,
+    // 100 ≤ u ≤ 400 → 50 of its 100 rows, ids 17..66) — mid-range so
+    // the packed survivor file's [min, max] still SPANS the purged
+    // values and only the digest can prove their absence
+    ManagedTable.deleteWhere(spark, dir,
+      col("u") % 6 === 1 && col("u").between(100, 400))
+    val preVs = ManagedTable.versions(spark, dir)
+    val (_, preAll, _, _) = ManagedTable.readManifest(spark, dir, preVs.last)
+    assert(ManagedTable.splitDv(preAll)._2.nonEmpty, "delete left a DV")
+
+    // size trigger disabled (nothing is < 1 byte): only the DV
+    // fraction selects the rewrite set — exactly the 50%-tombstoned
+    // file, regardless of its size
+    val v = ManagedTable.compact(spark, dir, smallFileBytes = 1L,
+      rewriteDvFraction = Some(0.4))
+    assert(v == preVs.last + 1)
+    val (_, all, _, stats) = ManagedTable.readManifest(spark, dir, v)
+    val (files, dvFiles) = ManagedTable.splitDv(all)
+    assert(files.size == 4,
+      "the empty create part + two kept + one packed")
+    assert(dvFiles.isEmpty,
+      "the only tombstoned file was rewritten — DV reference dropped")
+    // every row-bearing file carries a digest (the packed one was
+    // rebuilt in the compaction commit's stats pass); the zero-row
+    // create part legitimately has none
+    assert(files.count(f => stats.get(f).exists(
+      _.contains(BloomSkipping.statKey("u")))) == 3)
+
+    val t = spark.read.format("graft").load(dir)
+    assert(t.count() == 250, "300 minus the 50 tombstoned")
+    // a SURVIVOR of the rewritten file still probes to exactly one
+    // file (no false negatives, by construction)
+    val qLive = t.filter(col("u") === 61L)
+    assert(qLive.collect().map(_.getLong(1)).toSeq == Seq(61L))
+    assert(filesPlanned(planString(qLive)) == 1)
+    // a PURGED value probes to zero files: the kept residues' digests
+    // never held it, and the packed file's [min, max] = [1, 595]
+    // still spans 307 — only its REBUILT digest (survivors only)
+    // proves the absence; a stale carried digest would keep the file
+    val qDead = t.filter(col("u") === 307L)
+    assert(qDead.collect().isEmpty)
+    assert(filesPlanned(planString(qDead)) == 0,
+      "rebuilt digest must not contain purged values")
+  }
+
   test("a recorded zero-row file is pruned under any pushed filter") {
     val dir = tmp("zerorow")
     // the empty CREATE part: no min/max, no digest — but its recorded

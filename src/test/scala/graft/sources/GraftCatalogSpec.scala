@@ -521,6 +521,58 @@ class GraftCatalogSpec extends SparkSpec {
     sql("DROP TABLE gcat.cd.t"); sql("DROP NAMESPACE gcat.cd")
   }
 
+  test("system.changes max_rows guard; system.detail digest staleness; " +
+      "compact rewrite_dv_fraction purge — by pure SQL") {
+    sql("CREATE NAMESPACE gcat.st")
+    sql("CREATE TABLE gcat.st.t (k BIGINT, v BIGINT)")               // v1
+    sql("ALTER TABLE gcat.st.t SET TBLPROPERTIES (" +
+      s"'${BloomSkipping.ColumnsProp}' = 'k')")                      // v2
+    sql("INSERT INTO gcat.st.t SELECT id, id * 2 FROM range(1000)")  // v3
+
+    // the CALL materializes its diff on the driver — an over-cap diff
+    // must FAIL FAST naming the distributed remedy, never OOM
+    val e = intercept[Exception](
+      sql("CALL gcat.system.changes(`table` => 'st.t', " +
+        "from_version => 2, to_version => 3, keys => 'k', " +
+        "max_rows => 100)").collect())
+    assert(e.getMessage.contains("max_rows") &&
+      e.getMessage.contains("ManagedTable.changes"))
+    // under the cap the same diff returns in full
+    assert(sql("CALL gcat.system.changes(`table` => 'st.t', " +
+      "from_version => 2, to_version => 3, keys => 'k', " +
+      "max_rows => 2000)").count() == 1000L)
+
+    // pre-delete: the insert's files are digested, nothing stale
+    val d0 = sql("CALL gcat.system.detail(`table` => 'st.t')").head()
+    assert(d0.getAs[Int]("num_digested_files") > 0)
+    assert(d0.getAs[Int]("num_stale_digests") == 0)
+    assert(d0.isNullAt(d0.fieldIndex("max_digest_staleness")))
+
+    // DV delete of 40%: digests now carry dead values — detail says
+    // so (max staleness ≥ the overall deleted fraction by pigeonhole,
+    // whatever the file layout)
+    sql("DELETE FROM gcat.st.t WHERE k < 400")                       // v4
+    val d1 = sql("CALL gcat.system.detail(`table` => 'st.t')").head()
+    assert(d1.getAs[Int]("num_dv_files") > 0)
+    assert(d1.getAs[Int]("num_stale_digests") > 0)
+    val frac = d1.getAs[Double]("max_digest_staleness")
+    assert(frac >= 0.4 && frac <= 1.0, s"≥ 0.4 expected, got $frac")
+
+    // the remedy detail points at: compaction's DV-fraction purge —
+    // size trigger off (small_file_bytes => 1), fraction selects the
+    // tombstoned file(s), deletes materialize, digests rebuild
+    sql("CALL gcat.system.compact(`table` => 'st.t', " +
+      "small_file_bytes => 1, rewrite_dv_fraction => 0.05)")         // v5
+    val d2 = sql("CALL gcat.system.detail(`table` => 'st.t')").head()
+    assert(d2.getAs[Int]("num_dv_files") == 0, "DV purged")
+    assert(d2.getAs[Int]("num_stale_digests") == 0)
+    assert(d2.isNullAt(d2.fieldIndex("max_digest_staleness")))
+    assert(d2.getAs[Long]("live_rows") == 600L)
+    assert(sql("SELECT count(*) AS n FROM gcat.st.t")
+      .head().getLong(0) == 600L)
+    sql("DROP TABLE gcat.st.t"); sql("DROP NAMESPACE gcat.st")
+  }
+
   test("a catalog table is the SAME table the path API maintains: merge then SQL read") {
     sql("CREATE NAMESPACE gcat.mx")
     sql("CREATE TABLE gcat.mx.kv (k BIGINT, s STRING, seq BIGINT, op STRING)")
