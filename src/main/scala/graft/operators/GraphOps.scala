@@ -32,6 +32,37 @@ import org.apache.spark.sql.functions._
   */
 object GraphOps {
 
+  /** When set, iterative loops truncate lineage with RELIABLE
+    * checkpoints written to this directory instead of eager
+    * `localCheckpoint`. localCheckpoint stores the truncated lineage's
+    * data in executor memory/disk — right for local mode and cheap on
+    * a healthy cluster, but the truncated lineage is GONE, so losing
+    * an executor mid-loop fails the job instead of recomputing. At
+    * cluster scale point this at a reliable filesystem (HDFS/object
+    * store); checkpoint files are cleaned by Spark only when
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so give
+    * the directory a job-scoped lifetime.
+    */
+  val CheckpointDirConf = "spark.graft.graph.checkpointDir"
+
+  /** Eagerly truncate `df`'s lineage: reliable `checkpoint()` into
+    * [[CheckpointDirConf]] when configured, else eager localCheckpoint
+    * with serialized storage (see the storage-level rationale at the
+    * call sites).
+    */
+  private def truncate(df: DataFrame): DataFrame = {
+    val dir = df.sparkSession.conf.get(CheckpointDirConf, "")
+    if (dir.nonEmpty) {
+      val sc = df.sparkSession.sparkContext
+      // setCheckpointDir mints a fresh UUID subdirectory per call —
+      // set it once per configured root, not once per round
+      if (!sc.getCheckpointDir.exists(_.contains(dir)))
+        sc.setCheckpointDir(dir)
+      df.checkpoint(true)
+    } else df.localCheckpoint(true,
+      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+  }
+
   /** Connected components of an undirected graph.
     *
     * @param vertices one column `id`
@@ -73,16 +104,13 @@ object GraphOps {
       val fromNeighbors = sym
         .join(labels.select(col("id").as("src"), col("label")), "src")
         .select(col("dst").as("id"), col("label"))
-      // localCheckpoint (eager) TRUNCATES LINEAGE, not just caches: the
-      // round's plan references `labels` twice (union + join), so without
+      // truncate (eager) CUTS LINEAGE, not just caches: the round's
+      // plan references `labels` twice (union + join), so without
       // truncation the logical plan doubles per round and explodes on
-      // deep graphs. At cluster scale, swap for reliable checkpointing
-      // (spark.sparkContext.setCheckpointDir + .checkpoint()) to also
-      // survive executor loss.
-      val next = labels.unionByName(fromNeighbors)
-        .groupBy("id").agg(min("label").as("label"))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // deep graphs. Set [[CheckpointDirConf]] to make the truncation
+      // RELIABLE (survives executor loss) at cluster scale.
+      val next = truncate(labels.unionByName(fromNeighbors)
+        .groupBy("id").agg(min("label").as("label")))
       val s = labelSum(next)
       labels.unpersist()
       labels = next
@@ -148,9 +176,8 @@ object GraphOps {
         coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
-    var e = canon(edges.select(col("src").as("a"), col("dst").as("b")))
-      .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+    var e = truncate(
+      canon(edges.select(col("src").as("a"), col("dst").as("b"))))
     var prev = sig(e)
     var converged = prev._1 == 0L
     var round = 0
@@ -169,8 +196,7 @@ object GraphOps {
       val ss = inc.join(mS, "u")
         .select(col("v").as("a"), col("m").as("b"))
         .unionByName(mS.select(col("u").as("a"), col("m").as("b")))
-      val next = canon(ss).localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      val next = truncate(canon(ss))
       e.unpersist()
       val s = sig(next)
       converged = s == prev

@@ -2578,6 +2578,59 @@ object TextQueries {
            |    THEN 1 ELSE 0 END AS BIGINT) AS agree
            |FROM incr FULL OUTER JOIN rebuild USING (term)""".stripMargin))
 
+  /** q228: DEDUP CLUSTERING THROUGH RELIABLE CHECKPOINTS — the same
+    * connected-components loop the dedup path runs (q53/q96), but
+    * with `spark.graft.graph.checkpointDir` set, so every round's
+    * lineage truncation is a RELIABLE checkpoint on the configured
+    * filesystem instead of an executor-local one. This is the
+    * cluster-scale posture: localCheckpoint data dies with an
+    * executor and the truncated lineage cannot be recomputed (the
+    * job FAILS); reliable checkpoints survive executor loss, which
+    * is the difference between a 40-round component loop on 1000
+    * executors finishing or dying to one preemption. The graph is a
+    * deterministic chain forest (doc_id → doc_id+1 within buckets of
+    * 20), deep enough that the star loop actually iterates; the flag
+    * column proves checkpoint bytes landed under the configured
+    * root.
+    */
+  val q228ReliableCkptClusters = NamedQuery(
+    "q228_reliable_ckpt_clusters",
+    "Connected components through spark.graft.graph.checkpointDir: " +
+      "reliable (executor-loss-safe) lineage truncation drives the " +
+      "same cluster labels; chain-forest components vs recursive " +
+      "oracle arithmetic.",
+    (s, d) => {
+      val root = graft.Scratch.dir("gckpt", d)
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      s.conf.set(graft.operators.GraphOps.CheckpointDirConf, root)
+      try {
+        val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        val verts = docs.select(col("doc_id").as("id"))
+        // chain forest: doc_id → doc_id+1 except across bucket walls
+        val edges = docs.filter(col("doc_id") % 20 =!= 19)
+          .select(col("doc_id").as("src"),
+            (col("doc_id") + 1).as("dst"))
+        val comp = graft.operators.GraphOps.connectedComponentsStar(
+          verts, edges)
+        val ckptLanded = fs.exists(p) &&
+          fs.listStatus(p).nonEmpty
+        comp.groupBy(col("component").as("cluster_id"))
+          .agg(count(lit(1)).as("n_members"),
+            max(col("id")).as("max_member"))
+          .withColumn("reliable_ckpt_used", lit(ckptLanded))
+          .orderBy("cluster_id")
+      } finally s.conf.unset(
+        graft.operators.GraphOps.CheckpointDirConf)
+    },
+    Some("""SELECT MIN(doc_id) AS cluster_id,
+           |  COUNT(*) AS n_members, MAX(doc_id) AS max_member,
+           |  true AS reliable_ckpt_used
+           |FROM documents WHERE doc_id < 400
+           |GROUP BY (doc_id // 20)
+           |ORDER BY cluster_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -2591,5 +2644,6 @@ object TextQueries {
     q131EntityResolution, q134FilterCascade, q148LshRecall,
     q154LshBandSweep, q155SourceOverlap, q156DedupReweight,
     q158QualityCalibration, q159DocChunks, q161ChunkRetrieval,
-    q162NoveltyCurve, q177PrfExpansion, q192CdfLexicalIndex)
+    q162NoveltyCurve, q177PrfExpansion, q192CdfLexicalIndex,
+    q228ReliableCkptClusters)
 }
