@@ -2546,6 +2546,145 @@ object LayoutQueries {
            |FROM events WHERE ts < (SELECT lo FROM b) + INTERVAL 1 DAY
            |GROUP BY event_type ORDER BY event_type""".stripMargin))
 
+  /** q227: DIGEST STALENESS LIFECYCLE THROUGH SQL — Bloom sidecars
+    * are built at commit and never mutated, so DV deletes leave a
+    * file's digest full of dead values: fail-open (never a wrong
+    * answer) but the effective false-positive rate decays toward
+    * no-skipping exactly on hot deleteWhere tables. The operator
+    * loop this query pins: `CALL system.detail` REPORTS the decay
+    * (num_stale_digests, max_digest_staleness) and
+    * `CALL system.compact(rewrite_dv_fraction => f)` REPAIRS it —
+    * files whose tombstones cover ≥ f of their rows are rewritten
+    * regardless of size, deletes materialize, digests rebuild from
+    * survivors in the same commit's stats pass, and the DV reference
+    * drops once no kept file is tombstoned. The delete is a RANGE
+    * (exactly translatable to pushed filters — the DV path; a
+    * non-translatable predicate like `doc_id % 2 = 0` would fall back
+    * to copy-on-write and leave nothing stale to report), and the
+    * purge threshold is set below 1/|slice| so every tombstoned file
+    * qualifies whatever the file layout at any SF.
+    */
+  val q227DigestStaleness = NamedQuery(
+    "q227_digest_staleness",
+    "system.detail digest staleness + compact(rewrite_dv_fraction): " +
+      "DV delete dirties per-file Bloom digests, detail reports the " +
+      "decay, purge compaction rebuilds from survivors; vs " +
+      "raw-parquet oracle.",
+    (s, d) => {
+      val wh = graft.Scratch.dir("dgwh", d)
+      val p = new org.apache.hadoop.fs.Path(wh)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val cat = "gq227_" +
+        Integer.toHexString(wh.hashCode & Int.MaxValue)
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+      Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select("doc_id", "lang", "n_chars")
+        .createOrReplaceTempView("q227_docs")
+      s.sql(s"CREATE NAMESPACE $cat.corpus")
+      s.sql(s"CREATE TABLE $cat.corpus.docs " +
+        "(doc_id BIGINT, lang STRING, n_chars BIGINT) " +
+        "CLUSTER BY (doc_id) TBLPROPERTIES (" +
+        s"'${graft.sources.BloomSkipping.ColumnsProp}' = 'doc_id')")
+      s.sql(s"INSERT INTO $cat.corpus.docs " +
+        "SELECT doc_id, lang, n_chars FROM q227_docs")
+      def det() = s.sql(
+        s"CALL $cat.system.detail(`table` => 'corpus.docs')")
+        .collect().head
+      val d0 = det()
+      val freshOk = d0.getAs[Int]("num_digested_files") > 0 &&
+        d0.getAs[Int]("num_stale_digests") == 0 &&
+        d0.isNullAt(d0.fieldIndex("max_digest_staleness"))
+      s.sql(s"DELETE FROM $cat.corpus.docs " +
+        "WHERE doc_id >= 100 AND doc_id < 300")
+      val d1 = det()
+      // pigeonhole: 200 of the 400 digested rows are tombstoned, so
+      // SOME digested file is ≥ 0.5 stale — layout-independent
+      val staleSeen = d1.getAs[Int]("num_dv_files") > 0 &&
+        d1.getAs[Int]("num_stale_digests") > 0 &&
+        !d1.isNullAt(d1.fieldIndex("max_digest_staleness")) &&
+        d1.getAs[Double]("max_digest_staleness") >= 0.5
+      s.sql(s"CALL $cat.system.compact(`table` => 'corpus.docs', " +
+        "small_file_bytes => 1, rewrite_dv_fraction => 0.002)")
+      val d2 = det()
+      val purged = d2.getAs[Int]("num_dv_files") == 0 &&
+        d2.getAs[Int]("num_stale_digests") == 0 &&
+        d2.isNullAt(d2.fieldIndex("max_digest_staleness")) &&
+        !d2.isNullAt(d2.fieldIndex("live_rows"))
+      s.table(s"$cat.corpus.docs")
+        .withColumn("fresh_ok", lit(freshOk))
+        .withColumn("stale_seen", lit(staleSeen))
+        .withColumn("purged", lit(purged))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars, true AS fresh_ok,
+           |  true AS stale_seen, true AS purged
+           |FROM documents
+           |WHERE doc_id < 100 OR (doc_id >= 300 AND doc_id < 400)
+           |ORDER BY doc_id""".stripMargin))
+
+  /** q229: STREAM FROM AN INSTANT — `readStream.option(
+    * "startingTimestamp", t)` (Delta's option): the stream replays
+    * only the commits made at or after `t`, resolved ONCE at scan
+    * build to the smallest qualifying version (one manifest-mtime
+    * sweep), then the ordinary version-offset machinery drains them.
+    * The operational shape this unlocks at 100 TB: "reprocess
+    * everything since yesterday's bad deploy" without knowing version
+    * numbers — the instant comes from an incident timeline, not the
+    * table's internals. The cut instant here derives from the middle
+    * commit's own manifest mtime, so the boundary is exact whatever
+    * the host's clock or speed; the stream must emit slices B and C,
+    * never A.
+    */
+  val q229StartingTimestamp = NamedQuery(
+    "q229_starting_timestamp",
+    "readStream.option(startingTimestamp): replay only commits at or " +
+      "after an instant (resolved against manifest commit times); " +
+      "mid-commit cut emits exactly the later slices vs raw-parquet " +
+      "oracle.",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val M = graft.sources.ManagedTable
+      val root = graft.Scratch.dir("stts", d)
+      val p = new org.apache.hadoop.fs.Path(root)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(p, true)
+      val src = s"$root/src"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select("doc_id", "lang", "n_chars")
+      M.appendCommit(docs.filter(col("doc_id") < 150), src)  // A: v1
+      M.appendCommit(docs.filter(col("doc_id") >= 150 &&
+        col("doc_id") < 300), src)                           // B: v2
+      M.appendCommit(docs.filter(col("doc_id") >= 300), src) // C: v3
+      // the cut: exactly v2's commit instant — "at or after" admits
+      // B and C; A's manifest landed strictly earlier (each commit is
+      // a full Spark write, far above mtime resolution)
+      val cutMs = fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(src, "_manifest/v2.json"))
+        .getModificationTime
+      val buf =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+      val q = s.readStream.format("graft")
+        .option("startingTimestamp", cutMs.toString)
+        .load(src)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.synchronized { buf ++= b.collect().map(r =>
+              (r.getLong(0), r.getString(1), r.getLong(2))) }; ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import s.implicits._
+      buf.synchronized { buf.toSeq }
+        .toDF("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, n_chars FROM documents
+           |WHERE doc_id >= 150 AND doc_id < 400
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -2559,5 +2698,6 @@ object LayoutQueries {
       q215StreamToTable, q216SqlMaintenance, q217ColumnMapping,
       q218Constraints, q219TypeWidening, q220ClusteredCreate,
       q221AutoEvolution, q222ColumnDefaults, q223BloomSkipping,
-      q224SqlChangesDetail, q225RetroDigest, q226TimeseriesLayout)
+      q224SqlChangesDetail, q225RetroDigest, q226TimeseriesLayout,
+      q227DigestStaleness, q229StartingTimestamp)
 }

@@ -122,16 +122,7 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       "graft: versionAsOf and timestampAsOf are mutually exclusive")
     v.orElse(ts.map { s =>
       val spark = SparkSession.active
-      val tsMs = s.trim.toLongOption.getOrElse {
-        val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
-        val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
-          .stringToTimestamp(UTF8String.fromString(s.trim), zone)
-          .getOrElse(throw new IllegalArgumentException(
-            s"graft: cannot parse timestampAsOf '$s' as a timestamp " +
-              "(epoch millis or an ANSI timestamp string)"))
-        Math.floorDiv(micros, 1000L)
-      }
+      val tsMs = GraftTable.parseTsMillis(s, "timestampAsOf")
       val conf = spark.sparkContext.hadoopConfiguration
       val md = new HPath(dir, "_manifest")
       val eligible = ManagedTable.versions(spark, dir).filter { n =>
@@ -328,7 +319,7 @@ private[sources] class GraftTable(meta: GraftTableMeta,
     new GraftScanBuilder(meta,
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
       options.getBoolean("ignoreChanges", false),
-      Option(options.get("startingVersion")))
+      GraftTable.resolveStartingVersion(meta.dir, options))
   }
 
   /** SQL `DELETE FROM` ([[org.apache.spark.sql.connector.catalog
@@ -405,6 +396,58 @@ private[sources] object GraftTable {
 
   /** Name of the file-identity metadata column (Iceberg's `_file`). */
   val FileMetaCol = "_file"
+
+  /** Epoch millis of `s`: a raw epoch-millis long, or an ANSI
+    * timestamp string interpreted in the SESSION time zone — the
+    * shared parse behind `timestampAsOf` and `startingTimestamp`.
+    */
+  private[sources] def parseTsMillis(s: String, option: String): Long =
+    s.trim.toLongOption.getOrElse {
+      val spark = SparkSession.active
+      val zone = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .getZoneId(spark.sessionState.conf.sessionLocalTimeZone)
+      val micros = org.apache.spark.sql.catalyst.util.DateTimeUtils
+        .stringToTimestamp(UTF8String.fromString(s.trim), zone)
+        .getOrElse(throw new IllegalArgumentException(
+          s"graft: cannot parse $option '$s' as a timestamp " +
+            "(epoch millis or an ANSI timestamp string)"))
+      Math.floorDiv(micros, 1000L)
+    }
+
+  /** The streaming start: `startingVersion` verbatim, or
+    * `startingTimestamp` (Delta's option — "commits made at or after
+    * this instant") resolved HERE, at scan-build time, to the
+    * SMALLEST retained version whose manifest landed at or after the
+    * instant — one mtime sweep of the manifest log, then the
+    * version-offset machinery runs unchanged. An instant past the
+    * last commit fails fast (the stream would silently tail nothing
+    * that the caller asked for); `startingVersion => 'latest'` is the
+    * explicit way to tail only future commits.
+    */
+  private[sources] def resolveStartingVersion(dir: String,
+      options: CaseInsensitiveStringMap): Option[String] = {
+    val sv = Option(options.get("startingVersion"))
+    val st = Option(options.get("startingTimestamp"))
+    require(sv.isEmpty || st.isEmpty,
+      "graft: startingVersion and startingTimestamp are mutually " +
+        "exclusive")
+    sv.orElse(st.map { s =>
+      val tsMs = parseTsMillis(s, "startingTimestamp")
+      val spark = SparkSession.active
+      val conf = spark.sessionState.newHadoopConf()
+      val md = new HPath(dir, "_manifest")
+      val fs = md.getFileSystem(conf)
+      val eligible = ManagedTable.versions(spark, dir).filter { n =>
+        fs.getFileStatus(new HPath(md, s"v$n.json"))
+          .getModificationTime >= tsMs
+      }
+      require(eligible.nonEmpty,
+        s"graft streaming: no version of $dir committed at or after " +
+          s"startingTimestamp '$s' — to tail only FUTURE commits use " +
+          ".option(\"startingVersion\", \"latest\")")
+      eligible.min.toString
+    })
+  }
 
   /** Schema as a comparable (name, type) set — nullability normalized
     * away (parquet reads always surface nullable), field order
@@ -1006,9 +1049,8 @@ private[graft] class GraftScan(meta: GraftTableMeta,
       topN.map(t => s" pushedTopN=${t.column}:" +
         s"${if (t.desc) "desc" else "asc"}:${t.n}").getOrElse("")
   override def planInputPartitions(): Array[InputPartition] = {
-    if (sys.env.contains("GRAFT_DEBUG_RUNTIME_FILTER"))
-      println(s"[graft-debug] id=${System.identityHashCode(this)} " +
-        s"planInputPartitions kept=${kept.size}")
+    GraftScan.trace(s"[graft-debug] id=${System.identityHashCode(this)} " +
+      s"planInputPartitions kept=${kept.size}")
     kept.map(rel => GraftInputPartition(s"${meta.dir}/$rel",
       dv.getOrElse(rel, Array.empty)): InputPartition).toArray
   }
@@ -1074,9 +1116,8 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     // per-file pruning decisions — NOTE the rendered plan string is a
     // pre-filter copy (Spark re-plans the node), so this trace is the
     // honest observation of what the EXECUTED scan pruned
-    if (sys.env.contains("GRAFT_DEBUG_RUNTIME_FILTER"))
-      predicates.foreach(p => println(
-        s"[graft-debug] runtime predicate: ${p.name()} -> $p"))
+    predicates.foreach(p => GraftScan.trace(
+      s"[graft-debug] runtime predicate: ${p.name()} -> $p"))
     val sets = predicates.toSeq.flatMap(GraftScan.toValueSet)
     if (sets.isEmpty) return
     // prune BEFORE limit truncation (a pushed limit and a runtime
@@ -1113,9 +1154,8 @@ private[graft] class GraftScan(meta: GraftTableMeta,
             case (sidecar, scheme) =>
               BloomSkipping.mightContain(meta.dir, sidecar, scheme, v)
           })
-          if (sys.env.contains("GRAFT_DEBUG_RUNTIME_FILTER"))
-            println(s"[graft-debug] file=$rel col=$column " +
-              s"bloomEntry=$bloomEntry keep=$keep")
+          GraftScan.trace(s"[graft-debug] file=$rel col=$column " +
+            s"bloomEntry=$bloomEntry keep=$keep")
           keep
       }
     }
@@ -1162,6 +1202,18 @@ private[graft] final case class GraftTopN(column: String, desc: Boolean,
     nullsFirst: Boolean, n: Int)
 
 private[sources] object GraftScan {
+  private val log = org.slf4j.LoggerFactory.getLogger(classOf[GraftScan])
+
+  /** Runtime-filter trace: opt-in via `GRAFT_DEBUG_RUNTIME_FILTER=1`
+    * (emitted at INFO so the env flip alone surfaces it under Spark's
+    * default logging config), otherwise available at DEBUG through the
+    * logger — never stdout: the per-file pruning trace is tens of
+    * thousands of lines on a large table.
+    */
+  private[sources] def trace(msg: => String): Unit =
+    if (sys.env.contains("GRAFT_DEBUG_RUNTIME_FILTER")) log.info(msg)
+    else if (log.isDebugEnabled) log.debug(msg)
+
   /** Columns eligible as runtime-filter attributes: the manifest
     * keeps stats for these types and their string render orders
     * exactly like the live value.
@@ -1532,7 +1584,15 @@ private[sources] class GraftColumnarPartitionReader(absPath: String,
 
   // rebase modes pinned CORRECTED/UTC for BOTH datetime and INT96 so
   // the columnar decode of timestamps agrees exactly with the row
-  // reader's fromJulianDay / raw-micros arithmetic at every epoch
+  // reader's fromJulianDay / raw-micros arithmetic at every epoch.
+  // CONNECTOR BOUNDARY CONTRACT: graft's own writers (Spark's parquet
+  // writer under this session) never emit LEGACY (hybrid Julian/
+  // Gregorian) rebased files, so the footer's rebase metadata is not
+  // consulted. A FOREIGN parquet file written in LEGACY mode would
+  // decode pre-1582 timestamps shifted — if such files ever enter a
+  // managed segment directory out-of-band, read them through
+  // spark.read.parquet (which honors the footer keys), not this
+  // connector.
   private val reader = new VectorizedParquetRecordReader(
     null, "CORRECTED", "UTC", "CORRECTED", "UTC", false, Capacity)
   private val inner: ColumnarBatch =

@@ -272,6 +272,68 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(seen2.sorted == Seq((3L, Some(30L))))
   }
 
+  test("mid-stream RENAME COLUMN is transparent to an in-flight " +
+      "stream (physical ids); a clustering-column DROP stays refused " +
+      "mid-run; restart re-plans the new name") {
+    val dir = tmp("streamrename")
+    ManagedTable.appendCommit(Seq((1L, "a")).toDF("k", "s"), dir) // v1
+    ManagedTable.setTableProperties(spark, dir,
+      Map(ManagedTable.ClusterByProp -> "k"))                     // v2
+    val ckpt = ckptDir("graft-rename-stream")
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val schemas = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q = spark.readStream.format("graft").load(dir)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        schemas += b.schema.fieldNames.toSeq
+        seen ++= b.collect().map(r => (r.getLong(0), r.getString(1))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try {
+      q.processAllAvailable()
+      // RENAME while the stream is active: metadata-only — the field
+      // keeps the PHYSICAL name baked into every committed segment,
+      // so the in-flight plan (old logical names) stays valid
+      ManagedTable.renameColumn(spark, dir, "s", "txt")           // v3
+      // a post-rename append writes under the NEW logical name (same
+      // physical column) — the live stream must surface its rows
+      // under the OLD planned name, values intact
+      ManagedTable.appendCommit(
+        Seq((2L, "b")).toDF("k", "txt"), dir)                     // v4
+      q.processAllAvailable()
+      // DML guards hold mid-run exactly as at rest: the clustering
+      // column cannot be dropped out from under the declared layout
+      val ex = intercept[IllegalArgumentException](
+        ManagedTable.dropColumn(spark, dir, "k"))
+      assert(ex.getMessage.contains("clustering"))
+      // the refused drop must not have perturbed the stream
+      ManagedTable.appendCommit(
+        Seq((3L, "c")).toDF("k", "txt"), dir)                     // v5
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(schemas.forall(_ == Seq("k", "s")),
+      s"in-flight batches keep the planned (pre-rename) names, " +
+        s"got $schemas")
+    assert(seen.sorted == Seq((1L, "a"), (2L, "b"), (3L, "c")),
+      "no lost or garbled rows across the mid-stream rename")
+    // restart from the SAME checkpoint: the stream re-plans with the
+    // renamed schema and new commits replay under the new name
+    ManagedTable.appendCommit(Seq((4L, "d")).toDF("k", "txt"), dir) // v6
+    val seen2 = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val schemas2 = scala.collection.mutable.ArrayBuffer.empty[Seq[String]]
+    val q2 = spark.readStream.format("graft").load(dir)
+      .writeStream.foreachBatch { (b: DataFrame, _: Long) =>
+        schemas2 += b.schema.fieldNames.toSeq
+        seen2 ++= b.collect().map(r => (r.getLong(0), r.getString(1))); ()
+      }
+      .option("checkpointLocation", ckpt)
+      .start()
+    try q2.processAllAvailable() finally q2.stop()
+    assert(schemas2.forall(_ == Seq("k", "txt")),
+      s"a restarted stream plans the renamed schema, got $schemas2")
+    assert(seen2.sorted == Seq((4L, "d")))
+  }
+
   test("write: a first write creates the table; both readers round-trip it") {
     val dir = tmp("wcreate")
     val df = mixed(211, "w")
@@ -501,6 +563,57 @@ class GraftDataSourceSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("vacuumHistory") ||
       e.getCause.getMessage.contains("vacuumHistory"))
+  }
+
+  test("streaming startingTimestamp: replays commits made at or " +
+      "after the instant; exclusive with startingVersion; an instant " +
+      "past the head fails fast") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("startts")
+    (0 until 3).foreach { i =>
+      ManagedTable.appendCommit(
+        spark.range(i * 10, (i + 1) * 10).select(col("id").as("k"))
+          .coalesce(1), dir)
+    }
+    def drain(opts: Map[String, String]): Seq[Long] = {
+      val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val r = opts.foldLeft(spark.readStream.format("graft")) {
+        case (b, (k, v)) => b.option(k, v)
+      }
+      val q = r.load(dir).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          seen.synchronized {
+            seen ++= b.select("k").collect().map(_.getLong(0)) }; ()
+        }
+        .option("checkpointLocation",
+          Files.createTempDirectory("stts").toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      seen.sorted.toSeq
+    }
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mtime(v: Int): Long = fs.getFileStatus(
+      new org.apache.hadoop.fs.Path(dir, s"_manifest/v$v.json"))
+      .getModificationTime
+    // exactly v2's instant: "at or after" admits v2 and v3, never v1
+    assert(drain(Map("startingTimestamp" -> mtime(2).toString)) ==
+      (10L until 30L))
+    // before everything: the whole log replays (v1 = snapshot base)
+    assert(drain(Map("startingTimestamp" -> "1000")) == (0L until 30L))
+    // past the head: fail fast, naming the tail-only remedy
+    val e = intercept[Exception] {
+      drain(Map("startingTimestamp" -> (mtime(3) + 60000).toString))
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(e).contains("latest"))
+    // mutually exclusive with startingVersion
+    val e2 = intercept[Exception] {
+      drain(Map("startingTimestamp" -> mtime(2).toString,
+        "startingVersion" -> "2"))
+    }
+    assert(msgs(e2).contains("mutually exclusive"))
   }
 
   test("DV-free scans decode COLUMNAR (vectorized) and match the " +
