@@ -2631,6 +2631,57 @@ object TextQueries {
            |GROUP BY (doc_id // 20)
            |ORDER BY cluster_id""".stripMargin))
 
+  /** q230: BENCHMARK DECONTAMINATION — the training-data hygiene step
+    * every serious pretraining pipeline runs: drop (or here, REPORT)
+    * train documents that share any word 5-gram with the held-out
+    * eval set, so benchmark answers cannot leak into the corpus
+    * (the n-gram-overlap rule GPT-3/PaLM/Llama report using; 5-grams
+    * are this corpus's scale-appropriate analogue of their 8–13-gram
+    * windows). Scale shape: the eval side is benchmarks — thousands
+    * of docs against a 100 TB corpus — so its distinct gram set
+    * BROADCASTS; the train side streams through one projection +
+    * explode with NO shuffle before the hash join, and the only
+    * shuffle is the per-doc aggregation of matches, keyed by doc_id.
+    * Gram extraction is the codegen'd [[graft.functions
+    * .NativeExpressions.WordNgrams]] expression on both sides.
+    */
+  val q230Decontamination = NamedQuery(
+    "q230_decontamination",
+    "Benchmark decontamination: train docs sharing any word 5-gram " +
+      "with the (broadcast) eval slice, with shared-gram and " +
+      "eval-doc match counts — n-gram overlap vs DuckDB oracle.",
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "lang", "text")
+      def grams(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("g", explode(wordNgrams(
+          split(lower(col("text")), " "), 5)))
+        .select(col("doc_id"), col("lang"), col("g")).distinct()
+      val ev = grams(docs.filter(col("doc_id") % 7 === 0))
+        .select(col("doc_id").as("eval_id"), col("g"))
+      val tr = grams(docs.filter(col("doc_id") % 7 =!= 0))
+      tr.join(broadcast(ev), "g")
+        .groupBy("doc_id", "lang")
+        .agg(countDistinct(col("g")).as("n_shared_grams"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (SELECT doc_id, lang,
+           |    string_split(lower(text),' ') AS ts FROM documents),
+           |g5 AS (SELECT DISTINCT doc_id, lang, g FROM toks,
+           |  unnest(list_transform(range(1, len(ts)-3),
+           |    i -> ts[i]||' '||ts[i+1]||' '||ts[i+2]||' '||
+           |      ts[i+3]||' '||ts[i+4])) AS t(g)
+           |  WHERE len(ts) >= 5),
+           |ev AS (SELECT doc_id AS eval_id, g FROM g5
+           |  WHERE doc_id % 7 = 0),
+           |tr AS (SELECT doc_id, lang, g FROM g5 WHERE doc_id % 7 <> 0)
+           |SELECT tr.doc_id, tr.lang,
+           |  COUNT(DISTINCT tr.g) AS n_shared_grams,
+           |  COUNT(DISTINCT ev.eval_id) AS n_eval_docs
+           |FROM tr JOIN ev USING (g)
+           |GROUP BY tr.doc_id, tr.lang
+           |ORDER BY tr.doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] = Seq(
     q12ExactDupGroups, q13JaccardPairs, q14MinhashLsh, q15SimhashHamming,
     q16TextQuality, q17LangId, q18Fingerprint, q41CleanCorpus,
@@ -2645,5 +2696,5 @@ object TextQueries {
     q154LshBandSweep, q155SourceOverlap, q156DedupReweight,
     q158QualityCalibration, q159DocChunks, q161ChunkRetrieval,
     q162NoveltyCurve, q177PrfExpansion, q192CdfLexicalIndex,
-    q228ReliableCkptClusters)
+    q228ReliableCkptClusters, q230Decontamination)
 }
