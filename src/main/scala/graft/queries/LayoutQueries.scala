@@ -2685,6 +2685,82 @@ object LayoutQueries {
            |WHERE doc_id >= 150 AND doc_id < 400
            |ORDER BY doc_id""".stripMargin))
 
+  /** q231: STREAMING CHANGE FEED — `readStream.format("graft")
+    * .option("readChangeFeed", true)` (Delta's option): the table as
+    * a stream of row-level changes. Appended versions emit their rows
+    * as `insert`; DV deletes emit the tombstoned rows' preimages as
+    * `delete` (read from the data file at exactly those positions —
+    * O(changed rows)); a replaceWhere emits its deletes AND its
+    * replacement inserts under ONE commit version; copy-on-write
+    * file swaps fail fast toward the keyed batch diff. This is the
+    * LIVE half of the CDF tier the index-maintenance family
+    * (q184–q199) consumes in batch — at 100 TB an incremental
+    * consumer (index builder, aggregate maintainer, replication)
+    * follows the changes-scale stream instead of rescanning the
+    * table. All change attribution is manifest set arithmetic plus
+    * the deleted-rows-sized DV parquet; no table scan anywhere.
+    */
+  val q231StreamingChangeFeed = NamedQuery(
+    "q231_streaming_change_feed",
+    "readStream readChangeFeed: appends as inserts, DV deletes as " +
+      "preimage rows, replaceWhere as delete+insert in one version, " +
+      "with commit-version attribution; vs raw-parquet oracle.",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val M = graft.sources.ManagedTable
+      val root = graft.Scratch.dir("cdfq", d)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val src = s"$root/src"
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 400)
+        .select("doc_id", "lang", "n_chars")
+      M.appendCommit(docs.filter(col("doc_id") < 200), src)       // v1
+      M.appendCommit(docs.filter(col("doc_id") >= 200), src)      // v2
+      M.deleteWhere(s, src,
+        col("doc_id") >= 100 && col("doc_id") < 150)              // v3
+      M.replaceWhere(s, src,
+        col("doc_id") >= 300 && col("doc_id") < 320,
+        docs.filter(col("doc_id") >= 300 && col("doc_id") < 320)
+          .withColumn("n_chars", col("n_chars") + 1000L))         // v4
+      val buf = scala.collection.mutable
+        .ArrayBuffer.empty[(String, Int, Long, String, Long)]
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true").load(src)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, _: Long) =>
+            buf.synchronized { buf ++= b.collect().map(r => (
+              r.getAs[String]("_change_type"),
+              r.getAs[Int]("_commit_version"),
+              r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
+              r.getAs[Long]("n_chars"))) }; ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      import s.implicits._
+      buf.synchronized { buf.toSeq }
+        .toDF("change_type", "commit_version", "doc_id", "lang",
+          "n_chars")
+        .orderBy("commit_version", "change_type", "doc_id")
+    },
+    Some("""SELECT * FROM (
+           |  SELECT 'insert' AS change_type, 1 AS commit_version,
+           |    doc_id, lang, n_chars
+           |  FROM documents WHERE doc_id < 200
+           |  UNION ALL
+           |  SELECT 'insert', 2, doc_id, lang, n_chars
+           |  FROM documents WHERE doc_id >= 200 AND doc_id < 400
+           |  UNION ALL
+           |  SELECT 'delete', 3, doc_id, lang, n_chars
+           |  FROM documents WHERE doc_id >= 100 AND doc_id < 150
+           |  UNION ALL
+           |  SELECT 'delete', 4, doc_id, lang, n_chars
+           |  FROM documents WHERE doc_id >= 300 AND doc_id < 320
+           |  UNION ALL
+           |  SELECT 'insert', 4, doc_id, lang, n_chars + 1000
+           |  FROM documents WHERE doc_id >= 300 AND doc_id < 320
+           |) ORDER BY commit_version, change_type, doc_id""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q67PartitionedLayout, q90ZorderCurve, q100ManagedTable,
       q115MergeUpsert, q116DataSkipping, q120CompactionLifecycle,
@@ -2699,5 +2775,6 @@ object LayoutQueries {
       q218Constraints, q219TypeWidening, q220ClusteredCreate,
       q221AutoEvolution, q222ColumnDefaults, q223BloomSkipping,
       q224SqlChangesDetail, q225RetroDigest, q226TimeseriesLayout,
-      q227DigestStaleness, q229StartingTimestamp)
+      q227DigestStaleness, q229StartingTimestamp,
+      q231StreamingChangeFeed)
 }

@@ -138,7 +138,11 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType = {
     val dir = pathOf(options.asCaseSensitiveMap())
-    GraftTableMeta.resolve(dir, pinnedVersion(options, dir)).userSchema
+    val base = GraftTableMeta.resolve(dir, pinnedVersion(options, dir))
+      .userSchema
+    if (options.getBoolean(GraftTable.CdfOption, false))
+      GraftTable.cdfSchema(base)
+    else base
   }
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
@@ -168,15 +172,19 @@ class GraftDataSource extends TableProvider with DataSourceRegister {
       // passes, and the relation still exposes the MANIFEST's column
       // order (select by name; positional assumptions about a
       // reordered caller schema do not apply).
+      val cdf = m.getBoolean(GraftTable.CdfOption, false)
+      val expected =
+        if (cdf) GraftTable.cdfSchema(meta.userSchema) else meta.schema
       val mismatch = schema != null && schema.nonEmpty &&
-        GraftTable.normSchema(schema) != GraftTable.normSchema(meta.schema)
+        GraftTable.normSchema(schema) != GraftTable.normSchema(expected)
       new GraftTable(meta, pinned = versionAsOf.isDefined,
         callerSchemaMismatch =
           if (mismatch) Some(schema.simpleString) else None,
         acceptAnySchema = m.getBoolean("mergeSchema", false) ||
           SparkSession.active.conf
             .getOption("spark.graft.mergeSchema")
-            .exists(_.equalsIgnoreCase("true")))
+            .exists(_.equalsIgnoreCase("true")),
+        cdf = cdf)
     }
   }
 }
@@ -255,14 +263,15 @@ private[graft] object GraftTableMeta {
 
 private[sources] class GraftTable(meta: GraftTableMeta,
     pinned: Boolean = false, callerSchemaMismatch: Option[String] = None,
-    acceptAnySchema: Boolean = false)
+    acceptAnySchema: Boolean = false, cdf: Boolean = false)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite
     with org.apache.spark.sql.connector.catalog.SupportsDelete
     with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
     with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
   override def name(): String = s"graft.`${meta.dir}`"
-  override def schema(): StructType = meta.userSchema
+  override def schema(): StructType =
+    if (cdf) GraftTable.cdfSchema(meta.userSchema) else meta.userSchema
   override def properties(): JMap[String, String] =
     meta.properties.asJava
   // surface the declared clustering as a ClusterByTransform so SHOW
@@ -305,6 +314,9 @@ private[sources] class GraftTable(meta: GraftTableMeta,
       s"graft: write refused — this handle is pinned at " +
         s"v${meta.version} by versionAsOf; writes always target the " +
         "table head, so re-resolve the table without time travel")
+    require(!cdf,
+      "graft: write refused — this handle is the table's CHANGE FEED " +
+        "(readChangeFeed); writes target the table itself")
     new GraftWriteBuilder(meta.dir, info)
   }
   override def newScanBuilder(options: CaseInsensitiveStringMap)
@@ -316,6 +328,22 @@ private[sources] class GraftTable(meta: GraftTableMeta,
           s"(${meta.schema.simpleString}) — the manifest is the " +
           "schema authority; drop .schema(...) or make it match")
     }
+    if (cdf)
+      return new ScanBuilder {
+        override def build(): Scan = new GraftCdfScan(meta,
+          Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
+          GraftTable.resolveStartingVersion(meta.dir, options))
+      }
+    // the CDF schema must be part of the resolved TABLE for the plan
+    // to carry the extra columns — which only the path route can do
+    // (the option reaches inferSchema/getTable there); a catalog
+    // handle can't grow columns at scan time, so fail with the route
+    if (options.getBoolean(GraftTable.CdfOption, false))
+      throw new IllegalArgumentException(
+        "graft: readChangeFeed resolves through the PATH API — " +
+          "spark.readStream.format(\"graft\")" +
+          s".option(\"${GraftTable.CdfOption}\", true)" +
+          s".load(\"${meta.dir}\") — not through a catalog table name")
     new GraftScanBuilder(meta,
       Option(options.get("maxVersionsPerTrigger")).map(_.toInt),
       options.getBoolean("ignoreChanges", false),
@@ -396,6 +424,24 @@ private[sources] object GraftTable {
 
   /** Name of the file-identity metadata column (Iceberg's `_file`). */
   val FileMetaCol = "_file"
+
+  /** `readChangeFeed` — Delta's option of the same name: resolve the
+    * table as its streaming CHANGE FEED instead of its appends.
+    */
+  private[sources] val CdfOption = "readChangeFeed"
+
+  /** The change-feed metadata columns, appended after the table's own
+    * (Delta's CDF shape): what changed, in which commit, when (the
+    * manifest commit wall-clock — informational, same source as
+    * `system.history`).
+    */
+  private[sources] val CdfCols: Array[StructField] = Array(
+    StructField("_change_type", StringType, nullable = false),
+    StructField("_commit_version", IntegerType, nullable = false),
+    StructField("_commit_timestamp", TimestampType, nullable = false))
+
+  private[sources] def cdfSchema(base: StructType): StructType =
+    StructType(base.fields ++ CdfCols)
 
   /** Epoch millis of `s`: a raw epoch-millis long, or an ANSI
     * timestamp string interpreted in the SESSION time zone — the
@@ -1300,7 +1346,17 @@ private[sources] object GraftScan {
 }
 
 private[sources] final case class GraftInputPartition(absPath: String,
-    dvPositions: Array[Long])
+    dvPositions: Array[Long],
+    // CHANGE-FEED fields (readChangeFeed streams only; inert — "" /
+    // -1 / null — on every plain scan partition): the constant
+    // `_change_type` / `_commit_version` / `_commit_timestamp` this
+    // partition's rows carry, and for delete partitions the sorted
+    // file positions to EMIT (the newly tombstoned rows' preimages —
+    // the complement of the skip semantics `dvPositions` has)
+    changeType: String = "",
+    commitVersion: Int = -1,
+    commitMs: Long = -1L,
+    emitPositions: Array[Long] = null)
     extends InputPartition
 
 /** `spark.readStream.format("graft")` — a managed table AS A STREAM of
@@ -1495,6 +1551,205 @@ private[sources] class GraftMicroBatchStream(dir: String,
     new GraftReaderFactory(requiredJson,
       columnar = DataType.fromJson(requiredJson)
         .asInstanceOf[StructType].nonEmpty)
+}
+
+/** STREAMING CHANGE FEED ([[GraftTable.CdfOption]] — Delta's
+  * `readChangeFeed`): the table as a stream of ROW-LEVEL CHANGES
+  * instead of appended rows. Offsets, admission control, AvailableNow
+  * pinning, startingVersion/startingTimestamp and the vacuum-horizon
+  * guards are all inherited from the append stream — only what a
+  * version EMITS differs. Per version, derived purely from manifest
+  * metadata plus the deleted-rows-sized DV parquet:
+  *
+  *   - files ADDED → their rows as `insert` (minus any tombstones the
+  *     same commit carries for them, so a replaceWhere emits exactly
+  *     its replacement rows);
+  *   - DV growth on CARRIED files → the newly tombstoned rows' last
+  *     visible values as `delete` (read from the data file at exactly
+  *     those positions — O(changed rows), never a table scan);
+  *   - a version that REMOVES data files (copy-on-write UPDATE/MERGE,
+  *     compaction, restore) fails fast: without keys a file swap is
+  *     not attributable as row-level changes — the keyed batch diff
+  *     ([[ManagedTable.changes]] / `CALL system.changes`) is the
+  *     CDC surface for those.
+  *
+  * Each row carries `_change_type` / `_commit_version` /
+  * `_commit_timestamp` (manifest commit wall-clock, as in
+  * `system.history`). This is the live half of the CDF tier the
+  * index-maintenance family (q184–q199) consumes in batch: an
+  * incremental consumer keeps indexes/aggregates fresh from a
+  * changes-scale stream instead of rescanning the table.
+  */
+private[sources] class GraftCdfScan(meta: GraftTableMeta,
+    maxVersionsPerTrigger: Option[Int], startingVersion: Option[String])
+    extends Scan {
+  override def readSchema(): StructType =
+    GraftTable.cdfSchema(meta.userSchema)
+  override def description(): String =
+    s"GraftCdfScan ${meta.dir} (change feed)"
+  override def toBatch: Batch =
+    throw new UnsupportedOperationException(
+      "graft: readChangeFeed is a streaming read " +
+        "(spark.readStream...); for a batch change diff use " +
+        "ManagedTable.changes or CALL system.changes")
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new GraftCdfMicroBatchStream(meta.dir,
+      ColumnMapping.physicalFor(meta.userSchema, meta.schema).json,
+      maxVersionsPerTrigger, startingVersion)
+}
+
+private[sources] class GraftCdfMicroBatchStream(dir: String,
+    baseJson: String, maxVersionsPerTrigger: Option[Int],
+    startingVersion: Option[String])
+    extends GraftMicroBatchStream(dir, baseJson, maxVersionsPerTrigger,
+      ignoreChanges = false, startingVersion) {
+
+  private def cdfSpark = SparkSession.active
+
+  private def vacuumedCdf(missing: Int): Nothing =
+    throw new IllegalStateException(
+      s"graft streaming: version $missing of $dir has been removed " +
+        "by history retention (vacuumHistory) — this change-feed " +
+        "checkpoint predates the horizon; restart with a fresh " +
+        "checkpoint")
+
+  private def commitMs(v: Int): Long = {
+    val md = new HPath(dir, "_manifest")
+    md.getFileSystem(cdfSpark.sessionState.newHadoopConf())
+      .getFileStatus(new HPath(md, s"v$v.json")).getModificationTime
+  }
+
+  private def dvMap(dvFiles: Seq[String]): Map[String, Array[Long]] =
+    if (dvFiles.isEmpty) Map.empty
+    else ManagedTable.dvRows(cdfSpark, dir, dvFiles)
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+
+  override def planInputPartitions(
+      start: org.apache.spark.sql.connector.read.streaming.Offset,
+      end: org.apache.spark.sql.connector.read.streaming.Offset)
+      : Array[InputPartition] = {
+    val s0 = start.asInstanceOf[GraftStreamOffset]
+    val e = end.asInstanceOf[GraftStreamOffset].version
+    ((s0.version + 1) to e).flatMap { v =>
+      cdfVersion(v, snapshotBase = s0.initialSnapshot && v == s0.version + 1)
+    }.toArray
+  }
+
+  /** The change partitions of ONE version — manifest set arithmetic
+    * plus one DV read per side (deleted-rows-sized), like every diff
+    * in the CDF tier.
+    */
+  private def cdfVersion(v: Int, snapshotBase: Boolean)
+      : Seq[InputPartition] = {
+    val spark = cdfSpark
+    val vs = ManagedTable.versions(spark, dir)
+    if (!vs.contains(v)) vacuumedCdf(v)
+    val (_, all, _, _) = ManagedTable.readManifest(spark, dir, v)
+    val (files, dvFiles) = ManagedTable.splitDv(all)
+    val ms = commitMs(v)
+    val newDv = dvMap(dvFiles)
+    def insertPart(rel: String): InputPartition =
+      GraftInputPartition(s"$dir/$rel",
+        newDv.getOrElse(rel, Array.empty[Long]), "insert", v, ms)
+    // the snapshot base (fresh stream / oldest retained start) emits
+    // the whole version as inserts, tombstones applied — exactly what
+    // a batch read of that version sees, typed as the feed's inserts
+    if (snapshotBase || v == 1) return files.map(insertPart)
+    if (!vs.contains(v - 1)) vacuumedCdf(v - 1)
+    val (_, pAll, _, _) = ManagedTable.readManifest(spark, dir, v - 1)
+    val (pFiles, pDvFiles) = ManagedTable.splitDv(pAll)
+    val pSet = pFiles.toSet
+    val removed = pFiles.filterNot(files.toSet)
+    if (removed.nonEmpty)
+      throw new IllegalStateException(
+        s"graft streaming: version $v of $dir removes or rewrites " +
+          "data files (copy-on-write UPDATE/MERGE, compaction, " +
+          "restore) — a file swap is not attributable as row-level " +
+          "changes without keys; use ManagedTable.changes / CALL " +
+          "system.changes for keyed CDC across it, or restart the " +
+          "change feed past this version")
+    val inserts = files.filterNot(pSet).map(insertPart)
+    val oldDv = dvMap(pDvFiles)
+    val deletes = files.filter(pSet).flatMap { rel =>
+      val nd = newDv.getOrElse(rel, Array.empty[Long])
+      val od = oldDv.getOrElse(rel, Array.empty[Long])
+      // tombstones are cumulative (deleteWhere unions); a position
+      // leaving the DV without a file swap has no change-feed meaning
+      require(od.forall(p =>
+        java.util.Arrays.binarySearch(nd, p) >= 0),
+        s"graft streaming: version $v of $dir REMOVES deletion-vector " +
+          s"tombstones on $rel without rewriting the file — not a " +
+          "representable row-level change")
+      val odSet = od.toSet
+      val fresh = nd.filterNot(odSet)
+      if (fresh.isEmpty) None
+      else Some(GraftInputPartition(s"$dir/$rel", Array.empty[Long],
+        "delete", v, ms, fresh): InputPartition)
+    }
+    inserts ++ deletes
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new GraftCdfReaderFactory(baseJson)
+}
+
+/** Change-feed decode: the plain row reader under two thin wrappers —
+  * delete partitions EMIT ONLY the newly tombstoned positions (the
+  * complement of the skip semantics dvPositions has), and every row
+  * is joined with the partition's constant CDF metadata columns.
+  */
+private[sources] class GraftCdfReaderFactory(baseJson: String)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[GraftInputPartition]
+    val base = DataType.fromJson(baseJson).asInstanceOf[StructType]
+    val inner: PartitionReader[InternalRow] =
+      if (p.emitPositions == null)
+        new GraftPartitionReader(p.absPath, base, p.dvPositions)
+      else new GraftEmitOnlyReader(
+        new GraftPartitionReader(p.absPath, base, Array.empty),
+        p.emitPositions)
+    new GraftCdfProjectReader(inner,
+      UTF8String.fromString(p.changeType), p.commitVersion,
+      p.commitMs * 1000L)
+  }
+}
+
+/** Emit ONLY the listed (sorted) file positions of the inner reader. */
+private[sources] class GraftEmitOnlyReader(
+    inner: PartitionReader[InternalRow], emit: Array[Long])
+    extends PartitionReader[InternalRow] {
+  private var pos = -1L
+  private var idx = 0
+  override def next(): Boolean = {
+    while (idx < emit.length && inner.next()) {
+      pos += 1
+      if (pos == emit(idx)) { idx += 1; return true }
+    }
+    false
+  }
+  override def get(): InternalRow = inner.get()
+  override def close(): Unit = inner.close()
+}
+
+/** Append the constant `_change_type`/`_commit_version`/
+  * `_commit_timestamp` cells to every row of the inner reader.
+  */
+private[sources] class GraftCdfProjectReader(
+    inner: PartitionReader[InternalRow], changeType: UTF8String,
+    version: Int, tsMicros: Long)
+    extends PartitionReader[InternalRow] {
+  private val joined =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+  private val consts = new GenericInternalRow(
+    Array[Any](changeType, version, tsMicros))
+  override def next(): Boolean = inner.next()
+  override def get(): InternalRow = joined(inner.get(), consts)
+  override def close(): Unit = inner.close()
 }
 
 /** NOT a case class: the connector Offset base compares BY JSON,

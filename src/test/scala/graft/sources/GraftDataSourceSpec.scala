@@ -616,6 +616,65 @@ class GraftDataSourceSpec extends SparkSpec {
     assert(msgs(e2).contains("mutually exclusive"))
   }
 
+  test("readChangeFeed: inserts per appended version, DV deletes as " +
+      "preimage rows, replaceWhere as delete+insert in one version; " +
+      "COW rewrites fail fast; catalog route refused") {
+    import org.apache.spark.sql.streaming.Trigger
+    val dir = tmp("cdfstream")
+    ManagedTable.appendCommit(
+      Seq((1L, "a"), (2L, "b")).toDF("k", "s").coalesce(1), dir) // v1
+    ManagedTable.appendCommit(
+      Seq((3L, "c"), (4L, "d")).toDF("k", "s").coalesce(1), dir) // v2
+    ManagedTable.deleteWhere(spark, dir, col("k") === 2L)        // v3
+    // replaceWhere: tombstones + replacement land as ONE version —
+    // the change feed must emit its deletes AND inserts under v4
+    ManagedTable.replaceWhere(spark, dir, col("k") === 3L,
+      Seq((3L, "c2")).toDF("k", "s").coalesce(1))                // v4
+    def drain(ckpt: String): Seq[(String, Int, Long, String)] = {
+      val seen =
+        scala.collection.mutable.ArrayBuffer.empty[(String, Int, Long, String)]
+      val q = spark.readStream.format("graft")
+        .option("readChangeFeed", "true").load(dir)
+        .writeStream.foreachBatch { (b: org.apache.spark.sql.DataFrame,
+            _: Long) =>
+          seen.synchronized { seen ++= b.collect().map(r => (
+            r.getAs[String]("_change_type"),
+            r.getAs[Int]("_commit_version"),
+            r.getAs[Long]("k"), r.getAs[String]("s"))) }; ()
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      seen.sortBy(t => (t._2, t._1, t._3)).toSeq
+    }
+    val ckpt = ckptDir("graft-cdf")
+    assert(drain(ckpt) == Seq(
+      ("insert", 1, 1L, "a"), ("insert", 1, 2L, "b"),
+      ("insert", 2, 3L, "c"), ("insert", 2, 4L, "d"),
+      ("delete", 3, 2L, "b"),
+      ("delete", 4, 3L, "c"), ("insert", 4, 3L, "c2")))
+    // the same checkpoint tails ONLY new changes
+    ManagedTable.deleteWhere(spark, dir, col("k") === 4L)        // v5
+    assert(drain(ckpt) == Seq(("delete", 5, 4L, "d")))
+    // a COW file swap is not attributable without keys → fail fast
+    val v6 = ManagedTable.compact(spark, dir, smallFileBytes = 1L,
+      rewriteDvFraction = Some(0.01))
+    assert(v6 == 6)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drain(ckpt)
+    }
+    def msgs(t: Throwable): String =
+      if (t == null) "" else t.getMessage + msgs(t.getCause)
+    assert(msgs(e).contains("system.changes") ||
+      msgs(e).contains("ManagedTable.changes"))
+    // batch read of a change feed: streaming-only, clear refusal
+    val eb = intercept[Exception] {
+      spark.read.format("graft").option("readChangeFeed", "true")
+        .load(dir).collect()
+    }
+    assert(msgs(eb).contains("streaming"))
+  }
+
   test("DV-free scans decode COLUMNAR (vectorized) and match the " +
       "row path bit for bit; DV versions STAY columnar via the " +
       "selection view") {
