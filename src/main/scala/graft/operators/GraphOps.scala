@@ -39,28 +39,86 @@ object GraphOps {
     * a healthy cluster, but the truncated lineage is GONE, so losing
     * an executor mid-loop fails the job instead of recomputing. At
     * cluster scale point this at a reliable filesystem (HDFS/object
-    * store); checkpoint files are cleaned by Spark only when
-    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, so give
-    * the directory a job-scoped lifetime.
+    * store).
+    *
+    * CONTRACT: configuring this TAKES OVER the SparkContext-global
+    * checkpoint directory (`sc.setCheckpointDir`) for the session —
+    * there is exactly one such dir per context, so an application
+    * that sets its own must either share this root or leave the conf
+    * unset. Each loop deletes the previous round's checkpoint files
+    * as soon as the next round's are materialized (see [[Truncator]]),
+    * so steady-state reliable-FS footprint is ~2 rounds of the loop's
+    * working set, not rounds×size; only the FINAL round's files
+    * outlive the loop (the returned DataFrame still reads them) —
+    * give the root a job-scoped lifetime for those.
     */
   val CheckpointDirConf = "spark.graft.graph.checkpointDir"
 
-  /** Eagerly truncate `df`'s lineage: reliable `checkpoint()` into
-    * [[CheckpointDirConf]] when configured, else eager localCheckpoint
-    * with serialized storage (see the storage-level rationale at the
-    * call sites).
+  /** `(configured root, the exact UUID dir setCheckpointDir minted
+    * for it)` — truncate() recognizes its own dir by EQUALITY against
+    * the remembered value, never by substring matching (an
+    * application dir that merely contains the root as a substring,
+    * e.g. `/data/ckpt-app` vs root `/data/ckpt`, must not be mistaken
+    * for ours).
     */
-  private def truncate(df: DataFrame): DataFrame = {
-    val dir = df.sparkSession.conf.get(CheckpointDirConf, "")
-    if (dir.nonEmpty) {
-      val sc = df.sparkSession.sparkContext
+  @volatile private var ownedCkptDir: Option[(String, String)] = None
+
+  private def ensureCheckpointDir(spark: org.apache.spark.sql.SparkSession,
+      root: String): Unit = GraphOps.synchronized {
+    val sc = spark.sparkContext
+    val ok = ownedCkptDir.exists { case (r, minted) =>
+      r == root && sc.getCheckpointDir.contains(minted) }
+    if (!ok) {
       // setCheckpointDir mints a fresh UUID subdirectory per call —
-      // set it once per configured root, not once per round
-      if (!sc.getCheckpointDir.exists(_.contains(dir)))
-        sc.setCheckpointDir(dir)
-      df.checkpoint(true)
-    } else df.localCheckpoint(true,
-      org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      // set once per configured root, remember exactly what it minted
+      sc.setCheckpointDir(root)
+      ownedCkptDir = Some((root, sc.getCheckpointDir.get))
+    }
+  }
+
+  /** Per-loop eager lineage truncation: reliable `checkpoint(true)`
+    * into [[CheckpointDirConf]] when configured, else eager
+    * localCheckpoint with serialized storage (see the storage-level
+    * rationale at the call sites).
+    *
+    * On the reliable path each call, once the NEW checkpoint is
+    * materialized (checkpoint(true) is eager), deletes the PREVIOUS
+    * call's checkpoint files — their lineage is no longer referenced
+    * by anything (each round's plan reads only its own checkpoint) —
+    * mirroring GraphFrames' checkpoint-interval cleanup. Without this
+    * a 40-round loop leaves ~40 dataset copies on the reliable FS
+    * (ContextCleaner only helps with cleanCheckpoints=true and after
+    * GC). The deleted path is read off the returned plan's own RDD
+    * (`LogicalRDD.rdd.getCheckpointFile`), never a directory diff, so
+    * concurrent loops sharing the root can't delete each other's
+    * files; if the plan shape is unrecognized, cleanup is skipped
+    * (safe, just unclean).
+    */
+  private final class Truncator(spark: org.apache.spark.sql.SparkSession) {
+    private val root = spark.conf.get(CheckpointDirConf, "")
+    private var prev: Option[org.apache.hadoop.fs.Path] = None
+
+    private def ckptFileOf(df: DataFrame): Option[String] =
+      df.queryExecution.analyzed match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          l.rdd.getCheckpointFile
+        case _ => None
+      }
+
+    def apply(df: DataFrame): DataFrame =
+      if (root.isEmpty) df.localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK_SER)
+      else {
+        ensureCheckpointDir(spark, root)
+        val out = df.checkpoint(true)
+        prev.foreach { p =>
+          try p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+            .delete(p, true)
+          catch { case _: java.io.IOException => () } // cleanup only
+        }
+        prev = ckptFileOf(out).map(new org.apache.hadoop.fs.Path(_))
+        out
+      }
   }
 
   /** Connected components of an undirected graph.
@@ -96,6 +154,7 @@ object GraphOps {
     // label a component or appear in the output).
     val touched = sym.select(col("src").as("id")).distinct()
       .join(vertices.select(col("id")), Seq("id"), "left_semi")
+    val truncate = new Truncator(vertices.sparkSession)
     var labels = touched.select(col("id"), col("id").as("label")).cache()
     var prevSum = labelSum(labels)
     var converged = false
@@ -176,6 +235,7 @@ object GraphOps {
         coalesce(expr("bit_xor(xxhash64(lo, hi))"), lit(0L))).head
       (r.getLong(0), r.getLong(1))
     }
+    val truncate = new Truncator(vertices.sparkSession)
     var e = truncate(
       canon(edges.select(col("src").as("a"), col("dst").as("b"))))
     var prev = sig(e)

@@ -70,6 +70,36 @@ class GraphOpsSpec extends SparkSpec {
     } finally spark.conf.unset(GraphOps.CheckpointDirConf)
   }
 
+  test("checkpoint cleanup: each round deletes the previous round's " +
+      "reliable checkpoint; an app dir containing the root as a " +
+      "substring is not mistaken for it") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-graph-ckpt2").toString
+    // adversarial pre-existing app checkpoint dir that CONTAINS the
+    // configured root as a substring — ownership is decided by exact
+    // equality with the dir graft itself minted, never by substring
+    spark.sparkContext.setCheckpointDir(root + "-app")
+    spark.conf.set(GraphOps.CheckpointDirConf, root)
+    try {
+      val vs = (0L to 9L)
+      val es = vs.sliding(2).map(p => (p(0), p(1))).toSeq
+      assert(components(vs, es).values.toSet === Set(0L))
+      def rddDirs(base: java.io.File): Seq[java.io.File] =
+        Option(base.listFiles()).toSeq.flatten.flatMap(f =>
+          if (f.getName.startsWith("rdd-")) Seq(f)
+          else if (f.isDirectory) rddDirs(f) else Nil)
+      // the chain needs ~9 checkpointed rounds; every round's files
+      // were deleted as soon as its successor materialized, so only
+      // the FINAL round's checkpoint survives the loop
+      val kept = rddDirs(new java.io.File(root))
+      assert(kept.size == 1,
+        s"expected exactly 1 surviving checkpoint dir, got: $kept")
+      // and nothing leaked into the substring-colliding app dir
+      assert(rddDirs(new java.io.File(root + "-app")).isEmpty,
+        "checkpoints written outside the configured root")
+    } finally spark.conf.unset(GraphOps.CheckpointDirConf)
+  }
+
   test("an exhausted round budget throws instead of returning split clusters") {
     val vs = (0L to 9L)
     val es = vs.sliding(2).map(p => (p(0), p(1))).toSeq
