@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import graft.{NamedQuery, Scratch, Tables}
+import graft.functions.TextFunctions.tokens
 import graft.operators.IndexMaintenance
 import graft.sources.ManagedTable
 
@@ -537,7 +538,119 @@ object IndexQueries {
        |${consRowSql("lex", "linc", "lrebp", "lrebh")})
        |ORDER BY family""".stripMargin
 
+  /** q232: LIVE-FEED LEXICAL INDEX MAINTENANCE — the consumer the
+    * streaming change feed (q231) exists FOR. q192/q197/q199 maintain
+    * indexes from the BATCH change feed (re-derived per tick between
+    * two pinned versions); here the maintainer is a standing
+    * `readStream.option("readChangeFeed")` subscription: each
+    * micro-batch (one corpus version, `maxVersionsPerTrigger 1`)
+    * retracts the delete preimages' per-term contributions and adds
+    * the inserts', then merges the touched terms into a
+    * merge-maintained index table — tag-idempotent per batch, state
+    * restricted to touched keys so each tick shuffles O(changeset
+    * tokens), never the index or the corpus. The corpus history
+    * exercises every feed-representable op: two appends, a bulk
+    * deleteWhere (DV preimages through the positional reader), and a
+    * replaceWhere (delete+insert under one version — the signed
+    * algebra nets it to an update). The ORACLE is the strongest form
+    * of "incremental equals rebuild": the final index STATE itself,
+    * hash-compared against an independent engine's full rebuild of
+    * the final corpus text.
+    */
+  val q232LiveFeedLexicalIndex = NamedQuery(
+    "q232_live_feed_lexical_index",
+    "readChangeFeed-driven incremental lexical index: per-batch " +
+      "term retractions/additions merged per version; final df/tf " +
+      "state hash-equal to an independent full rebuild.",
+    (s, d) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val M = ManagedTable
+      val root = Scratch.dir("livelex", d) + "/" +
+        java.util.UUID.randomUUID().toString.take(8)
+      val p = new org.apache.hadoop.fs.Path(root)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val (corpus, idx) = (s"$root/corpus", s"$root/idx")
+      val docs = Tables.documents(s, d).filter(col("doc_id") < 300)
+        .select("doc_id", "text")
+      M.appendCommit(docs.filter(col("doc_id") < 150), corpus)  // v1
+      M.appendCommit(docs.filter(col("doc_id") >= 150), corpus) // v2
+      M.deleteWhere(s, corpus, col("doc_id") % 6 === 0)         // v3
+      M.replaceWhere(s, corpus,                                 // v4
+        col("doc_id") >= 210 && col("doc_id") < 230,
+        docs.filter(col("doc_id") >= 210 && col("doc_id") < 230 &&
+            col("doc_id") % 6 =!= 0)
+          .withColumn("text", concat(col("text"), lit(" graftmark"))))
+      // per-term (df, total tf) contribution of a doc set
+      def stats(rows: org.apache.spark.sql.DataFrame, dfC: String,
+          tfC: String) = rows
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        .groupBy("term")
+        .agg(count(lit(1)).as(dfC), sum("tf").as(tfC))
+      val q = s.readStream.format("graft")
+        .option("readChangeFeed", "true")
+        // 2 versions per tick: still a genuinely incremental two-tick
+        // run (appends tick, then delete+replace tick) at half the
+        // merge-commit overhead of one-tick-per-version
+        .option("maxVersionsPerTrigger", 2)
+        .load(corpus)
+        .writeStream.foreachBatch {
+          (b: org.apache.spark.sql.DataFrame, batchId: Long) =>
+            val bs = b.sparkSession
+            val add = stats(
+              b.filter(col("_change_type") === "insert"), "adf", "atf")
+            val sub = stats(
+              b.filter(col("_change_type") === "delete"), "sdf", "stf")
+            val delta = add.join(sub, Seq("term"), "full_outer")
+              .select(col("term"),
+                (coalesce(col("adf"), lit(0L)) -
+                  coalesce(col("sdf"), lit(0L))).as("ddf"),
+                (coalesce(col("atf"), lit(0L)) -
+                  coalesce(col("stf"), lit(0L))).as("dtf"))
+              .filter(col("ddf") =!= 0L || col("dtf") =!= 0L)
+            // state restricted to touched terms BEFORE the apply join:
+            // the tick shuffles O(changeset), never the index
+            val cur =
+              if (M.versions(bs, idx).isEmpty) null
+              else M.readCurrent(bs, idx, col("op") === "d",
+                  Seq("seq", "op"))
+                .join(delta.select("term"), Seq("term"), "left_semi")
+                .withColumnRenamed("df", "cdf")
+                .withColumnRenamed("tf", "ctf")
+            val applied =
+              if (cur == null) delta.select(col("term"),
+                col("ddf").as("df"), col("dtf").as("tf"))
+              else delta.join(cur, Seq("term"), "left_outer")
+                .select(col("term"),
+                  (coalesce(col("cdf"), lit(0L)) + col("ddf")).as("df"),
+                  (coalesce(col("ctf"), lit(0L)) + col("dtf")).as("tf"))
+            val changes = applied
+              .withColumn("seq", lit(batchId))
+              .withColumn("op",
+                when(col("df") <= 0L, lit("d")).otherwise(lit("u")))
+            M.merge(changes, idx, keys = Seq("term"),
+              sequenceBy = Seq(col("seq")), tag = s"b$batchId")
+            ()
+        }
+        .option("checkpointLocation", s"$root/ckpt")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      M.readCurrent(s, idx, col("op") === "d", Seq("seq", "op"))
+        .orderBy("term")
+    },
+    Some("""WITH corpus AS (SELECT doc_id,
+           |    CASE WHEN doc_id >= 210 AND doc_id < 230
+           |      THEN text || ' graftmark' ELSE text END AS text
+           |  FROM documents WHERE doc_id < 300 AND doc_id % 6 <> 0),
+           |g AS (SELECT doc_id, term, COUNT(*) AS tf FROM (
+           |    SELECT doc_id,
+           |      unnest(string_split(lower(text), ' ')) AS term
+           |    FROM corpus) GROUP BY 1, 2)
+           |SELECT term, CAST(COUNT(*) AS BIGINT) AS df,
+           |  CAST(SUM(tf) AS BIGINT) AS tf
+           |FROM g GROUP BY term ORDER BY term""".stripMargin))
+
   val all: Seq[NamedQuery] =
     Seq(q197TriIndexMaintenance, q199StreamingIndexMaintenance,
-      q200ConsistentRead)
+      q200ConsistentRead, q232LiveFeedLexicalIndex)
 }

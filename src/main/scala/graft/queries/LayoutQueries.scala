@@ -2689,8 +2689,10 @@ object LayoutQueries {
     * .option("readChangeFeed", true)` (Delta's option): the table as
     * a stream of row-level changes. Appended versions emit their rows
     * as `insert`; DV deletes emit the tombstoned rows' preimages as
-    * `delete` (read from the data file at exactly those positions —
-    * O(changed rows)); a replaceWhere emits its deletes AND its
+    * `delete` (a positional read: row groups without a newly
+    * tombstoned position are skipped wholesale and reading stops
+    * after the last one, with the positions themselves resolved
+    * executor-side from the DV sidecar); a replaceWhere emits its deletes AND its
     * replacement inserts under ONE commit version; copy-on-write
     * file swaps fail fast toward the keyed batch diff. This is the
     * LIVE half of the CDF tier the index-maintenance family
@@ -2730,7 +2732,7 @@ object LayoutQueries {
           (b: org.apache.spark.sql.DataFrame, _: Long) =>
             buf.synchronized { buf ++= b.collect().map(r => (
               r.getAs[String]("_change_type"),
-              r.getAs[Int]("_commit_version"),
+              r.getAs[Long]("_commit_version").toInt,
               r.getAs[Long]("doc_id"), r.getAs[String]("lang"),
               r.getAs[Long]("n_chars"))) }; ()
         }

@@ -121,13 +121,17 @@ object BloomSkipping {
       fpp).toAggregateExpression())
 
   /** May the digested (file, column) contain `value`? TRUE on any
-    * uncertainty — foreign scheme, unreadable sidecar, IO error.
+    * uncertainty — foreign scheme, unreadable sidecar, IO error, or an
+    * exhausted per-pass probe budget (see [[withProbeBudget]]).
     */
   private[sources] def mightContain(dir: String, sidecarRel: String,
       scheme: String, value: String): Boolean = {
     if (scheme != Scheme) return true
     try {
-      val (k, mBits, words) = cached(s"$dir/$sidecarRel")
+      val (k, mBits, words) = cached(s"$dir/$sidecarRel") match {
+        case Some(e) => e
+        case None => return true // budget-skipped probe: keep the file
+      }
       // EXACTLY the build side's hash: XxHash64(seed 42) over the
       // value's UTF-8 bytes — what xxhash64(cast(c as string)) ran
       val h1 = XXH64.hashUTF8String(UTF8String.fromString(value), 42L)
@@ -262,13 +266,46 @@ object BloomSkipping {
   private def entryBytes(e: (Int, Long, Array[Long])): Long =
     8L * e._3.length + 64 // payload words + fixed overhead estimate
 
-  private def cached(abs: String): (Int, Long, Array[Long]) = {
+  /** PER-PLANNING-PASS probe budget — the guard against sidecar
+    * THRASH: when one pruning pass's candidate digests exceed what
+    * the cache can hold, every further probe is a guaranteed
+    * miss-load-evict, re-read from the store on EVERY planning pass
+    * for zero retained benefit. A pass bracketed by
+    * [[withProbeBudget]] charges each cache MISS's payload bytes
+    * against one cache-capacity's worth of budget (hits are free);
+    * once exhausted, remaining probes in the pass return None and
+    * the caller fails open (keeps the file). Correctness is
+    * unaffected — bloom pruning is advisory and the zone-map test
+    * still applies to every candidate; a pathological candidate set
+    * costs at most one cache fill of IO per pass instead of
+    * candidate-set-sized IO.
+    */
+  private val probeBudget = new ThreadLocal[Array[Long]]()
+
+  private[sources] def withProbeBudget[T](body: => T): T = {
+    val prev = probeBudget.get()
+    probeBudget.set(Array(cacheMaxBytes))
+    try body finally probeBudget.set(prev)
+  }
+
+  /** Loads skipped by an exhausted budget (cumulative; test/telemetry
+    * observability only).
+    */
+  private[sources] val budgetSkips = new java.util.concurrent.atomic.AtomicLong
+
+  private def cached(abs: String): Option[(Int, Long, Array[Long])] = {
     cache.synchronized {
       val hit = cache.get(abs)
-      if (hit != null) return hit
+      if (hit != null) return Some(hit)
+    }
+    val budget = probeBudget.get()
+    if (budget != null && budget(0) <= 0L) {
+      budgetSkips.incrementAndGet()
+      return None // pass already loaded a cache-full; stop thrashing
     }
     val loaded = readSidecar(abs) // IO outside the lock
     val bytes = entryBytes(loaded)
+    if (budget != null) budget(0) -= bytes
     val cap = cacheMaxBytes
     if (bytes <= cap / 4) cache.synchronized {
       if (!cache.containsKey(abs)) {
@@ -284,7 +321,7 @@ object BloomSkipping {
         }
       }
     }
-    loaded
+    Some(loaded)
   }
 
   /** Per-group Bloom digest aggregate: buffers the DISTINCT 64-bit

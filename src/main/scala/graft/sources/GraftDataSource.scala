@@ -53,10 +53,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *     returned to Spark as a post-scan filter, so a file kept
   *     conservatively (missing stats, unparseable endpoints) never
   *     leaks wrong rows.
-  *   - **Deletion vectors**: the plan loads the version's DV once,
-  *     keyed by relative file path, and each reader skips its file's
-  *     tombstoned row positions while decoding — same semantics as
-  *     every [[ManagedTable]] read path.
+  *   - **Deletion vectors**: the plan loads only per-file tombstone
+  *     COUNTS (O(changed files) driver memory) and ships DV file
+  *     refs into the partitions; each reading TASK resolves its own
+  *     file's positions from the sidecar with a pushed `__file`
+  *     predicate ([[GraftDvReader]]) and skips them while decoding —
+  *     same semantics as every [[ManagedTable]] read path, with a
+  *     bulk delete's positions never landing on the driver.
   *   - **Time travel**: `.option("versionAsOf", n)` or
   *     `.option("timestampAsOf", epochMillis | "yyyy-MM-dd HH:mm:ss")`
   *     (newest version whose manifest landed at or before the
@@ -437,7 +440,10 @@ private[sources] object GraftTable {
     */
   private[sources] val CdfCols: Array[StructField] = Array(
     StructField("_change_type", StringType, nullable = false),
-    StructField("_commit_version", IntegerType, nullable = false),
+    // LONG at the boundary (versions are Int internally): the
+    // upstream change-feed contract publishes _commit_version as
+    // BIGINT, so schema-matched sinks port without a type mismatch
+    StructField("_commit_version", LongType, nullable = false),
     StructField("_commit_timestamp", TimestampType, nullable = false))
 
   private[sources] def cdfSchema(base: StructType): StructType =
@@ -469,6 +475,15 @@ private[sources] object GraftTable {
     * last commit fails fast (the stream would silently tail nothing
     * that the caller asked for); `startingVersion => 'latest'` is the
     * explicit way to tail only future commits.
+    *
+    * Manifest mtimes are NOT assumed strictly monotonic across
+    * versions (coarse-granularity filesystems, object-store copies,
+    * clock skew can reorder them): the sweep MONOTONIZES the mtime
+    * sequence with a running max in version order, so the resolved
+    * start is the smallest version n with max(mtime(1..n)) >= ts — a
+    * later version can never resolve BEFORE an earlier one, and a
+    * sub-resolution commit pair yields the earliest of the pair
+    * (at-or-after semantics err toward re-reading, never skipping).
     */
   private[sources] def resolveStartingVersion(dir: String,
       options: CaseInsensitiveStringMap): Option[String] = {
@@ -483,9 +498,13 @@ private[sources] object GraftTable {
       val conf = spark.sessionState.newHadoopConf()
       val md = new HPath(dir, "_manifest")
       val fs = md.getFileSystem(conf)
-      val eligible = ManagedTable.versions(spark, dir).filter { n =>
-        fs.getFileStatus(new HPath(md, s"v$n.json"))
-          .getModificationTime >= tsMs
+      val ordered = ManagedTable.versions(spark, dir).sorted
+      var runningMax = Long.MinValue
+      val eligible = ordered.filter { n =>
+        val m = fs.getFileStatus(new HPath(md, s"v$n.json"))
+          .getModificationTime
+        runningMax = math.max(runningMax, m)
+        runningMax >= tsMs
       }
       require(eligible.nonEmpty,
         s"graft streaming: no version of $dir committed at or after " +
@@ -763,29 +782,32 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
     // stats pruning directly over THIS version's manifest stats (the
     // meta already carries them — no manifest re-read): a file
     // survives unless some pushed filter provably excludes it
+    // one probe budget per pruning pass: a candidate set whose
+    // digests exceed the cache cap stops consulting sidecars after
+    // one cache-full of loads (fail-open) instead of thrashing
     val kept =
       if (usable.isEmpty) meta.files
-      else meta.files.filter(rel =>
-        usable.forall(f => GraftScanBuilder.mayMatch(f, meta, rel)))
+      else BloomSkipping.withProbeBudget {
+        meta.files.filter(rel =>
+          usable.forall(f => GraftScanBuilder.mayMatch(f, meta, rel)))
+      }
     val all = meta.files
-    // the version's DV, restricted to surviving files and keyed by
-    // relative path — loaded once at planning (deleted-rows-sized,
-    // like Delta's per-file DV descriptors; a 100 TB deployment
-    // shards this per file, same manifest shape)
-    val dv: Map[String, Array[Long]] =
-      if (meta.dvFiles.isEmpty) Map.empty
-      else ManagedTable.dvRows(spark, meta.dir, meta.dvFiles)
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    // the version's per-file tombstone COUNTS — the only DV fact
+    // planning needs on the driver (live-row math, which files carry
+    // tombstones). POSITIONS never land on the driver: partitions
+    // carry the DV file refs and each task resolves its own file's
+    // sorted positions executor-side ([[GraftDvReader]]), so a
+    // bulk-delete version costs the planner O(files), not O(rows)
+    val dvCount: Map[String, Long] =
+      ManagedTable.dvCounts(spark, meta.dir, meta.dvFiles)
     // per-file LIVE row counts (manifest count minus DV'd positions) —
     // only files with recorded counts appear; [[GraftScan]] truncates
     // for a pushed limit only when every candidate is covered
     val liveRows: Map[String, Long] = kept.flatMap { f =>
       meta.stats.get(f).flatMap(_.get(ManagedTable.RowsStat)).map(p =>
-        f -> (p._1.toLong - dv.getOrElse(f, Array.empty[Long]).length))
+        f -> (p._1.toLong - dvCount.getOrElse(f, 0L)))
     }.toMap
-    new GraftScan(meta, required, kept, all.size, dv,
+    new GraftScan(meta, required, kept, all.size, dvCount,
       maxVersionsPerTrigger, ignoreChanges, limit, liveRows, topN,
       startingVersion)
   }
@@ -947,7 +969,7 @@ private[sources] class GraftAggReaderFactory
 
 private[graft] class GraftScan(meta: GraftTableMeta,
     required: StructType, initialKept: Seq[String], totalFiles: Int,
-    dv: Map[String, Array[Long]],
+    dvCount: Map[String, Long],
     maxVersionsPerTrigger: Option[Int] = None,
     ignoreChanges: Boolean = false,
     limit: Option[Int] = None,
@@ -1019,7 +1041,7 @@ private[graft] class GraftScan(meta: GraftTableMeta,
           rows <- st.get(ManagedTable.RowsStat).map(_._1.toLong)
           nn <- st.get(ManagedTable.nnStat(physCol)).map(_._1.toLong)
         } yield {
-          val d = dv.getOrElse(rel, Array.empty[Long]).length.toLong
+          val d = dvCount.getOrElse(rel, 0L)
           F(rel, st.get(physCol).map(_._1), st.get(physCol).map(_._2),
             math.max(0L, nn - d), math.max(0L, rows - nn - d),
             rows - d, rows - nn > 0)
@@ -1094,11 +1116,18 @@ private[graft] class GraftScan(meta: GraftTableMeta,
       limit.map(n => s" pushedLimit=$n").getOrElse("") +
       topN.map(t => s" pushedTopN=${t.column}:" +
         s"${if (t.desc) "desc" else "asc"}:${t.n}").getOrElse("")
+  // DV refs shipped to tombstone-carrying partitions — each task
+  // resolves its own file's positions executor-side (GraftDvReader)
+  private val dvAbs: Array[String] =
+    meta.dvFiles.map(p => s"${meta.dir}/$p").toArray
+
   override def planInputPartitions(): Array[InputPartition] = {
     GraftScan.trace(s"[graft-debug] id=${System.identityHashCode(this)} " +
       s"planInputPartitions kept=${kept.size}")
     kept.map(rel => GraftInputPartition(s"${meta.dir}/$rel",
-      dv.getOrElse(rel, Array.empty)): InputPartition).toArray
+      relPath = rel,
+      dvRefs = if (dvCount.contains(rel)) dvAbs else null)
+      : InputPartition).toArray
   }
   // columnar (vectorized) decode whenever at least one column is
   // requested — deletion vectors apply INSIDE the vectorized reader
@@ -1171,7 +1200,8 @@ private[graft] class GraftScan(meta: GraftTableMeta,
     // through a join's probe side — but if they ever do, the
     // limit-sufficient prefix must be taken from the files that
     // survive the join keys, not the other way around)
-    runtimeKept = runtimeKept.filter { rel =>
+    runtimeKept = BloomSkipping.withProbeBudget {
+      runtimeKept.filter { rel =>
       !GraftScan.recordedEmpty(meta, rel) && sets.forall {
         case (GraftTable.FileMetaCol, values)
             if !meta.schema.fieldNames.contains(GraftTable.FileMetaCol) =>
@@ -1204,6 +1234,7 @@ private[graft] class GraftScan(meta: GraftTableMeta,
             s"bloomEntry=$bloomEntry keep=$keep")
           keep
       }
+    }
     }
     kept = truncate(runtimeKept)
   }
@@ -1346,17 +1377,26 @@ private[sources] object GraftScan {
 }
 
 private[sources] final case class GraftInputPartition(absPath: String,
-    dvPositions: Array[Long],
+    // DV RESOLUTION IS EXECUTOR-SIDE: when `dvRefs` is non-null the
+    // file carries tombstones and the reading TASK resolves its own
+    // sorted positions from these DV parquet paths, filtered to
+    // `relPath` with a pushed predicate ([[GraftDvReader.positions]]).
+    // The planner ships refs, never positions — a bulk-delete version
+    // (10⁸+ tombstones) costs the driver O(changed files), and each
+    // task reads only its own file's rows of the DV parquet
+    relPath: String = null,
+    dvRefs: Array[String] = null,
     // CHANGE-FEED fields (readChangeFeed streams only; inert — "" /
     // -1 / null — on every plain scan partition): the constant
     // `_change_type` / `_commit_version` / `_commit_timestamp` this
-    // partition's rows carry, and for delete partitions the sorted
-    // file positions to EMIT (the newly tombstoned rows' preimages —
-    // the complement of the skip semantics `dvPositions` has)
+    // partition's rows carry. Delete partitions additionally carry
+    // the PREVIOUS version's DV refs: the rows to EMIT (the newly
+    // tombstoned preimages) are resolved executor-side as
+    // positions(dvRefs) ∖ positions(oldDvRefs)
     changeType: String = "",
     commitVersion: Int = -1,
     commitMs: Long = -1L,
-    emitPositions: Array[Long] = null)
+    oldDvRefs: Array[String] = null)
     extends InputPartition
 
 /** `spark.readStream.format("graft")` — a managed table AS A STREAM of
@@ -1487,8 +1527,9 @@ private[sources] class GraftMicroBatchStream(dir: String,
       versionAdds(v, ignoreChanges,
         snapshotBase = s0.initialSnapshot && v == s0.version + 1)
     }
-    adds.map { case (abs, dvPos) =>
-      GraftInputPartition(abs, dvPos): InputPartition
+    adds.map { case (abs, rel, dvRefs) =>
+      GraftInputPartition(abs, relPath = rel, dvRefs = dvRefs)
+        : InputPartition
     }.toArray
   }
 
@@ -1506,7 +1547,7 @@ private[sources] class GraftMicroBatchStream(dir: String,
     * instead.
     */
   private def versionAdds(v: Int, ignoreChanges: Boolean,
-      snapshotBase: Boolean): Seq[(String, Array[Long])] = {
+      snapshotBase: Boolean): Seq[(String, String, Array[String])] = {
     val vs = ManagedTable.versions(spark, dir)
     def vacuumed(missing: Int): Nothing = throw new IllegalStateException(
       s"graft streaming: version $missing of $dir has been removed by " +
@@ -1517,15 +1558,14 @@ private[sources] class GraftMicroBatchStream(dir: String,
     if (!vs.contains(v)) vacuumed(v)
     val (_, all, _, _) = ManagedTable.readManifest(spark, dir, v)
     val (files, dvFiles) = ManagedTable.splitDv(all)
-    // the snapshot base is the one emission that can carry tombstones
-    // (deleted-rows-sized, loaded once at planning, like the batch
-    // scan's DV map); append deltas below never do
-    val dv: Map[String, Array[Long]] =
-      if (!snapshotBase || dvFiles.isEmpty) Map.empty
-      else ManagedTable.dvRows(spark, dir, dvFiles)
-        .collect()
-        .groupBy(_.getString(0))
-        .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+    // the snapshot base is the one emission that can carry tombstones;
+    // planning loads only per-file COUNTS (which files carry any) and
+    // ships DV file REFS — positions resolve executor-side per task
+    // ([[GraftDvReader]]); append deltas below never carry DV
+    val dvc: Map[String, Long] =
+      if (!snapshotBase) Map.empty
+      else ManagedTable.dvCounts(spark, dir, dvFiles)
+    val dvAbs: Array[String] = dvFiles.map(p => s"$dir/$p").toArray
     val prev: Set[String] =
       if (v == 1 || snapshotBase) Set.empty
       else {
@@ -1541,7 +1581,8 @@ private[sources] class GraftMicroBatchStream(dir: String,
           "CDC-shaped consumption, or .option(\"ignoreChanges\", " +
           "true) to re-emit rewritten files")
     files.filterNot(prev.contains)
-      .map(rel => (s"$dir/$rel", dv.getOrElse(rel, Array.empty[Long])))
+      .map(rel => (s"$dir/$rel", rel,
+        if (dvc.contains(rel)) dvAbs else null))
   }
 
   // micro-batches decode through the vectorized columnar path — a
@@ -1565,8 +1606,11 @@ private[sources] class GraftMicroBatchStream(dir: String,
   *     same commit carries for them, so a replaceWhere emits exactly
   *     its replacement rows);
   *   - DV growth on CARRIED files → the newly tombstoned rows' last
-  *     visible values as `delete` (read from the data file at exactly
-  *     those positions — O(changed rows), never a table scan);
+  *     visible values as `delete`, via a POSITIONAL read of the data
+  *     file ([[GraftPositionalReader]]): row groups holding no newly
+  *     tombstoned position are skipped wholesale, reading stops after
+  *     the last one — cost bounded by the tombstoned row groups'
+  *     prefixes, never a table scan;
   *   - a version that REMOVES data files (copy-on-write UPDATE/MERGE,
   *     compaction, restore) fails fast: without keys a file swap is
   *     not attributable as row-level changes — the keyed batch diff
@@ -1620,12 +1664,6 @@ private[sources] class GraftCdfMicroBatchStream(dir: String,
       .getFileStatus(new HPath(md, s"v$v.json")).getModificationTime
   }
 
-  private def dvMap(dvFiles: Seq[String]): Map[String, Array[Long]] =
-    if (dvFiles.isEmpty) Map.empty
-    else ManagedTable.dvRows(cdfSpark, dir, dvFiles)
-      .collect()
-      .groupBy(_.getString(0))
-      .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
 
   override def planInputPartitions(
       start: org.apache.spark.sql.connector.read.streaming.Offset,
@@ -1639,8 +1677,13 @@ private[sources] class GraftCdfMicroBatchStream(dir: String,
   }
 
   /** The change partitions of ONE version — manifest set arithmetic
-    * plus one DV read per side (deleted-rows-sized), like every diff
-    * in the CDF tier.
+    * plus one per-file DV COUNT aggregation per side (O(changed
+    * files) on the driver). Positions NEVER land on the driver: every
+    * partition carries DV file refs and each task resolves its own
+    * file's positions executor-side ([[GraftDvReader]]) — a
+    * bulk-delete version (10⁸+ tombstones) plans in O(files) driver
+    * memory, and the tombstone rows distribute across the delete
+    * partitions' tasks.
     */
   private def cdfVersion(v: Int, snapshotBase: Boolean)
       : Seq[InputPartition] = {
@@ -1650,10 +1693,12 @@ private[sources] class GraftCdfMicroBatchStream(dir: String,
     val (_, all, _, _) = ManagedTable.readManifest(spark, dir, v)
     val (files, dvFiles) = ManagedTable.splitDv(all)
     val ms = commitMs(v)
-    val newDv = dvMap(dvFiles)
+    val newDvc = ManagedTable.dvCounts(spark, dir, dvFiles)
+    val newDvAbs = dvFiles.map(p => s"$dir/$p").toArray
     def insertPart(rel: String): InputPartition =
-      GraftInputPartition(s"$dir/$rel",
-        newDv.getOrElse(rel, Array.empty[Long]), "insert", v, ms)
+      GraftInputPartition(s"$dir/$rel", relPath = rel,
+        dvRefs = if (newDvc.contains(rel)) newDvAbs else null,
+        changeType = "insert", commitVersion = v, commitMs = ms)
     // the snapshot base (fresh stream / oldest retained start) emits
     // the whole version as inserts, tombstones applied — exactly what
     // a batch read of that version sees, typed as the feed's inserts
@@ -1672,23 +1717,26 @@ private[sources] class GraftCdfMicroBatchStream(dir: String,
           "system.changes for keyed CDC across it, or restart the " +
           "change feed past this version")
     val inserts = files.filterNot(pSet).map(insertPart)
-    val oldDv = dvMap(pDvFiles)
-    val deletes = files.filter(pSet).flatMap { rel =>
-      val nd = newDv.getOrElse(rel, Array.empty[Long])
-      val od = oldDv.getOrElse(rel, Array.empty[Long])
-      // tombstones are cumulative (deleteWhere unions); a position
-      // leaving the DV without a file swap has no change-feed meaning
-      require(od.forall(p =>
-        java.util.Arrays.binarySearch(nd, p) >= 0),
-        s"graft streaming: version $v of $dir REMOVES deletion-vector " +
-          s"tombstones on $rel without rewriting the file — not a " +
-          "representable row-level change")
-      val odSet = od.toSet
-      val fresh = nd.filterNot(odSet)
-      if (fresh.isEmpty) None
-      else Some(GraftInputPartition(s"$dir/$rel", Array.empty[Long],
-        "delete", v, ms, fresh): InputPartition)
-    }
+    val oldDvc = ManagedTable.dvCounts(spark, dir, pDvFiles)
+    val oldDvAbs = pDvFiles.map(p => s"$dir/$p").toArray
+    // one delete partition per carried file touched by EITHER side's
+    // DV — the task resolves both sides' positions for its file,
+    // validates cumulativity (tombstones only ever union; a position
+    // LEAVING the DV without a file swap has no change-feed meaning —
+    // the reader fails the stream on it), and emits new ∖ old. A file
+    // whose counts are equal still gets a partition: equal counts
+    // with differing positions is exactly the violation the
+    // executor-side check must catch, and the legitimate case emits
+    // zero rows at the cost of one filtered DV probe
+    val deletes = files.filter(pSet)
+      .filter(rel => newDvc.contains(rel) || oldDvc.contains(rel))
+      .map { rel =>
+        GraftInputPartition(s"$dir/$rel", relPath = rel,
+          dvRefs = newDvAbs,
+          changeType = "delete", commitVersion = v, commitMs = ms,
+          oldDvRefs = if (oldDvc.contains(rel)) oldDvAbs else null)
+          : InputPartition
+      }
     inserts ++ deletes
   }
 
@@ -1696,10 +1744,57 @@ private[sources] class GraftCdfMicroBatchStream(dir: String,
     new GraftCdfReaderFactory(baseJson)
 }
 
-/** Change-feed decode: the plain row reader under two thin wrappers —
-  * delete partitions EMIT ONLY the newly tombstoned positions (the
-  * complement of the skip semantics dvPositions has), and every row
-  * is joined with the partition's constant CDF metadata columns.
+/** EXECUTOR-SIDE deletion-vector resolution: the sorted tombstoned
+  * positions of ONE data file, read from the version's DV parquet
+  * with a pushed `__file = <rel>` predicate (parquet filter2 —
+  * row-group stats, dictionary, and record-level filtering), so each
+  * task touches only its own file's rows of the deleted-rows-sized
+  * sidecar. The planner ships DV file REFS into the partitions and
+  * never collects positions — driver memory stays O(changed files)
+  * however large the delete.
+  */
+private[sources] object GraftDvReader {
+  import org.apache.parquet.filter2.compat.FilterCompat
+  import org.apache.parquet.filter2.predicate.FilterApi
+  import org.apache.parquet.io.api.Binary
+
+  def positions(dvRefs: Array[String], relFile: String): Array[Long] = {
+    if (dvRefs == null || dvRefs.isEmpty) return Array.empty
+    val pred = FilterApi.eq(FilterApi.binaryColumn("__file"),
+      Binary.fromString(relFile))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[Long]
+    dvRefs.foreach { path =>
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), new HPath(path))
+        .withConf(new Configuration())
+        .withFilter(FilterCompat.get(pred)).build()
+      try {
+        var g = r.read()
+        while (g != null) {
+          buf += g.getLong(g.getType.getFieldIndex("__pos"), 0)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    val a = buf.toArray
+    java.util.Arrays.sort(a)
+    a
+  }
+
+  /** The partition's skip positions (empty when it carries no DV). */
+  def skipPositions(p: GraftInputPartition): Array[Long] =
+    if (p.dvRefs == null) Array.empty
+    else positions(p.dvRefs, p.relPath)
+}
+
+/** Change-feed decode. Insert partitions are the plain row reader
+  * with executor-resolved skip positions; DELETE partitions resolve
+  * BOTH versions' positions for their file, validate that tombstones
+  * only ever accumulate, and drive a positional read
+  * ([[GraftPositionalReader]] — row groups without a newly tombstoned
+  * position are skipped wholesale, and reading stops after the last
+  * one) that emits exactly the fresh preimages. Every row is joined
+  * with the partition's constant CDF metadata columns.
   */
 private[sources] class GraftCdfReaderFactory(baseJson: String)
     extends PartitionReaderFactory {
@@ -1708,32 +1803,27 @@ private[sources] class GraftCdfReaderFactory(baseJson: String)
     val p = partition.asInstanceOf[GraftInputPartition]
     val base = DataType.fromJson(baseJson).asInstanceOf[StructType]
     val inner: PartitionReader[InternalRow] =
-      if (p.emitPositions == null)
-        new GraftPartitionReader(p.absPath, base, p.dvPositions)
-      else new GraftEmitOnlyReader(
-        new GraftPartitionReader(p.absPath, base, Array.empty),
-        p.emitPositions)
+      if (p.changeType == "delete") {
+        val nd = GraftDvReader.positions(p.dvRefs, p.relPath)
+        val od = GraftDvReader.positions(p.oldDvRefs, p.relPath)
+        // tombstones are cumulative (deleteWhere unions); a position
+        // leaving the DV without a file swap has no change-feed
+        // meaning — fail the stream, same contract the planner had
+        // when it resolved positions driver-side
+        require(od.forall(x =>
+          java.util.Arrays.binarySearch(nd, x) >= 0),
+          s"graft streaming: version ${p.commitVersion} REMOVES " +
+            s"deletion-vector tombstones on ${p.relPath} without " +
+            "rewriting the file — not a representable row-level change")
+        val odSet = od.toSet
+        new GraftPositionalReader(p.absPath, base,
+          nd.filterNot(odSet))
+      } else new GraftPartitionReader(p.absPath, base,
+        GraftDvReader.skipPositions(p))
     new GraftCdfProjectReader(inner,
       UTF8String.fromString(p.changeType), p.commitVersion,
       p.commitMs * 1000L)
   }
-}
-
-/** Emit ONLY the listed (sorted) file positions of the inner reader. */
-private[sources] class GraftEmitOnlyReader(
-    inner: PartitionReader[InternalRow], emit: Array[Long])
-    extends PartitionReader[InternalRow] {
-  private var pos = -1L
-  private var idx = 0
-  override def next(): Boolean = {
-    while (idx < emit.length && inner.next()) {
-      pos += 1
-      if (pos == emit(idx)) { idx += 1; return true }
-    }
-    false
-  }
-  override def get(): InternalRow = inner.get()
-  override def close(): Unit = inner.close()
 }
 
 /** Append the constant `_change_type`/`_commit_version`/
@@ -1746,7 +1836,7 @@ private[sources] class GraftCdfProjectReader(
   private val joined =
     new org.apache.spark.sql.catalyst.expressions.JoinedRow()
   private val consts = new GenericInternalRow(
-    Array[Any](changeType, version, tsMicros))
+    Array[Any](changeType, version.toLong, tsMicros))
   override def next(): Boolean = inner.next()
   override def get(): InternalRow = joined(inner.get(), consts)
   override def close(): Unit = inner.close()
@@ -1784,7 +1874,7 @@ private[sources] class GraftReaderFactory(requiredJson: String,
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftPartitionReader(p.absPath,
       DataType.fromJson(requiredJson).asInstanceOf[StructType],
-      p.dvPositions)
+      GraftDvReader.skipPositions(p))
   }
 
   override def supportColumnarReads(partition: InputPartition): Boolean =
@@ -1795,7 +1885,7 @@ private[sources] class GraftReaderFactory(requiredJson: String,
     val p = partition.asInstanceOf[GraftInputPartition]
     new GraftColumnarPartitionReader(p.absPath,
       DataType.fromJson(requiredJson).asInstanceOf[StructType],
-      p.dvPositions)
+      GraftDvReader.skipPositions(p))
   }
 }
 
@@ -2096,17 +2186,14 @@ private[sources] class GraftWideningColumnVector(
   * `_metadata.row_index` — no row-group or page filtering is
   * configured, so decode order IS file order).
   */
-private[sources] class GraftPartitionReader(absPath: String,
-    required: StructType, dvPositions: Array[Long])
-    extends PartitionReader[InternalRow] {
-
-  private val conf = new Configuration()
-  private val hPath = new HPath(absPath)
-
-  private val fileSchema: MessageType = {
-    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
-    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
-  }
+/** Group → InternalRow decode of one file under a requested schema —
+  * the projection/widening/absent-column logic shared by the
+  * sequential row reader ([[GraftPartitionReader]]) and the
+  * positional reader ([[GraftPositionalReader]]), so both decode
+  * byte-identically.
+  */
+private[sources] final class GroupDecoder(absPath: String,
+    required: StructType, fileSchema: MessageType) {
 
   // requested fields present in this file, in requested order
   private val present: Array[StructField] =
@@ -2123,42 +2210,22 @@ private[sources] class GraftPartitionReader(absPath: String,
       .getOrElse(f.dataType)
   }
 
-  private val reader: ParquetReader[Group] = {
-    // a projection must be non-empty: for a fully-pruned read (e.g.
-    // count(*), or all requested columns missing from this segment)
-    // decode the file's narrowest-by-position first column purely to
-    // drive the record count
-    val proj: MessageType =
-      if (present.nonEmpty)
-        new MessageType(fileSchema.getName,
-          present.map(f =>
-            fileSchema.getType(fileSchema.getFieldIndex(f.name))).toSeq
-            .asJava)
-      else new MessageType(fileSchema.getName,
-        java.util.List.of(fileSchema.getFields.get(0)))
-    conf.set(ReadSupport.PARQUET_READ_SCHEMA, proj.toString)
-    ParquetReader.builder(new GroupReadSupport(), hPath)
-      .withConf(conf).build()
-  }
-
-  private var pos: Long = -1L
-  private var current: Group = _
-
-  override def next(): Boolean = {
-    var g = reader.read()
-    pos += 1
-    while (g != null &&
-        java.util.Arrays.binarySearch(dvPositions, pos) >= 0) {
-      g = reader.read()
-      pos += 1
-    }
-    current = g
-    g != null
-  }
+  // a projection must be non-empty: for a fully-pruned read (e.g.
+  // count(*), or all requested columns missing from this segment)
+  // decode the file's narrowest-by-position first column purely to
+  // drive the record count
+  val proj: MessageType =
+    if (present.nonEmpty)
+      new MessageType(fileSchema.getName,
+        present.map(f =>
+          fileSchema.getType(fileSchema.getFieldIndex(f.name))).toSeq
+          .asJava)
+    else new MessageType(fileSchema.getName,
+      java.util.List.of(fileSchema.getFields.get(0)))
 
   private val fileMeta = UTF8String.fromString(absPath)
 
-  override def get(): InternalRow = {
+  def decode(current: Group): InternalRow = {
     val out = new Array[Any](required.length)
     var gi = 0 // field index within the projected group
     var i = 0
@@ -2178,8 +2245,128 @@ private[sources] class GraftPartitionReader(absPath: String,
     }
     new GenericInternalRow(out)
   }
+}
+
+private[sources] class GraftPartitionReader(absPath: String,
+    required: StructType, dvPositions: Array[Long])
+    extends PartitionReader[InternalRow] {
+
+  private val conf = new Configuration()
+  private val hPath = new HPath(absPath)
+
+  private val fileSchema: MessageType = {
+    val fr = ParquetFileReader.open(HadoopInputFile.fromPath(hPath, conf))
+    try fr.getFooter.getFileMetaData.getSchema finally fr.close()
+  }
+
+  private val decoder = new GroupDecoder(absPath, required, fileSchema)
+
+  private val reader: ParquetReader[Group] = {
+    conf.set(ReadSupport.PARQUET_READ_SCHEMA, decoder.proj.toString)
+    ParquetReader.builder(new GroupReadSupport(), hPath)
+      .withConf(conf).build()
+  }
+
+  private var pos: Long = -1L
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    var g = reader.read()
+    pos += 1
+    while (g != null &&
+        java.util.Arrays.binarySearch(dvPositions, pos) >= 0) {
+      g = reader.read()
+      pos += 1
+    }
+    current = g
+    g != null
+  }
+
+  override def get(): InternalRow = decoder.decode(current)
 
   override def close(): Unit = reader.close()
+}
+
+/** POSITIONAL decode: emit EXACTLY the listed (sorted) file positions
+  * — the reader behind change-feed delete partitions (the newly
+  * tombstoned rows' preimages). Physical cost is bounded by where the
+  * positions land, not by the file: row groups containing no listed
+  * position are skipped WHOLESALE (their column chunks are never
+  * fetched — footer row counts alone place each position), reading
+  * within a group stops after its last listed position, and the
+  * reader stops entirely after the last position overall. A sparse
+  * late-file delete therefore reads one row group's prefix, not the
+  * whole file. (Within a kept group the walk is sequential — parquet
+  * record assembly has no random row seek; page-level skipping would
+  * need page indexes, which the writer does not emit.)
+  */
+private[sources] class GraftPositionalReader(absPath: String,
+    required: StructType, emit: Array[Long])
+    extends PartitionReader[InternalRow] {
+  import org.apache.parquet.example.data.simple.convert.GroupRecordConverter
+  import org.apache.parquet.io.ColumnIOFactory
+
+  private val fileReader = ParquetFileReader.open(
+    HadoopInputFile.fromPath(new HPath(absPath), new Configuration()))
+  private val fileSchema: MessageType =
+    fileReader.getFooter.getFileMetaData.getSchema
+  private val decoder = new GroupDecoder(absPath, required, fileSchema)
+  fileReader.setRequestedSchema(decoder.proj)
+  private val blocks = fileReader.getFooter.getBlocks
+
+  // observability for specs/telemetry: row groups actually fetched
+  // and records actually assembled — the proof the skip works
+  private[sources] var groupsRead: Int = 0
+  private[sources] var rowsDecoded: Long = 0L
+
+  private var emitIdx = 0
+  private var nextBlock = 0     // next unconsumed row group
+  private var blockStart = 0L   // global row offset of current group
+  private var rowInBlock = 0L   // rows already read from current group
+  private var blockRows = 0L
+  private var recordReader
+      : org.apache.parquet.io.RecordReader[Group] = _
+  private var current: Group = _
+
+  override def next(): Boolean = {
+    if (emitIdx >= emit.length) return false
+    val target = emit(emitIdx)
+    // advance to the row group containing `target`, skipping whole
+    // groups (no column-chunk IO) that hold no wanted position
+    while (recordReader == null || target >= blockStart + blockRows) {
+      if (recordReader != null) { // current group exhausted of targets
+        blockStart += blockRows
+        recordReader = null
+      }
+      if (nextBlock >= blocks.size()) return false // positions past EOF
+      val rows = blocks.get(nextBlock).getRowCount
+      if (target >= blockStart + rows) {
+        fileReader.skipNextRowGroup()
+        blockStart += rows
+      } else {
+        val pages = fileReader.readNextRowGroup()
+        groupsRead += 1
+        recordReader = new ColumnIOFactory()
+          .getColumnIO(decoder.proj, fileSchema)
+          .getRecordReader(pages, new GroupRecordConverter(decoder.proj))
+        blockRows = rows
+        rowInBlock = 0L
+      }
+      nextBlock += 1
+    }
+    // sequential walk within the group up to the target position
+    while (blockStart + rowInBlock < target) {
+      recordReader.read(); rowsDecoded += 1; rowInBlock += 1
+    }
+    current = recordReader.read()
+    rowsDecoded += 1; rowInBlock += 1
+    emitIdx += 1
+    true
+  }
+
+  override def get(): InternalRow = decoder.decode(current)
+
+  override def close(): Unit = fileReader.close()
 }
 
 private[sources] object GraftPartitionReader {

@@ -921,6 +921,19 @@ object ManagedTable {
     spark.read.parquet(dvFiles.map(p => s"$dir/$p"): _*)
       .select("__file", "__pos")
 
+  /** Per-file TOMBSTONE COUNTS of a version's deletion vector — the
+    * only DV fact planning ever needs on the driver (live-row math,
+    * which files carry tombstones at all). O(files-with-tombstones)
+    * driver memory regardless of how many rows a bulk delete hit;
+    * the POSITIONS are resolved executor-side per task from the DV
+    * file refs the partitions carry (see GraftDvReader).
+    */
+  private[sources] def dvCounts(spark: SparkSession, dir: String,
+      dvFiles: Seq[String]): Map[String, Long] =
+    if (dvFiles.isEmpty) Map.empty
+    else dvRows(spark, dir, dvFiles).groupBy("__file").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+
   /** Scan `files` under the recorded `schema`, minus any rows the
     * deletion vector lists — the DV-aware primitive every read path
     * routes through. Zero overhead when `dvFiles` is empty; otherwise

@@ -86,6 +86,34 @@ class BloomSkippingSpec extends SparkSpec {
     assert(filesPlanned(planString(qr)) == 3)
   }
 
+  test("probe budget: a candidate set exceeding the cache cap stops " +
+      "loading sidecars after one cache-full (fail-open, no thrash)") {
+    val dir = tmp("budget")
+    threeInterleaved(dir)
+    val t = spark.read.format("graft").load(dir)
+    // cap so small one sidecar load (~192 B payload+overhead for 100
+    // distinct values) exhausts the pass budget: the first candidate
+    // is probed and excluded, the remaining two are kept fail-open
+    // instead of loading (what would be) a thrashing re-read each pass
+    spark.conf.set(BloomSkipping.CacheBytesConf, "100")
+    try {
+      val skipsBefore = BloomSkipping.budgetSkips.get()
+      val q = t.filter(col("u") === 100L) // residue 4: in NO file
+      assert(q.collect().isEmpty, "fail-open may weaken pruning, " +
+        "never correctness")
+      val planned = filesPlanned(planString(q))
+      assert(planned == 2,
+        s"expected 1 probed+excluded, 2 kept fail-open; got $planned")
+      assert(BloomSkipping.budgetSkips.get() > skipsBefore,
+        "budget skips should have been recorded")
+    } finally spark.conf.unset(BloomSkipping.CacheBytesConf)
+    // with the default cap the same probe prunes everything again
+    val q2 = spark.read.format("graft").load(dir)
+      .filter(col("u") === 100L)
+    assert(q2.collect().isEmpty)
+    assert(filesPlanned(planString(q2)) == 0)
+  }
+
   test("no false negatives: every stored value still found after digesting") {
     val dir = tmp("sweep")
     threeInterleaved(dir)

@@ -639,7 +639,7 @@ class GraftDataSourceSpec extends SparkSpec {
             _: Long) =>
           seen.synchronized { seen ++= b.collect().map(r => (
             r.getAs[String]("_change_type"),
-            r.getAs[Int]("_commit_version"),
+            r.getAs[Long]("_commit_version").toInt,
             r.getAs[Long]("k"), r.getAs[String]("s"))) }; ()
         }
         .option("checkpointLocation", ckpt)
@@ -699,7 +699,8 @@ class GraftDataSourceSpec extends SparkSpec {
     val factory = new GraftScanBuilder(meta).build()
       .asInstanceOf[GraftScan].createReaderFactory()
     assert(factory.supportColumnarReads(GraftInputPartition("x",
-      Array(7L))), "DV versions must keep the vectorized reader")
+      relPath = "x", dvRefs = Array("dv"))),
+      "DV versions must keep the vectorized reader")
     val dv = spark.read.format("graft").load(dir)
       .select("k", "s", "d", "i", "flag", "maybe", "emb", "bin")
     dv.collect()
