@@ -31,11 +31,34 @@ object Bench {
     val picked = SparkEntry.queries.filter { case (name, _) =>
       only.forall(s => s.contains(name) || s.contains(name.takeWhile(_ != '_')))
     }
+    // profile loaded up front: it also decides which queries warm up
+    val profile: Map[String, Double] = {
+      val p = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "bench_profile.json"))
+      if (!java.nio.file.Files.isReadable(p)) Map.empty
+      else {
+        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        """"(q[0-9A-Za-z]+)"\s*:\s*([0-9.]+)""".r
+          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
+          .toMap
+      }
+    }
+    def shortName(name: String) = name.takeWhile(_ != '_')
     val warmDir = "/root/testdata/sf0.001"
     if (java.nio.file.Files.isDirectory(java.nio.file.Paths.get(warmDir)))
-      picked.foreach { case (_, fn) =>
-        try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
-        catch { case _: Throwable => () }
+      picked.foreach { case (name, fn) =>
+        // warm only the JIT-bound tier: a query profiled above 2 s is
+        // dominated by REAL work (scratch-table commits, merges,
+        // micro-batches) whose cost a warm pass pays again at sf0.001
+        // nearly in full — measured: the full-suite warmup cost ~340 s,
+        // most of it in ~25 lifecycle queries that gain low-% from JIT
+        // (their own many stages warm the JIT in-query). Cold-start
+        // inflation on them is a few percent of intrinsic cost, and
+        // the rerun gate catches any outlier. Unprofiled (new) queries
+        // still warm — no evidence either way yet.
+        if (profile.get(shortName(name)).forall(_ <= 2.0))
+          try fn(spark, warmDir).write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
       }
     else
       try SparkEntry.entry(spark).write.format("noop").mode("overwrite").save()
@@ -77,18 +100,6 @@ object Bench {
     // bench_latest.json ("first_pass" keeps the original measurement
     // for every rerun query), and "wall_total" reports the true wall
     // time INCLUDING rerun cost next to the per-query "value" total.
-    val profile: Map[String, Double] = {
-      val p = java.nio.file.Paths.get(
-        sys.env.getOrElse("SPARK_GRAFT_BENCH_PROFILE", "bench_profile.json"))
-      if (!java.nio.file.Files.isReadable(p)) Map.empty
-      else {
-        val txt = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
-        """"(q[0-9A-Za-z]+)"\s*:\s*([0-9.]+)""".r
-          .findAllMatchIn(txt).map(m => m.group(1) -> m.group(2).toDouble)
-          .toMap
-      }
-    }
-    def shortName(name: String) = name.takeWhile(_ != '_')
     val suspicious = firstPass.filter { case (name, t) =>
       t >= 0 && profile.get(shortName(name))
         .map(p => t > 2 * p && t - p > 0.3)

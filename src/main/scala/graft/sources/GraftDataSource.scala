@@ -792,22 +792,21 @@ private[graft] class GraftScanBuilder(meta: GraftTableMeta,
           usable.forall(f => GraftScanBuilder.mayMatch(f, meta, rel)))
       }
     val all = meta.files
-    // the version's per-file tombstone COUNTS — the only DV fact
-    // planning needs on the driver (live-row math, which files carry
-    // tombstones). POSITIONS never land on the driver: partitions
-    // carry the DV file refs and each task resolves its own file's
-    // sorted positions executor-side ([[GraftDvReader]]), so a
-    // bulk-delete version costs the planner O(files), not O(rows)
-    val dvCount: Map[String, Long] =
-      ManagedTable.dvCounts(spark, meta.dir, meta.dvFiles)
+    // the version's DV, resolved by the two-tier plan (ONE bounded
+    // driver job — [[GraftDvReader.DvPlan]]): positions inline for
+    // small versions, per-file counts + executor-side per-task
+    // resolution for bulk deletes, so the planner costs O(files) in
+    // driver memory however many rows a delete hit
+    val dvPlan = GraftDvReader.DvPlan.resolve(spark, meta.dir,
+      meta.dvFiles)
     // per-file LIVE row counts (manifest count minus DV'd positions) —
     // only files with recorded counts appear; [[GraftScan]] truncates
     // for a pushed limit only when every candidate is covered
     val liveRows: Map[String, Long] = kept.flatMap { f =>
       meta.stats.get(f).flatMap(_.get(ManagedTable.RowsStat)).map(p =>
-        f -> (p._1.toLong - dvCount.getOrElse(f, 0L)))
+        f -> (p._1.toLong - dvPlan.counts.getOrElse(f, 0L)))
     }.toMap
-    new GraftScan(meta, required, kept, all.size, dvCount,
+    new GraftScan(meta, required, kept, all.size, dvPlan,
       maxVersionsPerTrigger, ignoreChanges, limit, liveRows, topN,
       startingVersion)
   }
@@ -969,7 +968,7 @@ private[sources] class GraftAggReaderFactory
 
 private[graft] class GraftScan(meta: GraftTableMeta,
     required: StructType, initialKept: Seq[String], totalFiles: Int,
-    dvCount: Map[String, Long],
+    dvPlan: GraftDvReader.DvPlan,
     maxVersionsPerTrigger: Option[Int] = None,
     ignoreChanges: Boolean = false,
     limit: Option[Int] = None,
@@ -1041,7 +1040,7 @@ private[graft] class GraftScan(meta: GraftTableMeta,
           rows <- st.get(ManagedTable.RowsStat).map(_._1.toLong)
           nn <- st.get(ManagedTable.nnStat(physCol)).map(_._1.toLong)
         } yield {
-          val d = dvCount.getOrElse(rel, 0L)
+          val d = dvPlan.counts.getOrElse(rel, 0L)
           F(rel, st.get(physCol).map(_._1), st.get(physCol).map(_._2),
             math.max(0L, nn - d), math.max(0L, rows - nn - d),
             rows - d, rows - nn > 0)
@@ -1116,8 +1115,8 @@ private[graft] class GraftScan(meta: GraftTableMeta,
       limit.map(n => s" pushedLimit=$n").getOrElse("") +
       topN.map(t => s" pushedTopN=${t.column}:" +
         s"${if (t.desc) "desc" else "asc"}:${t.n}").getOrElse("")
-  // DV refs shipped to tombstone-carrying partitions — each task
-  // resolves its own file's positions executor-side (GraftDvReader)
+  // DV shipping tier (see GraftInputPartition): positions inline for
+  // small versions, refs + executor-side resolution for bulk deletes
   private val dvAbs: Array[String] =
     meta.dvFiles.map(p => s"${meta.dir}/$p").toArray
 
@@ -1126,7 +1125,10 @@ private[graft] class GraftScan(meta: GraftTableMeta,
       s"planInputPartitions kept=${kept.size}")
     kept.map(rel => GraftInputPartition(s"${meta.dir}/$rel",
       relPath = rel,
-      dvRefs = if (dvCount.contains(rel)) dvAbs else null)
+      dvRefs =
+        if (dvPlan.inline.isEmpty && dvPlan.counts.contains(rel)) dvAbs
+        else null,
+      dvInline = dvPlan.inline.flatMap(_.get(rel)).orNull)
       : InputPartition).toArray
   }
   // columnar (vectorized) decode whenever at least one column is
@@ -1377,26 +1379,30 @@ private[sources] object GraftScan {
 }
 
 private[sources] final case class GraftInputPartition(absPath: String,
-    // DV RESOLUTION IS EXECUTOR-SIDE: when `dvRefs` is non-null the
-    // file carries tombstones and the reading TASK resolves its own
-    // sorted positions from these DV parquet paths, filtered to
-    // `relPath` with a pushed predicate ([[GraftDvReader.positions]]).
-    // The planner ships refs, never positions — a bulk-delete version
-    // (10⁸+ tombstones) costs the driver O(changed files), and each
-    // task reads only its own file's rows of the DV parquet
+    // DV RESOLUTION, two tiers decided at plan time by the version's
+    // TOTAL tombstone count vs [[GraftDvReader.InlineMaxRowsConf]]:
+    //   - INLINE (small versions): `dvInline` carries this file's
+    //     sorted skip positions directly — zero per-task sidecar IO;
+    //   - REFS (bulk deletes): `dvRefs` names the version's DV parquet
+    //     files and the reading TASK resolves its own positions with
+    //     a pushed `relPath` predicate ([[GraftDvReader.positions]]) —
+    //     the driver cost stays O(changed files) however large the
+    //     delete, and each task reads only its own file's DV rows.
     relPath: String = null,
     dvRefs: Array[String] = null,
+    dvInline: Array[Long] = null,
     // CHANGE-FEED fields (readChangeFeed streams only; inert — "" /
     // -1 / null — on every plain scan partition): the constant
     // `_change_type` / `_commit_version` / `_commit_timestamp` this
-    // partition's rows carry. Delete partitions additionally carry
-    // the PREVIOUS version's DV refs: the rows to EMIT (the newly
-    // tombstoned preimages) are resolved executor-side as
+    // partition's rows carry. Delete partitions EMIT the newly
+    // tombstoned preimages: `emitInline` when the planner resolved
+    // new ∖ old inline, else executor-side as
     // positions(dvRefs) ∖ positions(oldDvRefs)
     changeType: String = "",
     commitVersion: Int = -1,
     commitMs: Long = -1L,
-    oldDvRefs: Array[String] = null)
+    oldDvRefs: Array[String] = null,
+    emitInline: Array[Long] = null)
     extends InputPartition
 
 /** `spark.readStream.format("graft")` — a managed table AS A STREAM of
@@ -1527,9 +1533,9 @@ private[sources] class GraftMicroBatchStream(dir: String,
       versionAdds(v, ignoreChanges,
         snapshotBase = s0.initialSnapshot && v == s0.version + 1)
     }
-    adds.map { case (abs, rel, dvRefs) =>
-      GraftInputPartition(abs, relPath = rel, dvRefs = dvRefs)
-        : InputPartition
+    adds.map { case (abs, rel, dvRefs, dvInline) =>
+      GraftInputPartition(abs, relPath = rel, dvRefs = dvRefs,
+        dvInline = dvInline): InputPartition
     }.toArray
   }
 
@@ -1546,8 +1552,8 @@ private[sources] class GraftMicroBatchStream(dir: String,
     * silently re-emit or skip rows, so the stream names the remedy
     * instead.
     */
-  private def versionAdds(v: Int, ignoreChanges: Boolean,
-      snapshotBase: Boolean): Seq[(String, String, Array[String])] = {
+  private def versionAdds(v: Int, ignoreChanges: Boolean, snapshotBase: Boolean)
+      : Seq[(String, String, Array[String], Array[Long])] = {
     val vs = ManagedTable.versions(spark, dir)
     def vacuumed(missing: Int): Nothing = throw new IllegalStateException(
       s"graft streaming: version $missing of $dir has been removed by " +
@@ -1559,12 +1565,12 @@ private[sources] class GraftMicroBatchStream(dir: String,
     val (_, all, _, _) = ManagedTable.readManifest(spark, dir, v)
     val (files, dvFiles) = ManagedTable.splitDv(all)
     // the snapshot base is the one emission that can carry tombstones;
-    // planning loads only per-file COUNTS (which files carry any) and
-    // ships DV file REFS — positions resolve executor-side per task
-    // ([[GraftDvReader]]); append deltas below never carry DV
-    val dvc: Map[String, Long] =
-      if (!snapshotBase) Map.empty
-      else ManagedTable.dvCounts(spark, dir, dvFiles)
+    // the two-tier DV plan (one bounded job) inlines positions for a
+    // small version or ships refs for executor-side per-task
+    // resolution ([[GraftDvReader]]); append deltas never carry DV
+    val dvp =
+      if (!snapshotBase) GraftDvReader.DvPlan.Empty
+      else GraftDvReader.DvPlan.resolve(spark, dir, dvFiles)
     val dvAbs: Array[String] = dvFiles.map(p => s"$dir/$p").toArray
     val prev: Set[String] =
       if (v == 1 || snapshotBase) Set.empty
@@ -1582,7 +1588,9 @@ private[sources] class GraftMicroBatchStream(dir: String,
           "true) to re-emit rewritten files")
     files.filterNot(prev.contains)
       .map(rel => (s"$dir/$rel", rel,
-        if (dvc.contains(rel)) dvAbs else null))
+        if (dvp.inline.isEmpty && dvp.counts.contains(rel)) dvAbs
+        else null,
+        dvp.inline.flatMap(_.get(rel)).orNull))
   }
 
   // micro-batches decode through the vectorized columnar path — a
@@ -1678,12 +1686,14 @@ private[sources] class GraftCdfMicroBatchStream(dir: String,
 
   /** The change partitions of ONE version — manifest set arithmetic
     * plus one per-file DV COUNT aggregation per side (O(changed
-    * files) on the driver). Positions NEVER land on the driver: every
-    * partition carries DV file refs and each task resolves its own
-    * file's positions executor-side ([[GraftDvReader]]) — a
-    * bulk-delete version (10⁸+ tombstones) plans in O(files) driver
-    * memory, and the tombstone rows distribute across the delete
-    * partitions' tasks.
+    * files) on the driver). Positions take the two-tier shipping
+    * path ([[GraftInputPartition]]): INLINE when both sides' totals
+    * fit the [[GraftDvReader.InlineMaxRowsConf]] cap (the planner
+    * diffs new ∖ old itself, validates cumulativity up front, and
+    * skips no-change files — zero per-task sidecar IO), else DV file
+    * REFS with executor-side resolution — a bulk-delete version
+    * (10⁸+ tombstones) plans in O(files) driver memory and its
+    * tombstone rows distribute across the delete partitions' tasks.
     */
   private def cdfVersion(v: Int, snapshotBase: Boolean)
       : Seq[InputPartition] = {
@@ -1693,11 +1703,15 @@ private[sources] class GraftCdfMicroBatchStream(dir: String,
     val (_, all, _, _) = ManagedTable.readManifest(spark, dir, v)
     val (files, dvFiles) = ManagedTable.splitDv(all)
     val ms = commitMs(v)
-    val newDvc = ManagedTable.dvCounts(spark, dir, dvFiles)
+    val newDvp = GraftDvReader.DvPlan.resolve(spark, dir, dvFiles)
     val newDvAbs = dvFiles.map(p => s"$dir/$p").toArray
     def insertPart(rel: String): InputPartition =
       GraftInputPartition(s"$dir/$rel", relPath = rel,
-        dvRefs = if (newDvc.contains(rel)) newDvAbs else null,
+        dvRefs =
+          if (newDvp.inline.isEmpty && newDvp.counts.contains(rel))
+            newDvAbs
+          else null,
+        dvInline = newDvp.inline.flatMap(_.get(rel)).orNull,
         changeType = "insert", commitVersion = v, commitMs = ms)
     // the snapshot base (fresh stream / oldest retained start) emits
     // the whole version as inserts, tombstones applied — exactly what
@@ -1717,26 +1731,44 @@ private[sources] class GraftCdfMicroBatchStream(dir: String,
           "system.changes for keyed CDC across it, or restart the " +
           "change feed past this version")
     val inserts = files.filterNot(pSet).map(insertPart)
-    val oldDvc = ManagedTable.dvCounts(spark, dir, pDvFiles)
+    val oldDvp = GraftDvReader.DvPlan.resolve(spark, dir, pDvFiles)
     val oldDvAbs = pDvFiles.map(p => s"$dir/$p").toArray
-    // one delete partition per carried file touched by EITHER side's
-    // DV — the task resolves both sides' positions for its file,
-    // validates cumulativity (tombstones only ever union; a position
-    // LEAVING the DV without a file swap has no change-feed meaning —
-    // the reader fails the stream on it), and emits new ∖ old. A file
-    // whose counts are equal still gets a partition: equal counts
-    // with differing positions is exactly the violation the
-    // executor-side check must catch, and the legitimate case emits
-    // zero rows at the cost of one filtered DV probe
-    val deletes = files.filter(pSet)
-      .filter(rel => newDvc.contains(rel) || oldDvc.contains(rel))
-      .map { rel =>
-        GraftInputPartition(s"$dir/$rel", relPath = rel,
-          dvRefs = newDvAbs,
-          changeType = "delete", commitVersion = v, commitMs = ms,
-          oldDvRefs = if (oldDvc.contains(rel)) oldDvAbs else null)
-          : InputPartition
-      }
+    val carried = files.filter(pSet)
+      .filter(rel =>
+        newDvp.counts.contains(rel) || oldDvp.counts.contains(rel))
+    val deletes: Seq[InputPartition] = (newDvp.inline, oldDvp.inline) match {
+      case (Some(ndm), Some(odm)) =>
+        // inline tier: diff + cumulativity check at plan time, same
+        // contract as the executor path; no-change files skipped
+        carried.flatMap { rel =>
+          val nd = ndm.getOrElse(rel, Array.empty[Long])
+          val od = odm.getOrElse(rel, Array.empty[Long])
+          require(od.forall(x =>
+            java.util.Arrays.binarySearch(nd, x) >= 0),
+            s"graft streaming: version $v REMOVES deletion-vector " +
+              s"tombstones on $rel without rewriting the file — not " +
+              "a representable row-level change")
+          val odSet = od.toSet
+          val fresh = nd.filterNot(odSet)
+          if (fresh.isEmpty) None
+          else Some(GraftInputPartition(s"$dir/$rel", relPath = rel,
+            changeType = "delete", commitVersion = v, commitMs = ms,
+            emitInline = fresh): InputPartition)
+        }
+      case _ =>
+        // refs tier: one delete partition per DV-touched carried file;
+        // the task resolves both sides, validates cumulativity
+        // (equal-count position swaps included — every DV-carrying
+        // file gets a partition), and emits new ∖ old
+        carried.map { rel =>
+          GraftInputPartition(s"$dir/$rel", relPath = rel,
+            dvRefs = newDvAbs,
+            changeType = "delete", commitVersion = v, commitMs = ms,
+            oldDvRefs =
+              if (oldDvp.counts.contains(rel)) oldDvAbs else null)
+            : InputPartition
+        }
+    }
     inserts ++ deletes
   }
 
@@ -1757,6 +1789,55 @@ private[sources] object GraftDvReader {
   import org.apache.parquet.filter2.compat.FilterCompat
   import org.apache.parquet.filter2.predicate.FilterApi
   import org.apache.parquet.io.api.Binary
+
+  /** Versions whose TOTAL tombstone count is at or under this inline
+    * their positions into the partitions at plan time (one bounded
+    * driver-side read — ≤ ~800 KB of longs at the default, the size
+    * class where per-task sidecar probes cost more than they save);
+    * versions beyond it ship DV file refs and resolve executor-side.
+    * The cap is what makes the driver cost BOUNDED, not table-shaped:
+    * a bulk delete can never land whole on the driver.
+    */
+  val InlineMaxRowsConf = "spark.graft.dv.inlineMaxRows"
+  private val DefaultInlineMaxRows = 100000L
+
+  private def inlineMaxRows(spark: SparkSession): Long =
+    spark.conf.getOption(InlineMaxRowsConf).map(_.toLong)
+      .getOrElse(DefaultInlineMaxRows)
+
+  /** The plan-time DV decision, resolved in ONE bounded Spark job: a
+    * `limit(cap+1)` probe of the DV parquet. If every tombstone came
+    * back, that IS the version's DV — positions inline into the
+    * partitions and counts derive for free; if the probe overflowed,
+    * the version is bulk — a per-file COUNT aggregation (the only
+    * fact partition planning still needs) replaces positions, and
+    * tasks resolve their own file's rows executor-side. Driver memory
+    * is capped at `cap + 1` rows either way.
+    */
+  private[sources] final case class DvPlan(counts: Map[String, Long],
+      inline: Option[Map[String, Array[Long]]])
+
+  private[sources] object DvPlan {
+    val Empty: DvPlan = DvPlan(Map.empty, Some(Map.empty))
+
+    def resolve(spark: SparkSession, dir: String,
+        dvFiles: Seq[String]): DvPlan =
+      if (dvFiles.isEmpty) Empty
+      else {
+        val cap = inlineMaxRows(spark)
+        val probe =
+          if (cap <= 0) Array.empty[org.apache.spark.sql.Row]
+          else ManagedTable.dvRows(spark, dir, dvFiles)
+            .limit(math.min(cap + 1, Int.MaxValue.toLong - 1).toInt)
+            .collect()
+        if (cap > 0 && probe.length <= cap) {
+          val m = probe.groupBy(_.getString(0))
+            .map { case (f, rows) => f -> rows.map(_.getLong(1)).sorted }
+          DvPlan(m.map { case (f, a) => f -> a.length.toLong }, Some(m))
+        } else DvPlan(
+          ManagedTable.dvCounts(spark, dir, dvFiles), None)
+      }
+  }
 
   def positions(dvRefs: Array[String], relFile: String): Array[Long] = {
     if (dvRefs == null || dvRefs.isEmpty) return Array.empty
@@ -1781,9 +1862,13 @@ private[sources] object GraftDvReader {
     a
   }
 
-  /** The partition's skip positions (empty when it carries no DV). */
+  /** The partition's skip positions: inline when the planner shipped
+    * them (small-version fast path — no per-task sidecar IO), else
+    * resolved here from the refs; empty when the file carries no DV.
+    */
   def skipPositions(p: GraftInputPartition): Array[Long] =
-    if (p.dvRefs == null) Array.empty
+    if (p.dvInline != null) p.dvInline
+    else if (p.dvRefs == null) Array.empty
     else positions(p.dvRefs, p.relPath)
 }
 
@@ -1804,20 +1889,25 @@ private[sources] class GraftCdfReaderFactory(baseJson: String)
     val base = DataType.fromJson(baseJson).asInstanceOf[StructType]
     val inner: PartitionReader[InternalRow] =
       if (p.changeType == "delete") {
-        val nd = GraftDvReader.positions(p.dvRefs, p.relPath)
-        val od = GraftDvReader.positions(p.oldDvRefs, p.relPath)
-        // tombstones are cumulative (deleteWhere unions); a position
-        // leaving the DV without a file swap has no change-feed
-        // meaning — fail the stream, same contract the planner had
-        // when it resolved positions driver-side
-        require(od.forall(x =>
-          java.util.Arrays.binarySearch(nd, x) >= 0),
-          s"graft streaming: version ${p.commitVersion} REMOVES " +
-            s"deletion-vector tombstones on ${p.relPath} without " +
-            "rewriting the file — not a representable row-level change")
-        val odSet = od.toSet
-        new GraftPositionalReader(p.absPath, base,
-          nd.filterNot(odSet))
+        val fresh =
+          if (p.emitInline != null) p.emitInline // planner pre-diffed
+          else {
+            val nd = GraftDvReader.positions(p.dvRefs, p.relPath)
+            val od = GraftDvReader.positions(p.oldDvRefs, p.relPath)
+            // tombstones are cumulative (deleteWhere unions); a
+            // position leaving the DV without a file swap has no
+            // change-feed meaning — fail the stream, same contract
+            // the inline tier enforces at plan time
+            require(od.forall(x =>
+              java.util.Arrays.binarySearch(nd, x) >= 0),
+              s"graft streaming: version ${p.commitVersion} REMOVES " +
+                s"deletion-vector tombstones on ${p.relPath} without " +
+                "rewriting the file — not a representable row-level " +
+                "change")
+            val odSet = od.toSet
+            nd.filterNot(odSet)
+          }
+        new GraftPositionalReader(p.absPath, base, fresh)
       } else new GraftPartitionReader(p.absPath, base,
         GraftDvReader.skipPositions(p))
     new GraftCdfProjectReader(inner,
@@ -3065,12 +3155,20 @@ private[sources] class GraftCowBatchWrite(dir: String,
       resolvedAt().foreach { rm =>
         if (dvFiles.toSet != rm.dvFiles.toSet && removed.nonEmpty) {
           import org.apache.spark.sql.functions.col
-          def dvOnRemoved(dv: Seq[String]): Set[(String, Long)] =
-            if (dv.isEmpty) Set.empty
+          // set equality as a DISTRIBUTED symmetric difference — the
+          // comparison never collects positions (a concurrent bulk
+          // delete's tombstones on the rewrite set could be huge).
+          // Exactly one side can be empty here (the sets differ);
+          // the empty frame borrows the other side's schema
+          val anyDv = if (dvFiles.nonEmpty) dvFiles else rm.dvFiles
+          def dvOnRemoved(dv: Seq[String]): org.apache.spark.sql.DataFrame =
+            if (dv.isEmpty)
+              ManagedTable.dvRows(spark, dir, anyDv).limit(0)
             else ManagedTable.dvRows(spark, dir, dv)
               .filter(col("__file").isin(removed.toSeq: _*))
-              .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-          require(dvOnRemoved(dvFiles) == dvOnRemoved(rm.dvFiles),
+          val a = dvOnRemoved(dvFiles)
+          val b = dvOnRemoved(rm.dvFiles)
+          require(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
             "graft: a concurrent DELETE changed tombstones on files " +
               s"this row-level operation was rewriting in $dir — " +
               "re-run the statement")

@@ -157,6 +157,20 @@ class PositionalReaderSpec extends SparkSpec {
   test("change feed end-to-end over a LARGE delete: positions resolve " +
       "executor-side and the feed matches the batch diff") {
     import org.apache.spark.sql.streaming.Trigger
+    // force the REFS tier (inline cap 0) so this drives the
+    // executor-side resolution path a real bulk delete would take
+    spark.conf.set(GraftDvReader.InlineMaxRowsConf, "0")
+    try bulkFeedBody()
+    finally spark.conf.unset(GraftDvReader.InlineMaxRowsConf)
+  }
+
+  test("change feed end-to-end over the same delete on the INLINE " +
+      "tier (default cap) is identical") {
+    bulkFeedBody()
+  }
+
+  private def bulkFeedBody(): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
     val dir = Files.createTempDirectory("graft-cdfbulk").toString + "/t"
     val n = 5000L
     ManagedTable.appendCommit(
